@@ -1,0 +1,564 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** The reference's relational operator inventory (SURVEY.md §2) re-expressed
+  * as idiomatic DataFrame pipelines over the driver corpus, each paired with
+  * an ANSI-SQL oracle (DuckDB) in [[Relational.oracleSql]].
+  *
+  * Cross-engine determinism rules used throughout (so result hashes match
+  * the oracle bit-for-bit):
+  *   - sums/avgs of 2-decimal source doubles go through DECIMAL(18,2) casts
+  *     (exact, order-independent), converted to DOUBLE only at the end;
+  *   - derived-double aggregates are rounded with [[Relational.round0]]-style
+  *     integer-scale rounding (`round(x*10^d)/10^d`) — Spark's BigDecimal
+  *     HALF_UP and DuckDB's binary rounding agree at scale 0 but can differ
+  *     at fractional scales (e.g. 2.675 → 2.68 vs 2.67);
+  *   - predicates never sit on library-function outputs (trig etc.), only on
+  *     +,-,*,/ arithmetic which is IEEE-deterministic across engines;
+  *   - every query ends with an ORDER BY on integer/string keys.
+  */
+object Relational {
+
+  private val AsOf = "2024-01-31 00:00:00" // events span Jan 2024 at every SF
+
+  /** Cross-engine-safe double rounding: scale-0 round after scaling. */
+  private def roundSafe(c: Column, digits: Int): Column = {
+    val p = math.pow(10, digits)
+    round(c * p, 0) / p
+  }
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  // ------------------------------------------------------------------
+  // q01 — A2/A4/A5/A6: grouped rollup with min/max/avg/count + HAVING.
+  // Mirrors the reference's hourly_aggregates shape
+  // (reference src/transformation/aggregation.py:112-153) on lineitem.
+  // ------------------------------------------------------------------
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("date"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") >= 1) // HAVING COUNT(*) >= 1 parity (aggregation.py:153)
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  MIN(l_extendedprice) AS min_price,
+      |  MAX(l_extendedprice) AS max_price,
+      |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |HAVING COUNT(*) >= 1
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q02 — S11/F10/F8: projection + range predicates; filters and the
+  // 2-column read schema must reach the parquet scan (PushedFilters).
+  // ------------------------------------------------------------------
+  def q02FilterProject(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_quantity").between(10, 20) && col("l_discount") >= 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val q02Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+      |FROM lineitem
+      |WHERE l_quantity BETWEEN 10 AND 20 AND l_discount >= 0.05
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q03 — F1: time-window filter with an explicit asOf instead of NOW()
+  // (reference cleaning.py:50-53; determinism per SURVEY §7 risk 1).
+  // ------------------------------------------------------------------
+  def q03TimeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.filter(col("ts") >= lit(AsOf).cast("timestamp") - expr("INTERVAL 72 HOURS"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
+  val q03Sql: String =
+    s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+       |FROM events
+       |WHERE ts >= TIMESTAMP '$AsOf' - INTERVAL 72 HOURS
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q04 — F2: completeness filter — drop rows where >1 of 3 critical
+  // fields is missing (reference cleaning.py:144-149). The corpus has no
+  // NULLs, so missingness is synthesized deterministically first.
+  // ------------------------------------------------------------------
+  def q04Completeness(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val t = when(col("event_id") % 13 === 0, lit(null)).otherwise(col("value"))
+    val w = when(col("event_id") % 11 === 0, lit(null)).otherwise(col("value") / 3.0)
+    val p = when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value") / 20.0)
+    val missing = t.isNull.cast("int") + w.isNull.cast("int") + p.isNull.cast("int")
+    ev.select(col("event_id"), col("event_type"), missing.as("n_missing"))
+      .filter(col("n_missing") <= 1)
+      .groupBy(col("event_type"), col("n_missing"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("n_missing"))
+  }
+
+  val q04Sql: String =
+    """WITH flagged AS (
+      |  SELECT event_id, event_type,
+      |    (CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END
+      |   + CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END
+      |   + CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS n_missing
+      |  FROM events)
+      |SELECT event_type, n_missing, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM flagged WHERE n_missing <= 1
+      |GROUP BY event_type, n_missing
+      |ORDER BY event_type, n_missing""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q05 — F9: regex predicate (reference load_postal_codes_berlin.py:23-24).
+  // ------------------------------------------------------------------
+  def q05RegexFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs.filter(col("source").rlike("^src1[0-9]$"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("source"))
+  }
+
+  val q05Sql: String =
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |WHERE regexp_matches(source, '^src1[0-9]$')
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q06 — J1: small-dimension equi join, broadcast side explicit
+  // (reference aggregation.py:68 — stations table is tiny).
+  // ------------------------------------------------------------------
+  def q06BroadcastJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val sup = Tables.supplier(spark, dir)
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("revenue"))
+      .orderBy(col("s_name"))
+  }
+
+  val q06Sql: String =
+    """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_name
+      |ORDER BY s_name""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q07 — J5: anti join (station discovery, reference stations.py:101-118).
+  // Customers that have never placed an order.
+  // ------------------------------------------------------------------
+  def q07AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q07Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q08 — J6: semi join (existing-station check, reference
+  // observations.py:85-91 — SQL ANY + Python set diff folded into one op).
+  // ------------------------------------------------------------------
+  def q08SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    part.join(li, col("p_partkey") === col("l_partkey"), "left_semi")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q08Sql: String =
+    """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts
+      |FROM part
+      |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q09 — J4/A7/W2: scalar-max cross join — latest-snapshot semantics of
+  // v_latest_observations (reference sql/schema.sql:312-328): keep rows in
+  // the max hour.
+  // ------------------------------------------------------------------
+  def q09LatestSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("hour", date_trunc("hour", col("ts")))
+    val maxHour = ev.agg(max(col("hour")).as("max_hour"))
+    ev.crossJoin(broadcast(maxHour))
+      .filter(col("hour") === col("max_hour"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("hour"))
+      .orderBy(col("event_id"))
+  }
+
+  val q09Sql: String =
+    """WITH ev AS (SELECT *, date_trunc('hour', ts) AS hour FROM events),
+      |m AS (SELECT MAX(hour) AS max_hour FROM ev)
+      |SELECT event_id, user_id, event_type, hour
+      |FROM ev CROSS JOIN m
+      |WHERE hour = max_hour
+      |ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q10 — J3/A9: as-of-tolerance join + MAE error metrics (reference
+  // sql/schema.sql:410-427): lineitems shipped within 90 days of their
+  // order date; per-order absolute price error vs the order total.
+  // ------------------------------------------------------------------
+  def q10AsofMae(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(col("o_orderkey"), col("o_totalprice"))
+      .agg(sum(dec(col("l_extendedprice"))).as("li_sum"))
+      .select(
+        col("o_orderkey"),
+        abs(dec(col("o_totalprice")) - col("li_sum")).cast("double").as("price_error"),
+        (unix_timestamp(lit(AsOf).cast("timestamp")) / lit(3600.0)).as("epoch_hours"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q10Sql: String =
+    s"""SELECT o_orderkey,
+       |  CAST(ABS(CAST(o_totalprice AS DECIMAL(18,2)) - li_sum) AS DOUBLE) AS price_error,
+       |  epoch(TIMESTAMP '$AsOf') / 3600.0 AS epoch_hours
+       |FROM (
+       |  SELECT o_orderkey, o_totalprice,
+       |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS li_sum
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |    AND l_shipdate >= o_orderdate
+       |    AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+       |  GROUP BY o_orderkey, o_totalprice)
+       |ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q11 — W1: LAG temporal-consistency check (reference cleaning.py:348-364)
+  // — per user, flag consecutive events <=1h apart whose value jumps by
+  // more than 200; return per-user issue counts (count > 0 only).
+  // ------------------------------------------------------------------
+  def q11LagConsistency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("prev_value").isNotNull &&
+        abs(col("value") - col("prev_value")) > 200 &&
+        (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) <= 3600)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_issues"))
+      .orderBy(col("user_id"))
+  }
+
+  val q11Sql: String =
+    """WITH lagged AS (
+      |  SELECT user_id, ts, value,
+      |    LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+      |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_issues
+      |FROM lagged
+      |WHERE prev_value IS NOT NULL AND ABS(value - prev_value) > 200
+      |  AND epoch(date_trunc('second', ts)) - epoch(date_trunc('second', prev_ts)) <= 3600
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q12 — W2/O1: latest-per-key top-1 via row_number (reference
+  // weather.py:91-92), deterministic tie-break on event_id.
+  // ------------------------------------------------------------------
+  def q12LatestPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("ts_sec"))
+      .orderBy(col("user_id"))
+  }
+
+  val q12Sql: String =
+    """SELECT user_id, event_id, event_type, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_sec
+      |FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q13 — O1/O2: ORDER BY + LIMIT with separate window/limit params
+  // (fixing reference weather.py:50-51's double-duty `hours`, SURVEY §8 Q12).
+  // ------------------------------------------------------------------
+  def q13TopK(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    ord.filter(col("o_orderdate") >= lit("1998-01-01").cast("date"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(50)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q13Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM (
+      |  SELECT * FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 50)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q14 — U1: UNION ALL 3-layer status report (reference README.md:144-153).
+  // ------------------------------------------------------------------
+  def q14UnionReport(spark: SparkSession, dir: String): DataFrame = {
+    def layer(name: String, df: DataFrame, key: String) =
+      df.agg(count(lit(1)).as("n_rows"), countDistinct(col(key)).as("n_keys"))
+        .select(lit(name).as("layer"), col("n_rows"), col("n_keys"))
+    layer("bronze_events", Tables.events(spark, dir), "user_id")
+      .union(layer("silver_orders", Tables.orders(spark, dir), "o_custkey"))
+      .union(layer("gold_lineitem", Tables.lineitem(spark, dir), "l_orderkey"))
+      .orderBy(col("layer"))
+  }
+
+  val q14Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'bronze_events' AS layer, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys FROM events
+      |  UNION ALL
+      |  SELECT 'silver_orders', CAST(COUNT(*) AS BIGINT),
+      |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders
+      |  UNION ALL
+      |  SELECT 'gold_lineitem', CAST(COUNT(*) AS BIGINT),
+      |    CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM lineitem)
+      |ORDER BY layer""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q15 — A8: conditional counts, COUNT(*) FILTER (reference
+  // transform.py:217-224) per day.
+  // ------------------------------------------------------------------
+  def q15ConditionalCounts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("event_type") === "error", 1)).as("n_errors"),
+        count(when(col("value") > 400, 1)).as("n_big"),
+        count(when(col("event_id") % 13 === 0, 1)).as("n_null_temp"))
+      .orderBy(col("day"))
+  }
+
+  val q15Sql: String =
+    """SELECT date_trunc('day', ts) AS day,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_errors,
+      |  CAST(COUNT(*) FILTER (WHERE value > 400) AS BIGINT) AS n_big,
+      |  CAST(COUNT(*) FILTER (WHERE event_id % 13 = 0) AS BIGINT) AS n_null_temp
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q16 — scalar-function surface: datetime/math/string/conditional
+  // (SURVEY §2.8) exercised per-row, then aggregated.
+  // ------------------------------------------------------------------
+  def q16ScalarFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.select(
+        col("event_id"),
+        col("event_type"),
+        (unix_timestamp(date_trunc("hour", col("ts"))) / 3600).cast("long").as("epoch_hour"),
+        abs(col("value") - 250).as("abs_dev"),
+        least(col("value"), lit(100.0)).as("capped"),
+        greatest(col("value"), lit(1.0)).as("floored"),
+        coalesce(nullif(col("event_type"), lit("error")), lit("ERR")).as("routed"),
+        concat(lit("u"), col("user_id").cast("string"), lit(":"), col("event_type")).as("tag"))
+      .groupBy(col("routed"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("epoch_hour")).as("min_hour"),
+        max(col("abs_dev")).as("max_dev"),
+        min(col("capped")).as("min_capped"),
+        max(col("floored")).as("max_floored"),
+        max(col("tag")).as("max_tag"))
+      .orderBy(col("routed"))
+  }
+
+  val q16Sql: String =
+    """WITH s AS (
+      |  SELECT event_id, event_type,
+      |    CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS epoch_hour,
+      |    ABS(value - 250) AS abs_dev,
+      |    LEAST(value, 100.0) AS capped,
+      |    GREATEST(value, 1.0) AS floored,
+      |    COALESCE(NULLIF(event_type, 'error'), 'ERR') AS routed,
+      |    'u' || CAST(user_id AS VARCHAR) || ':' || event_type AS tag
+      |  FROM events)
+      |SELECT routed, CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(epoch_hour) AS min_hour, MAX(abs_dev) AS max_dev,
+      |  MIN(capped) AS min_capped, MAX(floored) AS max_floored, MAX(tag) AS max_tag
+      |FROM s GROUP BY routed ORDER BY routed""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q17 — JSON extraction (reference brightsky_client.py:58,77-92 parses
+  // JSON payloads): pull props.k out of the events JSON column.
+  // ------------------------------------------------------------------
+  def q17JsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy(col("k_mod"))
+  }
+
+  val q17Sql: String =
+    """WITH j AS (SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+      |SELECT k % 10 AS k_mod, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
+      |FROM j GROUP BY 1 ORDER BY k_mod""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q18 — upsert semantics as a query (S5: last-write-wins on
+  // (station,ts) — reference observations.py:258-283): re-ingesting the
+  // same batch with bumped update priority keeps exactly the newer copy.
+  // ------------------------------------------------------------------
+  def q18UpsertLastWins(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val first = ev.select(col("event_id"), col("user_id"), col("value"), lit(1).as("version"))
+    val second = ev.filter(col("event_id") % 3 === 0)
+      .select(col("event_id"), col("user_id"), (col("value") + 1000).as("value"), lit(2).as("version"))
+    val unioned = first.union(second)
+    val w = Window.partitionBy(col("event_id")).orderBy(col("version").desc)
+    unioned.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sum_value"),
+        max(col("version")).as("max_version"))
+      .orderBy(col("user_id"))
+  }
+
+  val q18Sql: String =
+    """WITH unioned AS (
+      |  SELECT event_id, user_id, value, 1 AS version FROM events
+      |  UNION ALL
+      |  SELECT event_id, user_id, value + 1000, 2 FROM events WHERE event_id % 3 = 0),
+      |dedup AS (
+      |  SELECT * FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY version DESC) AS rn
+      |    FROM unioned) WHERE rn = 1)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  CAST(MAX(version) AS INT) AS max_version
+      |FROM dedup GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q19 — upsert S6: first-write-wins (forecasts, reference
+  // forecasts.py:233-243 ON CONFLICT DO NOTHING) via left-anti append.
+  // ------------------------------------------------------------------
+  def q19UpsertFirstWins(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val existing = ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("value"))
+    val incoming = ev.filter(col("event_id") % 3 === 0)
+      .select(col("event_id"), (col("value") + 5000).as("value"))
+    val appended = incoming.join(existing, Seq("event_id"), "left_anti")
+    existing.union(appended)
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(lit("merged").as("k"), col("n"), col("sum_value"))
+  }
+
+  val q19Sql: String =
+    """WITH existing AS (SELECT event_id, value FROM events WHERE event_id % 2 = 0),
+      |incoming AS (SELECT event_id, value + 5000 AS value FROM events WHERE event_id % 3 = 0),
+      |appended AS (SELECT * FROM incoming i WHERE NOT EXISTS
+      |  (SELECT 1 FROM existing e WHERE e.event_id = i.event_id)),
+      |merged AS (SELECT * FROM existing UNION ALL SELECT * FROM appended)
+      |SELECT 'merged' AS k, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM merged""".stripMargin
+
+  /** queries + oracles exported to [[graft.SparkEntry]]. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary"  -> (q01PricingSummary _),
+    "q02_filter_project"   -> (q02FilterProject _),
+    "q03_time_window"      -> (q03TimeWindow _),
+    "q04_completeness"     -> (q04Completeness _),
+    "q05_regex_filter"     -> (q05RegexFilter _),
+    "q06_broadcast_join"   -> (q06BroadcastJoin _),
+    "q07_anti_join"        -> (q07AntiJoin _),
+    "q08_semi_join"        -> (q08SemiJoin _),
+    "q09_latest_snapshot"  -> (q09LatestSnapshot _),
+    "q10_asof_mae"         -> (q10AsofMae _),
+    "q11_lag_consistency"  -> (q11LagConsistency _),
+    "q12_latest_per_key"   -> (q12LatestPerKey _),
+    "q13_topk"             -> (q13TopK _),
+    "q14_union_report"     -> (q14UnionReport _),
+    "q15_conditional_counts" -> (q15ConditionalCounts _),
+    "q16_scalar_functions" -> (q16ScalarFunctions _),
+    "q17_json_extract"     -> (q17JsonExtract _),
+    "q18_upsert_last_wins" -> (q18UpsertLastWins _),
+    "q19_upsert_first_wins" -> (q19UpsertFirstWins _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary"  -> q01Sql,
+    "q02_filter_project"   -> q02Sql,
+    "q03_time_window"      -> q03Sql,
+    "q04_completeness"     -> q04Sql,
+    "q05_regex_filter"     -> q05Sql,
+    "q06_broadcast_join"   -> q06Sql,
+    "q07_anti_join"        -> q07Sql,
+    "q08_semi_join"        -> q08Sql,
+    "q09_latest_snapshot"  -> q09Sql,
+    "q10_asof_mae"         -> q10Sql,
+    "q11_lag_consistency"  -> q11Sql,
+    "q12_latest_per_key"   -> q12Sql,
+    "q13_topk"             -> q13Sql,
+    "q14_union_report"     -> q14Sql,
+    "q15_conditional_counts" -> q15Sql,
+    "q16_scalar_functions" -> q16Sql,
+    "q17_json_extract"     -> q17Sql,
+    "q18_upsert_last_wins" -> q18Sql,
+    "q19_upsert_first_wins" -> q19Sql,
+  )
+}
