@@ -1,16 +1,18 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.operators.Relational
+import graft.weather.WeatherQueries
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the full weather bronze→silver→gold IDW pipeline at
+    * sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q01PricingSummary(spark, "/root/testdata/sf0.001")
+    WeatherQueries.goldObservations(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries
+    Relational.queries ++ WeatherQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracleSql
+    Relational.oracleSql ++ WeatherQueries.oracleSql
 }

@@ -1,0 +1,86 @@
+package graft.weather
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-contract wiring for the weather pipeline: each stage of
+  * SURVEY §3.1's lifecycle as an oracled query over the synth weather
+  * tables. Names/columns match [[WeatherOracle]] exactly.
+  */
+object WeatherQueries {
+
+  private def stgObs(s: SparkSession, d: String): DataFrame =
+    WeatherPipeline.cleanObservations(WeatherSynth.rawObservations(s, d))
+
+  private def stgFc(s: SparkSession, d: String): DataFrame =
+    WeatherPipeline.cleanForecasts(WeatherSynth.rawForecasts(s, d))
+
+  private def goldObs(s: SparkSession, d: String): DataFrame =
+    WeatherPipeline.aggregateToPostal(
+      stgObs(s, d), WeatherSynth.stations(s, d), WeatherSynth.postalCodes(s, d), "observation")
+
+  private def goldFc(s: SparkSession, d: String): DataFrame =
+    WeatherPipeline.aggregateToPostal(
+      stgFc(s, d), WeatherSynth.stations(s, d), WeatherSynth.postalCodes(s, d), "forecast")
+
+  def cleanObs(s: SparkSession, d: String): DataFrame =
+    stgObs(s, d).select(
+      col("station_id"), date_trunc("second", col("timestamp")).as("ts_sec"),
+      col("temperature"), col("humidity"), col("pressure"), col("wind_speed"),
+      col("wind_direction"), col("precipitation"), col("cloud_cover"),
+      col("visibility"), col("sunshine"), col("dew_point"),
+      col("has_missing_values"), col("has_outliers"), col("data_quality_score"),
+      col("quality_notes"), col("raw_id"))
+      .orderBy(col("station_id"), col("ts_sec"), col("raw_id"))
+
+  def goldObservations(s: SparkSession, d: String): DataFrame =
+    goldObs(s, d).orderBy(col("postal_code"), col("timestamp"))
+
+  def goldForecasts(s: SparkSession, d: String): DataFrame =
+    goldFc(s, d).orderBy(col("postal_code"), col("timestamp"), col("forecast_timestamp"))
+
+  def accuracy(s: SparkSession, d: String): DataFrame =
+    WeatherPipeline.forecastAccuracy(goldObs(s, d).union(goldFc(s, d)))
+      .orderBy(col("postal_code"), col("forecast_issue_time"), col("forecast_target_time"))
+
+  def latestObs(s: SparkSession, d: String): DataFrame =
+    WeatherPipeline.latestObservations(goldObs(s, d)).orderBy(col("postal_code"))
+
+  def latestFc(s: SparkSession, d: String): DataFrame =
+    WeatherPipeline.latestForecasts(goldFc(s, d))
+      .orderBy(col("postal_code"), col("target_time"))
+
+  def nearest(s: SparkSession, d: String): DataFrame =
+    WeatherPipeline.nearestStations(WeatherSynth.stations(s, d), WeatherSynth.postalCodes(s, d))
+      .orderBy(col("postal_code"), col("rank"))
+
+  def history(s: SparkSession, d: String): DataFrame =
+    WeatherPipeline.history(goldObs(s, d), "10003", 72, 24).orderBy(col("timestamp"))
+
+  def temporal(s: SparkSession, d: String): DataFrame =
+    WeatherPipeline.temporalConsistency(stgObs(s, d)).orderBy(col("station_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_weather_clean_obs"  -> (cleanObs _),
+    "q21_weather_gold_obs"   -> (goldObservations _),
+    "q22_weather_gold_fc"    -> (goldForecasts _),
+    "q23_weather_accuracy"   -> (accuracy _),
+    "q24_weather_latest_obs" -> (latestObs _),
+    "q25_weather_latest_fc"  -> (latestFc _),
+    "q26_weather_knn"        -> (nearest _),
+    "q27_weather_history"    -> (history _),
+    "q28_weather_temporal"   -> (temporal _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q20_weather_clean_obs"  -> WeatherOracle.cleanObsSql,
+    "q21_weather_gold_obs"   -> WeatherOracle.goldObsSql,
+    "q22_weather_gold_fc"    -> WeatherOracle.goldFcSql,
+    "q23_weather_accuracy"   -> WeatherOracle.accuracySql,
+    "q24_weather_latest_obs" -> WeatherOracle.latestObsSql,
+    "q25_weather_latest_fc"  -> WeatherOracle.latestFcSql,
+    "q26_weather_knn"        -> WeatherOracle.nearestStationsSql,
+    "q27_weather_history"    -> WeatherOracle.historySql,
+    "q28_weather_temporal"   -> WeatherOracle.temporalSql,
+  )
+}
