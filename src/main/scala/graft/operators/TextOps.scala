@@ -1,0 +1,364 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Large-scale training-data text operators over the `documents` table:
+  * quality stats, language ID, token counting, fingerprinting, and the
+  * dedup family (exact, n-gram Jaccard, MinHash+LSH, SimHash).
+  *
+  * All content hashing is md5-string-based: both engines produce identical
+  * lowercase hex, and a lexicographic MIN over hex strings is a valid
+  * min-hash (128-bit uniform order), so MinHash signatures need no
+  * integer-conversion functions (DuckDB has no conv/xxhash64).
+  *
+  * Scale posture: everything is shuffle-by-key (doc_id, shingle, band,
+  * fingerprint) — no driver-side loops; the pairwise stages are
+  * candidate-generated (inverted index / LSH bands / fingerprint buckets),
+  * never all-pairs, except the intentionally-bounded SimHash verify whose
+  * 32-bit space keeps expected collisions tiny.
+  */
+object TextOps {
+
+  private val Stop = Map(
+    "en" -> Seq("the", "and", "is", "of", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "est", "les"),
+    "es" -> Seq("el", "los", "y", "es", "las"),
+    "zh" -> Seq("的", "是", "了", "我", "不"))
+
+  /** Whitespace tokens of the raw text. */
+  private def withToks(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(trim(col("text")), "\\s+"))
+
+  private def inList(vs: Seq[String]): String = vs.map(s => s"'$s'").mkString(", ")
+
+  // ------------------------------------------------------------------
+  // q40 — text quality stats: lengths, token counts (whitespace + a
+  // BPE-ish longest-run regex), punctuation and stopword ratios.
+  // Ratios are single double divisions of exact ints — cross-engine safe
+  // unrounded.
+  // ------------------------------------------------------------------
+  def q40TextStats(spark: SparkSession, dir: String): DataFrame =
+    withToks(Tables.documents(spark, dir))
+      .withColumn("n_ws_tokens", size(col("toks")))
+      .withColumn("n_bpeish",
+        size(regexp_extract_all(col("text"), lit("([A-Za-z]+|[0-9]|[^A-Za-z0-9\\s])"), lit(1))))
+      .withColumn("n_punct",
+        length(col("text")) - length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")))
+      .withColumn("n_stop",
+        expr(s"size(filter(toks, t -> t IN (${inList(Stop("en"))})))"))
+      .select(col("doc_id"), col("n_chars"), col("n_ws_tokens"), col("n_bpeish"),
+        col("n_punct"),
+        (col("n_punct").cast("double") / col("n_chars")).as("punct_ratio"),
+        (col("n_stop").cast("double") / col("n_ws_tokens")).as("stopword_ratio"))
+      .orderBy(col("doc_id"))
+
+  val q40Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, n_chars, regexp_split_to_array(trim(text), '\s+') AS toks,
+      |    CAST(len(regexp_extract_all(text, '([A-Za-z]+|[0-9]|[^A-Za-z0-9\s])', 1)) AS INT) AS n_bpeish,
+      |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS INT) AS n_punct,
+      |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |      x -> x IN ('the', 'and', 'is', 'of', 'to'))) AS INT) AS n_stop
+      |  FROM documents)
+      |SELECT doc_id, n_chars, CAST(len(toks) AS INT) AS n_ws_tokens, n_bpeish, n_punct,
+      |  CAST(n_punct AS DOUBLE)/n_chars AS punct_ratio,
+      |  CAST(n_stop AS DOUBLE)/len(toks) AS stopword_ratio
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q41 — language ID: stopword-count heuristic with a fixed priority
+  // order on ties (en > de > fr > es > zh). Integer scores → deterministic.
+  // ------------------------------------------------------------------
+  def q41LangId(spark: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("en", "de", "fr", "es", "zh")
+    val scored = langs.foldLeft(withToks(Tables.documents(spark, dir))) { (df, l) =>
+      df.withColumn(s"s_$l", expr(s"size(filter(toks, t -> t IN (${inList(Stop(l))})))"))
+    }
+    val pred = when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
+        col("s_en") >= col("s_es") && col("s_en") >= col("s_zh"), "en")
+      .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es") &&
+        col("s_de") >= col("s_zh"), "de")
+      .when(col("s_fr") >= col("s_es") && col("s_fr") >= col("s_zh"), "fr")
+      .when(col("s_es") >= col("s_zh"), "es")
+      .otherwise("zh")
+    scored.withColumn("lang_pred", pred)
+      .groupBy(col("lang_pred"), col("lang").as("lang_label"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"))
+      .orderBy(col("lang_pred"), col("lang_label"))
+  }
+
+  val q41Sql: String = {
+    def s(l: String) =
+      s"len(list_filter(toks, x -> x IN (${TextOps.Stop(l).map(v => s"'$v'").mkString(", ")})))"
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+       |scored AS (
+       |  SELECT doc_id, lang, ${s("en")} AS s_en, ${s("de")} AS s_de,
+       |    ${s("fr")} AS s_fr, ${s("es")} AS s_es, ${s("zh")} AS s_zh
+       |  FROM t),
+       |pred AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+       |         WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+       |         WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+       |         WHEN s_es >= s_zh THEN 'es'
+       |         ELSE 'zh' END AS lang_pred
+       |  FROM scored)
+       |SELECT lang_pred, lang AS lang_label, CAST(COUNT(*) AS BIGINT) AS n,
+       |  MIN(doc_id) AS min_doc
+       |FROM pred GROUP BY lang_pred, lang ORDER BY lang_pred, lang_label""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // q42 — document fingerprinting: (a) polynomial rolling hash over the
+  // first 64 chars (base 31 mod 1e9+7, exact int64 arithmetic), (b) md5 of
+  // the 10-token normalized prefix; dup groups by prefix fingerprint.
+  // ------------------------------------------------------------------
+  def q42Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    withToks(Tables.documents(spark, dir))
+      .withColumn("rolling_hash", expr(
+        "aggregate(transform(sequence(1, length(substring(text, 1, 64))), " +
+          "i -> ascii(substring(substring(text, 1, 64), i, 1))), " +
+          "0L, (acc, c) -> (acc * 31 + c) % 1000000007L)"))
+      .withColumn("prefix_fp", md5(concat_ws(" ", expr("slice(toks, 1, 10)"))))
+      .groupBy(col("prefix_fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"),
+        max(col("doc_id")).as("max_doc"), min(col("rolling_hash")).as("min_rh"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("prefix_fp"))
+
+  val q42Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_reduce(
+      |      list_prepend(0::BIGINT, list_transform(generate_series(1, length(substring(text,1,64))),
+      |        i -> ascii(substring(substring(text,1,64), i, 1))::BIGINT)),
+      |      (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_hash,
+      |    md5(array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 10), ' ')) AS prefix_fp
+      |  FROM documents)
+      |SELECT prefix_fp, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS keeper,
+      |  MAX(doc_id) AS max_doc, MIN(rolling_hash) AS min_rh
+      |FROM t GROUP BY prefix_fp HAVING COUNT(*) > 1
+      |ORDER BY prefix_fp""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q43 — exact dedup: hash-groupBy on md5(text) (corpus summary + group
+  // stats; the corpus has no byte-identical dups, so the summary row is
+  // the assertion).
+  // ------------------------------------------------------------------
+  def q43DedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).withColumn("h", md5(col("text")))
+    docs.groupBy(col("h")).agg(count(lit(1)).as("n")).agg(
+      count(lit(1)).as("n_distinct"),
+      sum(col("n")).as("n_docs"),
+      count(when(col("n") > 1, 1)).as("n_dup_groups"))
+      .select(lit("exact_dedup").as("op"), col("n_distinct"), col("n_docs"), col("n_dup_groups"))
+  }
+
+  val q43Sql: String =
+    """WITH g AS (SELECT md5(text) AS h, COUNT(*) AS n FROM documents GROUP BY md5(text))
+      |SELECT 'exact_dedup' AS op, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |  CAST(SUM(n) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) FILTER (WHERE n > 1) AS BIGINT) AS n_dup_groups
+      |FROM g""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Shared: per-doc DISTINCT word 3-shingles (inverted-index base).
+  // ------------------------------------------------------------------
+  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+    withToks(Tables.documents(spark, dir))
+      .withColumn("sh", explode(expr(
+        "transform(sequence(1, greatest(size(toks) - 2, 0)), i -> concat_ws(' ', slice(toks, i, 3)))")))
+      .select(col("doc_id"), col("sh")).distinct()
+
+  private val docShinglesSqlCte: String =
+    """shingled AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+      |        i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      |    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)))""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q44 — n-gram Jaccard near-dup: inverted-index self-join on shingles
+  // (candidate pairs share ≥1 shingle — never all-pairs), exact Jaccard
+  // |A∩B| / (|A|+|B|−|A∩B|) from integer counts, threshold 0.6.
+  // ------------------------------------------------------------------
+  def q44NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(spark, dir).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("doc_a"), col("doc_b"), col("common"), col("n_a"), col("n_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q44Sql: String =
+    s"""WITH $docShinglesSqlCte,
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common
+       |  FROM shingled a JOIN shingled b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT doc_a, doc_b, common,
+       |  CAST(sa.n_sh AS BIGINT) AS n_a, CAST(sb.n_sh AS BIGINT) AS n_b,
+       |  CAST(common AS DOUBLE)/(sa.n_sh + sb.n_sh - common) AS jaccard
+       |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE CAST(common AS DOUBLE)/(sa.n_sh + sb.n_sh - common) >= 0.6
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q45 — MinHash + LSH: 16 md5-permutation min-hashes per doc, 4 bands ×
+  // 4 rows; candidates join on band hash; verified with exact Jaccard.
+  // ------------------------------------------------------------------
+  private val NumHashes = 16
+  private val BandSize = 4
+
+  def q45MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(spark, dir).cache()
+    val sigCols = (0 until NumHashes).map(i =>
+      min(md5(concat(lit(s"$i|"), col("sh")))).as(s"h$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 until NumHashes / BandSize).map { b =>
+        struct(lit(b).as("band_id"),
+          md5(concat_ws("|",
+            (0 until BandSize).map(r => col(s"h${b * BandSize + r}")): _*)).as("band_hash"))
+      }: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    // verify candidates with exact Jaccard (same machinery as q44)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = cand
+      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .filter(col("sh_a") === col("sh_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q45Sql: String = {
+    val sigCols = (0 until NumHashes)
+      .map(i => s"MIN(md5('$i|' || sh)) AS h$i").mkString(",\n       |    ")
+    val bandRows = (0 until NumHashes / BandSize).map { b =>
+      val cols = (0 until BandSize).map(r => s"h${b * BandSize + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band_id, md5($cols) AS band_hash FROM sig"
+    }.mkString("\n       |  UNION ALL ")
+    s"""WITH $docShinglesSqlCte,
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM shingled GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band_id = b.band_id
+       |    AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id),
+       |common AS (
+       |  SELECT doc_a, doc_b, COUNT(*) AS common
+       |  FROM cand c JOIN shingled sa ON sa.doc_id = c.doc_a
+       |    JOIN shingled sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
+       |  GROUP BY doc_a, doc_b)
+       |SELECT doc_a, doc_b,
+       |  CAST(common AS DOUBLE)/(sa.n_sh + sb.n_sh - common) AS jaccard
+       |FROM common JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE CAST(common AS DOUBLE)/(sa.n_sh + sb.n_sh - common) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // q46 — SimHash near-dup: 32-bit fingerprint from per-token md5 nibble
+  // high-bits, weighted by token multiplicity; pairs at Hamming ≤ 1 (tiny corpus vocabulary clusters fingerprints).
+  // 32 bits keeps expected random collisions ≈ 0 at corpus scale, so the
+  // all-pairs verify stays tiny after the fingerprint groupBy.
+  // ------------------------------------------------------------------
+  private val SimBits = 32
+
+  def q46Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = withToks(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val sumCols = (0 until SimBits).map(b =>
+      sum(when(expr(s"instr('89abcdef', substring(h, ${b + 1}, 1))") > 0, 1)
+        .otherwise(-1)).as(s"s$b"))
+    val sums = toks.groupBy(col("doc_id")).agg(sumCols.head, sumCols.tail: _*)
+    val fp = sums.select(col("doc_id"),
+      (0 until SimBits).map(b =>
+        when(col(s"s$b") >= 0, lit(1L) * math.pow(2, b).toLong).otherwise(0L))
+        .reduce(_ + _).as("fingerprint"))
+    fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming",
+        bit_count(col("a.fingerprint").bitwiseXOR(col("b.fingerprint"))))
+      .filter(col("hamming") <= 1)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("hamming").cast("int").as("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q46Sql: String = {
+    val sumCols = (0 until SimBits)
+      .map(b => s"SUM(CASE WHEN instr('89abcdef', substring(h, ${b + 1}, 1)) > 0 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n       |    ")
+    val fpExpr = (0 until SimBits)
+      .map(b => s"CASE WHEN s$b >= 0 THEN ${math.pow(2, b).toLong}::BIGINT ELSE 0::BIGINT END")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, md5(tok) AS h FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |    FROM documents)),
+       |sums AS (
+       |  SELECT doc_id,
+       |    $sumCols
+       |  FROM toks GROUP BY doc_id),
+       |fp AS (SELECT doc_id, $fpExpr AS fingerprint FROM sums)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS INT) AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 1
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_text_stats"     -> (q40TextStats _),
+    "q41_lang_id"        -> (q41LangId _),
+    "q42_fingerprint"    -> (q42Fingerprint _),
+    "q43_dedup_exact"    -> (q43DedupExact _),
+    "q44_ngram_jaccard"  -> (q44NgramJaccard _),
+    "q45_minhash_lsh"    -> (q45MinhashLsh _),
+    "q46_simhash"        -> (q46Simhash _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q40_text_stats"     -> q40Sql,
+    "q41_lang_id"        -> q41Sql,
+    "q42_fingerprint"    -> q42Sql,
+    "q43_dedup_exact"    -> q43Sql,
+    "q44_ngram_jaccard"  -> q44Sql,
+    "q45_minhash_lsh"    -> q45Sql,
+    "q46_simhash"        -> q46Sql,
+  )
+}
