@@ -1,0 +1,235 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorExpressions
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, dim 64).
+  *
+  * Cross-engine float discipline: the dot product is a sequential
+  * left-fold in index order on BOTH engines (Spark `aggregate(zip_with(…))`
+  * and DuckDB `list_dot_product` both accumulate left-to-right in double),
+  * so cosine values are bit-identical; outputs are still rounded at 1e-6 so
+  * a future engine change cannot flip the hash. Ordering ties break on
+  * vec_id, never on raw doubles.
+  *
+  * Scale posture: brute force is the correctness baseline (O(Q·N·d) — fine
+  * while Q is a small query set); the LSH sign-random-projection variant is
+  * the 100 TB path: bucket on 8 md5-derived ±1 hyperplane signs (an
+  * equi-join key), verify only within-bucket — candidate generation is a
+  * shuffle-by-bucket, never all-pairs.
+  */
+object VectorOps {
+
+  private def roundSafe6(c: Column): Column = round(c * 1e6, 0) / 1e6 + 0.0
+
+  /** embeddings with exact float→double cast, per-row L2 norm, renamed for
+    * self-join (`<p>id`, `<p>v`, `<p>nrm`, `<p>label`).
+    */
+  private def vecs(spark: SparkSession, dir: String, p: String): DataFrame = {
+    VectorExpressions.register(spark)
+    Tables.embeddings(spark, dir)
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", sqrt(VectorExpressions.dot(col("v"), col("v"))))
+      .select(col("vec_id").as(s"${p}id"), col("v").as(s"${p}v"),
+        col("nrm").as(s"${p}nrm"), col("label").as(s"${p}label"))
+  }
+
+  private def cosine(av: String, bv: String, an: String, bn: String): Column =
+    VectorExpressions.dot(col(av), col(bv)) / (col(an) * col(bn))
+
+  private val SqlVecs =
+    """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label,
+      |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q47 — embedding-cosine near-dup: brute-force pairs at cos ≥ 0.4
+  // (the corpus has no planted near-identical vectors; 0.4 captures the
+  // intra-cluster tail).
+  // ------------------------------------------------------------------
+  def q47EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val a = vecs(spark, dir, "a_")
+    val b = vecs(spark, dir, "b_")
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("sim", cosine("a_v", "b_v", "a_nrm", "b_nrm"))
+      .filter(col("sim") >= 0.4)
+      .select(col("a_id"), col("b_id"), roundSafe6(col("sim")).as("sim6"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val q47Sql: String =
+    s"""WITH $SqlVecs
+       |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |  round((list_dot_product(a.v, b.v)/(a.nrm*b.nrm))*1e6)/1e6 + 0.0 AS sim6
+       |FROM v a JOIN v b ON a.vec_id < b.vec_id
+       |WHERE list_dot_product(a.v, b.v)/(a.nrm*b.nrm) >= 0.4
+       |ORDER BY a_id, b_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q48 — brute-force cosine top-k: 10-NN for the vec_id%50=0 query set,
+  // rank by rounded sim desc then vec_id (never raw-double order).
+  // ------------------------------------------------------------------
+  def q48KnnCosine(spark: SparkSession, dir: String): DataFrame = {
+    val q = vecs(spark, dir, "q_").filter(col("q_id") % 50 === 0)
+    val b = vecs(spark, dir, "b_")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim6").desc, col("b_id"))
+    q.join(b, col("q_id") =!= col("b_id"))
+      .withColumn("sim6", roundSafe6(cosine("q_v", "b_v", "q_nrm", "b_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("b_id"), col("rank").cast("int").as("rank"), col("sim6"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val q48Sql: String =
+    s"""WITH $SqlVecs,
+       |sims AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS b_id,
+       |    round((list_dot_product(a.v, b.v)/(a.nrm*b.nrm))*1e6)/1e6 + 0.0 AS sim6
+       |  FROM v a JOIN v b ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim6 DESC, b_id) AS rank
+       |  FROM sims)
+       |SELECT q_id, b_id, CAST(rank AS INT) AS rank, sim6
+       |FROM ranked WHERE rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q49 — LSH-bucketed ANN (the scale path): 8 sign-random-projection
+  // bits per vector, hyperplane signs derived from md5 high-nibbles
+  // (identical constants in both engines, no RNG); candidates share the
+  // bucket; exact cosine verify; top-3 per query within bucket.
+  // ------------------------------------------------------------------
+  private val LshBits = 8
+  private val Dim = 64
+
+  /** ±1 hyperplane signs, plane j component i = high bit of the first md5
+    * nibble of "j|i" — computed here with MessageDigest and inline in the
+    * DuckDB oracle with md5(); identical constants, no RNG.
+    */
+  private lazy val planes: IndexedSeq[Seq[Double]] = {
+    val mdt = java.security.MessageDigest.getInstance("MD5")
+    (0 until LshBits).map { j =>
+      (0 until Dim).map { i =>
+        val h = mdt.digest(s"$j|$i".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 0xF) >= 8) 1.0 else -1.0
+      }
+    }
+  }
+
+  private def bucketExprSpark: Column = {
+    val bits = (0 until LshBits).map { j =>
+      when(VectorExpressions.dot(col("v"), typedLit(planes(j))) >= 0,
+        lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  private def bucketExprSqlDuck: String = {
+    val bits = (0 until LshBits).map { j =>
+      val fold = s"list_sum(list_transform(generate_series(0, ${Dim - 1}), " +
+        s"i -> v[i + 1] * (CASE WHEN instr('89abcdef', substring(md5('$j|' || CAST(i AS VARCHAR)), 1, 1)) > 0 THEN 1.0 ELSE -1.0 END)))"
+      s"(CASE WHEN $fold >= 0 THEN ${1L << j}::BIGINT ELSE 0::BIGINT END)"
+    }
+    bits.mkString(" + ")
+  }
+
+  def q49AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val base = Tables.embeddings(spark, dir)
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", sqrt(VectorExpressions.dot(col("v"), col("v"))))
+      .withColumn("bucket", bucketExprSpark)
+      .select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
+    val q = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+        col("nrm").as("q_nrm"), col("bucket"))
+    val c = base.select(col("vec_id").as("b_id"), col("v").as("b_v"),
+      col("nrm").as("b_nrm"), col("bucket"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim6").desc, col("b_id"))
+    q.join(c, Seq("bucket")).filter(col("q_id") =!= col("b_id"))
+      .withColumn("sim6", roundSafe6(cosine("q_v", "b_v", "q_nrm", "b_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("b_id"), col("bucket"),
+        col("rank").cast("int").as("rank"), col("sim6"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val q49Sql: String =
+    s"""WITH $SqlVecs,
+       |bucketed AS (
+       |  SELECT vec_id, v, nrm, $bucketExprSqlDuck AS bucket FROM v),
+       |sims AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS b_id, a.bucket,
+       |    round((list_dot_product(a.v, b.v)/(a.nrm*b.nrm))*1e6)/1e6 + 0.0 AS sim6
+       |  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket
+       |    AND a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim6 DESC, b_id) AS rank
+       |  FROM sims)
+       |SELECT q_id, b_id, bucket, CAST(rank AS INT) AS rank, sim6
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q50 — kNN label classification: majority label of the 5 nearest
+  // neighbors per query (ties: higher count first, then smaller label).
+  // ------------------------------------------------------------------
+  def q50KnnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val q = vecs(spark, dir, "q_").filter(col("q_id") % 25 === 0)
+    val b = vecs(spark, dir, "b_")
+    val wK = Window.partitionBy(col("q_id")).orderBy(col("sim6").desc, col("b_id"))
+    val top5 = q.join(b, col("q_id") =!= col("b_id"))
+      .withColumn("sim6", roundSafe6(cosine("q_v", "b_v", "q_nrm", "b_nrm")))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= 5)
+    val wV = Window.partitionBy(col("q_id"))
+      .orderBy(col("votes").desc, col("b_label"))
+    top5.groupBy(col("q_id"), col("q_label"), col("b_label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wV))
+      .filter(col("vr") === 1)
+      .select(col("q_id"), col("q_label").as("true_label"),
+        col("b_label").as("predicted_label"), col("votes"))
+      .orderBy(col("q_id"))
+  }
+
+  val q50Sql: String =
+    s"""WITH $SqlVecs,
+       |sims AS (
+       |  SELECT a.vec_id AS q_id, a.label AS q_label, b.vec_id AS b_id, b.label AS b_label,
+       |    round((list_dot_product(a.v, b.v)/(a.nrm*b.nrm))*1e6)/1e6 + 0.0 AS sim6
+       |  FROM v a JOIN v b ON a.vec_id % 25 = 0 AND a.vec_id <> b.vec_id),
+       |top5 AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim6 DESC, b_id) AS rank
+       |    FROM sims) WHERE rank <= 5),
+       |votes AS (
+       |  SELECT q_id, q_label, b_label, COUNT(*) AS votes FROM top5
+       |  GROUP BY q_id, q_label, b_label),
+       |winner AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY votes DESC, b_label) AS vr
+       |  FROM votes)
+       |SELECT q_id, q_label AS true_label, b_label AS predicted_label,
+       |  CAST(votes AS BIGINT) AS votes
+       |FROM winner WHERE vr = 1
+       |ORDER BY q_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_embedding_neardup" -> (q47EmbeddingNeardup _),
+    "q48_knn_cosine"        -> (q48KnnCosine _),
+    "q49_ann_lsh"           -> (q49AnnLsh _),
+    "q50_knn_classify"      -> (q50KnnClassify _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q47_embedding_neardup" -> q47Sql,
+    "q48_knn_cosine"        -> q48Sql,
+    "q49_ann_lsh"           -> q49Sql,
+    "q50_knn_classify"      -> q50Sql,
+  )
+}
