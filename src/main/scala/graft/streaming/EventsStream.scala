@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming face of the engine. The reference "streams" via
+  * cron micro-batches (6h ingest / hourly transform,
+  * `dags/ingest_observations_dag.py:30`, `dags/transform_weather_dag.py:39`)
+  * with late data upserted rather than dropped (SURVEY §2.10) — mapped
+  * here to:
+  *
+  *  - file-source `readStream` over the events parquet (explicit schema,
+  *    nanos-as-long + µs conversion identical to the batch loader);
+  *  - event-time tumbling-window aggregation with a 168h watermark (the
+  *    reference's re-processing window) — long enough that its late-data
+  *    acceptance semantics are preserved;
+  *  - `Trigger.AvailableNow` for the cron-batch execution model;
+  *  - `mapGroupsWithState` sessionization as the custom-state example.
+  */
+object EventsStream {
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) read as long
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over the events table. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet") // file source wants a dir
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+  }
+
+  /** Hourly tumbling-window per-type aggregation (the streaming face of
+    * the gold rollup A6). Late rows inside the 168h watermark update their
+    * window — reference upsert-late-data semantics.
+    */
+  def hourlyWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "168 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Run the windowed agg to completion over the (finite) file source and
+    * return the result as a batch DataFrame — complete mode so final
+    * windows are emitted (append would hold back the watermark tail).
+    */
+  def runWindowAggOnce(spark: SparkSession, dir: String, name: String = "stream_agg"): DataFrame = {
+    val q = hourlyWindowAgg(readEvents(spark, dir))
+      .writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  /** lastTs in epoch MICROseconds — Timestamp.getTime is millis and would
+    * silently truncate the source's µs precision. */
+  case class SessionState(nEvents: Long, lastTs: Long)
+  case class UserSession(user_id: Long, n_events: Long, last_seen: java.sql.Timestamp)
+
+  private def toMicros(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def fromMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Per-user running session state via mapGroupsWithState — the
+    * engine-level replacement for the reference's driver-side watermark
+    * bookkeeping (`observations.py:144-157`).
+    */
+  def sessionize(events: Dataset[Ev]): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, UserSession](GroupStateTimeout.NoTimeout) {
+        (uid, rows, state: GroupState[SessionState]) =>
+          val prev = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+          var n = prev.nEvents
+          var last = prev.lastTs
+          rows.foreach { e =>
+            n += 1
+            last = math.max(last, toMicros(e.ts))
+          }
+          state.update(SessionState(n, last))
+          UserSession(uid, n, fromMicros(last))
+      }
+  }
+
+  /** Run sessionization over the finite source, return final per-user rows. */
+  def runSessionizeOnce(spark: SparkSession, dir: String, name: String = "stream_sessions"): DataFrame = {
+    import spark.implicits._
+    val evs = readEvents(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Ev]
+    val q = sessionize(evs)
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // update mode may emit a row per batch per key; keep the final state
+    val df = spark.table(name)
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("n_events").desc)))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+}
