@@ -186,8 +186,9 @@ object Relational {
   // ------------------------------------------------------------------
   def q07AntiJoin(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
-    val ord = Tables.orders(spark, dir)
-    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("date"))
+    cust.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy(col("c_custkey"))
   }
@@ -195,7 +196,8 @@ object Relational {
   val q07Sql: String =
     """SELECT c_custkey, c_name, c_mktsegment
       |FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
       |ORDER BY c_custkey""".stripMargin
 
   // ------------------------------------------------------------------
