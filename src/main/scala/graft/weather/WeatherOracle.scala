@@ -314,6 +314,29 @@ object WeatherOracle {
        |  ORDER BY timestamp DESC LIMIT 24)
        |ORDER BY timestamp""".stripMargin)
 
+  /** ML-ready validation report (reference transform.py:126-265 thresholds). */
+  val validationSql: String = withCtes(
+    """, gold_all AS (
+      |  SELECT data_type, postal_code, avg_quality_score, temperature_avg, num_stations
+      |  FROM gold_obs
+      |  UNION ALL
+      |  SELECT data_type, postal_code, avg_quality_score, temperature_avg, num_stations
+      |  FROM gold_fc),
+      |rep AS (
+      |  SELECT data_type,
+      |    CAST(COUNT(DISTINCT postal_code) AS BIGINT) AS n_postal,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(SUM(CAST(avg_quality_score AS DECIMAL(5,2))) AS DOUBLE)/COUNT(*) AS avg_quality,
+      |    COUNT(*) FILTER (WHERE temperature_avg IS NULL) AS n_null_temp,
+      |    COUNT(*) FILTER (WHERE num_stations = 0) AS n_zero_station
+      |  FROM gold_all GROUP BY data_type)
+      |SELECT data_type, n_postal, n_rows,
+      |  (n_postal >= 50) AS coverage_ok,
+      |  (avg_quality >= 0.5) AS quality_ok,
+      |  (n_null_temp * 5 <= n_rows) AS null_temp_ok,
+      |  (n_zero_station * 10 <= n_rows) AS zero_station_ok
+      |FROM rep ORDER BY data_type""".stripMargin)
+
   val temporalSql: String = withCtes(
     """, lagged AS (
       |  SELECT station_id, timestamp, temperature,

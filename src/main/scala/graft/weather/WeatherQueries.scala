@@ -60,6 +60,9 @@ object WeatherQueries {
   def temporal(s: SparkSession, d: String): DataFrame =
     WeatherPipeline.temporalConsistency(stgObs(s, d)).orderBy(col("station_id"))
 
+  def validation(s: SparkSession, d: String): DataFrame =
+    Pipeline.validate(goldObs(s, d).unionByName(goldFc(s, d))).orderBy(col("data_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_weather_clean_obs"  -> (cleanObs _),
     "q21_weather_gold_obs"   -> (goldObservations _),
@@ -70,6 +73,7 @@ object WeatherQueries {
     "q26_weather_knn"        -> (nearest _),
     "q27_weather_history"    -> (history _),
     "q28_weather_temporal"   -> (temporal _),
+    "q29_weather_validation" -> (validation _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -82,5 +86,6 @@ object WeatherQueries {
     "q26_weather_knn"        -> WeatherOracle.nearestStationsSql,
     "q27_weather_history"    -> WeatherOracle.historySql,
     "q28_weather_temporal"   -> WeatherOracle.temporalSql,
+    "q29_weather_validation" -> WeatherOracle.validationSql,
   )
 }
