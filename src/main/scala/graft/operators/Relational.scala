@@ -519,6 +519,46 @@ object Relational {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM merged""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q30 — array surface (SURVEY §2.8: ArrayType columns, array_contains /
+  // isin / distinct / sort / slice / join) over tokenized documents.
+  // ------------------------------------------------------------------
+  def q30ArrayOps(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+    docs.select(
+        col("doc_id"),
+        size(col("toks")).as("n_toks"),
+        size(array_distinct(col("toks"))).as("n_uniq"),
+        array_contains(col("toks"), "spark").as("has_spark"),
+        col("lang").isin("en", "de").as("lang_eu"),
+        element_at(sort_array(col("toks")), 1).as("first_tok"),
+        array_join(slice(sort_array(array_distinct(col("toks"))), 1, 3), ",").as("top3"))
+      .groupBy(col("has_spark"), col("lang_eu"))
+      .agg(count(lit(1)).as("n"), sum(col("n_toks")).as("sum_toks"),
+        sum(col("n_uniq")).as("sum_uniq"),
+        min(col("first_tok")).as("min_first"), max(col("top3")).as("max_top3"))
+      .orderBy(col("has_spark"), col("lang_eu"))
+  }
+
+  val q30Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS INT) AS n_toks,
+      |    CAST(len(list_distinct(toks)) AS INT) AS n_uniq,
+      |    list_contains(toks, 'spark') AS has_spark,
+      |    lang IN ('en','de') AS lang_eu,
+      |    list_sort(toks)[1] AS first_tok,
+      |    array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS top3
+      |  FROM (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks
+      |        FROM documents))
+      |SELECT has_spark, lang_eu, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(n_toks) AS BIGINT) AS sum_toks,
+      |  CAST(SUM(n_uniq) AS BIGINT) AS sum_uniq,
+      |  MIN(first_tok) AS min_first, MAX(top3) AS max_top3
+      |FROM t GROUP BY has_spark, lang_eu
+      |ORDER BY has_spark, lang_eu""".stripMargin
+
   /** queries + oracles exported to [[graft.SparkEntry]]. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"  -> (q01PricingSummary _),
@@ -540,6 +580,7 @@ object Relational {
     "q17_json_extract"     -> (q17JsonExtract _),
     "q18_upsert_last_wins" -> (q18UpsertLastWins _),
     "q19_upsert_first_wins" -> (q19UpsertFirstWins _),
+    "q30_array_ops"        -> (q30ArrayOps _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -562,5 +603,6 @@ object Relational {
     "q17_json_extract"     -> q17Sql,
     "q18_upsert_last_wins" -> q18Sql,
     "q19_upsert_first_wins" -> q19Sql,
+    "q30_array_ops"        -> q30Sql,
   )
 }

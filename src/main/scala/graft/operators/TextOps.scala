@@ -292,11 +292,16 @@ object TextOps {
 
   // ------------------------------------------------------------------
   // q46 — SimHash near-dup: 32-bit fingerprint from per-token md5 nibble
-  // high-bits, weighted by token multiplicity; pairs at Hamming ≤ 1 (tiny corpus vocabulary clusters fingerprints).
-  // 32 bits keeps expected random collisions ≈ 0 at corpus scale, so the
-  // all-pairs verify stays tiny after the fingerprint groupBy.
+  // high-bits, weighted by token multiplicity; pairs at Hamming ≤ 1 (tiny
+  // corpus vocabulary clusters fingerprints). Candidate generation is
+  // BANDED, never all-pairs: split the fingerprint into 4 bytes — at
+  // Hamming ≤ 1 the differing bit lives in exactly one byte, so every
+  // qualifying pair agrees exactly on one of the 4 leave-one-out band
+  // triples. Four equi-joins on 24-bit keys replace the O(N²) nested loop
+  // (the pigeonhole banding that scales simhash dedup to corpus size).
   // ------------------------------------------------------------------
   private val SimBits = 32
+  private val SimBands = 4 // 8-bit bands
 
   def q46Simhash(spark: SparkSession, dir: String): DataFrame = {
     val toks = withToks(Tables.documents(spark, dir))
@@ -309,13 +314,25 @@ object TextOps {
     val fp = sums.select(col("doc_id"),
       (0 until SimBits).map(b =>
         when(col(s"s$b") >= 0, lit(1L) * math.pow(2, b).toLong).otherwise(0L))
-        .reduce(_ + _).as("fingerprint"))
-    fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
-      .withColumn("hamming",
-        bit_count(col("a.fingerprint").bitwiseXOR(col("b.fingerprint"))))
+        .reduce(_ + _).as("fingerprint")).cache()
+    // leave-one-out band keys: drop band e, concat the remaining three
+    def bandKey(e: Int): Column =
+      (0 until SimBands).filter(_ != e)
+        .map(b => shiftright(col("fingerprint"), 8 * b).bitwiseAND(lit(255L)))
+        .zipWithIndex.map { case (c, i) => c * math.pow(256, i).toLong }
+        .reduce(_ + _)
+    val cand = (0 until SimBands).map { e =>
+      val a = fp.select(col("doc_id").as("doc_a"), col("fingerprint").as("fp_a"),
+        bandKey(e).as("k"))
+      val b = fp.select(col("doc_id").as("doc_b"), col("fingerprint").as("fp_b"),
+        bandKey(e).as("k"))
+      a.join(b, Seq("k")).filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("fp_a"), col("fp_b"))
+    }.reduce(_ unionByName _).distinct()
+    cand
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= 1)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("hamming").cast("int").as("hamming"))
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -334,13 +351,28 @@ object TextOps {
        |  SELECT doc_id,
        |    $sumCols
        |  FROM toks GROUP BY doc_id),
-       |fp AS (SELECT doc_id, $fpExpr AS fingerprint FROM sums)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS INT) AS hamming
-       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 1
+       |fp AS (SELECT doc_id, $fpExpr AS fingerprint FROM sums),
+       |cand AS (
+       |  $bandCandSql)
+       |SELECT DISTINCT doc_a, doc_b,
+       |  CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(fp_a, fp_b)) <= 1
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  /** Leave-one-out banded candidate SQL mirroring q46Simhash's joins. */
+  private def bandCandSql: String =
+    (0 until SimBands).map { e =>
+      val key = (0 until SimBands).filter(_ != e).zipWithIndex
+        .map { case (b, i) =>
+          s"(((fingerprint >> ${8 * b}) & 255) * ${math.pow(256, i).toLong})" }
+        .mkString(" + ")
+      s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fingerprint AS fp_a, b.fingerprint AS fp_b
+         |  FROM (SELECT doc_id, fingerprint, $key AS k FROM fp) a
+         |  JOIN (SELECT doc_id, fingerprint, $key AS k FROM fp) b
+         |    ON a.k = b.k AND a.doc_id < b.doc_id""".stripMargin
+    }.mkString("\n  UNION ALL ")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_text_stats"     -> (q40TextStats _),
