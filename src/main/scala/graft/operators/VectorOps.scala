@@ -219,11 +219,76 @@ object VectorOps {
        |FROM winner WHERE vr = 1
        |ORDER BY q_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q57 — IVF-style ANN: coarse quantizer with deterministic centroids
+  // (every 100th vector), nprobe=2. Each vector is assigned to its
+  // nearest centroid (argmin with id tie-break) — the inverted-file
+  // partition key; queries search only the two nearest cells. At scale
+  // the assignment is a broadcast join + partitioned table; search cost
+  // drops from O(N) to O(N·nprobe/cells) per query.
+  // ------------------------------------------------------------------
+  def q57AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val base = vecs(spark, dir, "")
+    val cents = base.filter(col("id") % 100 === 0)
+      .select(col("id").as("c_id"), col("v").as("c_v"), col("nrm").as("c_nrm"))
+    // assign every vector to its nearest centroid (rank 1), remember rank 2
+    // for query-side probing
+    val simToCent = base.crossJoin(broadcast(cents))
+      .withColumn("c_sim", roundSafe6(
+        VectorExpressions.dot(col("v"), col("c_v")) / (col("nrm") * col("c_nrm"))))
+      .select(col("id"), col("v"), col("nrm"), col("label"), col("c_id"), col("c_sim"))
+    val wAssign = Window.partitionBy(col("id")).orderBy(col("c_sim").desc, col("c_id"))
+    val ranked = simToCent.withColumn("c_rank", row_number().over(wAssign))
+    val assigned = ranked.filter(col("c_rank") === 1)
+      .select(col("id").as("b_id"), col("v").as("b_v"), col("nrm").as("b_nrm"),
+        col("c_id").as("cell"))
+    val probes = ranked.filter(col("c_rank") <= 2 && col("id") % 50 === 0)
+      .select(col("id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_nrm"),
+        col("c_id").as("cell"))
+    val wK = Window.partitionBy(col("q_id")).orderBy(col("sim6").desc, col("b_id"))
+    probes.join(assigned, Seq("cell")).filter(col("q_id") =!= col("b_id"))
+      .withColumn("sim6", roundSafe6(cosine("q_v", "b_v", "q_nrm", "b_nrm")))
+      .select(col("q_id"), col("b_id"), col("sim6")).distinct()
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("b_id"), col("rank").cast("int").as("rank"), col("sim6"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val q57Sql: String =
+    s"""WITH $SqlVecs,
+       |cents AS (SELECT vec_id AS c_id, v AS c_v, nrm AS c_nrm FROM v WHERE vec_id % 100 = 0),
+       |ranked AS (
+       |  SELECT a.vec_id AS id, a.v, a.nrm, c.c_id,
+       |    round((list_dot_product(a.v, c.c_v)/(a.nrm*c.c_nrm))*1e6)/1e6 + 0.0 AS c_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |      ORDER BY round((list_dot_product(a.v, c.c_v)/(a.nrm*c.c_nrm))*1e6)/1e6 + 0.0 DESC,
+       |               c.c_id) AS c_rank
+       |  FROM v a CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT id AS b_id, v AS b_v, nrm AS b_nrm, c_id AS cell
+       |  FROM ranked WHERE c_rank = 1),
+       |probes AS (
+       |  SELECT id AS q_id, v AS q_v, nrm AS q_nrm, c_id AS cell
+       |  FROM ranked WHERE c_rank <= 2 AND id % 50 = 0),
+       |sims AS (
+       |  SELECT DISTINCT q_id, b_id,
+       |    round((list_dot_product(q_v, b_v)/(q_nrm*b_nrm))*1e6)/1e6 + 0.0 AS sim6
+       |  FROM probes JOIN assigned USING (cell)
+       |  WHERE q_id <> b_id),
+       |topk AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim6 DESC, b_id) AS rank
+       |  FROM sims)
+       |SELECT q_id, b_id, CAST(rank AS INT) AS rank, sim6
+       |FROM topk WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_embedding_neardup" -> (q47EmbeddingNeardup _),
     "q48_knn_cosine"        -> (q48KnnCosine _),
     "q49_ann_lsh"           -> (q49AnnLsh _),
     "q50_knn_classify"      -> (q50KnnClassify _),
+    "q57_ann_ivf"           -> (q57AnnIvf _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -231,5 +296,6 @@ object VectorOps {
     "q48_knn_cosine"        -> q48Sql,
     "q49_ann_lsh"           -> q49Sql,
     "q50_knn_classify"      -> q50Sql,
+    "q57_ann_ivf"           -> q57Sql,
   )
 }

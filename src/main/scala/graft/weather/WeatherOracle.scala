@@ -314,6 +314,20 @@ object WeatherOracle {
        |  ORDER BY timestamp DESC LIMIT 24)
        |ORDER BY timestamp""".stripMargin)
 
+  /** O2 forecast-horizon endpoint (reference weather.py:114-137). */
+  val horizonSql: String = withCtes(
+    """SELECT * FROM gold_fc
+      |WHERE postal_code = '10003'
+      |  AND timestamp > TIMESTAMP '2024-01-28 00:00:00'
+      |  AND timestamp <= TIMESTAMP '2024-01-28 00:00:00' + INTERVAL 48 HOURS
+      |ORDER BY timestamp, forecast_timestamp""".stripMargin)
+
+  /** F8 bounding-box station filter (reference stations.py:26-37). */
+  val bboxSql: String = withCtes(
+    """SELECT station_id, latitude, longitude FROM stations
+      |WHERE latitude BETWEEN 52.2 AND 53.2 AND longitude BETWEEN 13.0 AND 15.0
+      |ORDER BY station_id""".stripMargin)
+
   /** ML-ready validation report (reference transform.py:126-265 thresholds). */
   val validationSql: String = withCtes(
     """, gold_all AS (

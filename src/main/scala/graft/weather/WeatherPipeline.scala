@@ -306,6 +306,26 @@ object WeatherPipeline {
       .orderBy(col("timestamp").desc)
       .limit(limit)
 
+  /** Forecast-horizon endpoint (reference `weather.py:114-137`, O2): future
+    * targets for a postal code from the latest issue, ascending — with the
+    * INTERVAL parameter typed instead of string-interpolated (SURVEY §8 Q12).
+    */
+  def forecastHorizon(gold: DataFrame, postalCode: String,
+      from: Column, horizonHours: Int): DataFrame =
+    gold.filter(col("data_type") === "forecast" &&
+        col("postal_code") === postalCode &&
+        col("timestamp") > from &&
+        col("timestamp") <= from + expr(s"INTERVAL $horizonHours HOURS"))
+      .orderBy(col("timestamp"), col("forecast_timestamp"))
+
+  /** F8 bounding-box station filter (reference `stations.py:26-37`,
+    * generic form `:173-180`).
+    */
+  def stationsInBBox(stations: DataFrame,
+      latMin: Double, latMax: Double, lonMin: Double, lonMax: Double): DataFrame =
+    stations.filter(col("latitude").between(latMin, latMax) &&
+      col("longitude").between(lonMin, lonMax))
+
   /** get_nearest_stations (reference `sql/schema.sql:357-385`): k nearest
     * stations per postal code; honors max-distance (fixing the ignored
     * p_max_distance_km arg, SURVEY §8 Q9). Per-key top-k via row_number —

@@ -9,19 +9,37 @@ import org.apache.spark.sql.functions._
   */
 object WeatherQueries {
 
+  // The 10 weather queries all hang off the same silver/gold frames;
+  // memoize + cache them per (session, dir) so Verify/Bench build each
+  // stage once instead of once per query.
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  private def memoized(s: SparkSession, d: String, key: String)(
+      build: => DataFrame): DataFrame =
+    memo.computeIfAbsent((s, d, key), _ => build.cache())
+
   private def stgObs(s: SparkSession, d: String): DataFrame =
-    WeatherPipeline.cleanObservations(WeatherSynth.rawObservations(s, d))
+    memoized(s, d, "stgObs") {
+      WeatherPipeline.cleanObservations(WeatherSynth.rawObservations(s, d))
+    }
 
   private def stgFc(s: SparkSession, d: String): DataFrame =
-    WeatherPipeline.cleanForecasts(WeatherSynth.rawForecasts(s, d))
+    memoized(s, d, "stgFc") {
+      WeatherPipeline.cleanForecasts(WeatherSynth.rawForecasts(s, d))
+    }
 
   private def goldObs(s: SparkSession, d: String): DataFrame =
-    WeatherPipeline.aggregateToPostal(
-      stgObs(s, d), WeatherSynth.stations(s, d), WeatherSynth.postalCodes(s, d), "observation")
+    memoized(s, d, "goldObs") {
+      WeatherPipeline.aggregateToPostal(
+        stgObs(s, d), WeatherSynth.stations(s, d), WeatherSynth.postalCodes(s, d), "observation")
+    }
 
   private def goldFc(s: SparkSession, d: String): DataFrame =
-    WeatherPipeline.aggregateToPostal(
-      stgFc(s, d), WeatherSynth.stations(s, d), WeatherSynth.postalCodes(s, d), "forecast")
+    memoized(s, d, "goldFc") {
+      WeatherPipeline.aggregateToPostal(
+        stgFc(s, d), WeatherSynth.stations(s, d), WeatherSynth.postalCodes(s, d), "forecast")
+    }
 
   def cleanObs(s: SparkSession, d: String): DataFrame =
     stgObs(s, d).select(
@@ -63,6 +81,15 @@ object WeatherQueries {
   def validation(s: SparkSession, d: String): DataFrame =
     Pipeline.validate(goldObs(s, d).unionByName(goldFc(s, d))).orderBy(col("data_type"))
 
+  def horizon(s: SparkSession, d: String): DataFrame =
+    WeatherPipeline.forecastHorizon(goldFc(s, d), "10003",
+      lit("2024-01-28 00:00:00").cast("timestamp"), 48)
+
+  def bbox(s: SparkSession, d: String): DataFrame =
+    WeatherPipeline.stationsInBBox(WeatherSynth.stations(s, d), 52.2, 53.2, 13.0, 15.0)
+      .select(col("station_id"), col("latitude"), col("longitude"))
+      .orderBy(col("station_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_weather_clean_obs"  -> (cleanObs _),
     "q21_weather_gold_obs"   -> (goldObservations _),
@@ -74,6 +101,8 @@ object WeatherQueries {
     "q27_weather_history"    -> (history _),
     "q28_weather_temporal"   -> (temporal _),
     "q29_weather_validation" -> (validation _),
+    "q31_weather_horizon"    -> (horizon _),
+    "q32_weather_bbox"       -> (bbox _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -87,5 +116,7 @@ object WeatherQueries {
     "q27_weather_history"    -> WeatherOracle.historySql,
     "q28_weather_temporal"   -> WeatherOracle.temporalSql,
     "q29_weather_validation" -> WeatherOracle.validationSql,
+    "q31_weather_horizon"    -> WeatherOracle.horizonSql,
+    "q32_weather_bbox"       -> WeatherOracle.bboxSql,
   )
 }
