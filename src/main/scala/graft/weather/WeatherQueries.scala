@@ -12,12 +12,15 @@ object WeatherQueries {
   // The 10 weather queries all hang off the same silver/gold frames;
   // memoize + cache them per (session, dir) so Verify/Bench build each
   // stage once instead of once per query.
+  // plain map + reentrant lock: builders nest (goldObs builds stgObs), which
+  // ConcurrentHashMap.computeIfAbsent forbids ("Recursive update")
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    scala.collection.mutable.Map.empty[(SparkSession, String, String), DataFrame]
 
   private def memoized(s: SparkSession, d: String, key: String)(
-      build: => DataFrame): DataFrame =
-    memo.computeIfAbsent((s, d, key), _ => build.cache())
+      build: => DataFrame): DataFrame = memo.synchronized {
+    memo.getOrElseUpdate((s, d, key), build.cache())
+  }
 
   private def stgObs(s: SparkSession, d: String): DataFrame =
     memoized(s, d, "stgObs") {

@@ -19,7 +19,7 @@ class EntrySpec extends SparkSpec {
     // a few queries are legitimately empty at sf0.001 (too little data for
     // their predicates) but return rows at the sf0.01 gate
     val mayBeEmpty = Set("q07_anti_join", "q27_weather_history",
-      "q28_weather_temporal", "q56_station_discovery")
+      "q28_weather_temporal", "q31_weather_horizon", "q56_station_discovery")
     assert(empty.filterNot(mayBeEmpty).isEmpty, s"empty results: $empty")
   }
 }
