@@ -13,10 +13,10 @@ import graft.sources.Tables
   * the oracle bit-for-bit):
   *   - sums/avgs of 2-decimal source doubles go through DECIMAL(18,2) casts
   *     (exact, order-independent), converted to DOUBLE only at the end;
-  *   - derived-double aggregates are rounded with [[Relational.round0]]-style
-  *     integer-scale rounding (`round(x*10^d)/10^d`) — Spark's BigDecimal
-  *     HALF_UP and DuckDB's binary rounding agree at scale 0 but can differ
-  *     at fractional scales (e.g. 2.675 → 2.68 vs 2.67);
+  *   - derived-double aggregates are rounded via integer-scale rounding
+  *     (`round(x*10^d)/10^d`, see [[graft.weather.WeatherPipeline.roundSafe]])
+  *     — Spark's BigDecimal HALF_UP and DuckDB's binary rounding agree at
+  *     scale 0 but can differ at fractional scales (2.675 → 2.68 vs 2.67);
   *   - predicates never sit on library-function outputs (trig etc.), only on
   *     +,-,*,/ arithmetic which is IEEE-deterministic across engines;
   *   - every query ends with an ORDER BY on integer/string keys.
@@ -24,12 +24,6 @@ import graft.sources.Tables
 object Relational {
 
   private val AsOf = "2024-01-31 00:00:00" // events span Jan 2024 at every SF
-
-  /** Cross-engine-safe double rounding: scale-0 round after scaling. */
-  private def roundSafe(c: Column, digits: Int): Column = {
-    val p = math.pow(10, digits)
-    round(c * p, 0) / p
-  }
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 

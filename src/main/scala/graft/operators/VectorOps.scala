@@ -9,11 +9,11 @@ import graft.sources.Tables
 /** Similarity search over the `embeddings` table (`Array[Float]`, dim 64).
   *
   * Cross-engine float discipline: the dot product is a sequential
-  * left-fold in index order on BOTH engines (Spark `aggregate(zip_with(…))`
-  * and DuckDB `list_dot_product` both accumulate left-to-right in double),
-  * so cosine values are bit-identical; outputs are still rounded at 1e-6 so
-  * a future engine change cannot flip the hash. Ordering ties break on
-  * vec_id, never on raw doubles.
+  * left-fold in index order on BOTH engines (the codegen
+  * [[graft.functions.DotProduct]] loop and DuckDB `list_dot_product` both
+  * accumulate left-to-right in double), so cosine values are bit-identical;
+  * outputs are still rounded at 1e-6 so a future engine change cannot flip
+  * the hash. Ordering ties break on vec_id, never on raw doubles.
   *
   * Scale posture: brute force is the correctness baseline (O(Q·N·d) — fine
   * while Q is a small query set); the LSH sign-random-projection variant is

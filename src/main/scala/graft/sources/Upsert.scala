@@ -61,13 +61,16 @@ object Upsert {
     * swap) so the source files are never deleted under an in-flight scan.
     */
   def mergeIntoParquet(df: DataFrame, path: String,
-      keys: Seq[String], versionCol: String, mode: Mode): Unit = {
+      keys: Seq[String], versionCol: String, mode: Mode,
+      partitionCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     val fs = new java.io.File(path)
     val existing = if (fs.exists()) Some(spark.read.parquet(path)) else None
     val merged = merge(existing, df, keys, versionCol, mode)
     val staging = path + ".staging"
-    merged.write.mode(SaveMode.Overwrite).parquet(staging)
+    val writer = merged.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(staging)
     val target = new java.io.File(path)
     if (target.exists()) {
       def rm(f: java.io.File): Unit = {

@@ -46,9 +46,11 @@ object Pipeline {
       spark.read.parquet(layers.stgFc), stations, postal, "forecast")
     // gold upsert key (postal_code, timestamp, data_type, forecast_timestamp);
     // num_stations stands in for an updated_at stamp (deterministic corpus)
+    // gold partitioned by data_type (the serving layer's hottest filter) —
+    // partition pruning replaces the reference's composite B-tree indexes
     Upsert.mergeIntoParquet(goldObs.unionByName(goldFc), layers.gold,
       Seq("postal_code", "timestamp", "data_type", "forecast_timestamp"),
-      "num_stations", Upsert.Mode.LastWins)
+      "num_stations", Upsert.Mode.LastWins, partitionCols = Seq("data_type"))
 
     val acc = WeatherPipeline.forecastAccuracy(spark.read.parquet(layers.gold))
     Upsert.mergeIntoParquet(acc, layers.accuracy,
