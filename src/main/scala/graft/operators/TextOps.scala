@@ -237,6 +237,7 @@ object TextOps {
             (0 until BandSize).map(r => col(s"h${b * BandSize + r}")): _*)).as("band_hash"))
       }: _*)).as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+      .cache() // self-joined below; without this the 16-min signature agg runs twice
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
         col("a.band_hash") === col("b.band_hash") &&
