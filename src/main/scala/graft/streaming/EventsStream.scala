@@ -105,6 +105,26 @@ object EventsStream {
       }
   }
 
+  /** Streaming → gold with foreachBatch MERGE (SURVEY §2.10: the
+    * reference's idempotent ON CONFLICT upserts of late/updated data map to
+    * checkpointed micro-batches + an idempotent keyed merge). Update mode
+    * emits re-aggregated windows as late rows arrive; LastWins on the
+    * monotone count makes replays and updates converge to the batch result.
+    */
+  def streamingUpsertGold(spark: SparkSession, dir: String, outPath: String): Unit = {
+    val q = hourlyWindowAgg(readEvents(spark, dir))
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Upsert.mergeIntoParquet(batch, outPath,
+          keys = Seq("window_start", "event_type"), versionCol = "n",
+          mode = graft.sources.Upsert.Mode.LastWins)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run sessionization over the finite source, return final per-user rows. */
   def runSessionizeOnce(spark: SparkSession, dir: String, name: String = "stream_sessions"): DataFrame = {
     import spark.implicits._
