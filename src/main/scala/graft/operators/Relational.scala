@@ -553,6 +553,46 @@ object Relational {
       |FROM t GROUP BY has_spark, lang_eu
       |ORDER BY has_spark, lang_eu""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q33 — percentiles/median (beyond the reference — no percentile exists
+  // there, SURVEY §2.4): exact interpolated percentiles per group. Both
+  // engines interpolate as a + frac*(b-a) over the sorted group.
+  // ------------------------------------------------------------------
+  def q33Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90"),
+        expr("percentile(l_quantity, 0.25)").as("q25"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q33Sql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.5) AS p50,
+      |  quantile_cont(l_extendedprice, 0.9) AS p90,
+      |  quantile_cont(l_quantity, 0.25) AS q25
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q34 — approx_count_distinct (HLL++): the at-scale substitute for the
+  // exact countDistincts used elsewhere. Sketches are engine-specific, so
+  // this entry has NO oracle (rows-only check); ApproxSpec bounds the
+  // relative error against the exact counts instead.
+  // ------------------------------------------------------------------
+  def q34ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        approx_count_distinct(col("event_id"), 0.02).as("approx_events"))
+      .orderBy(col("event_type"))
+  }
+
   /** queries + oracles exported to [[graft.SparkEntry]]. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"  -> (q01PricingSummary _),
@@ -575,6 +615,8 @@ object Relational {
     "q18_upsert_last_wins" -> (q18UpsertLastWins _),
     "q19_upsert_first_wins" -> (q19UpsertFirstWins _),
     "q30_array_ops"        -> (q30ArrayOps _),
+    "q33_percentiles"      -> (q33Percentiles _),
+    "q34_approx_distinct"  -> (q34ApproxDistinct _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -598,5 +640,6 @@ object Relational {
     "q18_upsert_last_wins" -> q18Sql,
     "q19_upsert_first_wins" -> q19Sql,
     "q30_array_ops"        -> q30Sql,
+    "q33_percentiles"      -> q33Sql,
   )
 }
