@@ -15,6 +15,43 @@ object WeatherOracle {
   private val asOf = WeatherPipeline.AsOf
   private val lookback = WeatherPipeline.LookbackHours
 
+  // SQL mirrors of WeatherPipeline.roundSafe / roundInt (two-stage
+  // rounding: 1e-8 grid snap, then scale-0 round — see the scaladoc there).
+  private def r2(e: String): String =
+    s"round(round(($e)*1e8)/1e6)/100 + 0.0"
+  private def ri(e: String): String =
+    s"CAST(round(round(($e)*1e8)/1e8) AS INT)"
+  private def idw(c: String): String =
+    s"SUM($c*idw_weight)/NULLIF(SUM(idw_weight),0.0::DOUBLE)"
+  private val windNorm: String = {
+    val m = "degrees(atan2(SUM(sin(radians(wind_direction))*idw_weight), " +
+      "SUM(cos(radians(wind_direction))*idw_weight)))"
+    s"CASE WHEN $m < 0 THEN $m + 360 WHEN $m >= 360 THEN $m - 360 ELSE $m END"
+  }
+  private val qualityScore: String =
+    "(CAST(SUM(CAST(data_quality_score AS DECIMAL(3,1))) AS DOUBLE)/COUNT(*)) * 0.6" +
+    " + LEAST(COUNT(DISTINCT station_id)/3.0, 1.0::DOUBLE) * 0.2" +
+    " + (1.0 - LEAST((SUM(distance_km)/COUNT(*))/50.0, 1.0::DOUBLE)) * 0.2"
+
+  /** Shared gold metric list (obs and fc differ only in keys/time field). */
+  private def goldMetrics: String = Seq(
+    s"${r2(idw("temperature"))} AS temperature_avg",
+    s"${r2("MIN(temperature)")} AS temperature_min",
+    s"${r2("MAX(temperature)")} AS temperature_max",
+    s"${r2(idw("precipitation"))} AS precipitation_sum",
+    s"${r2(idw("wind_speed"))} AS wind_speed_avg",
+    s"${r2("MAX(wind_speed)")} AS wind_speed_max",
+    s"${ri(windNorm)} AS wind_direction_avg",
+    s"${ri(idw("cloud_cover"))} AS cloud_cover_avg",
+    s"${r2(idw("pressure"))} AS pressure_msl_avg",
+    s"${ri(idw("sunshine"))} AS sunshine_sum",
+    s"${ri(idw("visibility"))} AS visibility_avg",
+    s"${r2(idw("dew_point"))} AS dew_point_avg",
+    s"${ri(idw("humidity"))} AS relative_humidity_avg",
+    "CAST(COUNT(DISTINCT station_id) AS INT) AS num_stations",
+    s"round(round(($qualityScore)*1e8)/1e6)/100 + 0.0 AS avg_quality_score",
+    s"${r2("MAX(distance_km)")} AS max_distance_km").mkString(",\n    ")
+
   /** Shared CTE preamble: synth tables → staging → gold, both data types. */
   val preamble: String =
     s"""WITH stations AS (
@@ -154,37 +191,7 @@ object WeatherOracle {
        |    date_trunc('hour', timestamp) AS timestamp,
        |    'observation' AS data_type,
        |    CAST(NULL AS TIMESTAMP) AS forecast_timestamp,
-       |    round((SUM(temperature*idw_weight)/NULLIF(SUM(idw_weight),0.0::DOUBLE))*100)/100 + 0.0 AS temperature_avg,
-       |    round(MIN(temperature)*100)/100 + 0.0 AS temperature_min,
-       |    round(MAX(temperature)*100)/100 + 0.0 AS temperature_max,
-       |    round((SUM(precipitation*idw_weight)/NULLIF(SUM(idw_weight),0.0::DOUBLE))*100)/100 + 0.0 AS precipitation_sum,
-       |    round((SUM(wind_speed*idw_weight)/NULLIF(SUM(idw_weight),0.0::DOUBLE))*100)/100 + 0.0 AS wind_speed_avg,
-       |    round(MAX(wind_speed)*100)/100 + 0.0 AS wind_speed_max,
-       |    CAST(round(
-       |      CASE WHEN degrees(atan2(SUM(sin(radians(wind_direction))*idw_weight),
-       |                              SUM(cos(radians(wind_direction))*idw_weight))) < 0
-       |             THEN degrees(atan2(SUM(sin(radians(wind_direction))*idw_weight),
-       |                                SUM(cos(radians(wind_direction))*idw_weight))) + 360
-       |           WHEN degrees(atan2(SUM(sin(radians(wind_direction))*idw_weight),
-       |                              SUM(cos(radians(wind_direction))*idw_weight))) >= 360
-       |             THEN degrees(atan2(SUM(sin(radians(wind_direction))*idw_weight),
-       |                                SUM(cos(radians(wind_direction))*idw_weight))) - 360
-       |           ELSE degrees(atan2(SUM(sin(radians(wind_direction))*idw_weight),
-       |                              SUM(cos(radians(wind_direction))*idw_weight))) END
-       |      ) AS INT) AS wind_direction_avg,
-       |    CAST(round(SUM(cloud_cover*idw_weight)/NULLIF(SUM(idw_weight),0.0::DOUBLE)) AS INT) AS cloud_cover_avg,
-       |    round((SUM(pressure*idw_weight)/NULLIF(SUM(idw_weight),0.0::DOUBLE))*100)/100 + 0.0 AS pressure_msl_avg,
-       |    CAST(round(SUM(sunshine*idw_weight)/NULLIF(SUM(idw_weight),0.0::DOUBLE)) AS INT) AS sunshine_sum,
-       |    CAST(round(SUM(visibility*idw_weight)/NULLIF(SUM(idw_weight),0.0::DOUBLE)) AS INT) AS visibility_avg,
-       |    round((SUM(dew_point*idw_weight)/NULLIF(SUM(idw_weight),0.0::DOUBLE))*100)/100 + 0.0 AS dew_point_avg,
-       |    CAST(round(SUM(humidity*idw_weight)/NULLIF(SUM(idw_weight),0.0::DOUBLE)) AS INT) AS relative_humidity_avg,
-       |    CAST(COUNT(DISTINCT station_id) AS INT) AS num_stations,
-       |    round((
-       |      (CAST(SUM(CAST(data_quality_score AS DECIMAL(3,1))) AS DOUBLE)/COUNT(*)) * 0.6
-       |      + LEAST(COUNT(DISTINCT station_id)/3.0, 1.0::DOUBLE) * 0.2
-       |      + (1.0 - LEAST((SUM(distance_km)/COUNT(*))/50.0, 1.0::DOUBLE)) * 0.2
-       |    )*100)/100 + 0.0 AS avg_quality_score,
-       |    round(MAX(distance_km)*100)/100 + 0.0 AS max_distance_km
+       |    $goldMetrics
        |  FROM weighted_obs
        |  GROUP BY postal_code, date_trunc('hour', timestamp)
        |  HAVING COUNT(*) >= 1),
@@ -206,37 +213,7 @@ object WeatherOracle {
        |    date_trunc('hour', target_timestamp) AS timestamp,
        |    'forecast' AS data_type,
        |    forecast_timestamp,
-       |    round((SUM(temperature*idw_weight)/NULLIF(SUM(idw_weight),0.0::DOUBLE))*100)/100 + 0.0 AS temperature_avg,
-       |    round(MIN(temperature)*100)/100 + 0.0 AS temperature_min,
-       |    round(MAX(temperature)*100)/100 + 0.0 AS temperature_max,
-       |    round((SUM(precipitation*idw_weight)/NULLIF(SUM(idw_weight),0.0::DOUBLE))*100)/100 + 0.0 AS precipitation_sum,
-       |    round((SUM(wind_speed*idw_weight)/NULLIF(SUM(idw_weight),0.0::DOUBLE))*100)/100 + 0.0 AS wind_speed_avg,
-       |    round(MAX(wind_speed)*100)/100 + 0.0 AS wind_speed_max,
-       |    CAST(round(
-       |      CASE WHEN degrees(atan2(SUM(sin(radians(wind_direction))*idw_weight),
-       |                              SUM(cos(radians(wind_direction))*idw_weight))) < 0
-       |             THEN degrees(atan2(SUM(sin(radians(wind_direction))*idw_weight),
-       |                                SUM(cos(radians(wind_direction))*idw_weight))) + 360
-       |           WHEN degrees(atan2(SUM(sin(radians(wind_direction))*idw_weight),
-       |                              SUM(cos(radians(wind_direction))*idw_weight))) >= 360
-       |             THEN degrees(atan2(SUM(sin(radians(wind_direction))*idw_weight),
-       |                                SUM(cos(radians(wind_direction))*idw_weight))) - 360
-       |           ELSE degrees(atan2(SUM(sin(radians(wind_direction))*idw_weight),
-       |                              SUM(cos(radians(wind_direction))*idw_weight))) END
-       |      ) AS INT) AS wind_direction_avg,
-       |    CAST(round(SUM(cloud_cover*idw_weight)/NULLIF(SUM(idw_weight),0.0::DOUBLE)) AS INT) AS cloud_cover_avg,
-       |    round((SUM(pressure*idw_weight)/NULLIF(SUM(idw_weight),0.0::DOUBLE))*100)/100 + 0.0 AS pressure_msl_avg,
-       |    CAST(round(SUM(sunshine*idw_weight)/NULLIF(SUM(idw_weight),0.0::DOUBLE)) AS INT) AS sunshine_sum,
-       |    CAST(round(SUM(visibility*idw_weight)/NULLIF(SUM(idw_weight),0.0::DOUBLE)) AS INT) AS visibility_avg,
-       |    round((SUM(dew_point*idw_weight)/NULLIF(SUM(idw_weight),0.0::DOUBLE))*100)/100 + 0.0 AS dew_point_avg,
-       |    CAST(round(SUM(humidity*idw_weight)/NULLIF(SUM(idw_weight),0.0::DOUBLE)) AS INT) AS relative_humidity_avg,
-       |    CAST(COUNT(DISTINCT station_id) AS INT) AS num_stations,
-       |    round((
-       |      (CAST(SUM(CAST(data_quality_score AS DECIMAL(3,1))) AS DOUBLE)/COUNT(*)) * 0.6
-       |      + LEAST(COUNT(DISTINCT station_id)/3.0, 1.0::DOUBLE) * 0.2
-       |      + (1.0 - LEAST((SUM(distance_km)/COUNT(*))/50.0, 1.0::DOUBLE)) * 0.2
-       |    )*100)/100 + 0.0 AS avg_quality_score,
-       |    round(MAX(distance_km)*100)/100 + 0.0 AS max_distance_km
+       |    $goldMetrics
        |  FROM weighted_fc
        |  GROUP BY postal_code, date_trunc('hour', target_timestamp), forecast_timestamp
        |  HAVING COUNT(*) >= 1)

@@ -27,17 +27,24 @@ object WeatherPipeline {
   val AsOf = "2024-01-31 00:00:00"
   val LookbackHours = 168
 
-  /** Cross-engine-safe rounding: scale by 10^d, round at scale 0, divide.
-    * Spark's BigDecimal(HALF_UP) and DuckDB's binary round agree at scale 0
-    * for |x| ≪ 2^52, but NOT at fractional scales (2.675 → 2.68 vs 2.67).
+  /** Cross-engine-safe TWO-STAGE rounding: snap to the 1e-8 grid first,
+    * then round to `digits`. Aggregated doubles differ between engines at
+    * ~1e-13 (summation order; 1-ulp trig) and the data puts true values
+    * EXACTLY on round boundaries (equal-weight station pairs average
+    * integer metrics to x.5) — the grid snap collapses both engines to the
+    * same double before the visible round, and both engines round the
+    * resulting exact .5 away from zero. Single-stage fractional rounding
+    * is also unsafe per se (Spark BigDecimal HALF_UP vs DuckDB binary:
+    * 2.675 → 2.68 vs 2.67); both stages here round at scale 0 where the
+    * engines agree. `+ 0.0` folds DuckDB's IEEE -0.0.
     */
   def roundSafe(c: Column, digits: Int): Column = {
     val p = math.pow(10, digits)
-    round(c * p, 0) / p + 0.0 // + 0.0 folds IEEE -0.0 to 0.0 (DuckDB's round
-                              // emits -0.0; BigDecimal rounding never does)
+    round(round(c * 1e8, 0) / math.pow(10, 8 - digits), 0) / p + 0.0
   }
 
-  private def roundInt(c: Column): Column = round(c, 0).cast("int")
+  private def roundInt(c: Column): Column =
+    round(round(c * 1e8, 0) / 1e8, 0).cast("int")
 
   private def asOfTs: Column = lit(AsOf).cast("timestamp")
 
@@ -213,7 +220,8 @@ object WeatherPipeline {
       roundSafe(col("precipitation_sum_raw"), 2).as("precipitation_sum"),
       roundSafe(col("wind_speed_avg_raw"), 2).as("wind_speed_avg"),
       roundSafe(col("wind_speed_max_raw"), 2).as("wind_speed_max"),
-      roundInt(GeoFunctions.normalizeDeg(col("wind_direction_avg_raw"))).as("wind_direction_avg"),
+      roundInt(GeoFunctions.normalizeDeg(col("wind_direction_avg_raw")))
+        .as("wind_direction_avg"),
       roundInt(col("cloud_cover_avg_raw")).as("cloud_cover_avg"),
       roundSafe(col("pressure_msl_avg_raw"), 2).as("pressure_msl_avg"),
       roundInt(col("sunshine_sum_raw")).as("sunshine_sum"),
