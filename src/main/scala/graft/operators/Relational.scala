@@ -593,6 +593,68 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  // ------------------------------------------------------------------
+  // q35 — 4-table join chain (lineitem ⋈ orders ⋈ customer ⋈ nation):
+  // Catalyst join reordering + broadcast of the small dims; revenue by
+  // nation and year.
+  // ------------------------------------------------------------------
+  def q35MultiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("order_year"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"), col("order_year"))
+  }
+
+  val q35Sql: String =
+    """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS order_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name, year(o_orderdate)
+      |ORDER BY n_name, order_year""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q36 — window frames beyond the reference's plain LAG (SURVEY §2.5):
+  // running sum (rows unbounded-preceding..current), lead, and ntile over
+  // a fully-determined ordering.
+  // ------------------------------------------------------------------
+  def q36WindowFrames(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.withColumn("running_value",
+        sum(dec(col("value"))).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"), col("running_value"),
+        col("next_type"), col("quartile"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q36Sql: String =
+    """SELECT user_id, event_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+      |  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+      |  CAST(NTILE(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS quartile
+      |FROM events
+      |WHERE user_id < 20
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** queries + oracles exported to [[graft.SparkEntry]]. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"  -> (q01PricingSummary _),
@@ -617,6 +679,8 @@ object Relational {
     "q30_array_ops"        -> (q30ArrayOps _),
     "q33_percentiles"      -> (q33Percentiles _),
     "q34_approx_distinct"  -> (q34ApproxDistinct _),
+    "q35_multi_join"       -> (q35MultiJoin _),
+    "q36_window_frames"    -> (q36WindowFrames _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -641,5 +705,7 @@ object Relational {
     "q19_upsert_first_wins" -> q19Sql,
     "q30_array_ops"        -> q30Sql,
     "q33_percentiles"      -> q33Sql,
+    "q35_multi_join"       -> q35Sql,
+    "q36_window_frames"    -> q36Sql,
   )
 }
