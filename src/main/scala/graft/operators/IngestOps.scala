@@ -168,13 +168,58 @@ object IngestOps {
        |GROUP BY r.source_id
        |ORDER BY r.source_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q58 — S4 GeoJSON loader: build a MultiPolygon per postal region
+  // (square ring around the nation-derived centroid, closed), parse it
+  // through the real from_json nested-array path, and average the ring
+  // back to a centroid. The DuckDB oracle computes the same centroid from
+  // the shared derivation directly — the gate checks results, the Spark
+  // side exercises the parsing mechanism.
+  // ------------------------------------------------------------------
+  def q58GeojsonCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.weather.WeatherSynth.postalCodes(spark, dir)
+    def vertex(dLat: String, dLon: String): org.apache.spark.sql.Column =
+      concat(lit("["), (col("centroid_lon") + expr(dLon)).cast("string"),
+        lit(","), (col("centroid_lat") + expr(dLat)).cast("string"), lit("]"))
+    val payload = base.select(
+      col("postal_code"),
+      concat(lit("{\"type\":\"MultiPolygon\",\"coordinates\":[[["),
+        vertex("-0.125", "-0.25"), lit(","),
+        vertex("-0.125", "0.25"), lit(","),
+        vertex("0.125", "0.25"), lit(","),
+        vertex("0.125", "-0.25"), lit(","),
+        vertex("-0.125", "-0.25"), // closing vertex
+        lit("]]]}")).as("geometry_geojson"))
+    Ingest.parseGeoJsonCentroids(payload, "geometry_geojson")
+      .select(col("postal_code"), col("centroid_lat"), col("centroid_lon"))
+      .orderBy(col("postal_code"))
+  }
+
+  /** Oracle: same square-ring average from the shared derivation. The
+    * vertex offsets (±0.125, ±0.25) are binary-exact, so the ring average
+    * reproduces the base centroid arithmetic bit-for-bit.
+    */
+  val q58Sql: String =
+    """WITH postal AS (
+      |  SELECT '1' || lpad(CAST(n_nationkey AS VARCHAR),4,'0') AS postal_code,
+      |         52.0 + (n_nationkey % 10)/5.0 AS centroid_lat,
+      |         12.5 + ((n_nationkey*3) % 18)/5.0 AS centroid_lon
+      |  FROM nation)
+      |SELECT postal_code,
+      |  (((centroid_lat - 0.125) + (centroid_lat - 0.125)) + (centroid_lat + 0.125) + (centroid_lat + 0.125))/4 AS centroid_lat,
+      |  (((centroid_lon - 0.25) + (centroid_lon + 0.25)) + (centroid_lon + 0.25) + (centroid_lon - 0.25))/4 AS centroid_lon
+      |FROM postal
+      |ORDER BY postal_code""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_ingest_parse"      -> (q55IngestParse _),
     "q56_station_discovery" -> (q56StationDiscovery _),
+    "q58_geojson_centroids" -> (q58GeojsonCentroids _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "q55_ingest_parse"      -> q55Sql,
     "q56_station_discovery" -> q56Sql,
+    "q58_geojson_centroids" -> q58Sql,
   )
 }

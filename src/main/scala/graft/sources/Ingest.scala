@@ -122,4 +122,29 @@ object Ingest {
   /** A7 incremental watermark (reference `observations.py:144-157`). */
   def watermark(df: DataFrame, tsCol: String): Option[java.sql.Timestamp] =
     Option(df.agg(max(col(tsCol))).head().getTimestamp(0))
+
+  /** S4: GeoJSON MultiPolygon parsing + planar centroid precompute
+    * (reference `scripts/load_postal_codes_berlin.py:20-59` builds closed
+    * rings; `ST_Centroid` use at `aggregation.py:94,107` is replaced by
+    * centroids computed once at load — SURVEY §4.3).
+    *
+    * Takes a column of GeoJSON strings, parses `coordinates`
+    * ([[[lon,lat],…]]] nesting) with an explicit schema, and averages the
+    * first ring's vertices (excluding the closing vertex) — the planar
+    * centroid, within meters of ST_Centroid for postal-code-sized polygons.
+    */
+  val geoJsonSchema: StructType = StructType(Seq(
+    StructField("type", StringType),
+    StructField("coordinates",
+      ArrayType(ArrayType(ArrayType(ArrayType(DoubleType)))))))
+
+  def parseGeoJsonCentroids(raw: DataFrame, jsonCol: String): DataFrame =
+    raw.withColumn("g", from_json(col(jsonCol), geoJsonSchema))
+      // first polygon, outer ring, minus the closing vertex
+      .withColumn("ring", expr("slice(g.coordinates[0][0], 1, size(g.coordinates[0][0]) - 1)"))
+      .withColumn("centroid_lon",
+        expr("aggregate(ring, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v[0])") / size(col("ring")))
+      .withColumn("centroid_lat",
+        expr("aggregate(ring, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v[1])") / size(col("ring")))
+      .drop("g", "ring")
 }
