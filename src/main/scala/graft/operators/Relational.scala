@@ -655,6 +655,54 @@ object Relational {
       |WHERE user_id < 20
       |ORDER BY user_id, event_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q60 — set operations beyond the reference's UNION ALL (SURVEY §2.7):
+  // INTERSECT and EXCEPT with SQL distinct semantics.
+  // ------------------------------------------------------------------
+  def q60SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchasers = ev.filter(col("event_type") === "purchase").select(col("user_id"))
+    val errorers = ev.filter(col("event_type") === "error").select(col("user_id"))
+    val both = purchasers.intersect(errorers)
+      .select(lit("purchase_and_error").as("cohort"), col("user_id"))
+    val onlyPurchase = purchasers.except(errorers)
+      .select(lit("purchase_only").as("cohort"), col("user_id"))
+    both.union(onlyPurchase).orderBy(col("cohort"), col("user_id"))
+  }
+
+  val q60Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'purchase_and_error' AS cohort, user_id FROM (
+      |    SELECT user_id FROM events WHERE event_type = 'purchase'
+      |    INTERSECT
+      |    SELECT user_id FROM events WHERE event_type = 'error')
+      |  UNION ALL
+      |  SELECT 'purchase_only', user_id FROM (
+      |    SELECT user_id FROM events WHERE event_type = 'purchase'
+      |    EXCEPT
+      |    SELECT user_id FROM events WHERE event_type = 'error'))
+      |ORDER BY cohort, user_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q61 — ROLLUP subtotals (absent from the reference, SURVEY §2.4 "no
+  // grouping sets/cube/rollup"): per-(flag,status), per-flag, and grand
+  // totals in one pass, decimal-exact sums.
+  // ------------------------------------------------------------------
+  def q61Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  val q61Sql: String =
+    """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   /** queries + oracles exported to [[graft.SparkEntry]]. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"  -> (q01PricingSummary _),
@@ -681,6 +729,8 @@ object Relational {
     "q34_approx_distinct"  -> (q34ApproxDistinct _),
     "q35_multi_join"       -> (q35MultiJoin _),
     "q36_window_frames"    -> (q36WindowFrames _),
+    "q60_set_ops"          -> (q60SetOps _),
+    "q61_rollup"           -> (q61Rollup _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -707,5 +757,7 @@ object Relational {
     "q33_percentiles"      -> q33Sql,
     "q35_multi_join"       -> q35Sql,
     "q36_window_frames"    -> q36Sql,
+    "q60_set_ops"          -> q60Sql,
+    "q61_rollup"           -> q61Sql,
   )
 }

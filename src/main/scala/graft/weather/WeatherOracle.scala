@@ -291,6 +291,28 @@ object WeatherOracle {
        |  ORDER BY timestamp DESC LIMIT 24)
        |ORDER BY timestamp""".stripMargin)
 
+  /** True-geodesic KNN — haversine formula mirrored op-for-op from
+    * GeoFunctions.haversineKm (1-ulp trig noise absorbed by two-stage
+    * rounding; ordering gaps ≥1e-7 on the synthetic grid).
+    */
+  val haversineKnnSql: String = withCtes(
+    """, hav AS (
+      |  SELECT pc.postal_code, st.station_id,
+      |    2*6371.0088*asin(sqrt(
+      |      pow(sin(radians(pc.centroid_lat - st.latitude)/2), 2)
+      |      + cos(radians(st.latitude)) * cos(radians(pc.centroid_lat))
+      |        * pow(sin(radians(pc.centroid_lon - st.longitude)/2), 2))) AS distance_km
+      |  FROM postal pc CROSS JOIN stations st),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY postal_code
+      |    ORDER BY distance_km, station_id) AS rn
+      |  FROM hav)
+      |SELECT postal_code, station_id,
+      |  round(round((distance_km)*1e8)/1e6)/100 + 0.0 AS distance_km,
+      |  CAST(rn AS INT) AS rank
+      |FROM ranked WHERE rn <= 3
+      |ORDER BY postal_code, rank""".stripMargin)
+
   /** O2 forecast-horizon endpoint (reference weather.py:114-137). */
   val horizonSql: String = withCtes(
     """SELECT * FROM gold_fc

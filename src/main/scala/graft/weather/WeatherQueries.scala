@@ -93,6 +93,29 @@ object WeatherQueries {
       .select(col("station_id"), col("latitude"), col("longitude"))
       .orderBy(col("station_id"))
 
+  /** True-geodesic KNN: per-postal 3 nearest stations by HAVERSINE (the
+    * real [[graft.functions.GeoFunctions.haversineKm]] path rather than the
+    * planar prefilter). Safe to oracle: ranking only (no radius predicate on
+    * trig output — grid-derived distances are ≥1e-7 apart, far above 1-ulp
+    * noise, and exact ties break on station_id), values two-stage rounded.
+    */
+  def haversineKnn(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.GeoFunctions
+    val w = Window.partitionBy(col("postal_code"))
+      .orderBy(col("distance_km"), col("station_id"))
+    WeatherSynth.postalCodes(s, d)
+      .crossJoin(org.apache.spark.sql.functions.broadcast(WeatherSynth.stations(s, d)))
+      .withColumn("distance_km", GeoFunctions.haversineKm(
+        col("latitude"), col("longitude"), col("centroid_lat"), col("centroid_lon")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("postal_code"), col("station_id"),
+        WeatherPipeline.roundSafe(col("distance_km"), 2).as("distance_km"),
+        col("rn").cast("int").as("rank"))
+      .orderBy(col("postal_code"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_weather_clean_obs"  -> (cleanObs _),
     "q21_weather_gold_obs"   -> (goldObservations _),
@@ -106,6 +129,7 @@ object WeatherQueries {
     "q29_weather_validation" -> (validation _),
     "q31_weather_horizon"    -> (horizon _),
     "q32_weather_bbox"       -> (bbox _),
+    "q59_haversine_knn"      -> (haversineKnn _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -121,5 +145,6 @@ object WeatherQueries {
     "q29_weather_validation" -> WeatherOracle.validationSql,
     "q31_weather_horizon"    -> WeatherOracle.horizonSql,
     "q32_weather_bbox"       -> WeatherOracle.bboxSql,
+    "q59_haversine_knn"      -> WeatherOracle.haversineKnnSql,
   )
 }
