@@ -30,9 +30,13 @@ object Upsert {
 
   sealed trait Mode
   object Mode {
-    /** Highest version column wins (ON CONFLICT DO UPDATE). */
+    /** Highest version wins; ties go to the incoming row (ON CONFLICT DO
+      * UPDATE — replays converge, later batches replace). */
     case object LastWins extends Mode
-    /** Existing row wins (ON CONFLICT DO NOTHING). */
+    /** Lowest version wins; ties go to the existing row (ON CONFLICT DO
+      * NOTHING with the version column as arrival order — incremental
+      * slices converge to the single-shot result regardless of batch
+      * boundaries). */
     case object FirstWins extends Mode
   }
 
@@ -48,7 +52,7 @@ object Upsert {
     }
     val order = mode match {
       case Mode.LastWins  => Seq(col(versionCol).desc, col("__src").desc)
-      case Mode.FirstWins => Seq(col("__src").asc, col(versionCol).asc)
+      case Mode.FirstWins => Seq(col(versionCol).asc, col("__src").asc)
     }
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     tagged.withColumn("__rn", row_number().over(w))

@@ -26,16 +26,27 @@ object Pipeline {
     * under `out` with the reference's upsert semantics (staging/gold
     * DO UPDATE ⇒ LastWins on the processing stamp).
     */
-  def run(spark: SparkSession, dir: String, out: String): Layers = {
-    val layers = Layers(out)
-    val stations = WeatherSynth.stations(spark, dir)
-    val postal = WeatherSynth.postalCodes(spark, dir)
+  def run(spark: SparkSession, dir: String, out: String): Layers =
+    runWithRaws(spark,
+      WeatherSynth.rawObservations(spark, dir),
+      WeatherSynth.rawForecasts(spark, dir),
+      WeatherSynth.stations(spark, dir),
+      WeatherSynth.postalCodes(spark, dir), out)
 
-    val stgObs = WeatherPipeline.cleanObservations(WeatherSynth.rawObservations(spark, dir))
+  /** Same transform over caller-supplied bronze frames — the micro-batch
+    * entry point: each cron tick passes only the newly ingested slice and
+    * the keyed upserts accumulate staging, from which gold is re-derived
+    * (the reference's re-processing-window model, SURVEY §2.10).
+    */
+  def runWithRaws(spark: SparkSession, rawObs: DataFrame, rawFc: DataFrame,
+      stations: DataFrame, postal: DataFrame, out: String): Layers = {
+    val layers = Layers(out)
+
+    val stgObs = WeatherPipeline.cleanObservations(rawObs)
     Upsert.mergeIntoParquet(stgObs, layers.stgObs,
       Seq("station_id", "timestamp"), "raw_id", Upsert.Mode.LastWins)
 
-    val stgFc = WeatherPipeline.cleanForecasts(WeatherSynth.rawForecasts(spark, dir))
+    val stgFc = WeatherPipeline.cleanForecasts(rawFc)
     Upsert.mergeIntoParquet(stgFc, layers.stgFc,
       Seq("station_id", "forecast_timestamp", "target_timestamp"), "raw_id",
       Upsert.Mode.FirstWins)

@@ -110,7 +110,7 @@ object WeatherOracle {
        |stg_obs AS (
        |  SELECT * FROM (
        |    SELECT *,
-       |      ROW_NUMBER() OVER (PARTITION BY station_id, timestamp ORDER BY raw_id) AS rn
+       |      ROW_NUMBER() OVER (PARTITION BY station_id, timestamp ORDER BY raw_id DESC) AS rn
        |    FROM (
        |      SELECT raw_id, station_id, timestamp,
        |        temperature, humidity, pressure, wind_speed, wind_direction,

@@ -57,8 +57,12 @@ object WeatherPipeline {
     * fields missing ⇒ drop), validated-only (F3), outlier flags and the
     * 1.0/0.6/0.3/0.5 quality-score CASE ladder (A11) whose branch ORDER is
     * semantic (SURVEY §8 Q13: NULL-temp + out-of-range wind scores 0.6;
-    * precip-only outlier falls to ELSE 0.5). Upsert-on-key staging (S8)
-    * becomes keyed dedup, first raw id wins.
+    * precip-only outlier falls to ELSE 0.5). Upsert-on-key staging (S8,
+    * DO UPDATE) becomes keyed dedup with the HIGHEST raw id winning —
+    * the same rule the cross-batch merge applies, so incremental
+    * slices converge to the single-shot result (IncrementalSpec).
+    * (Postgres would error on within-statement duplicate conflicts; we
+    * define the order.)
     */
   def cleanObservations(raw: DataFrame): DataFrame = {
     val t = col("temperature"); val w = col("wind_speed"); val p = col("precipitation")
@@ -68,7 +72,8 @@ object WeatherPipeline {
     val pOut = !p.between(0, 200)
     val hOut = col("humidity").isNotNull && !col("humidity").between(0, 100)
     val cOut = col("cloud_cover").isNotNull && !col("cloud_cover").between(0, 100)
-    val win = Window.partitionBy(col("station_id"), col("timestamp")).orderBy(col("raw_id"))
+    val win = Window.partitionBy(col("station_id"), col("timestamp"))
+      .orderBy(col("raw_id").desc)
     raw
       .filter(col("timestamp") >= asOfTs - expr(s"INTERVAL $LookbackHours HOURS"))
       .filter(missing <= 1)

@@ -67,12 +67,12 @@ class CleaningSpec extends SparkSpec {
     assert(WeatherPipeline.cleanObservations(old).count() === 0)
   }
 
-  test("staging dedup keeps first raw_id per (station, timestamp)") {
+  test("staging dedup keeps the highest raw_id per key (DO UPDATE semantics)") {
     val dup = raw(Seq(
       (10L, Some(20.0), Some(30.0), Some(1.0), Some(50), Some(50), true),
       (11L, Some(21.0), Some(30.0), Some(1.0), Some(50), Some(50), true)))
       .withColumn("timestamp", lit(ts))
     val out = WeatherPipeline.cleanObservations(dup).select("raw_id").collect().map(_.getLong(0))
-    assert(out.toSeq === Seq(10L))
+    assert(out.toSeq === Seq(11L)) // consistent with the cross-batch LastWins merge
   }
 }
