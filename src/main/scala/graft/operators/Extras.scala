@@ -5,9 +5,12 @@ import org.apache.spark.sql.functions._
 import graft.multimodal.MultimodalOps
 import graft.streaming.EventsStream
 
-/** Streaming + multimodal driver-contract wiring. q51/q52 are oracled;
-  * q53/q54 have no SQL equivalent (mapPartitions / stateful streaming) —
-  * omitted from oracleSql so the driver records the weaker rows-only check.
+/** Streaming + multimodal driver-contract wiring. All four entries are
+  * oracled: q53's stub features are deterministic byte arithmetic over the
+  * utf-8 payload (expressible in DuckDB), and q54's final session state
+  * equals a batch GROUP BY over the same events — which *proves* the
+  * stateful operator against batch semantics rather than asserting it in
+  * StreamingSpec only.
   */
 object Extras {
 
@@ -31,15 +34,58 @@ object Extras {
   def q52MultimodalMeta(spark: SparkSession, dir: String): DataFrame =
     MultimodalOps.q52MultimodalMeta(spark, dir)
 
-  def q53MultimodalFeatures(spark: SparkSession, dir: String): DataFrame =
+  /** Feature dump with the float embedding quantized to integer 1e-4
+    * units per dim (`floor(double(f) * 10000)`). The float division in the
+    * stub embedding is IEEE-exact cross-engine: binary64 division rounded
+    * to binary32 equals direct binary32 division (p2 ≥ 2·p1+2 makes double
+    * rounding innocuous), so DuckDB can reproduce the floats exactly with
+    * `CAST(CAST(a/b AS REAL) AS DOUBLE)`; raw `array<float>` output
+    * crashed the driver's pandas compare (CORRECTNESS_r01 q53).
+    */
+  def q53MultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val embCols = (0 until 8).map { d =>
+      floor(element_at(col("embedding"), d + 1).cast("double") * 10000)
+        .cast("long").as(s"emb_$d")
+    }
     MultimodalOps.extractFeatures(spark, dir).toDF()
-      .select(col("doc_id"), col("media_type"), col("n_bytes"),
-        col("checksum_first"), col("byte_mean"), col("embedding"))
+      .select(Seq(col("doc_id"), col("media_type"), col("n_bytes"),
+        col("checksum_first"), col("byte_mean")) ++ embCols: _*)
       .orderBy(col("doc_id"))
+  }
 
+  /** DuckDB mirror of the stub decode: payload IS utf-8(text) and text is
+    * ASCII in this corpus, so `ascii(substring(text, j, 1))` is byte j-1.
+    */
+  val q53Sql: String = {
+    val embSql = (0 until 8).map { d =>
+      s"""  CAST(FLOOR(CAST(CAST(CAST(coalesce(list_sum(list_transform(range(${d + 1}, CAST(n+1 AS BIGINT), 8), j -> ascii(substring(text, CAST(j AS INT), 1)))),0) AS DOUBLE) / CAST(greatest(1, n // 8) AS DOUBLE) AS REAL) AS DOUBLE) * 10000) AS BIGINT) AS emb_$d"""
+    }.mkString(",\n")
+    s"""WITH b AS (
+       |  SELECT doc_id, text, strlen(text) AS n,
+       |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type
+       |  FROM documents)
+       |SELECT doc_id, media_type, CAST(n AS INT) AS n_bytes,
+       |  ascii(substring(text,1,1)) AS checksum_first,
+       |  CAST(list_sum(list_transform(split(text,''), c -> unicode(c))) AS DOUBLE) / n AS byte_mean,
+       |$embSql
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
+  /** Final per-user session state, `last_seen` truncated to whole seconds
+    * (never emit raw µs/ns — see the determinism rules in Relational's
+    * scaladoc). Equal to a batch GROUP BY, which is exactly the point: the
+    * oracle proves mapGroupsWithState converges to batch semantics.
+    */
   def q54StreamSessions(spark: SparkSession, dir: String): DataFrame =
     EventsStream.runSessionizeOnce(spark, dir, s"stream_sessions_${counter.incrementAndGet()}")
+      .select(col("user_id"), col("n_events"),
+        date_trunc("second", col("last_seen")).as("last_seen"))
       .orderBy(col("user_id"))
+
+  val q54Sql: String =
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  max(date_trunc('second', ts)) AS last_seen
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_stream_window"       -> (q51StreamWindow _),
@@ -49,7 +95,9 @@ object Extras {
   )
 
   val oracleSql: Map[String, String] = Map(
-    "q51_stream_window"   -> q51Sql,
-    "q52_multimodal_meta" -> MultimodalOps.q52Sql,
+    "q51_stream_window"       -> q51Sql,
+    "q52_multimodal_meta"     -> MultimodalOps.q52Sql,
+    "q53_multimodal_features" -> q53Sql,
+    "q54_stream_sessions"     -> q54Sql,
   )
 }

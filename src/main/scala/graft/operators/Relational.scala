@@ -579,19 +579,35 @@ object Relational {
 
   // ------------------------------------------------------------------
   // q34 — approx_count_distinct (HLL++): the at-scale substitute for the
-  // exact countDistincts used elsewhere. Sketches are engine-specific, so
-  // this entry has NO oracle (rows-only check); ApproxSpec bounds the
-  // relative error against the exact counts instead.
+  // exact countDistincts used elsewhere. Sketch estimates are
+  // engine-specific, so the oracled contract is the tolerance itself:
+  // emit exact counts plus `approx_*_ok = |approx − exact| / exact ≤ 0.05`
+  // (HLL++ at rsd 0.02), which the oracle asserts as literal TRUE —
+  // putting the ±5% guarantee inside the hash gate. ApproxSpec bounds the
+  // raw estimates as well.
   // ------------------------------------------------------------------
   def q34ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     ev.groupBy(col("event_type"))
       .agg(
         countDistinct(col("user_id")).as("exact_users"),
+        countDistinct(col("event_id")).as("exact_events"),
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
         approx_count_distinct(col("event_id"), 0.02).as("approx_events"))
+      .select(col("event_type"), col("exact_users"), col("exact_events"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") / col("exact_users") <= 0.05)
+          .cast("int").as("approx_users_ok"),
+        (abs(col("approx_events") - col("exact_events")).cast("double") / col("exact_events") <= 0.05)
+          .cast("int").as("approx_events_ok"))
       .orderBy(col("event_type"))
   }
+
+  val q34Sql: String =
+    """SELECT event_type,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS exact_events,
+      |  1 AS approx_users_ok, 1 AS approx_events_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ------------------------------------------------------------------
   // q35 — 4-table join chain (lineitem ⋈ orders ⋈ customer ⋈ nation):
@@ -755,6 +771,7 @@ object Relational {
     "q19_upsert_first_wins" -> q19Sql,
     "q30_array_ops"        -> q30Sql,
     "q33_percentiles"      -> q33Sql,
+    "q34_approx_distinct"  -> q34Sql,
     "q35_multi_join"       -> q35Sql,
     "q36_window_frames"    -> q36Sql,
     "q60_set_ops"          -> q60Sql,

@@ -283,6 +283,18 @@ object WeatherOracle {
       |WHERE rn <= 3
       |ORDER BY postal_code, rank""".stripMargin)
 
+  /** q62 oracle: plain cross-join + exact radius — semantically identical
+    * to the Spark side's grid-cell equi-join, so a hash match proves the
+    * cell cover is lossless (no dropped corner pairs, no double matches).
+    */
+  val gridSpatialJoinSql: String = withCtes(
+    s"""SELECT pc.postal_code, st.station_id,
+       |  ${r2("sqrt((st.latitude - pc.centroid_lat)*(st.latitude - pc.centroid_lat) + (st.longitude - pc.centroid_lon)*(st.longitude - pc.centroid_lon)) * 111.0")} AS distance_km
+       |FROM postal pc CROSS JOIN stations st
+       |WHERE sqrt((st.latitude - pc.centroid_lat)*(st.latitude - pc.centroid_lat)
+       |         + (st.longitude - pc.centroid_lon)*(st.longitude - pc.centroid_lon)) * 111.0 <= 50.0
+       |ORDER BY postal_code, station_id""".stripMargin)
+
   val historySql: String = withCtes(
     s"""SELECT * FROM (
        |  SELECT * FROM gold_obs

@@ -358,4 +358,40 @@ object WeatherPipeline {
       .select(col("postal_code"), col("station_id"), col("station_name"),
         roundSafe(col("distance_km"), 2).as("distance_km"), col("rn").as("rank"))
   }
+
+  /** J2's 100×-scale path (SURVEY §4.2; reference `aggregation.py:105-110`):
+    * the radius join as a pure EQUI-join on [[GeoFunctions.gridCell]]
+    * instead of a nested loop. The probe (postal) side explodes each
+    * centroid into its 3×3 neighborhood of 0.5° cells; the build (station)
+    * side computes its single cell; the join is then hash/sort-merge on the
+    * cell key, and the exact `distance <= r` post-filter removes corner
+    * false positives. Correct because r/111 km-per-deg = 0.4505° < cellDeg,
+    * so every point within r of a centroid lies in the centroid's cell ±1 —
+    * and each station owns exactly ONE cell, so no pair can match twice.
+    * At cluster scale neither side needs to be broadcastable: the big fact
+    * side keeps its partitioning and the shuffle is an equi-shuffle on
+    * `cell`; here the 225-row probe is broadcast → BroadcastHashJoin.
+    * GridJoinSpec proves row-for-row equality with the nested-loop radius
+    * join and asserts the plan has no BNLJ/cartesian.
+    */
+  def spatialJoinGrid(stations: DataFrame, postal: DataFrame,
+      radiusKm: Double = 50.0, cellDeg: Double = 0.5): DataFrame = {
+    require(radiusKm / 111.0 < cellDeg, "±1-cell cover requires r < cellDeg*111km")
+    val probe = postal
+      .select(col("postal_code"), col("centroid_lat"), col("centroid_lon"))
+      .withColumn("dy", explode(sequence(lit(-1L), lit(1L))))
+      .withColumn("dx", explode(sequence(lit(-1L), lit(1L))))
+      .select(col("postal_code"), col("centroid_lat"), col("centroid_lon"),
+        ((floor(col("centroid_lat") / cellDeg).cast("long") + col("dy")) * 100000L
+          + floor(col("centroid_lon") / cellDeg).cast("long") + col("dx")).as("cell"))
+    val dLat = col("latitude") - col("centroid_lat")
+    val dLon = col("longitude") - col("centroid_lon")
+    stations
+      .withColumn("cell", GeoFunctions.gridCell(col("latitude"), col("longitude"), cellDeg))
+      .join(broadcast(probe), "cell")
+      .withColumn("distance_km", sqrt(dLat * dLat + dLon * dLon) * 111.0)
+      .filter(col("distance_km") <= radiusKm)
+      .select(col("postal_code"), col("station_id"),
+        roundSafe(col("distance_km"), 2).as("distance_km"))
+  }
 }

@@ -116,6 +116,14 @@ object WeatherQueries {
       .orderBy(col("postal_code"), col("rank"))
   }
 
+  /** q62: the grid-cell equi-join spatial mapping (J2's declared 100×
+    * path) — oracled against a plain cross-join+radius in DuckDB, which
+    * proves the cell construction loses/duplicates no pairs.
+    */
+  def gridSpatialJoin(s: SparkSession, d: String): DataFrame =
+    WeatherPipeline.spatialJoinGrid(WeatherSynth.stations(s, d), WeatherSynth.postalCodes(s, d))
+      .orderBy(col("postal_code"), col("station_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_weather_clean_obs"  -> (cleanObs _),
     "q21_weather_gold_obs"   -> (goldObservations _),
@@ -130,6 +138,7 @@ object WeatherQueries {
     "q31_weather_horizon"    -> (horizon _),
     "q32_weather_bbox"       -> (bbox _),
     "q59_haversine_knn"      -> (haversineKnn _),
+    "q62_grid_spatial_join"  -> (gridSpatialJoin _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -146,5 +155,6 @@ object WeatherQueries {
     "q31_weather_horizon"    -> WeatherOracle.horizonSql,
     "q32_weather_bbox"       -> WeatherOracle.bboxSql,
     "q59_haversine_knn"      -> WeatherOracle.haversineKnnSql,
+    "q62_grid_spatial_join"  -> WeatherOracle.gridSpatialJoinSql,
   )
 }
