@@ -22,6 +22,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // teardown: evict memoized/cached frames so nothing outlives the run
+    graft.weather.WeatherQueries.clear()
+    graft.operators.IngestOps.clear()
+    spark.catalog.clearCache()
     spark.stop()
   }
 }

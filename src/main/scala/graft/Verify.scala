@@ -43,6 +43,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // teardown: evict memoized/cached frames so nothing outlives the run
+    graft.weather.WeatherQueries.clear()
+    graft.operators.IngestOps.clear()
+    spark.catalog.clearCache()
     spark.stop()
   }
 }

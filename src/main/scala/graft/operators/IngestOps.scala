@@ -25,6 +25,12 @@ object IngestOps {
         Ingest.parseWeather(weatherJson(spark, dir), "payload").cache())
     }
 
+  /** Unpersist + drop memoized frames (see [[graft.weather.WeatherQueries.clear]]). */
+  def clear(): Unit = memo.synchronized {
+    memo.values.foreach(df => df.unpersist(blocking = false))
+    memo.clear()
+  }
+
   /** Weather-record JSON per event; temperature omitted on the %13 residue
     * to exercise missing-field tolerance; source_id spills past the
     * station registry (0..119 vs registered 0..99) for discovery.

@@ -167,20 +167,39 @@ object TextOps {
 
   // ------------------------------------------------------------------
   // Shared: per-doc DISTINCT word 3-shingles (inverted-index base).
+  //
+  // Hot-key guard: a shingle appearing in K docs contributes K² candidate
+  // pairs to the self-join, so one boilerplate phrase ("terms of service
+  // apply") turns the inverted index into a skewed quadratic blow-up at
+  // corpus scale. Shingles with document frequency > MaxShingleDf are
+  // dropped BEFORE any join — standard stop-shingle removal (they carry no
+  // near-dup signal precisely because they are everywhere). The hot list
+  // is tiny by construction (≤ |shingles|/MaxShingleDf entries can exceed
+  // the cap), so it broadcasts and the filter is a broadcast anti-join —
+  // no extra shuffle on the fact side.
   // ------------------------------------------------------------------
-  private def docShingles(spark: SparkSession, dir: String): DataFrame =
-    withToks(Tables.documents(spark, dir))
+  val MaxShingleDf = 100
+
+  private def docShingles(spark: SparkSession, dir: String): DataFrame = {
+    val sh = withToks(Tables.documents(spark, dir))
       .withColumn("sh", explode(expr(
         "transform(sequence(1, greatest(size(toks) - 2, 0)), i -> concat_ws(' ', slice(toks, i, 3)))")))
       .select(col("doc_id"), col("sh")).distinct()
+    val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf).select(col("sh"))
+    sh.join(broadcast(hot), Seq("sh"), "left_anti")
+  }
 
   private val docShinglesSqlCte: String =
-    """shingled AS (
-      |  SELECT DISTINCT doc_id, sh FROM (
-      |    SELECT doc_id,
-      |      unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
-      |        i -> array_to_string(toks[i:i+2], ' '))) AS sh
-      |    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)))""".stripMargin
+    s"""shingled0 AS (
+       |  SELECT DISTINCT doc_id, sh FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+       |        i -> array_to_string(toks[i:i+2], ' '))) AS sh
+       |    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents))),
+       |shingled AS (
+       |  SELECT * FROM shingled0 WHERE sh NOT IN (
+       |    SELECT sh FROM shingled0 GROUP BY sh HAVING COUNT(*) > $MaxShingleDf))""".stripMargin
 
   // ------------------------------------------------------------------
   // q44 — n-gram Jaccard near-dup: inverted-index self-join on shingles

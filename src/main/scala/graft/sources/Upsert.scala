@@ -63,26 +63,30 @@ object Upsert {
   /** Read-merge-overwrite a Parquet table in place. The read is fully
     * materialized before the overwrite (write to `<path>.staging`, then
     * swap) so the source files are never deleted under an in-flight scan.
+    *
+    * All IO goes through the Hadoop [[org.apache.hadoop.fs.FileSystem]]
+    * resolved from the path's own scheme + the session's Hadoop conf — so
+    * the existence check, recursive delete, and staging rename behave
+    * identically on local `file:`, HDFS, and any `FileSystem`-backed
+    * object store (never `java.io.File`, which silently no-ops off the
+    * local machine). Note the swap is atomic only where `rename` is
+    * (HDFS/local); on S3-like stores pair with a manifest/table format.
     */
   def mergeIntoParquet(df: DataFrame, path: String,
       keys: Seq[String], versionCol: String, mode: Mode,
       partitionCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
-    val fs = new java.io.File(path)
-    val existing = if (fs.exists()) Some(spark.read.parquet(path)) else None
+    val hconf = spark.sessionState.newHadoopConf()
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(hconf)
+    val existing = if (fs.exists(target)) Some(spark.read.parquet(path)) else None
     val merged = merge(existing, df, keys, versionCol, mode)
-    val staging = path + ".staging"
+    val staging = new org.apache.hadoop.fs.Path(path + ".staging")
     val writer = merged.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-      .parquet(staging)
-    val target = new java.io.File(path)
-    if (target.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(target)
-    }
-    new java.io.File(staging).renameTo(target)
+      .parquet(staging.toString)
+    if (fs.exists(target)) fs.delete(target, true)
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(s"rename $staging -> $target failed")
   }
 }

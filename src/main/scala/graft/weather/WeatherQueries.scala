@@ -22,6 +22,16 @@ object WeatherQueries {
     memo.getOrElseUpdate((s, d, key), build.cache())
   }
 
+  /** Unpersist and drop every memoized frame — harness teardown
+    * (Verify/Bench call this before `spark.stop()`) and the library
+    * contract for long-lived services: without it the cache pins executor
+    * memory for the life of the session.
+    */
+  def clear(): Unit = memo.synchronized {
+    memo.values.foreach(df => df.unpersist(blocking = false))
+    memo.clear()
+  }
+
   private def stgObs(s: SparkSession, d: String): DataFrame =
     memoized(s, d, "stgObs") {
       WeatherPipeline.cleanObservations(WeatherSynth.rawObservations(s, d))

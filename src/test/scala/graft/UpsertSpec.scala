@@ -37,6 +37,21 @@ class UpsertSpec extends SparkSpec {
     assert(twice.map(_.getString(0)) === Seq("a", "b"))
   }
 
+  test("parquet merge works against an explicit file: URI (Hadoop FS path)") {
+    val path = "file://" + tmp()
+    Upsert.mergeIntoParquet(Seq(("a", 1, 10.0)).toDF("k", "version", "v"),
+      path, Seq("k"), "version", Mode.LastWins)
+    Upsert.mergeIntoParquet(Seq(("a", 2, 77.0), ("b", 1, 5.0)).toDF("k", "version", "v"),
+      path, Seq("k"), "version", Mode.LastWins)
+    val out = spark.read.parquet(path).orderBy("k")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    assert(out.toSeq === Seq(("a", 2, 77.0), ("b", 1, 5.0)))
+    // staging dir must be gone after the swap
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + ".staging")))
+  }
+
   test("parquet merge applies updates across batches") {
     val path = tmp()
     Upsert.mergeIntoParquet(Seq(("a", 1, 10.0)).toDF("k", "version", "v"),
