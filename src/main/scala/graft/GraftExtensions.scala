@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.LongType
+import graft.functions.{DotProduct, GeoFunctions}
+
+/** Session-extension entry point: makes the library's custom functions
+  * available to pure-SQL users on any cluster with
+  *
+  * {{{ spark.sql.extensions=graft.GraftExtensions }}}
+  *
+  * (or `builder.withExtensions(new GraftExtensions)`) — no Scala imports
+  * required on the caller side. Registered functions:
+  *
+  *  - `graft_dot_product(a, b)` — the codegen'd [[DotProduct]] Catalyst
+  *    expression over `array<double>`
+  *  - `graft_haversine_km(lat1, lon1, lat2, lon2)` — great-circle km
+  *    (same tree as [[GeoFunctions.haversineKm]])
+  *  - `graft_grid_cell(lat, lon, cell_deg)` — the spatial-join cell key
+  *    (same construction as [[GeoFunctions.gridCell]]; `cell_deg` must be
+  *    a literal fold-able expression)
+  *
+  * The geo builders assemble raw Catalyst nodes; the analyzer's type
+  * coercion then inserts the usual implicit casts, so int/decimal inputs
+  * behave exactly like the Column-API versions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name)
+
+  private def haversineBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 4, "graft_haversine_km(lat1, lon1, lat2, lon2)")
+    val Seq(lat1, lon1, lat2, lon2) = args
+    val two = Literal(2.0)
+    val dLat = ToRadians(Subtract(lat2, lat1))
+    val dLon = ToRadians(Subtract(lon2, lon1))
+    val a = Add(
+      Pow(Sin(Divide(dLat, two)), two),
+      Multiply(Multiply(Cos(ToRadians(lat1)), Cos(ToRadians(lat2))),
+        Pow(Sin(Divide(dLon, two)), two)))
+    Multiply(Literal(2 * GeoFunctions.EarthRadiusKm), Asin(Sqrt(a)))
+  }
+
+  private def gridCellBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 3, "graft_grid_cell(lat, lon, cell_deg)")
+    val Seq(lat, lon, cell) = args
+    Add(
+      Multiply(Cast(Floor(Divide(lat, cell)), LongType), Literal(100000L)),
+      Cast(Floor(Divide(lon, cell)), LongType))
+  }
+
+  /** (identifier, info, builder) triples for [[SparkSessionExtensions.injectFunction]]. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot_product"),
+      info("graft_dot_product", "graft_dot_product(a, b) - codegen dot product of two array<double>"),
+      (args: Seq[Expression]) => DotProduct(args.head, args(1))),
+    (FunctionIdentifier("graft_haversine_km"),
+      info("graft_haversine_km", "graft_haversine_km(lat1, lon1, lat2, lon2) - great-circle distance in km"),
+      haversineBuilder _),
+    (FunctionIdentifier("graft_grid_cell"),
+      info("graft_grid_cell", "graft_grid_cell(lat, lon, cell_deg) - integer grid cell for spatial equi-joins"),
+      gridCellBuilder _))
+}

@@ -252,6 +252,32 @@ object WeatherOracle {
       |  AND f.timestamp <= o.timestamp + INTERVAL 1 HOUR
       |ORDER BY f.postal_code, forecast_issue_time, forecast_target_time""".stripMargin)
 
+  /** q63 oracle: DECIMAL-exact error sums (2-dec errors, 4-dec squares),
+    * double division + sqrt only at the end, two-stage rounded.
+    */
+  val accuracyRmseSql: String = {
+    def m(e: String) = r2(s"CAST(SUM(CAST($e AS DECIMAL(18,2))) AS DOUBLE)/COUNT($e)")
+    def rm(e: String) = r2(
+      s"sqrt(CAST(SUM(CAST($e AS DECIMAL(18,2)) * CAST($e AS DECIMAL(18,2))) AS DOUBLE)/COUNT($e))")
+    withCtes(
+      s"""SELECT postal_code,
+         |  CAST(COUNT(temperature_error) AS BIGINT) AS n_temp,
+         |  ${m("temperature_error")} AS mae_temperature,
+         |  ${rm("temperature_error")} AS rmse_temperature,
+         |  CAST(COUNT(wind_speed_error) AS BIGINT) AS n_wind,
+         |  ${m("wind_speed_error")} AS mae_wind_speed,
+         |  ${rm("wind_speed_error")} AS rmse_wind_speed
+         |FROM (
+         |  SELECT f.postal_code,
+         |    ABS(f.temperature_avg - o.temperature_avg) AS temperature_error,
+         |    ABS(f.wind_speed_avg - o.wind_speed_avg) AS wind_speed_error
+         |  FROM gold_fc f
+         |  JOIN gold_obs o ON f.postal_code = o.postal_code AND f.timestamp = o.timestamp
+         |    AND f.timestamp <= o.timestamp + INTERVAL 1 HOUR)
+         |GROUP BY postal_code
+         |ORDER BY postal_code""".stripMargin)
+  }
+
   val latestObsSql: String = withCtes(
     """SELECT postal_code, timestamp, temperature_avg, precipitation_sum,
       |  wind_speed_avg, cloud_cover_avg, num_stations, avg_quality_score

@@ -1,6 +1,6 @@
 package graft.weather
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver-contract wiring for the weather pipeline: each stage of
@@ -126,6 +126,32 @@ object WeatherQueries {
       .orderBy(col("postal_code"), col("rank"))
   }
 
+  /** q63: per-postal accuracy summary with the `rmse` the reference
+    * declares but never fills (`sql/schema.sql:258`, SURVEY §8 Q6 — row
+    * level stays parity-absent in q23; the summary closes the gap as an
+    * extension). Determinism: errors are 2-decimal by construction, so
+    * sums run in DECIMAL (exact, order-independent — err² is 4-decimal
+    * exact); the only doubles are the final division + IEEE sqrt, then
+    * two-stage rounding.
+    */
+  def accuracyRmse(s: SparkSession, d: String): DataFrame = {
+    val acc = WeatherPipeline.forecastAccuracy(goldObs(s, d).union(goldFc(s, d)))
+    val te = col("temperature_error").cast("decimal(18,2)")
+    val we = col("wind_speed_error").cast("decimal(18,2)")
+    def mae(e: Column, src: Column) =
+      WeatherPipeline.roundSafe(sum(e).cast("double") / count(src), 2)
+    def rmse(e: Column, src: Column) =
+      WeatherPipeline.roundSafe(sqrt(sum(e * e).cast("double") / count(src)), 2)
+    acc.groupBy(col("postal_code")).agg(
+      count(col("temperature_error")).as("n_temp"),
+      mae(te, col("temperature_error")).as("mae_temperature"),
+      rmse(te, col("temperature_error")).as("rmse_temperature"),
+      count(col("wind_speed_error")).as("n_wind"),
+      mae(we, col("wind_speed_error")).as("mae_wind_speed"),
+      rmse(we, col("wind_speed_error")).as("rmse_wind_speed"))
+      .orderBy(col("postal_code"))
+  }
+
   /** q62: the grid-cell equi-join spatial mapping (J2's declared 100×
     * path) — oracled against a plain cross-join+radius in DuckDB, which
     * proves the cell construction loses/duplicates no pairs.
@@ -149,6 +175,7 @@ object WeatherQueries {
     "q32_weather_bbox"       -> (bbox _),
     "q59_haversine_knn"      -> (haversineKnn _),
     "q62_grid_spatial_join"  -> (gridSpatialJoin _),
+    "q63_accuracy_rmse"      -> (accuracyRmse _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -166,5 +193,6 @@ object WeatherQueries {
     "q32_weather_bbox"       -> WeatherOracle.bboxSql,
     "q59_haversine_knn"      -> WeatherOracle.haversineKnnSql,
     "q62_grid_spatial_join"  -> WeatherOracle.gridSpatialJoinSql,
+    "q63_accuracy_rmse"      -> WeatherOracle.accuracyRmseSql,
   )
 }
