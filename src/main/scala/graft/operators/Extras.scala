@@ -87,11 +87,31 @@ object Extras {
       |  max(date_trunc('second', ts)) AS last_seen
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q64: stream-stream join, oracled against the equivalent batch
+    * self-join (µs-floored timestamps both sides — the events feed is
+    * TIMESTAMP(NANOS) and Spark reads µs, so the oracle casts to µs before
+    * comparing; lag is exact integer µs division).
+    */
+  def q64StreamJoin(spark: SparkSession, dir: String): DataFrame =
+    EventsStream.runStreamJoinOnce(spark, dir, s"stream_join_${counter.incrementAndGet()}")
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+
+  val q64Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events)
+      |SELECT a.user_id AS user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+      |  (epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS lag_s
+      |FROM e a JOIN e b ON a.user_id = b.user_id
+      |  AND a.event_type = 'click' AND b.event_type = 'purchase'
+      |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
+      |ORDER BY a.user_id, click_id, purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_stream_window"       -> (q51StreamWindow _),
     "q52_multimodal_meta"     -> (q52MultimodalMeta _),
     "q53_multimodal_features" -> (q53MultimodalFeatures _),
     "q54_stream_sessions"     -> (q54StreamSessions _),
+    "q64_stream_join"         -> (q64StreamJoin _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -99,5 +119,6 @@ object Extras {
     "q52_multimodal_meta"     -> MultimodalOps.q52Sql,
     "q53_multimodal_features" -> q53Sql,
     "q54_stream_sessions"     -> q54Sql,
+    "q64_stream_join"         -> q64Sql,
   )
 }

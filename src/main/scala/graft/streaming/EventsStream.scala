@@ -125,6 +125,47 @@ object EventsStream {
     q.awaitTermination()
   }
 
+  /** Stream-stream inner join with event-time range condition — the
+    * attribution shape (purchases within 60 min after a click by the same
+    * user). Both sides carry watermarks so the state store can evict
+    * clicks older than watermark − 60 min; the time-range bound makes the
+    * join's state finite at unbounded input (the property that matters at
+    * 100 TB/day: state is O(users × window), not O(stream)).
+    */
+  def clickPurchaseJoin(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = readEvents(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = readEvents(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+      col("purchase_ts") >= col("click_ts") &&
+      col("purchase_ts") <= col("click_ts") + expr("INTERVAL 60 MINUTES"))
+  }
+
+  /** Run the stream-stream join over the finite source (append mode —
+    * inner join emits exactly the matched pairs; single-file source ⇒ one
+    * micro-batch, so no cross-batch eviction on this corpus).
+    */
+  def runStreamJoinOnce(spark: SparkSession, dir: String, name: String = "stream_join"): DataFrame = {
+    val q = clickPurchaseJoin(spark, dir)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000").as("lag_s"))
+  }
+
   /** Run sessionization over the finite source, return final per-user rows. */
   def runSessionizeOnce(spark: SparkSession, dir: String, name: String = "stream_sessions"): DataFrame = {
     import spark.implicits._
