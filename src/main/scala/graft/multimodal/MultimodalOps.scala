@@ -75,6 +75,106 @@ object MultimodalOps {
       .mapPartitions(decodePartition _)
   }
 
+  // ------------------------------------------------------------------
+  // Resize (images) and frame-sampling (video) — the remaining two
+  // multimodal ops. As with decode, the CODEC is the stub (a real build
+  // decodes the raster / container first); the operator shape is real:
+  // strided byte subsampling per partition for resize, and a 1→N
+  // iterator flatMap for frame sampling (the explode-shaped output a
+  // video pipeline produces). Both are deterministic byte arithmetic, so
+  // both are oracle-checkable in DuckDB.
+  // ------------------------------------------------------------------
+
+  final case class ResizedMedia(doc_id: Long, out_width: Int, out_height: Int,
+      out_n_bytes: Int, first_byte: Int, byte_sum: Long)
+  final case class SampledFrame(doc_id: Long, frame_idx: Int, n_bytes: Int,
+      first_byte: Int, byte_sum: Long)
+
+  /** Keep every `factor`-th byte (STUB for raster downsampling); nominal
+    * dims shrink by ceil-division.
+    */
+  def resizePartition(rows: Iterator[MediaRow], factor: Int): Iterator[ResizedMedia] =
+    rows.map { r =>
+      val bytes = r.payload
+      var sum = 0L
+      var n = 0
+      var i = 0
+      while (i < bytes.length) { sum += bytes(i) & 0xFF; n += 1; i += factor }
+      ResizedMedia(r.doc_id,
+        (r.width + factor - 1) / factor, (r.height + factor - 1) / factor,
+        n, if (bytes.isEmpty) 0 else bytes(0) & 0xFF, sum)
+    }
+
+  /** Emit every `every`-th frame of `frameBytes` bytes (STUB for container
+    * demux + frame decode); the last frame may be partial.
+    */
+  def sampleFramesPartition(rows: Iterator[MediaRow], frameBytes: Int,
+      every: Int): Iterator[SampledFrame] =
+    rows.flatMap { r =>
+      val bytes = r.payload
+      Iterator.range(0, bytes.length, frameBytes * every).map { off =>
+        val end = math.min(off + frameBytes, bytes.length)
+        var sum = 0L
+        var i = off
+        while (i < end) { sum += bytes(i) & 0xFF; i += 1 }
+        SampledFrame(r.doc_id, off / frameBytes, end - off, bytes(off) & 0xFF, sum)
+      }
+    }
+
+  /** q65: resize the image-typed payloads by 4× (strided byte subsample). */
+  def q65Resize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .filter(col("media_type") === "image")
+      .select(col("doc_id"), col("media_type"), col("payload"), col("width"), col("height"))
+      .as[MediaRow]
+      .mapPartitions(rows => resizePartition(rows, 4))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val q65Sql: String =
+    """WITH img AS (
+      |  SELECT doc_id, text, strlen(text) AS n,
+      |    CAST((doc_id % 64) * 16 + 256 AS INT) AS width,
+      |    CAST((doc_id % 36) * 16 + 144 AS INT) AS height
+      |  FROM documents WHERE doc_id % 3 = 0)
+      |SELECT doc_id,
+      |  CAST((width + 3) // 4 AS INT) AS out_width,
+      |  CAST((height + 3) // 4 AS INT) AS out_height,
+      |  CAST((n + 3) // 4 AS INT) AS out_n_bytes,
+      |  ascii(substring(text, 1, 1)) AS first_byte,
+      |  CAST(list_sum(list_transform(range(1, CAST(n + 1 AS BIGINT), 4),
+      |    j -> ascii(substring(text, CAST(j AS INT), 1)))) AS BIGINT) AS byte_sum
+      |FROM img ORDER BY doc_id""".stripMargin
+
+  /** q66: sample every 2nd 256-byte frame of the video-typed payloads. */
+  def q66FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .filter(col("media_type") === "video")
+      .select(col("doc_id"), col("media_type"), col("payload"), col("width"), col("height"))
+      .as[MediaRow]
+      .mapPartitions(rows => sampleFramesPartition(rows, 256, 2))
+      .toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val q66Sql: String =
+    """WITH vid AS (
+      |  SELECT doc_id, text, strlen(text) AS n
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |fr AS (
+      |  SELECT doc_id, text, n, unnest(range(0, CAST(n AS BIGINT), 512)) AS off
+      |  FROM vid)
+      |SELECT doc_id,
+      |  CAST(off // 256 AS INT) AS frame_idx,
+      |  CAST(least(off + 256, n) - off AS INT) AS n_bytes,
+      |  ascii(substring(text, CAST(off + 1 AS INT), 1)) AS first_byte,
+      |  CAST(list_sum(list_transform(range(CAST(off + 1 AS BIGINT), CAST(least(off + 256, n) + 1 AS BIGINT)),
+      |    j -> ascii(substring(text, CAST(j AS INT), 1)))) AS BIGINT) AS byte_sum
+      |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
+
   /** Metadata-only stats (never touches payload bytes on a real layout). */
   def q52MultimodalMeta(spark: SparkSession, dir: String): DataFrame =
     mediaTable(spark, dir)

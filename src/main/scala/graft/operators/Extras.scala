@@ -112,6 +112,8 @@ object Extras {
     "q53_multimodal_features" -> (q53MultimodalFeatures _),
     "q54_stream_sessions"     -> (q54StreamSessions _),
     "q64_stream_join"         -> (q64StreamJoin _),
+    "q65_multimodal_resize"   -> ((s: SparkSession, d: String) => MultimodalOps.q65Resize(s, d)),
+    "q66_frame_sample"        -> ((s: SparkSession, d: String) => MultimodalOps.q66FrameSample(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -120,5 +122,7 @@ object Extras {
     "q53_multimodal_features" -> q53Sql,
     "q54_stream_sessions"     -> q54Sql,
     "q64_stream_join"         -> q64Sql,
+    "q65_multimodal_resize"   -> MultimodalOps.q65Sql,
+    "q66_frame_sample"        -> MultimodalOps.q66Sql,
   )
 }

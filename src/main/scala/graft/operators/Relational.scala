@@ -719,6 +719,31 @@ object Relational {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q67 — salted skew join as a first-class query: lineitem ⋈ supplier
+  // with the big side salted 8 ways ([[graft.functions.SkewJoin]]), then
+  // the per-supplier rollup. The oracle is the PLAIN join — salting must
+  // be result-invisible, and hashing it against an unsalted engine proves
+  // exactly that. (At 100 TB this is the manual fallback when one hot key
+  // dwarfs AQE's skew-split granularity, e.g. bucketed inputs.)
+  // ------------------------------------------------------------------
+  def q67SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).withColumnRenamed("l_suppkey", "s_suppkey")
+    val sup = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+    graft.functions.SkewJoin.saltedEquiJoin(li, sup,
+        keys = Seq("s_suppkey"), salts = 8, saltOn = Seq("l_orderkey", "l_linenumber"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      .orderBy(col("s_name"))
+  }
+
+  val q67Sql: String =
+    """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_name ORDER BY s_name""".stripMargin
+
   /** queries + oracles exported to [[graft.SparkEntry]]. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"  -> (q01PricingSummary _),
@@ -747,6 +772,7 @@ object Relational {
     "q36_window_frames"    -> (q36WindowFrames _),
     "q60_set_ops"          -> (q60SetOps _),
     "q61_rollup"           -> (q61Rollup _),
+    "q67_salted_join"      -> (q67SaltedJoin _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -776,5 +802,6 @@ object Relational {
     "q36_window_frames"    -> q36Sql,
     "q60_set_ops"          -> q60Sql,
     "q61_rollup"           -> q61Sql,
+    "q67_salted_join"      -> q67Sql,
   )
 }
