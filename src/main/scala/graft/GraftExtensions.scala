@@ -28,8 +28,11 @@ import graft.functions.{DotProduct, GeoFunctions}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // auto-rewrite naive planar radius joins into grid-cell equi-joins
+    ext.injectOptimizerRule(_ => graft.plans.RadiusJoinRewrite)
+  }
 }
 
 object GraftExtensions {

@@ -46,6 +46,7 @@ object Verify {
     // teardown: evict memoized/cached frames so nothing outlives the run
     graft.weather.WeatherQueries.clear()
     graft.operators.IngestOps.clear()
+    graft.operators.TextOps.clear()
     spark.catalog.clearCache()
     spark.stop()
   }

@@ -180,14 +180,29 @@ object TextOps {
   // ------------------------------------------------------------------
   val MaxShingleDf = 100
 
-  private def docShingles(spark: SparkSession, dir: String): DataFrame = {
-    val sh = withToks(Tables.documents(spark, dir))
-      .withColumn("sh", explode(expr(
-        "transform(sequence(1, greatest(size(toks) - 2, 0)), i -> concat_ws(' ', slice(toks, i, 3)))")))
-      .select(col("doc_id"), col("sh")).distinct()
-    val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > MaxShingleDf).select(col("sh"))
-    sh.join(broadcast(hot), Seq("sh"), "left_anti")
+  // q44 and q45 share the (exploded + df-capped) inverted index; memoize +
+  // cache per (session, dir) so it builds once, not once per query.
+  // Evict via clear() — same library contract as WeatherQueries.
+  private val memo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+    memo.synchronized {
+      memo.getOrElseUpdate((spark, dir), {
+        val sh = withToks(Tables.documents(spark, dir))
+          .withColumn("sh", explode(expr(
+            "transform(sequence(1, greatest(size(toks) - 2, 0)), i -> concat_ws(' ', slice(toks, i, 3)))")))
+          .select(col("doc_id"), col("sh")).distinct()
+        val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > MaxShingleDf).select(col("sh"))
+        sh.join(broadcast(hot), Seq("sh"), "left_anti").cache()
+      })
+    }
+
+  /** Unpersist + drop memoized frames (see [[graft.weather.WeatherQueries.clear]]). */
+  def clear(): Unit = memo.synchronized {
+    memo.values.foreach(df => df.unpersist(blocking = false))
+    memo.clear()
   }
 
   private val docShinglesSqlCte: String =
@@ -207,7 +222,7 @@ object TextOps {
   // |A∩B| / (|A|+|B|−|A∩B|) from integer counts, threshold 0.6.
   // ------------------------------------------------------------------
   def q44NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(spark, dir).cache()
+    val sh = docShingles(spark, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -245,7 +260,7 @@ object TextOps {
   private val BandSize = 4
 
   def q45MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(spark, dir).cache()
+    val sh = docShingles(spark, dir)
     val sigCols = (0 until NumHashes).map(i =>
       min(md5(concat(lit(s"$i|"), col("sh")))).as(s"h$i"))
     val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.weather.WeatherSynth
+
+/** The RadiusJoinRewrite optimizer rule: a session with GraftExtensions
+  * plans the naive cross-join + planar-radius filter as a grid-cell
+  * equi-join (no BNLJ / cartesian), with results bit-identical to the
+  * un-extended session.
+  */
+class RadiusRewriteSpec extends SparkSpec {
+
+  private def withExtSession[T](f: SparkSession => T): T = {
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      f(ext)
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+
+  private def naiveRadius(s: SparkSession): DataFrame = {
+    val dLat = col("latitude") - col("centroid_lat")
+    val dLon = col("longitude") - col("centroid_lon")
+    WeatherSynth.postalCodes(s, Sf)
+      .crossJoin(WeatherSynth.stations(s, Sf))
+      .filter(sqrt(dLat * dLat + dLon * dLon) * 111.0 <= 50.0)
+      .select(col("postal_code"), col("station_id"),
+        graft.weather.WeatherPipeline.roundSafe(
+          sqrt(dLat * dLat + dLon * dLon) * 111.0, 2).as("distance_km"))
+  }
+
+  test("naive radius join is rewritten to a hash equi-join on grid cells") {
+    withExtSession { s =>
+      val plan = naiveRadius(s).queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"), plan)
+      assert(plan.contains("__graft_cell"), plan)
+    }
+  }
+
+  test("rewritten results are identical to the un-extended session's") {
+    val expected = naiveRadius(spark).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).sortBy(t => (t._1, t._2))
+    assert(expected.nonEmpty)
+    withExtSession { s =>
+      val got = naiveRadius(s).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).sortBy(t => (t._1, t._2))
+      assert(got.toSeq === expected.toSeq)
+    }
+  }
+
+  test("non-radius cross joins are left untouched") {
+    withExtSession { s =>
+      val plan = WeatherSynth.postalCodes(s, Sf)
+        .crossJoin(WeatherSynth.stations(s, Sf))
+        .filter(col("latitude") + col("centroid_lat") > 104.0)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("__graft_cell"), plan)
+    }
+  }
+}
