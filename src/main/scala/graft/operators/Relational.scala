@@ -744,6 +744,75 @@ object Relational {
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_name ORDER BY s_name""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q68 — binned range join ([[RangeJoin]]): events into 6-hour
+  // maintenance windows derived from nation (25 intervals, one every
+  // 28 h), aggregated per window. The oracle is the naive BETWEEN join —
+  // hash equality proves the binning loses/duplicates nothing. µs
+  // discipline: the oracle casts the ns feed to µs before comparing,
+  // matching Spark's read-side floor (whole-hour bounds sit exactly on
+  // the boundary otherwise).
+  // ------------------------------------------------------------------
+  def q68RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val intervals = Tables.nation(spark, dir).select(
+      col("n_nationkey").as("window_id"),
+      expr("timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, n_nationkey * 28, 0, 0)")
+        .as("start_ts"),
+      expr("timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, n_nationkey * 28 + 6, 0, 0)")
+        .as("end_ts"))
+    RangeJoin.binnedRangeJoin(Tables.events(spark, dir), "ts",
+        intervals, "start_ts", "end_ts", binMicros = 6L * 3600 * 1000000)
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .orderBy(col("window_id"))
+  }
+
+  val q68Sql: String =
+    """WITH iv AS (
+      |  SELECT n_nationkey AS window_id,
+      |    TIMESTAMP '2024-01-01 00:00:00' + n_nationkey * INTERVAL 28 HOUR AS start_ts,
+      |    TIMESTAMP '2024-01-01 00:00:00' + (n_nationkey * 28 + 6) * INTERVAL 1 HOUR AS end_ts
+      |  FROM nation),
+      |e AS (SELECT user_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events)
+      |SELECT window_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM e JOIN iv ON e.ts >= iv.start_ts AND e.ts <= iv.end_ts
+      |GROUP BY window_id ORDER BY window_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q69 — approx_percentile with the tolerance contract in the hash
+  // (same pattern as q34): the 100 TB substitute for q33's exact
+  // percentiles. The oracled claim is the RANK bound: the fraction of
+  // rows ≤ the approximate p-quantile must sit in p ± 0.02 (accuracy
+  // 10000 ⇒ rank error ≤ n/10000, orders tighter than the band; the
+  // band also absorbs value ties). Oracle asserts the flags as literal
+  // TRUE plus the exact counts.
+  // ------------------------------------------------------------------
+  def q69ApproxPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val ap = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      expr("approx_percentile(value, 0.5, 10000)").as("p50"),
+      expr("approx_percentile(value, 0.9, 10000)").as("p90"))
+    def okFlag(p: Column, target: Double): Column =
+      (abs(sum((col("value") <= p).cast("long")).cast("double") / count(lit(1)) - target)
+        <= 0.02).cast("int")
+    ev.join(broadcast(ap), "event_type")
+      .groupBy(col("event_type"))
+      .agg(first(col("n")).as("n"),
+        okFlag(col("p50"), 0.5).as("p50_rank_ok"),
+        okFlag(col("p90"), 0.9).as("p90_rank_ok"))
+      .orderBy(col("event_type"))
+  }
+
+  val q69Sql: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  1 AS p50_rank_ok, 1 AS p90_rank_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** queries + oracles exported to [[graft.SparkEntry]]. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"  -> (q01PricingSummary _),
@@ -773,6 +842,8 @@ object Relational {
     "q60_set_ops"          -> (q60SetOps _),
     "q61_rollup"           -> (q61Rollup _),
     "q67_salted_join"      -> (q67SaltedJoin _),
+    "q68_range_join"       -> (q68RangeJoin _),
+    "q69_approx_percentile" -> (q69ApproxPercentile _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -803,5 +874,7 @@ object Relational {
     "q60_set_ops"          -> q60Sql,
     "q61_rollup"           -> q61Sql,
     "q67_salted_join"      -> q67Sql,
+    "q68_range_join"       -> q68Sql,
+    "q69_approx_percentile" -> q69Sql,
   )
 }
