@@ -46,7 +46,7 @@ object TextOps {
       .withColumn("n_bpeish",
         size(regexp_extract_all(col("text"), lit("([A-Za-z]+|[0-9]|[^A-Za-z0-9\\s])"), lit(1))))
       .withColumn("n_punct",
-        length(col("text")) - length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")))
+        length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")))
       .withColumn("n_stop",
         expr(s"size(filter(toks, t -> t IN (${inList(Stop("en"))})))"))
       .select(col("doc_id"), col("n_chars"), col("n_ws_tokens"), col("n_bpeish"),
@@ -59,7 +59,7 @@ object TextOps {
     """WITH t AS (
       |  SELECT doc_id, n_chars, regexp_split_to_array(trim(text), '\s+') AS toks,
       |    CAST(len(regexp_extract_all(text, '([A-Za-z]+|[0-9]|[^A-Za-z0-9\s])', 1)) AS INT) AS n_bpeish,
-      |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS INT) AS n_punct,
+      |    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS INT) AS n_punct,
       |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
       |      x -> x IN ('the', 'and', 'is', 'of', 'to'))) AS INT) AS n_stop
       |  FROM documents)
@@ -409,6 +409,110 @@ object TextOps {
          |    ON a.k = b.k AND a.doc_id < b.doc_id""".stripMargin
     }.mkString("\n  UNION ALL ")
 
+  // ------------------------------------------------------------------
+  // q70 — deterministic hash sampling: the training-data selection
+  // primitive. `rand()`-based sampling is irreproducible across runs and
+  // engines; hashing the key and comparing the hex prefix
+  // lexicographically (== numerically for fixed width) gives an exact,
+  // engine-independent ~5% sample ('0d'/'100' = 13/256 ≈ 5.08%) that is
+  // STABLE under re-runs, repartitioning, and engine swaps — the
+  // property that makes ablation experiments comparable.
+  // ------------------------------------------------------------------
+  def q70HashSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < "0d")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sampled_chars"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy(col("source"))
+
+  val q70Sql: String =
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sampled_chars, MIN(doc_id) AS min_doc
+      |FROM documents
+      |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q71 — deterministic train/val/test split (80/10/10) by the same hex
+  // trick ('cc' = 204/256 ≈ 79.7%, 'e6' = 230/256 ≈ 89.8%). Split
+  // membership is a pure function of doc_id: adding documents never
+  // reshuffles existing assignments (critical: no eval-set leakage
+  // between training runs as the corpus grows).
+  // ------------------------------------------------------------------
+  def q71DatasetSplit(spark: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string")), 1, 2)
+    Tables.documents(spark, dir)
+      .withColumn("split",
+        when(h < "cc", "train").when(h < "e6", "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("split"))
+  }
+
+  val q71Sql: String =
+    """WITH s AS (
+      |  SELECT *, CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+      |                 WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+      |                 ELSE 'test' END AS split
+      |  FROM documents)
+      |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+      |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      |FROM s GROUP BY split ORDER BY split""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q72 — end-to-end corpus curation: quality gate (token count + punct
+  // ratio) → exact dedup keeping the lowest doc_id per content hash →
+  // per-source yield report. The composition query: every stage is an
+  // operator proven elsewhere (q40's stats, q43's dedup), chained the
+  // way a real pre-training data pipeline chains them, with loss
+  // accounting per stage.
+  // ------------------------------------------------------------------
+  def q72CorpusCuration(spark: SparkSession, dir: String): DataFrame = {
+    val base = withToks(Tables.documents(spark, dir))
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("n_punct",
+        length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")))
+    val quality = base.filter(col("n_toks") >= 5 &&
+      col("n_punct").cast("double") / col("n_chars") < 0.2)
+    val keepers = quality
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1)
+    val perSourceTotal = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_raw"))
+    keepers.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+      .join(perSourceTotal, "source")
+      .select(col("source"), col("n_raw"), col("n_kept"), col("kept_chars"),
+        (col("n_kept").cast("double") / col("n_raw")).as("yield_ratio"))
+      .orderBy(col("source"))
+  }
+
+  val q72Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source, text, n_chars,
+      |    len(regexp_split_to_array(trim(text), '\s+')) AS n_toks,
+      |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct
+      |  FROM documents),
+      |quality AS (
+      |  SELECT * FROM base
+      |  WHERE n_toks >= 5 AND CAST(n_punct AS DOUBLE)/n_chars < 0.2),
+      |keepers AS (
+      |  SELECT * FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |    FROM quality) WHERE rn = 1),
+      |totals AS (SELECT source, COUNT(*) AS n_raw FROM documents GROUP BY source)
+      |SELECT k.source AS source, CAST(t.n_raw AS BIGINT) AS n_raw,
+      |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |  CAST(SUM(k.n_chars) AS BIGINT) AS kept_chars,
+      |  CAST(COUNT(*) AS DOUBLE)/t.n_raw AS yield_ratio
+      |FROM keepers k JOIN totals t ON k.source = t.source
+      |GROUP BY k.source, t.n_raw ORDER BY k.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_text_stats"     -> (q40TextStats _),
     "q41_lang_id"        -> (q41LangId _),
@@ -417,6 +521,9 @@ object TextOps {
     "q44_ngram_jaccard"  -> (q44NgramJaccard _),
     "q45_minhash_lsh"    -> (q45MinhashLsh _),
     "q46_simhash"        -> (q46Simhash _),
+    "q70_hash_sample"    -> (q70HashSample _),
+    "q71_dataset_split"  -> (q71DatasetSplit _),
+    "q72_corpus_curation" -> (q72CorpusCuration _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -427,5 +534,8 @@ object TextOps {
     "q44_ngram_jaccard"  -> q44Sql,
     "q45_minhash_lsh"    -> q45Sql,
     "q46_simhash"        -> q46Sql,
+    "q70_hash_sample"    -> q70Sql,
+    "q71_dataset_split"  -> q71Sql,
+    "q72_corpus_curation" -> q72Sql,
   )
 }
