@@ -106,6 +106,19 @@ object Extras {
       |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
       |ORDER BY a.user_id, click_id, purchase_id""".stripMargin
 
+  /** q73: streaming dedup of a doubled (at-least-once replayed) feed must
+    * equal the batch per-type counts of the original — exactly-once
+    * delivery recovered from at-least-once input via keyed state.
+    */
+  def q73StreamDedup(spark: SparkSession, dir: String): DataFrame =
+    EventsStream.runStreamDedupOnce(spark, dir, s"stream_dedup_${counter.incrementAndGet()}")
+      .orderBy(col("event_type"))
+
+  val q73Sql: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_stream_window"       -> (q51StreamWindow _),
     "q52_multimodal_meta"     -> (q52MultimodalMeta _),
@@ -114,6 +127,7 @@ object Extras {
     "q64_stream_join"         -> (q64StreamJoin _),
     "q65_multimodal_resize"   -> ((s: SparkSession, d: String) => MultimodalOps.q65Resize(s, d)),
     "q66_frame_sample"        -> ((s: SparkSession, d: String) => MultimodalOps.q66FrameSample(s, d)),
+    "q73_stream_dedup"        -> (q73StreamDedup _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -124,5 +138,6 @@ object Extras {
     "q64_stream_join"         -> q64Sql,
     "q65_multimodal_resize"   -> MultimodalOps.q65Sql,
     "q66_frame_sample"        -> MultimodalOps.q66Sql,
+    "q73_stream_dedup"        -> q73Sql,
   )
 }

@@ -813,6 +813,30 @@ object Relational {
       |  1 AS p50_rank_ok, 1 AS p90_rank_ok
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q74 — pivot (beyond reference): per-user-decile event counts with
+  // event_type pivoted to columns. Spark's `pivot` with an explicit value
+  // list (no discovery scan); the oracle is conditional aggregation —
+  // same relational content, which is the point: pivot is sugar over
+  // FILTERed counts, and the hash proves the sugar changes nothing.
+  // ------------------------------------------------------------------
+  def q74Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val ev = Tables.events(spark, dir).withColumn("decile", col("user_id") % 10)
+    val p = ev.groupBy(col("decile")).pivot("event_type", types).agg(count(lit(1)))
+    p.select(col("decile") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy(col("decile"))
+  }
+
+  val q74Sql: String = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val cols = types.map(t =>
+      s"CAST(COUNT(*) FILTER (WHERE event_type = '$t') AS BIGINT) AS $t").mkString(",\n  ")
+    s"""SELECT user_id % 10 AS decile,
+       |  $cols
+       |FROM events GROUP BY user_id % 10 ORDER BY decile""".stripMargin
+  }
+
   /** queries + oracles exported to [[graft.SparkEntry]]. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"  -> (q01PricingSummary _),
@@ -844,6 +868,7 @@ object Relational {
     "q67_salted_join"      -> (q67SaltedJoin _),
     "q68_range_join"       -> (q68RangeJoin _),
     "q69_approx_percentile" -> (q69ApproxPercentile _),
+    "q74_pivot"            -> (q74Pivot _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -876,5 +901,6 @@ object Relational {
     "q67_salted_join"      -> q67Sql,
     "q68_range_join"       -> q68Sql,
     "q69_approx_percentile" -> q69Sql,
+    "q74_pivot"            -> q74Sql,
   )
 }

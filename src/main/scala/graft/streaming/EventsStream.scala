@@ -166,6 +166,31 @@ object EventsStream {
         expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000").as("lag_s"))
   }
 
+  /** Streaming dedup: two copies of the events stream unioned (simulating
+    * an at-least-once source replaying the feed), then
+    * `dropDuplicates(event_id)` — keyed state, the streaming face of the
+    * exact-dedup family (q43). With a watermark the state would evict ids
+    * older than the horizon; over this finite corpus the dedup must
+    * reproduce the batch distinct exactly, which is what the q73 oracle
+    * asserts.
+    */
+  def runStreamDedupOnce(spark: SparkSession, dir: String, name: String = "stream_dedup"): DataFrame = {
+    val doubled = readEvents(spark, dir).unionByName(readEvents(spark, dir))
+      .dropDuplicates("event_id")
+    val q = doubled
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Run sessionization over the finite source, return final per-user rows. */
   def runSessionizeOnce(spark: SparkSession, dir: String, name: String = "stream_sessions"): DataFrame = {
     import spark.implicits._
