@@ -89,7 +89,7 @@ object RadiusJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner | Cross, Some(cond), hint)
-        if !left.output.exists(_.name == CellName + "_l") =>
+        if !(left.output ++ right.output).exists(_.name.startsWith(CellName)) =>
       val conjuncts = splitConjunctivePredicates(cond)
       val hit = conjuncts.iterator.flatMap {
         case RadiusConjunct(a1, b1, a2, b2, k, r) =>
@@ -104,17 +104,28 @@ object RadiusJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       hit match {
         case None => j
         case Some((l1, r1, l2, r2, cellDeg)) =>
-          // left: one cell per row
-          val lAlias = Alias(packedCell(l1, l2, cellDeg), CellName + "_l")()
-          val newLeft = Project(left.output :+ lAlias, left)
-          // right: explode the 3x3 neighborhood
-          val cells9 = for (d1 <- -1 to 1; d2 <- -1 to 1)
-            yield packedCell(r1, r2, cellDeg, d1, d2)
-          val gen = Explode(CreateArray(cells9))
-          val rAttr = AttributeReference(CellName + "_r", LongType, nullable = false)()
-          val newRight = Generate(gen, unrequiredChildIndex = Nil, outer = false,
-            qualifier = None, generatorOutput = Seq(rAttr), child = right)
-          val newCond = And(cond, EqualTo(lAlias.toAttribute, rAttr))
+          // 3x3 explode goes on the SMALLER side (9x a dimension table is
+          // noise; 9x the fact side wastes a near-order of magnitude) —
+          // the bigger side computes its single own-cell.
+          val explodeLeft = left.stats.sizeInBytes < right.stats.sizeInBytes
+
+          def ownCell(p: LogicalPlan, c1: Expression, c2: Expression) = {
+            val a = Alias(packedCell(c1, c2, cellDeg), CellName + "_l")()
+            (Project(p.output :+ a, p), a.toAttribute: Expression)
+          }
+          def neighborCells(p: LogicalPlan, c1: Expression, c2: Expression) = {
+            val cells9 = for (d1 <- -1 to 1; d2 <- -1 to 1)
+              yield packedCell(c1, c2, cellDeg, d1, d2)
+            val rAttr = AttributeReference(CellName + "_r", LongType, nullable = false)()
+            (Generate(Explode(CreateArray(cells9)), unrequiredChildIndex = Nil,
+              outer = false, qualifier = None, generatorOutput = Seq(rAttr),
+              child = p), rAttr: Expression)
+          }
+
+          val ((newLeft, cellL), (newRight, cellR)) =
+            if (explodeLeft) (neighborCells(left, l1, l2), ownCell(right, r1, r2))
+            else (ownCell(left, l1, l2), neighborCells(right, r1, r2))
+          val newCond = And(cond, EqualTo(cellL, cellR))
           val newJoin = Join(newLeft, newRight, Inner, Some(newCond), hint)
           Project(j.output, newJoin)
       }

@@ -61,6 +61,34 @@ class RadiusRewriteSpec extends SparkSpec {
     }
   }
 
+  test("the 3x3 explode always lands on the smaller side") {
+    withExtSession { s =>
+      import org.apache.spark.sql.catalyst.plans.logical.Generate
+      def coords(n: Long, prefix: String) = s.range(n).selectExpr(
+        s"id AS ${prefix}_id",
+        s"52.0 + CAST(id % 97 AS DOUBLE) / 50.0 AS ${prefix}_lat",
+        s"12.5 + CAST(id % 89 AS DOUBLE) / 25.0 AS ${prefix}_lon")
+      def generateSubtree(big: org.apache.spark.sql.DataFrame,
+          small: org.apache.spark.sql.DataFrame): String = {
+        val dLat = col("a_lat") - col("b_lat")
+        val dLon = col("a_lon") - col("b_lon")
+        val q = big.crossJoin(small)
+          .filter(sqrt(dLat * dLat + dLon * dLon) * 111.0 <= 50.0)
+        q.queryExecution.optimizedPlan.collect {
+          case g: Generate => g.child.toString
+        }.mkString
+      }
+      // big left (100k), small right (10): explode must sit over the 10-row side
+      val t1 = generateSubtree(
+        coords(100000, "a"), coords(10, "b"))
+      assert(t1.contains("(0, 10,"), t1)
+      // flipped: small left, big right — explode still on the 10-row side
+      val t2 = generateSubtree(
+        coords(10, "a"), coords(100000, "b"))
+      assert(t2.contains("(0, 10,"), t2)
+    }
+  }
+
   test("non-radius cross joins are left untouched") {
     withExtSession { s =>
       val plan = WeatherSynth.postalCodes(s, Sf)
