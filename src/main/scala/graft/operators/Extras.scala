@@ -5,12 +5,13 @@ import org.apache.spark.sql.functions._
 import graft.multimodal.MultimodalOps
 import graft.streaming.EventsStream
 
-/** Streaming + multimodal driver-contract wiring. All four entries are
-  * oracled: q53's stub features are deterministic byte arithmetic over the
-  * utf-8 payload (expressible in DuckDB), and q54's final session state
-  * equals a batch GROUP BY over the same events — which *proves* the
-  * stateful operator against batch semantics rather than asserting it in
-  * StreamingSpec only.
+/** Streaming + multimodal driver-contract wiring — every entry oracled.
+  * The streaming oracles all take the same shape: the stream's final
+  * state/output must equal a batch query over the same events (q51
+  * windows, q54 sessions, q64 join, q73 dedup) — proving each stateful
+  * operator against batch semantics rather than asserting it in specs
+  * only. q53's stub features are deterministic byte arithmetic over the
+  * utf-8 payload, expressible in DuckDB; q65/q66 likewise.
   */
 object Extras {
 

@@ -837,6 +837,54 @@ object Relational {
        |FROM events GROUP BY user_id % 10 ORDER BY decile""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q75 — generic as-of feature join ([[AsofJoin]]): each click gets the
+  // latest prior view's value for the same user within 2 h — the
+  // leak-free "newest signal known at example time" join, built with the
+  // union+window construction (ONE shuffle on user_id, no non-equi join
+  // explosion). Oracle mirrors the construction with ANSI window
+  // functions over µs-cast timestamps; lag is exact integer µs division.
+  // ------------------------------------------------------------------
+  def q75AsofFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("vts"), col("value"), col("event_id"))
+    AsofJoin.nearestPrior(clicks, views, Seq("user_id"), "ts", "vts",
+        payloadCols = Seq("value"), toleranceMicros = Some(2L * 3600 * 1000000),
+        rightTieCol = Some("event_id"))
+      .select(col("user_id"), col("click_id"),
+        col("asof_value"),
+        (unix_micros(col("ts")) - unix_micros(col("matched_ts"))).as("lag_us"))
+      .orderBy(col("user_id"), col("click_id"))
+  }
+
+  val q75Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |u AS (
+      |  SELECT user_id, 1 AS side, ts, 0::BIGINT AS tie,
+      |    NULL::TIMESTAMP AS rts, NULL::DOUBLE AS pval, event_id
+      |  FROM e WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, 0, ts, event_id, ts, value, NULL
+      |  FROM e WHERE event_type = 'view'),
+      |c AS (
+      |  SELECT user_id, side, ts, event_id,
+      |    last_value(rts IGNORE NULLS) OVER w AS crts,
+      |    last_value(CASE WHEN side = 0 THEN pval END IGNORE NULLS) OVER w AS cval
+      |  FROM u
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, tie
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT user_id, event_id AS click_id,
+      |  CASE WHEN crts IS NOT NULL AND epoch_us(ts) - epoch_us(crts) <= 7200000000
+      |       THEN cval END AS asof_value,
+      |  CASE WHEN crts IS NOT NULL AND epoch_us(ts) - epoch_us(crts) <= 7200000000
+      |       THEN epoch_us(ts) - epoch_us(crts) END AS lag_us
+      |FROM c WHERE side = 1
+      |ORDER BY user_id, click_id""".stripMargin
+
   /** queries + oracles exported to [[graft.SparkEntry]]. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"  -> (q01PricingSummary _),
@@ -869,6 +917,7 @@ object Relational {
     "q68_range_join"       -> (q68RangeJoin _),
     "q69_approx_percentile" -> (q69ApproxPercentile _),
     "q74_pivot"            -> (q74Pivot _),
+    "q75_asof_features"    -> (q75AsofFeatures _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -902,5 +951,6 @@ object Relational {
     "q68_range_join"       -> q68Sql,
     "q69_approx_percentile" -> q69Sql,
     "q74_pivot"            -> q74Sql,
+    "q75_asof_features"    -> q75Sql,
   )
 }

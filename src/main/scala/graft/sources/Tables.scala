@@ -34,7 +34,11 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
     import org.apache.spark.sql.functions._
-    raw.withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+    // `div` = exact integer floor division. `/ 1000` would go through
+    // DOUBLE, and epoch-ns longs (~1.7e18) exceed double's 2^53 exact
+    // range — up to ~512 ns of rounding, which surfaced as ±1 µs
+    // mismatches vs the oracle's exact ns→µs cast (found by q75).
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
