@@ -513,6 +513,44 @@ object TextOps {
       |FROM keepers k JOIN totals t ON k.source = t.source
       |GROUP BY k.source, t.n_raw ORDER BY k.source""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q77 — dedup clusters: connected components over the q45 MinHash+LSH
+  // verified pairs ([[GraphOps.connectedComponents]]); canonical = min
+  // doc_id per component. This is the step that turns pairwise hits into
+  // keep/drop decisions — (A,B),(B,C) is ONE cluster keeping A, not two
+  // overlapping pairs. Oracle: recursive-CTE transitive closure over the
+  // same pairs (min reachable doc_id per node — the same unique fixpoint
+  // label propagation converges to).
+  // ------------------------------------------------------------------
+  def q77DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q45MinhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    GraphOps.connectedComponents(pairs) // checkpointed → tiny plan, cheap reuse
+      .groupBy(col("label").as("canonical"))
+      .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_member"))
+      .orderBy(col("canonical"))
+  }
+
+  val q77Sql: String = {
+    // q45's pipeline as CTEs, stripped of its final ORDER BY
+    val pairsSelect = q45Sql.split("\nORDER BY")(0)
+    s"""WITH RECURSIVE pairs AS (
+       |$pairsSelect),
+       |nodes AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id FROM pairs UNION SELECT doc_b FROM pairs)),
+       |e2 AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS node, doc_id AS m FROM nodes
+       |  UNION
+       |  SELECT e.b AS node, r.m FROM reach r JOIN e2 e ON e.a = r.node),
+       |comp AS (SELECT node, MIN(m) AS canonical FROM reach GROUP BY node)
+       |SELECT canonical, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |  MAX(node) AS max_member
+       |FROM comp GROUP BY canonical ORDER BY canonical""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_text_stats"     -> (q40TextStats _),
     "q41_lang_id"        -> (q41LangId _),
@@ -524,6 +562,7 @@ object TextOps {
     "q70_hash_sample"    -> (q70HashSample _),
     "q71_dataset_split"  -> (q71DatasetSplit _),
     "q72_corpus_curation" -> (q72CorpusCuration _),
+    "q77_dedup_clusters" -> (q77DedupClusters _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -537,5 +576,6 @@ object TextOps {
     "q70_hash_sample"    -> q70Sql,
     "q71_dataset_split"  -> q71Sql,
     "q72_corpus_curation" -> q72Sql,
+    "q77_dedup_clusters" -> q77Sql,
   )
 }
