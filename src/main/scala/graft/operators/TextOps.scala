@@ -551,6 +551,60 @@ object TextOps {
        |FROM comp GROUP BY canonical ORDER BY canonical""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q78 — temperature-based source mixing (α = 0.5): pretraining corpora
+  // rebalance over-represented sources by sampling source s at rate
+  // ∝ n_s^α / n_s — big sources are downsampled toward √n. α is fixed at
+  // 1/2 deliberately: the keep-fraction then needs only sqrt and
+  // division (IEEE-exact cross-engine), never pow (library call, ±1 ulp
+  // — the determinism rule at the top of Relational). Membership is the
+  // same hash-prefix trick as q70, with the per-source threshold
+  // rendered as an 8-hex-digit string via exact integer floor.
+  // ------------------------------------------------------------------
+  def q78SourceMixing(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    // n'_s = sqrt(min_n * n_s): the smallest source is kept fully and a
+    // source k-times larger keeps only sqrt(k)-times as many docs -- the
+    // alpha=0.5 geometric compromise between natural (alpha=1) and uniform
+    // (alpha=0) mixing. keep_frac(s) = n'_s / n_s = min(1, sqrt(min_n*n_s)/n_s).
+    val minN = counts.agg(min(col("n_docs")).as("min_n"))
+    val frac = counts.crossJoin(broadcast(minN))
+      .withColumn("keep_frac",
+        least(lit(1.0), sqrt(col("min_n").cast("double") * col("n_docs")) / col("n_docs")))
+      .withColumn("thresh_hex",
+        lpad(lower(hex(floor(col("keep_frac") * 4294967296.0).cast("long"))), 9, "0"))
+      .select(col("source"), col("n_docs"), col("keep_frac"), col("thresh_hex"))
+    docs.join(broadcast(frac), "source")
+      .filter(lpad(substring(md5(col("doc_id").cast("string")), 1, 8), 9, "0") < col("thresh_hex"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_doc"))
+      .join(frac.select(col("source"), col("n_docs"),
+        graft.weather.WeatherPipeline.roundSafe(col("keep_frac"), 6).as("keep_frac")), "source")
+      .select(col("source"), col("n_docs"), col("keep_frac"), col("n_kept"), col("min_doc"))
+      .orderBy(col("source"))
+  }
+
+  val q78Sql: String =
+    """WITH counts AS (
+      |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+      |mn AS (SELECT MIN(n_docs) AS min_n FROM counts),
+      |frac AS (
+      |  SELECT source, n_docs,
+      |    least(1.0, sqrt(CAST(min_n AS DOUBLE) * n_docs) / n_docs) AS keep_frac,
+      |    lpad(lower(to_hex(CAST(floor(least(1.0, sqrt(CAST(min_n AS DOUBLE) * n_docs) / n_docs) * 4294967296.0) AS BIGINT))), 9, '0') AS thresh_hex
+      |  FROM counts, mn),
+      |kept AS (
+      |  SELECT d.source, d.doc_id
+      |  FROM documents d JOIN frac f ON d.source = f.source
+      |  WHERE lpad(substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8), 9, '0') < f.thresh_hex)
+      |SELECT f.source AS source, CAST(f.n_docs AS BIGINT) AS n_docs,
+      |  round(round(f.keep_frac*1e8)/1e2)/1e6 + 0.0 AS keep_frac,
+      |  CAST(COUNT(*) AS BIGINT) AS n_kept, MIN(k.doc_id) AS min_doc
+      |FROM kept k JOIN frac f ON k.source = f.source
+      |GROUP BY f.source, f.n_docs, f.keep_frac
+      |ORDER BY f.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_text_stats"     -> (q40TextStats _),
     "q41_lang_id"        -> (q41LangId _),
@@ -563,6 +617,7 @@ object TextOps {
     "q71_dataset_split"  -> (q71DatasetSplit _),
     "q72_corpus_curation" -> (q72CorpusCuration _),
     "q77_dedup_clusters" -> (q77DedupClusters _),
+    "q78_source_mixing"  -> (q78SourceMixing _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -577,5 +632,6 @@ object TextOps {
     "q71_dataset_split"  -> q71Sql,
     "q72_corpus_curation" -> q72Sql,
     "q77_dedup_clusters" -> q77Sql,
+    "q78_source_mixing"  -> q78Sql,
   )
 }
