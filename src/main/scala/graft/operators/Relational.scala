@@ -929,6 +929,43 @@ object Relational {
       |  list_max(qv) AS q_max
       |FROM q ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q79 — SCD type-2 dimension build: the versioned-history upsert the
+  // reference's SCD1 station merge (S7, GREATEST) does NOT keep. Daily
+  // per-station readings become validity intervals via lead() —
+  // `valid_to` = next version's start minus 1s, open (NULL) for the
+  // current row. One window shuffle on the dimension key; the natural
+  // storage layout is partition-by-is_current so serving reads never
+  // touch history.
+  // ------------------------------------------------------------------
+  def q79Scd2Dimension(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val updates = ev
+      .withColumn("station_id",
+        concat(lit("S"), lpad((col("user_id") % 100).cast("string"), 3, "0")))
+      .groupBy(col("station_id"), date_trunc("day", col("ts")).as("valid_from"))
+      .agg(max(dec(col("value"))).cast("double").as("reading"))
+    val w = Window.partitionBy(col("station_id")).orderBy(col("valid_from"))
+    updates
+      .withColumn("valid_to",
+        lead(col("valid_from"), 1).over(w) - expr("INTERVAL 1 SECOND"))
+      .withColumn("is_current", lead(col("valid_from"), 1).over(w).isNull.cast("int"))
+      .orderBy(col("station_id"), col("valid_from"))
+  }
+
+  val q79Sql: String =
+    """WITH upd AS (
+      |  SELECT 'S' || lpad(CAST(user_id % 100 AS VARCHAR), 3, '0') AS station_id,
+      |    date_trunc('day', ts) AS valid_from,
+      |    CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS reading
+      |  FROM events GROUP BY 1, 2)
+      |SELECT station_id, valid_from, reading,
+      |  lead(valid_from) OVER w - INTERVAL 1 SECOND AS valid_to,
+      |  CAST(lead(valid_from) OVER w IS NULL AS INT) AS is_current
+      |FROM upd
+      |WINDOW w AS (PARTITION BY station_id ORDER BY valid_from)
+      |ORDER BY station_id, valid_from""".stripMargin
+
   /** queries + oracles exported to [[graft.SparkEntry]]. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"  -> (q01PricingSummary _),
@@ -963,6 +1000,7 @@ object Relational {
     "q74_pivot"            -> (q74Pivot _),
     "q75_asof_features"    -> (q75AsofFeatures _),
     "q76_quantize_embeddings" -> (q76QuantizeEmbeddings _),
+    "q79_scd2_dimension"   -> (q79Scd2Dimension _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -998,5 +1036,6 @@ object Relational {
     "q74_pivot"            -> q74Sql,
     "q75_asof_features"    -> q75Sql,
     "q76_quantize_embeddings" -> q76Sql,
+    "q79_scd2_dimension"   -> q79Sql,
   )
 }
