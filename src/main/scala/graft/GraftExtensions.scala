@@ -38,7 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name)
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   private def haversineBuilder(args: Seq[Expression]): Expression = {
     require(args.length == 4, "graft_haversine_km(lat1, lon1, lat2, lon2)")
@@ -65,7 +65,10 @@ object GraftExtensions {
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot_product"),
       info("graft_dot_product", "graft_dot_product(a, b) - codegen dot product of two array<double>"),
-      (args: Seq[Expression]) => DotProduct(args.head, args(1))),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_dot_product(a, b)")
+        DotProduct(args.head, args(1))
+      }),
     (FunctionIdentifier("graft_haversine_km"),
       info("graft_haversine_km", "graft_haversine_km(lat1, lon1, lat2, lon2) - great-circle distance in km"),
       haversineBuilder _),

@@ -144,8 +144,8 @@ object MultimodalOps {
       |  CAST((height + 3) // 4 AS INT) AS out_height,
       |  CAST((n + 3) // 4 AS INT) AS out_n_bytes,
       |  ascii(substring(text, 1, 1)) AS first_byte,
-      |  CAST(list_sum(list_transform(range(1, CAST(n + 1 AS BIGINT), 4),
-      |    j -> ascii(substring(text, CAST(j AS INT), 1)))) AS BIGINT) AS byte_sum
+      |  CAST(coalesce(list_sum(list_transform(range(1, CAST(n + 1 AS BIGINT), 4),
+      |    j -> ascii(substring(text, CAST(j AS INT), 1)))), 0) AS BIGINT) AS byte_sum
       |FROM img ORDER BY doc_id""".stripMargin
 
   /** q66: sample every 2nd 256-byte frame of the video-typed payloads. */
@@ -171,8 +171,8 @@ object MultimodalOps {
       |  CAST(off // 256 AS INT) AS frame_idx,
       |  CAST(least(off + 256, n) - off AS INT) AS n_bytes,
       |  ascii(substring(text, CAST(off + 1 AS INT), 1)) AS first_byte,
-      |  CAST(list_sum(list_transform(range(CAST(off + 1 AS BIGINT), CAST(least(off + 256, n) + 1 AS BIGINT)),
-      |    j -> ascii(substring(text, CAST(j AS INT), 1)))) AS BIGINT) AS byte_sum
+      |  CAST(coalesce(list_sum(list_transform(range(CAST(off + 1 AS BIGINT), CAST(least(off + 256, n) + 1 AS BIGINT)),
+      |    j -> ascii(substring(text, CAST(j AS INT), 1)))), 0) AS BIGINT) AS byte_sum
       |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
 
   /** Metadata-only stats (never touches payload bytes on a real layout). */

@@ -865,23 +865,26 @@ object Relational {
       |  SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
       |u AS (
       |  SELECT user_id, 1 AS side, ts, 0::BIGINT AS tie,
-      |    NULL::TIMESTAMP AS rts, NULL::DOUBLE AS pval, event_id
+      |    NULL::STRUCT(rts TIMESTAMP, pval DOUBLE) AS r, event_id
       |  FROM e WHERE event_type = 'click'
       |  UNION ALL
-      |  SELECT user_id, 0, ts, event_id, ts, value, NULL
+      |  SELECT user_id, 0, ts, event_id,
+      |    struct_pack(rts := ts, pval := value), NULL
       |  FROM e WHERE event_type = 'view'),
       |c AS (
+      |  -- the right row is carried as ONE struct (atomic), mirroring
+      |  -- AsofJoin: separate last_value per column could mix rows when a
+      |  -- payload is NULL
       |  SELECT user_id, side, ts, event_id,
-      |    last_value(rts IGNORE NULLS) OVER w AS crts,
-      |    last_value(CASE WHEN side = 0 THEN pval END IGNORE NULLS) OVER w AS cval
+      |    last_value(r IGNORE NULLS) OVER w AS cr
       |  FROM u
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, tie
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
       |SELECT user_id, event_id AS click_id,
-      |  CASE WHEN crts IS NOT NULL AND epoch_us(ts) - epoch_us(crts) <= 7200000000
-      |       THEN cval END AS asof_value,
-      |  CASE WHEN crts IS NOT NULL AND epoch_us(ts) - epoch_us(crts) <= 7200000000
-      |       THEN epoch_us(ts) - epoch_us(crts) END AS lag_us
+      |  CASE WHEN cr IS NOT NULL AND epoch_us(ts) - epoch_us(cr.rts) <= 7200000000
+      |       THEN cr.pval END AS asof_value,
+      |  CASE WHEN cr IS NOT NULL AND epoch_us(ts) - epoch_us(cr.rts) <= 7200000000
+      |       THEN epoch_us(ts) - epoch_us(cr.rts) END AS lag_us
       |FROM c WHERE side = 1
       |ORDER BY user_id, click_id""".stripMargin
 

@@ -185,16 +185,21 @@ object TextOps {
   // Evict via clear() — same library contract as WeatherQueries.
   private val memo =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private val memoAux = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
     memo.synchronized {
       memo.getOrElseUpdate((spark, dir), {
+        // cache the raw shingle set: it feeds BOTH the hot-list aggregate
+        // and the anti-join probe, and the explode+distinct is the most
+        // expensive text stage — without the cache it runs twice
         val sh = withToks(Tables.documents(spark, dir))
           .withColumn("sh", explode(expr(
             "transform(sequence(1, greatest(size(toks) - 2, 0)), i -> concat_ws(' ', slice(toks, i, 3)))")))
-          .select(col("doc_id"), col("sh")).distinct()
+          .select(col("doc_id"), col("sh")).distinct().cache()
         val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
           .filter(col("df") > MaxShingleDf).select(col("sh"))
+        memoAux += sh // released by clear()
         sh.join(broadcast(hot), Seq("sh"), "left_anti").cache()
       })
     }
@@ -202,7 +207,9 @@ object TextOps {
   /** Unpersist + drop memoized frames (see [[graft.weather.WeatherQueries.clear]]). */
   def clear(): Unit = memo.synchronized {
     memo.values.foreach(df => df.unpersist(blocking = false))
+    memoAux.foreach(df => df.unpersist(blocking = false))
     memo.clear()
+    memoAux.clear()
   }
 
   private val docShinglesSqlCte: String =
@@ -294,7 +301,9 @@ object TextOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val q45Sql: String = {
+  /** q45 as an ORDER-BY-free body so q77 can embed it as a CTE without
+    * string surgery. */
+  val q45SqlBody: String = {
     val sigCols = (0 until NumHashes)
       .map(i => s"MIN(md5('$i|' || sh)) AS h$i").mkString(",\n       |    ")
     val bandRows = (0 until NumHashes / BandSize).map { b =>
@@ -321,9 +330,10 @@ object TextOps {
        |SELECT doc_a, doc_b,
        |  CAST(common AS DOUBLE)/(sa.n_sh + sb.n_sh - common) AS jaccard
        |FROM common JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
-       |WHERE CAST(common AS DOUBLE)/(sa.n_sh + sb.n_sh - common) >= 0.5
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |WHERE CAST(common AS DOUBLE)/(sa.n_sh + sb.n_sh - common) >= 0.5""".stripMargin
   }
+
+  val q45Sql: String = q45SqlBody + "\nORDER BY doc_a, doc_b"
 
   // ------------------------------------------------------------------
   // q46 — SimHash near-dup: 32-bit fingerprint from per-token md5 nibble
@@ -531,8 +541,7 @@ object TextOps {
   }
 
   val q77Sql: String = {
-    // q45's pipeline as CTEs, stripped of its final ORDER BY
-    val pairsSelect = q45Sql.split("\nORDER BY")(0)
+    val pairsSelect = q45SqlBody
     s"""WITH RECURSIVE pairs AS (
        |$pairsSelect),
        |nodes AS (
@@ -570,17 +579,18 @@ object TextOps {
     // (alpha=0) mixing. keep_frac(s) = n'_s / n_s = min(1, sqrt(min_n*n_s)/n_s).
     val minN = counts.agg(min(col("n_docs")).as("min_n"))
     val frac = counts.crossJoin(broadcast(minN))
-      .withColumn("keep_frac",
+      .withColumn("keep_frac_raw",
         least(lit(1.0), sqrt(col("min_n").cast("double") * col("n_docs")) / col("n_docs")))
-      .withColumn("thresh_hex",
-        lpad(lower(hex(floor(col("keep_frac") * 4294967296.0).cast("long"))), 9, "0"))
-      .select(col("source"), col("n_docs"), col("keep_frac"), col("thresh_hex"))
+      .select(col("source"), col("n_docs"),
+        graft.weather.WeatherPipeline.roundSafe(col("keep_frac_raw"), 6).as("keep_frac"),
+        lpad(lower(hex(floor(col("keep_frac_raw") * 4294967296.0).cast("long"))), 9, "0")
+          .as("thresh_hex"))
+      .cache() // one tiny frame feeds both the filter join and the output
     docs.join(broadcast(frac), "source")
       .filter(lpad(substring(md5(col("doc_id").cast("string")), 1, 8), 9, "0") < col("thresh_hex"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_doc"))
-      .join(frac.select(col("source"), col("n_docs"),
-        graft.weather.WeatherPipeline.roundSafe(col("keep_frac"), 6).as("keep_frac")), "source")
+      .join(broadcast(frac.drop("thresh_hex")), "source")
       .select(col("source"), col("n_docs"), col("keep_frac"), col("n_kept"), col("min_doc"))
       .orderBy(col("source"))
   }

@@ -43,9 +43,20 @@ object Compact {
     spark.read.parquet(path)
       .repartition(nOut)
       .write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    fs.delete(target, true)
+    // rename-aside swap: the old data survives in `.old` until the new
+    // directory is in place, so a crash mid-swap never destroys the only
+    // copy (recover by renaming `.old` or `.compacting` back). The brief
+    // missing-target window between the two renames is inherent to
+    // directory swaps on HDFS-like stores; a table format (manifest
+    // pointer flip) is the fully atomic upgrade.
+    val old = new Path(path + ".old")
+    fs.delete(old, true)
+    if (!fs.rename(target, old))
+      throw new java.io.IOException(s"rename $target -> $old failed")
     if (!fs.rename(staging, target))
-      throw new java.io.IOException(s"rename $staging -> $target failed")
+      throw new java.io.IOException(
+        s"rename $staging -> $target failed; previous data intact at $old")
+    fs.delete(old, true)
     val after = fs.listStatus(target)
       .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     Stats(dataFiles.length, after, bytes)

@@ -377,13 +377,16 @@ object WeatherPipeline {
   def spatialJoinGrid(stations: DataFrame, postal: DataFrame,
       radiusKm: Double = 50.0, cellDeg: Double = 0.5): DataFrame = {
     require(radiusKm / 111.0 < cellDeg, "±1-cell cover requires r < cellDeg*111km")
+    // neighbor cell = own cell + dy*stride + dx (identical packing to
+    // GeoFunctions.gridCell — GridJoinSpec asserts the implementations
+    // agree, so the equi-key can never silently diverge)
     val probe = postal
       .select(col("postal_code"), col("centroid_lat"), col("centroid_lon"))
       .withColumn("dy", explode(sequence(lit(-1L), lit(1L))))
       .withColumn("dx", explode(sequence(lit(-1L), lit(1L))))
       .select(col("postal_code"), col("centroid_lat"), col("centroid_lon"),
-        ((floor(col("centroid_lat") / cellDeg).cast("long") + col("dy")) * 100000L
-          + floor(col("centroid_lon") / cellDeg).cast("long") + col("dx")).as("cell"))
+        (GeoFunctions.gridCell(col("centroid_lat"), col("centroid_lon"), cellDeg)
+          + col("dy") * 100000L + col("dx")).as("cell"))
     val dLat = col("latitude") - col("centroid_lat")
     val dLon = col("longitude") - col("centroid_lon")
     stations

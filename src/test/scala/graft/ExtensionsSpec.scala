@@ -9,24 +9,6 @@ import org.apache.spark.sql.functions._
   */
 class ExtensionsSpec extends SparkSpec {
 
-  private def withExtSession[T](f: SparkSession => T): T = {
-    val base = spark // ensure the shared context exists first
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    try {
-      val ext = SparkSession.builder()
-        .master("local[4]")
-        .config("spark.sql.shuffle.partitions", "4")
-        .config("spark.ui.enabled", "false")
-        .withExtensions(new GraftExtensions)
-        .getOrCreate()
-      f(ext)
-    } finally {
-      SparkSession.setActiveSession(base)
-      SparkSession.setDefaultSession(base)
-    }
-  }
-
   test("injected functions resolve from pure SQL and match the Column API") {
     withExtSession { s =>
       val row = s.sql(

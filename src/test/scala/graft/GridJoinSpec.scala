@@ -27,6 +27,27 @@ class GridJoinSpec extends SparkSpec {
     assert(radiusJoinNL().exceptAll(grid).count() === 0)
   }
 
+  test("all grid-cell implementations pack identically") {
+    // GeoFunctions.gridCell (Column API), RadiusJoinRewrite.packedCell
+    // (raw Catalyst), GraftExtensions.graft_grid_cell (SQL injection) must
+    // stay bit-identical — they are equi-join keys across module borders
+    import org.apache.spark.sql.functions.{col, expr}
+    val pts = WeatherSynth.stations(spark, Sf)
+      .select(col("latitude").as("lat"), col("longitude").as("lon"))
+    val viaColumn = pts.select(
+      graft.functions.GeoFunctions.gridCell(col("lat"), col("lon"), 0.5).as("cell"))
+    withExtSession { s =>
+      val p2 = WeatherSynth.stations(s, Sf)
+        .select(col("latitude").as("lat"), col("longitude").as("lon"))
+      val viaSql = p2.selectExpr("graft_grid_cell(lat, lon, 0.5d) AS cell")
+      assert(viaSql.exceptAll(viaColumn).count() === 0)
+      assert(viaColumn.exceptAll(viaSql).count() === 0)
+      // the optimizer rule's packing is exercised end-to-end by
+      // RadiusRewriteSpec's bit-equality test; here we pin the two
+      // user-facing builders against each other
+    }
+  }
+
   test("grid-cell join plans as a hash equi-join, not BNLJ/cartesian") {
     val plan = WeatherPipeline.spatialJoinGrid(
       WeatherSynth.stations(spark, Sf), WeatherSynth.postalCodes(spark, Sf))

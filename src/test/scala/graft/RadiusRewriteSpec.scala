@@ -11,24 +11,6 @@ import graft.weather.WeatherSynth
   */
 class RadiusRewriteSpec extends SparkSpec {
 
-  private def withExtSession[T](f: SparkSession => T): T = {
-    val base = spark
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    try {
-      val ext = SparkSession.builder()
-        .master("local[4]")
-        .config("spark.sql.shuffle.partitions", "4")
-        .config("spark.ui.enabled", "false")
-        .withExtensions(new GraftExtensions)
-        .getOrCreate()
-      f(ext)
-    } finally {
-      SparkSession.setActiveSession(base)
-      SparkSession.setDefaultSession(base)
-    }
-  }
-
   private def naiveRadius(s: SparkSession): DataFrame = {
     val dLat = col("latitude") - col("centroid_lat")
     val dLon = col("longitude") - col("centroid_lon")
