@@ -615,6 +615,71 @@ object TextOps {
       |GROUP BY f.source, f.n_docs, f.keep_frac
       |ORDER BY f.source""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q80 — PII scan + redaction: the compliance gate every training
+  // corpus passes before release. The corpus has no organic PII, so
+  // emails/URLs are synthesized deterministically onto residue classes
+  // (the WeatherSynth pattern) with IDENTICAL string construction in
+  // both engines; detection = regexp_extract_all counts, redaction =
+  // regexp_replace to placeholder tags; the oracle-checked invariant is
+  // n_residual = 0 (nothing survives redaction) plus exact counts and a
+  // content hash of the redacted text. Per-row regex work, no shuffle
+  // until the per-source report — scales like every other row-local op.
+  // ------------------------------------------------------------------
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val UrlRe = "https?://[^\\s]+"
+
+  def q80PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val enriched = docs.withColumn("text2",
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" see https://site"), col("doc_id"), lit(".example/page"))).otherwise(lit(""))))
+    val scanned = enriched
+      .withColumn("n_emails", size(regexp_extract_all(col("text2"), lit(EmailRe), lit(0))))
+      .withColumn("n_urls", size(regexp_extract_all(col("text2"), lit(UrlRe), lit(0))))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("text2"), UrlRe, "<URL>"), EmailRe, "<EMAIL>"))
+      .withColumn("n_residual",
+        size(regexp_extract_all(col("redacted"), lit(EmailRe), lit(0)))
+          + size(regexp_extract_all(col("redacted"), lit(UrlRe), lit(0))))
+    scanned.groupBy(col("source"))
+      .agg(
+        sum((col("n_emails") + col("n_urls") > 0).cast("long")).as("n_docs_with_pii"),
+        sum(col("n_emails")).as("n_emails"),
+        sum(col("n_urls")).as("n_urls"),
+        sum(col("n_residual")).as("n_residual"),
+        min(md5(col("redacted"))).as("min_redacted_md5"))
+      .orderBy(col("source"))
+  }
+
+  val q80Sql: String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[^\\s]+"
+    s"""WITH enriched AS (
+       |  SELECT source, text
+       |    || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+       |    || CASE WHEN doc_id % 11 = 0 THEN ' see https://site' || doc_id || '.example/page' ELSE '' END
+       |    AS text2
+       |  FROM documents),
+       |scanned AS (
+       |  SELECT source,
+       |    len(regexp_extract_all(text2, '$email')) AS n_emails,
+       |    len(regexp_extract_all(text2, '$url')) AS n_urls,
+       |    regexp_replace(regexp_replace(text2, '$url', '<URL>', 'g'), '$email', '<EMAIL>', 'g') AS redacted
+       |  FROM enriched)
+       |SELECT source,
+       |  CAST(SUM(CASE WHEN n_emails + n_urls > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+       |  CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+       |  CAST(SUM(n_urls) AS BIGINT) AS n_urls,
+       |  CAST(SUM(len(regexp_extract_all(redacted, '$email'))
+       |         + len(regexp_extract_all(redacted, '$url'))) AS BIGINT) AS n_residual,
+       |  MIN(md5(redacted)) AS min_redacted_md5
+       |FROM scanned GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_text_stats"     -> (q40TextStats _),
     "q41_lang_id"        -> (q41LangId _),
@@ -628,6 +693,7 @@ object TextOps {
     "q72_corpus_curation" -> (q72CorpusCuration _),
     "q77_dedup_clusters" -> (q77DedupClusters _),
     "q78_source_mixing"  -> (q78SourceMixing _),
+    "q80_pii_redact"     -> (q80PiiRedact _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -643,5 +709,6 @@ object TextOps {
     "q72_corpus_curation" -> q72Sql,
     "q77_dedup_clusters" -> q77Sql,
     "q78_source_mixing"  -> q78Sql,
+    "q80_pii_redact"     -> q80Sql,
   )
 }
