@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.CorpusPipeline
+
+/** The end-to-end curation pipeline: deterministic, idempotent, and the
+  * invariants of each stage hold on the persisted output.
+  */
+class CorpusPipelineSpec extends SparkSpec {
+
+  test("curation is idempotent and stage invariants hold on disk") {
+    val out = Files.createTempDirectory("graft_corpus").toString
+    val layers = CorpusPipeline.run(spark, Sf, out)
+    val once = spark.read.parquet(layers.curated).orderBy("doc_id").collect()
+    CorpusPipeline.run(spark, Sf, out)
+    val twice = spark.read.parquet(layers.curated).orderBy("doc_id").collect()
+    assert(once.nonEmpty)
+    assert(once.toSeq === twice.toSeq)
+
+    val curated = spark.read.parquet(layers.curated)
+    // dedup: content hashes unique
+    assert(curated.select(md5(col("text"))).distinct().count() === curated.count())
+    // split: total partition of the curated set, train non-empty
+    val splits = curated.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.keySet.subsetOf(Set("train", "val", "test")))
+    assert(splits("train") > 0)
+    // mixing only ever removes train docs: val/test counts match the
+    // unmixed q71 assignment for the deduped quality-gated population
+    val report = spark.read.parquet(layers.report)
+    assert(report.agg(sum("n_docs")).collect()(0).getLong(0) === curated.count())
+    // quality gate: no short or punct-heavy docs survive
+    val bad = curated.filter(size(split(trim(col("text")), "\\s+")) < 5 ||
+      length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
+        .cast("double") / col("n_chars") >= 0.2)
+    assert(bad.count() === 0)
+  }
+
+  test("membership is stable when the corpus grows (no eval leakage)") {
+    // curate at sf0.001 and sf0.01: every doc_id in both corpora keeps the
+    // same split assignment (pure function of doc_id)
+    val a = CorpusPipeline.curate(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "split")
+    val b = CorpusPipeline.curate(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), col("split").as("split_b"))
+    val mismatches = a.join(b, "doc_id").filter(col("split") =!= col("split_b"))
+    assert(mismatches.count() === 0)
+  }
+}
