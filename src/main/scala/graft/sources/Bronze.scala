@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Bronze landing for the events feed.
@@ -36,4 +36,18 @@ object Bronze {
 
   def events(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Time-window read over a bronze landing: applies the `event_date`
+    * lower bound implied by `ts >= lowerTs` (event_date = to_date(ts), so
+    * the predicate drops no qualifying rows) to get directory-level
+    * partition pruning; the caller's own `ts` predicate reaches
+    * `PushedFilters` because the column is native TIMESTAMP(MICROS) here.
+    * `event_date` is dropped again so downstream projections see exactly
+    * the raw feed's schema. WeatherBronzeSpec asserts both pruning
+    * properties on the live silver plan.
+    */
+  def eventsWindowed(spark: SparkSession, path: String, lowerTs: Column): DataFrame =
+    events(spark, path)
+      .filter(col("event_date") >= to_date(lowerTs))
+      .drop("event_date")
 }

@@ -46,7 +46,14 @@ object WeatherSynth {
     * cleaning ladder (reference `cleaning.py:87-137`) is exercised.
     */
   def rawObservations(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir).select(
+    rawObservationsFrom(Tables.events(spark, dir))
+
+  /** Same projection over an arbitrary events frame — the hook the bronze
+    * landing uses (WeatherQueries feeds the µs/date-partitioned landing in
+    * here so the cleaning ladder's time filter prunes at the reader).
+    */
+  def rawObservationsFrom(events: DataFrame): DataFrame =
+    events.select(
       col("event_id").as("raw_id"),
       concat(lit("S"), lpad((col("user_id") % 100).cast("string"), 3, "0")).as("station_id"),
       col("ts").as("timestamp"),
@@ -76,7 +83,11 @@ object WeatherSynth {
     * accuracy errors are non-zero.
     */
   def rawForecasts(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir).select(
+    rawForecastsFrom(Tables.events(spark, dir))
+
+  /** See [[rawObservationsFrom]]. */
+  def rawForecastsFrom(events: DataFrame): DataFrame =
+    events.select(
       col("event_id").as("raw_id"),
       concat(lit("S"), lpad((col("user_id") % 100).cast("string"), 3, "0")).as("station_id"),
       date_trunc("day", col("ts")).as("forecast_timestamp"),
