@@ -37,11 +37,18 @@ object Bronze {
   def events(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** Time-window read over a bronze landing: applies the `event_date`
-    * lower bound implied by `ts >= lowerTs` (event_date = to_date(ts), so
-    * the predicate drops no qualifying rows) to get directory-level
-    * partition pruning; the caller's own `ts` predicate reaches
-    * `PushedFilters` because the column is native TIMESTAMP(MICROS) here.
+  /** Time-window read over a bronze landing. Two bounds, both implied by
+    * the window's `ts >= lowerTs` so neither drops a qualifying row:
+    *
+    *  - `event_date >= to_date(lowerTs)` (event_date = to_date(ts)) →
+    *    directory-level partition pruning;
+    *  - `ts >= lowerTs` itself → row-group pruning via `PushedFilters`,
+    *    because `ts` is native TIMESTAMP(MICROS) here. Stating it at the
+    *    read matters for callers whose own window predicate is NOT
+    *    pushable — e.g. the forecast stage filters on
+    *    `date_trunc('day', ts) >= lower`, which implies `ts >= lower`
+    *    (date_trunc(ts) <= ts) but never reaches the reader itself.
+    *
     * `event_date` is dropped again so downstream projections see exactly
     * the raw feed's schema. WeatherBronzeSpec asserts both pruning
     * properties on the live silver plan.
@@ -49,5 +56,6 @@ object Bronze {
   def eventsWindowed(spark: SparkSession, path: String, lowerTs: Column): DataFrame =
     events(spark, path)
       .filter(col("event_date") >= to_date(lowerTs))
+      .filter(col("ts") >= lowerTs)
       .drop("event_date")
 }

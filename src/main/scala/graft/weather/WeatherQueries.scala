@@ -3,6 +3,8 @@ package graft.weather
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.sources.Bronze
+
 /** Driver-contract wiring for the weather pipeline: each stage of
   * SURVEY §3.1's lifecycle as an oracled query over the synth weather
   * tables. Names/columns match [[WeatherOracle]] exactly.
@@ -30,6 +32,9 @@ object WeatherQueries {
   def clear(): Unit = memo.synchronized {
     memo.values.foreach(df => df.unpersist(blocking = false))
     memo.clear()
+    // also drop the landed-set's SparkSession references; re-landing after
+    // a clear() is an idempotent overwrite of the same per-JVM path
+    landed.synchronized(landed.clear())
   }
 
   // -- bronze landing for the weather feed ------------------------------
@@ -40,20 +45,32 @@ object WeatherQueries {
   // (native µs ts + event_date partitioning — the reference's BRIN-index
   // analogue, sql/schema.sql:278-292) makes the same filter prune at the
   // reader: WeatherBronzeSpec asserts PushedFilters + PartitionFilters on
-  // the live silver plan. Landed once per (session, corpus) under the JVM
-  // temp dir; rows are identical to the raw feed, so q20–q22 hashes are
-  // unchanged.
+  // the live silver plan. Landed once per (session, corpus); rows are
+  // identical to the raw feed, so q20–q22 hashes are unchanged.
   private val landed = scala.collection.mutable.Set.empty[(SparkSession, String)]
 
-  private def bronzePath(d: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_bronze_weather/" +
-      d.replaceAll("[^A-Za-z0-9._-]", "_") + "/events"
+  // Per-JVM unique landing root: a fixed shared path + Overwrite would let
+  // a concurrent JVM (bench and verify on the same corpus) delete files a
+  // lazy scan in this JVM still references → FileNotFound / silently short
+  // scans. The md5 suffix keeps distinct corpus dirs collision-free after
+  // sanitizing (e.g. /data/x vs /data_x).
+  private lazy val bronzeRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_bronze_weather_")
+      .toAbsolutePath.toString
+
+  private[graft] def bronzePath(d: String): String = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    s"$bronzeRoot/${d.replaceAll("[^A-Za-z0-9._-]", "_")}_$md5/events"
+  }
 
   /** The 168h-window bronze read both cleaning stages start from: the
-    * event_date bound prunes day directories, and the stages' own ts
-    * predicates reach the µs-native reader as row-group filters.
+    * event_date bound prunes day directories, and the window's ts lower
+    * bound (stated at the read — see [[Bronze.eventsWindowed]]) reaches
+    * the µs-native reader as a row-group filter even for the forecast
+    * stage, whose own `date_trunc('day', ts)` predicate is not pushable.
     */
-  private def bronzeEventsWindowed(s: SparkSession, d: String): DataFrame = {
+  private[graft] def bronzeEventsWindowed(s: SparkSession, d: String): DataFrame = {
     val p = bronzePath(d)
     landed.synchronized {
       if (!landed((s, d))) { Bronze.landEvents(s, d, p); landed += ((s, d)) }
