@@ -64,8 +64,68 @@ object RadiusJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       }
   }
 
-  private def floorCell(coord: Expression, cellDeg: Double, delta: Int): Expression = {
-    val f = Floor(Divide(coord, Literal(cellDeg)))
+  /** `sin²(radians(b − a) / 2)` — the half-angle term of the haversine
+    * formula, as built by both `GeoFunctions.haversineKm` (Column API) and
+    * the `graft_haversine_km` SQL builder. Yields (a, b).
+    */
+  private object HalfAngleSin2 {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case Sq(Sin(Divide(ToRadians(Subtract(b, a, _)), Literal(2.0, DoubleType), _)))
+        => Some((a, b))
+      case _ => None
+    }
+  }
+
+  /** `2R · asin(sqrt(sin²(Δφ/2) + cos φ₁ cos φ₂ sin²(Δλ/2)))` — the full
+    * haversine call with literal sphere radius. Yields
+    * (lat1, lon1, lat2, lon2, R_km); the cos pair is checked to be exactly
+    * the latitudes of the Δφ term so an arbitrary lookalike can't match.
+    */
+  private object HaversineCall {
+    private def latsMatch(c1: Expression, c2: Expression,
+        lat1: Expression, lat2: Expression): Boolean =
+      (c1.semanticEquals(lat1) && c2.semanticEquals(lat2)) ||
+        (c1.semanticEquals(lat2) && c2.semanticEquals(lat1))
+
+    def unapply(e: Expression): Option[(Expression, Expression, Expression, Expression, Double)] = {
+      val body = e match {
+        case Multiply(Literal(c: Double, DoubleType), inner, _) if c > 0 => Some((c, inner))
+        case Multiply(inner, Literal(c: Double, DoubleType), _) if c > 0 => Some((c, inner))
+        case _ => None
+      }
+      body.flatMap {
+        case (c, Asin(Sqrt(Add(
+            HalfAngleSin2(lat1, lat2),
+            Multiply(Multiply(Cos(ToRadians(c1)), Cos(ToRadians(c2)), _),
+              HalfAngleSin2(lon1, lon2), _), _))))
+            if latsMatch(c1, c2, lat1, lat2) =>
+          Some((lat1, lon1, lat2, lon2, c / 2))
+        case _ => None
+      }
+    }
+  }
+
+  /** `haversine_km(lat1, lon1, lat2, lon2) <= r` with literal r ≥ 0. */
+  private object HaversineConjunct {
+    def unapply(e: Expression): Option[(Expression, Expression, Expression, Expression, Double, Double)] =
+      e match {
+        case LessThanOrEqual(HaversineCall(lat1, lon1, lat2, lon2, sphereR),
+            Literal(r: Double, DoubleType)) if r >= 0 =>
+          Some((lat1, lon1, lat2, lon2, sphereR, r))
+        case _ => None
+      }
+  }
+
+  /** Relative inflation of the cell size over the proven bound: absorbs
+    * the float error of the per-row cell-coordinate arithmetic (and of the
+    * matched predicate's own evaluation), so a qualifying pair can never
+    * land two cells apart from boundary rounding. Semantically free — the
+    * exact original predicate still post-filters.
+    */
+  private val FpMargin = 1 + 1e-6
+
+  private def floorCell(coord: Expression, cell: Double, delta: Int): Expression = {
+    val f = Floor(Divide(coord, Literal(cell)))
     if (delta == 0) f else Add(f, Literal(delta.toLong))
   }
 
@@ -73,6 +133,58 @@ object RadiusJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       d1: Int = 0, d2: Int = 0): Expression =
     Add(Multiply(floorCell(c1, cellDeg, d1), Literal(Stride)),
       floorCell(c2, cellDeg, d2))
+
+  /** 3D stride: cell indexes are bounded by R/cell < 1e6 (guarded at
+    * match time), so |i|·S² + |j|·S + |k| stays well inside Long.
+    */
+  private val Stride3 = 1L << 21
+
+  private def packed3(x: Expression, y: Expression, z: Expression, cell: Double,
+      dx: Int = 0, dy: Int = 0, dz: Int = 0): Expression =
+    Add(Add(
+      Multiply(floorCell(x, cell, dx), Literal(Stride3 * Stride3)),
+      Multiply(floorCell(y, cell, dy), Literal(Stride3))),
+      floorCell(z, cell, dz))
+
+  /** Earth-centered 3D coordinates of a (lat°, lon°) point on the sphere
+    * of radius R — the chord-grid axes for the haversine rewrite.
+    */
+  private def xyz(lat: Expression, lon: Expression, sphereR: Double)
+      : (Expression, Expression, Expression) = {
+    val latR = ToRadians(lat); val lonR = ToRadians(lon)
+    val rc = Multiply(Literal(sphereR), Cos(latR))
+    (Multiply(rc, Cos(lonR)), Multiply(rc, Sin(lonR)),
+      Multiply(Literal(sphereR), Sin(latR)))
+  }
+
+  /** A proven radius conjunct, reduced to per-side cell expressions:
+    * each side's single own cell, and its full neighbor fan (9 for the
+    * planar 2D grid, 27 for the spherical 3D chord grid). The explode
+    * side is chosen later from stats.
+    */
+  private case class CellPlan(ownLeft: Expression, fanLeft: Seq[Expression],
+      ownRight: Expression, fanRight: Seq[Expression])
+
+  private def planarPlan(l1: Expression, r1: Expression,
+      l2: Expression, r2: Expression, cellDeg: Double): CellPlan = {
+    def fan(c1: Expression, c2: Expression) =
+      for (d1 <- -1 to 1; d2 <- -1 to 1) yield packedCell(c1, c2, cellDeg, d1, d2)
+    CellPlan(packedCell(l1, l2, cellDeg), fan(l1, l2),
+      packedCell(r1, r2, cellDeg), fan(r1, r2))
+  }
+
+  private def spherePlan(latL: Expression, lonL: Expression,
+      latR: Expression, lonR: Expression, sphereR: Double, cell: Double): CellPlan = {
+    def cells(lat: Expression, lon: Expression) = {
+      val (x, y, z) = xyz(lat, lon, sphereR)
+      (packed3(x, y, z, cell),
+        for (dx <- -1 to 1; dy <- -1 to 1; dz <- -1 to 1)
+          yield packed3(x, y, z, cell, dx, dy, dz))
+    }
+    val (ol, fl) = cells(latL, lonL)
+    val (or, fr) = cells(latR, lonR)
+    CellPlan(ol, fl, or, fr)
+  }
 
   /** The four coordinate expressions, oriented (left-side, right-side) per
     * axis — or None if they don't split cleanly across the join.
@@ -87,44 +199,75 @@ object RadiusJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     else None
   }
 
+  /** Orient a (lat, lon) POINT pair: both coordinates of point 1 must sit
+    * on one side and both of point 2 on the other — the chord-cover proof
+    * is about the two points, so a lat/lon split across sides (legal but
+    * degenerate SQL) must not match. Yields (latL, lonL, latR, lonR).
+    */
+  private def orientPoints(l: LogicalPlan, r: LogicalPlan,
+      lat1: Expression, lon1: Expression, lat2: Expression, lon2: Expression)
+      : Option[(Expression, Expression, Expression, Expression)] = {
+    def from(p: LogicalPlan, e: Expression) =
+      e.deterministic && e.dataType == DoubleType &&
+        e.references.nonEmpty && e.references.subsetOf(p.outputSet)
+    if (from(l, lat1) && from(l, lon1) && from(r, lat2) && from(r, lon2))
+      Some((lat1, lon1, lat2, lon2))
+    else if (from(l, lat2) && from(l, lon2) && from(r, lat1) && from(r, lon1))
+      Some((lat2, lon2, lat1, lon1))
+    else None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner | Cross, Some(cond), hint)
         if !(left.output ++ right.output).exists(_.name.startsWith(CellName)) =>
       val conjuncts = splitConjunctivePredicates(cond)
-      val hit = conjuncts.iterator.flatMap {
+      val hit: Option[CellPlan] = conjuncts.iterator.flatMap {
         case RadiusConjunct(a1, b1, a2, b2, k, r) =>
           for {
             (l1, r1) <- orient(left, right, a1, b1)
             (l2, r2) <- orient(left, right, a2, b2)
             if r / k > 0
-          } yield (l1, r1, l2, r2, r / k)
+          } yield planarPlan(l1, r1, l2, r2, r / k * FpMargin)
+        case HaversineConjunct(lat1, lon1, lat2, lon2, sphereR, r) =>
+          // Arc ≤ r ⟺ 3D chord ≤ 2R·sin(r/2R), and a chord bounds every
+          // axis delta — so cells of that size with a 3×3×3 fan cover all
+          // qualifying pairs at ANY latitude (no cos-collapse at poles,
+          // unlike a lon/lat grid). Skip when the radius covers the whole
+          // sphere (nothing to prune) or is so small the cell index would
+          // overflow the packing (r ≲ 7 m on Earth).
+          val chord = 2 * sphereR * math.sin(math.min(r / sphereR, math.Pi) / 2)
+          val cell = chord * FpMargin
+          for {
+            (latL, lonL, latR, lonR) <-
+              orientPoints(left, right, lat1, lon1, lat2, lon2)
+            if r / sphereR < math.Pi && cell > 0 && sphereR / cell < 1e6
+          } yield spherePlan(latL, lonL, latR, lonR, sphereR, cell)
         case _ => None
       }.take(1).toSeq.headOption
 
       hit match {
         case None => j
-        case Some((l1, r1, l2, r2, cellDeg)) =>
-          // 3x3 explode goes on the SMALLER side (9x a dimension table is
-          // noise; 9x the fact side wastes a near-order of magnitude) —
-          // the bigger side computes its single own-cell.
+        case Some(cp) =>
+          // the neighbor-fan explode goes on the SMALLER side (9–27× a
+          // dimension table is noise; the same fan on the fact side wastes
+          // an order of magnitude) — the bigger side computes its single
+          // own-cell.
           val explodeLeft = left.stats.sizeInBytes < right.stats.sizeInBytes
 
-          def ownCell(p: LogicalPlan, c1: Expression, c2: Expression) = {
-            val a = Alias(packedCell(c1, c2, cellDeg), CellName + "_l")()
+          def ownCell(p: LogicalPlan, e: Expression) = {
+            val a = Alias(e, CellName + "_l")()
             (Project(p.output :+ a, p), a.toAttribute: Expression)
           }
-          def neighborCells(p: LogicalPlan, c1: Expression, c2: Expression) = {
-            val cells9 = for (d1 <- -1 to 1; d2 <- -1 to 1)
-              yield packedCell(c1, c2, cellDeg, d1, d2)
+          def neighborCells(p: LogicalPlan, es: Seq[Expression]) = {
             val rAttr = AttributeReference(CellName + "_r", LongType, nullable = false)()
-            (Generate(Explode(CreateArray(cells9)), unrequiredChildIndex = Nil,
+            (Generate(Explode(CreateArray(es)), unrequiredChildIndex = Nil,
               outer = false, qualifier = None, generatorOutput = Seq(rAttr),
               child = p), rAttr: Expression)
           }
 
           val ((newLeft, cellL), (newRight, cellR)) =
-            if (explodeLeft) (neighborCells(left, l1, l2), ownCell(right, r1, r2))
-            else (ownCell(left, l1, l2), neighborCells(right, r1, r2))
+            if (explodeLeft) (neighborCells(left, cp.fanLeft), ownCell(right, cp.ownRight))
+            else (ownCell(left, cp.ownLeft), neighborCells(right, cp.fanRight))
           val newCond = And(cond, EqualTo(cellL, cellR))
           val newJoin = Join(newLeft, newRight, Inner, Some(newCond), hint)
           Project(j.output, newJoin)

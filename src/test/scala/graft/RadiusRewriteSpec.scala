@@ -71,6 +71,53 @@ class RadiusRewriteSpec extends SparkSpec {
     }
   }
 
+  private def naiveHaversine(s: SparkSession): DataFrame = {
+    import graft.functions.GeoFunctions
+    val d = GeoFunctions.haversineKm(
+      col("latitude"), col("longitude"), col("centroid_lat"), col("centroid_lon"))
+    WeatherSynth.postalCodes(s, Sf)
+      .crossJoin(WeatherSynth.stations(s, Sf))
+      .filter(d <= 50.0)
+      .select(col("postal_code"), col("station_id"),
+        graft.weather.WeatherPipeline.roundSafe(d, 2).as("distance_km"))
+  }
+
+  test("haversine radius join is rewritten to a 3D chord-grid equi-join") {
+    withExtSession { s =>
+      val plan = naiveHaversine(s).queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"), plan)
+      assert(plan.contains("__graft_cell"), plan)
+    }
+  }
+
+  test("haversine rewrite results are identical to the un-extended session's") {
+    val expected = naiveHaversine(spark).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).sortBy(t => (t._1, t._2))
+    assert(expected.nonEmpty)
+    withExtSession { s =>
+      val got = naiveHaversine(s).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).sortBy(t => (t._1, t._2))
+      assert(got.toSeq === expected.toSeq)
+    }
+  }
+
+  test("SQL graft_haversine_km radius predicate is rewritten too") {
+    withExtSession { s =>
+      WeatherSynth.postalCodes(s, Sf).createOrReplaceTempView("pc")
+      WeatherSynth.stations(s, Sf).createOrReplaceTempView("st")
+      val q = s.sql(
+        """SELECT postal_code, station_id FROM pc JOIN st
+          |ON graft_haversine_km(latitude, longitude, centroid_lat, centroid_lon) <= 50.0
+          |""".stripMargin)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(plan.contains("__graft_cell"), plan)
+      assert(q.count() > 0)
+    }
+  }
+
   test("non-radius cross joins are left untouched") {
     withExtSession { s =>
       val plan = WeatherSynth.postalCodes(s, Sf)
