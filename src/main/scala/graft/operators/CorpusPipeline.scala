@@ -76,6 +76,9 @@ object CorpusPipeline {
     spark.read.parquet(layers.curated)
       .groupBy(col("source"), col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
+      // coalesce(1) is safe ONLY because this is the per-(source,split)
+      // yield report — dozens of rows post-aggregation. Never copy this
+      // onto a data-sized write; the curated layer above stays partitioned.
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(layers.report)
     layers

@@ -107,6 +107,26 @@ object Extras {
       |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
       |ORDER BY a.user_id, click_id, purchase_id""".stripMargin
 
+  /** q82: LEFT-OUTER stream-stream join — the other half of q64 users hit
+    * first: every click appears, with null purchase/lag when no purchase
+    * landed inside its 60min window. Null emission is watermark-driven
+    * (see EventsStream.flushPath); the oracle is the equivalent batch left
+    * join. DuckDB needs NULLS FIRST to match Spark's asc null ordering.
+    */
+  def q82StreamLeftJoin(spark: SparkSession, dir: String): DataFrame =
+    EventsStream.runStreamLeftJoinOnce(spark, dir, s"stream_left_join_${counter.incrementAndGet()}")
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+
+  val q82Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events)
+      |SELECT a.user_id AS user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+      |  (epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS lag_s
+      |FROM (SELECT * FROM e WHERE event_type = 'click') a
+      |LEFT JOIN (SELECT * FROM e WHERE event_type = 'purchase') b
+      |  ON a.user_id = b.user_id AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
+      |ORDER BY user_id, click_id, purchase_id NULLS FIRST""".stripMargin
+
   /** q73: streaming dedup of a doubled (at-least-once replayed) feed must
     * equal the batch per-type counts of the original — exactly-once
     * delivery recovered from at-least-once input via keyed state.
@@ -129,6 +149,7 @@ object Extras {
     "q65_multimodal_resize"   -> ((s: SparkSession, d: String) => MultimodalOps.q65Resize(s, d)),
     "q66_frame_sample"        -> ((s: SparkSession, d: String) => MultimodalOps.q66FrameSample(s, d)),
     "q73_stream_dedup"        -> (q73StreamDedup _),
+    "q82_stream_left_join"    -> (q82StreamLeftJoin _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -140,5 +161,6 @@ object Extras {
     "q65_multimodal_resize"   -> MultimodalOps.q65Sql,
     "q66_frame_sample"        -> MultimodalOps.q66Sql,
     "q73_stream_dedup"        -> q73Sql,
+    "q82_stream_left_join"    -> q82Sql,
   )
 }

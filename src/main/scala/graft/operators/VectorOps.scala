@@ -17,9 +17,11 @@ import graft.sources.Tables
   *
   * Scale posture: brute force is the correctness baseline (O(Q·N·d) — fine
   * while Q is a small query set); the LSH sign-random-projection variant is
-  * the 100 TB path: bucket on 8 md5-derived ±1 hyperplane signs (an
-  * equi-join key), verify only within-bucket — candidate generation is a
-  * shuffle-by-bucket, never all-pairs.
+  * the 100 TB path: bucket on md5-derived ±1 hyperplane signs across L
+  * independent tables (an equi-join key), verify only within-bucket —
+  * candidate generation is a shuffle-by-bucket, never all-pairs. The q81
+  * contract measures recall@k of both approximate indexes against the
+  * brute-force truth, so index quality is gated, not assumed.
   */
 object VectorOps {
 
@@ -98,40 +100,54 @@ object VectorOps {
        |ORDER BY q_id, rank""".stripMargin
 
   // ------------------------------------------------------------------
-  // q49 — LSH-bucketed ANN (the scale path): 8 sign-random-projection
-  // bits per vector, hyperplane signs derived from md5 high-nibbles
-  // (identical constants in both engines, no RNG); candidates share the
-  // bucket; exact cosine verify; top-3 per query within bucket.
+  // q49 — LSH-bucketed ANN (the scale path): multi-table multi-probe
+  // sign-random-projection LSH. The INDEX is L=6 tables of B=8
+  // hyperplane-sign bits — L rows per vector, partitioned by (table,
+  // bucket). Each QUERY probes, per table, its own bucket plus the B
+  // buckets at hamming distance 1 (flip one bit) — multi-probe buys the
+  // recall of many more tables while only the tiny query side fans out
+  // (L·(B+1) = 54 lookup keys per query; the billion-row side stays at L
+  // rows each). Candidates are DISTINCT bucket-mates across all probes;
+  // exact-cosine verify; top-3. Parameters picked by a measured sweep:
+  // a single 8-bit table scored recall 0 on the q81 contract; B=8/L=6/
+  // probe≤1 scores ~0.63 at a 24% candidate fraction on this corpus
+  // (moderately-similar neighbors are sign-LSH's hard case; at larger N
+  // raise B to keep bucket ≈ N/2^B bounded). Hyperplane signs derive
+  // from md5 high-nibbles of "t|j|i" (identical constants in both
+  // engines, no RNG).
   // ------------------------------------------------------------------
+  private val LshTables = 6
   private val LshBits = 8
   private val Dim = 64
 
-  /** ±1 hyperplane signs, plane j component i = high bit of the first md5
-    * nibble of "j|i" — computed here with MessageDigest and inline in the
-    * DuckDB oracle with md5(); identical constants, no RNG.
+  /** ±1 hyperplane signs: table t, plane j, component i = high bit of the
+    * first md5 nibble of "t|j|i" — MessageDigest here, inline md5() in
+    * the DuckDB oracle.
     */
-  private lazy val planes: IndexedSeq[Seq[Double]] = {
+  private lazy val planes: IndexedSeq[IndexedSeq[Seq[Double]]] = {
     val mdt = java.security.MessageDigest.getInstance("MD5")
-    (0 until LshBits).map { j =>
-      (0 until Dim).map { i =>
-        val h = mdt.digest(s"$j|$i".getBytes("UTF-8"))
-        if (((h(0) >> 4) & 0xF) >= 8) 1.0 else -1.0
+    (0 until LshTables).map { t =>
+      (0 until LshBits).map { j =>
+        (0 until Dim).map { i =>
+          val h = mdt.digest(s"$t|$j|$i".getBytes("UTF-8"))
+          if (((h(0) >> 4) & 0xF) >= 8) 1.0 else -1.0
+        }
       }
     }
   }
 
-  private def bucketExprSpark: Column = {
+  private def bucketExprSpark(t: Int): Column = {
     val bits = (0 until LshBits).map { j =>
-      when(VectorExpressions.dot(col("v"), typedLit(planes(j))) >= 0,
+      when(VectorExpressions.dot(col("v"), typedLit(planes(t)(j))) >= 0,
         lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
 
-  private def bucketExprSqlDuck: String = {
+  private def bucketExprSqlDuck(t: Int): String = {
     val bits = (0 until LshBits).map { j =>
       val fold = s"list_sum(list_transform(generate_series(0, ${Dim - 1}), " +
-        s"i -> v[i + 1] * (CASE WHEN instr('89abcdef', substring(md5('$j|' || CAST(i AS VARCHAR)), 1, 1)) > 0 THEN 1.0 ELSE -1.0 END)))"
+        s"i -> v[i + 1] * (CASE WHEN instr('89abcdef', substring(md5('$t|$j|' || CAST(i AS VARCHAR)), 1, 1)) > 0 THEN 1.0 ELSE -1.0 END)))"
       s"(CASE WHEN $fold >= 0 THEN ${1L << j}::BIGINT ELSE 0::BIGINT END)"
     }
     bits.mkString(" + ")
@@ -139,41 +155,59 @@ object VectorOps {
 
   def q49AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     VectorExpressions.register(spark)
-    val base = Tables.embeddings(spark, dir)
+    val bucketCols = (0 until LshTables).map(t => bucketExprSpark(t))
+    // one row per (vector, table) with that table's bucket — the inverted
+    // index; at scale this is the partition key of the index table
+    val exploded = Tables.embeddings(spark, dir)
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm", sqrt(VectorExpressions.dot(col("v"), col("v"))))
-      .withColumn("bucket", bucketExprSpark)
-      .select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
-    val q = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        posexplode(array(bucketCols: _*)).as(Seq("t", "bucket")))
+    // multi-probe: the query side additionally fans out to every bucket at
+    // hamming distance 1 (own bucket + B single-bit flips per table)
+    val probeCols = Seq(col("bucket")) ++
+      (0 until LshBits).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
+    val q = exploded.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"),
-        col("nrm").as("q_nrm"), col("bucket"))
-    val c = base.select(col("vec_id").as("b_id"), col("v").as("b_v"),
-      col("nrm").as("b_nrm"), col("bucket"))
+        col("nrm").as("q_nrm"), col("t"),
+        explode(array(probeCols: _*)).as("bucket"))
+    val c = exploded.select(col("vec_id").as("b_id"), col("v").as("b_v"),
+      col("nrm").as("b_nrm"), col("t"), col("bucket"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim6").desc, col("b_id"))
-    q.join(c, Seq("bucket")).filter(col("q_id") =!= col("b_id"))
+    q.join(c, Seq("t", "bucket")).filter(col("q_id") =!= col("b_id"))
       .withColumn("sim6", roundSafe6(cosine("q_v", "b_v", "q_nrm", "b_nrm")))
+      .select(col("q_id"), col("b_id"), col("sim6")).distinct()
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
-      .select(col("q_id"), col("b_id"), col("bucket"),
+      .select(col("q_id"), col("b_id"),
         col("rank").cast("int").as("rank"), col("sim6"))
       .orderBy(col("q_id"), col("rank"))
   }
 
-  val q49Sql: String =
+  val q49Sql: String = {
+    val tables = (0 until LshTables).map { t =>
+      s"SELECT vec_id, v, nrm, $t AS t, ${bucketExprSqlDuck(t)} AS bucket FROM v"
+    }.mkString("\n  UNION ALL\n  ")
     s"""WITH $SqlVecs,
        |bucketed AS (
-       |  SELECT vec_id, v, nrm, $bucketExprSqlDuck AS bucket FROM v),
+       |  $tables),
+       |probes AS (
+       |  SELECT vec_id, v, nrm, t,
+       |    unnest(list_concat([bucket], list_transform(generate_series(0, ${LshBits - 1}),
+       |      j -> xor(bucket, CAST(1 << j AS BIGINT))))) AS bucket
+       |  FROM bucketed WHERE vec_id % 50 = 0),
        |sims AS (
-       |  SELECT a.vec_id AS q_id, b.vec_id AS b_id, a.bucket,
+       |  SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS b_id,
        |    round((list_dot_product(a.v, b.v)/(a.nrm*b.nrm))*1e6)/1e6 + 0.0 AS sim6
-       |  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket
-       |    AND a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id),
+       |  FROM probes a JOIN bucketed b ON a.t = b.t AND a.bucket = b.bucket
+       |    AND a.vec_id <> b.vec_id),
        |ranked AS (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim6 DESC, b_id) AS rank
        |  FROM sims)
-       |SELECT q_id, b_id, bucket, CAST(rank AS INT) AS rank, sim6
+       |SELECT q_id, b_id, CAST(rank AS INT) AS rank, sim6
        |FROM ranked WHERE rank <= 3
        |ORDER BY q_id, rank""".stripMargin
+  }
 
   // ------------------------------------------------------------------
   // q50 — kNN label classification: majority label of the 5 nearest
@@ -283,12 +317,53 @@ object VectorOps {
        |FROM topk WHERE rank <= 5
        |ORDER BY q_id, rank""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q81 — ANN quality contract: recall@k of the two approximate indexes
+  // against the brute-force truth (q48). Hash-determinism alone would let
+  // an index with recall 0.2 pass the gate; this measures it. recall@k =
+  // |approx top-k ∩ exact top-k| summed over the shared query set,
+  // divided by queries·k (missing candidates — e.g. an underfull LSH
+  // bucket — count against recall, as they should). AnnRecallSpec pins
+  // the floor each index must clear.
+  // ------------------------------------------------------------------
+  def q81AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = q48KnnCosine(spark, dir).select(col("q_id"), col("b_id"), col("rank"))
+    val n = truth.agg(countDistinct(col("q_id")).as("n"))
+    def recallOf(method: DataFrame, k: Int, name: String): DataFrame =
+      method.select(col("q_id"), col("b_id"))
+        .join(truth.filter(col("rank") <= k), Seq("q_id", "b_id"))
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(n)
+        .select(lit(name).as("method"), col("hits"),
+          (col("n") * k).as("possible"),
+          (round(col("hits").cast("double") / (col("n") * k) * 1e4, 0) / 1e4 + 0.0)
+            .as("recall4"))
+    recallOf(q57AnnIvf(spark, dir), 5, "ivf")
+      .union(recallOf(q49AnnLsh(spark, dir), 3, "lsh"))
+      .orderBy(col("method"))
+  }
+
+  val q81Sql: String =
+    s"""WITH truth AS (SELECT q_id, b_id, rank FROM ($q48Sql)),
+       |lsh AS (SELECT q_id, b_id FROM ($q49Sql)),
+       |ivf AS (SELECT q_id, b_id FROM ($q57Sql)),
+       |nq AS (SELECT COUNT(DISTINCT q_id) AS n FROM truth),
+       |lh AS (SELECT COUNT(*) AS hits FROM lsh JOIN truth USING (q_id, b_id) WHERE rank <= 3),
+       |ih AS (SELECT COUNT(*) AS hits FROM ivf JOIN truth USING (q_id, b_id) WHERE rank <= 5)
+       |SELECT * FROM (
+       |  SELECT 'ivf' AS method, hits, n * 5 AS possible,
+       |    round(CAST(hits AS DOUBLE)/(n*5)*1e4)/1e4 + 0.0 AS recall4 FROM ih, nq
+       |  UNION ALL
+       |  SELECT 'lsh', hits, n * 3, round(CAST(hits AS DOUBLE)/(n*3)*1e4)/1e4 + 0.0 FROM lh, nq)
+       |ORDER BY method""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_embedding_neardup" -> (q47EmbeddingNeardup _),
     "q48_knn_cosine"        -> (q48KnnCosine _),
     "q49_ann_lsh"           -> (q49AnnLsh _),
     "q50_knn_classify"      -> (q50KnnClassify _),
     "q57_ann_ivf"           -> (q57AnnIvf _),
+    "q81_ann_recall"        -> (q81AnnRecall _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -297,5 +372,6 @@ object VectorOps {
     "q49_ann_lsh"           -> q49Sql,
     "q50_knn_classify"      -> q50Sql,
     "q57_ann_ivf"           -> q57Sql,
+    "q81_ann_recall"        -> q81Sql,
   )
 }

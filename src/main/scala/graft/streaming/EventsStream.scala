@@ -132,12 +132,18 @@ object EventsStream {
     * join's state finite at unbounded input (the property that matters at
     * 100 TB/day: state is O(users × window), not O(stream)).
     */
-  def clickPurchaseJoin(spark: SparkSession, dir: String): DataFrame = {
-    val clicks = readEvents(spark, dir)
+  /** Click→purchase conversion join over an events frame — shared by the
+    * inner (q64) and left-outer (q82) variants. Watermarks on both sides
+    * bound the join state: each side keeps only rows younger than the
+    * 2h horizon + the 60min join window, so state is O(rate × horizon)
+    * regardless of total stream length.
+    */
+  private def cpJoin(events: DataFrame, joinType: String): DataFrame = {
+    val clicks = events
       .filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
       .withWatermark("click_ts", "2 hours")
-    val purchases = readEvents(spark, dir)
+    val purchases = events
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
         col("ts").as("purchase_ts"))
@@ -145,7 +151,59 @@ object EventsStream {
     clicks.join(purchases,
       col("user_id") === col("p_user_id") &&
       col("purchase_ts") >= col("click_ts") &&
-      col("purchase_ts") <= col("click_ts") + expr("INTERVAL 60 MINUTES"))
+      col("purchase_ts") <= col("click_ts") + expr("INTERVAL 60 MINUTES"), joinType)
+  }
+
+  def clickPurchaseJoin(spark: SparkSession, dir: String): DataFrame =
+    cpJoin(readEvents(spark, dir), "inner")
+
+  /** One far-future (year 2100) click + purchase for user −1, landed once
+    * per JVM as a single-file streaming source. Unioned with the real feed
+    * it advances BOTH sides' watermarks past every real event, so the
+    * left-outer join can evict and emit its unmatched-click null rows —
+    * outer stream-stream joins emit those only on watermark advance, never
+    * merely because the query stops (the late-data-vs-completeness
+    * trade-off made explicit; SURVEY §2.10).
+    */
+  private val flushLanded = new java.util.concurrent.atomic.AtomicReference[String]()
+  private def flushPath(spark: SparkSession): String = synchronized {
+    if (flushLanded.get == null) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_flush_events_").toString
+      val tsNs = 4102444800L * 1000000000L // 2100-01-01T00:00:00Z in ns
+      val rows = java.util.Arrays.asList(
+        org.apache.spark.sql.Row(-1L, tsNs, -1L, "click", 0.0, "{}"),
+        org.apache.spark.sql.Row(-2L, tsNs, -1L, "purchase", 0.0, "{}"))
+      spark.createDataFrame(rows, eventsSchema)
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      val d = new java.io.File(dir)
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => f.renameTo(new java.io.File(d, "events.parquet")))
+      flushLanded.set(dir)
+    }
+    flushLanded.get
+  }
+
+  /** Left-outer stream-stream join run to completion: matched pairs plus a
+    * null-purchase row for every click with no purchase inside its 60min
+    * window. The flush source (see [[flushPath]]) pushes the watermark past
+    * the corpus so those null rows actually emit; the sentinel user −1 is
+    * filtered back out.
+    */
+  def runStreamLeftJoinOnce(spark: SparkSession, dir: String, name: String = "stream_left_join"): DataFrame = {
+    val events = readEvents(spark, dir)
+      .unionByName(readEvents(spark, flushPath(spark)))
+    val q = cpJoin(events, "left_outer")
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000").as("lag_s"))
   }
 
   /** Run the stream-stream join over the finite source (append mode —
