@@ -16,11 +16,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale: each round is one equi-join + groupBy on node id (shuffle by
   * id), rounds ≤ graph diameter; near-dup graphs are short-diameter
-  * blobs, so a handful of rounds. For adversarially long chains the
-  * round count grows — the standard fix is the large-star/small-star
-  * contraction (alternating min-joins that halve diameter per round,
-  * same join shape). The driver loop only ever collects a one-row
-  * convergence count, never data.
+  * blobs, so a handful of rounds. For adversarially long chains use
+  * [[connectedComponentsStar]] — the alternating large-star/small-star
+  * contraction (same join shape per round, O(log n) rounds independent
+  * of diameter, and the edge set shrinks as components contract). The
+  * driver loop only ever collects a one-row convergence count, never
+  * data.
   */
 object GraphOps {
 
@@ -33,6 +34,63 @@ object GraphOps {
     * 1000-link chain resolves in ~10 rounds. The final labels frame is
     * materialized and the loop caches released before returning.
     */
+  /** Alternating large-star/small-star contraction — the adversarial-
+    * diameter path (the published MapReduce CC construction: alternating
+    * min-attach rounds contract every component to a star around its
+    * minimum in O(log n) rounds REGARDLESS of diameter, and — unlike
+    * label propagation, which drags the full edge set through every
+    * round — the edge set itself shrinks as components contract).
+    *
+    *  - large-star: each center attaches its LARGER neighbors to
+    *    m = min(center ∪ neighbors);
+    *  - small-star: each node attaches its smaller neighbors and itself
+    *    to the minimum of that set.
+    *
+    * Both rounds are a groupBy-min + equi-join on node id — the same
+    * shuffle shape as [[connectedComponents]], so the 100 TB posture is
+    * identical per round with fewer, cheaper rounds on long chains.
+    * Fixpoint: the edge list is exactly {(component-min, member)}.
+    * GraphOpsSpec proves output equality with [[connectedComponents]] on
+    * chains, stars, cliques and random blob graphs.
+    */
+  def connectedComponentsStar(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    val e0 = edges.toDF("a", "b").filter(col("a") =!= col("b"))
+    val nodes = e0.select(col("a").as("id"))
+      .unionByName(e0.select(col("b").as("id"))).distinct().localCheckpoint(true)
+    // canonical (small, large) orientation
+    var cur = e0
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      // large-star over the symmetric adjacency: per center c,
+      // m = min(c, N(c)); larger neighbors re-attach to m
+      val sym = cur.select(col("u").as("c"), col("v").as("n"))
+        .unionByName(cur.select(col("v").as("c"), col("u").as("n")))
+      val mins = sym.groupBy(col("c")).agg(min(col("n")).as("mn"))
+        .select(col("c"), least(col("c"), col("mn")).as("m"))
+      val ls = sym.join(mins, "c").filter(col("n") > col("c"))
+        .select(least(col("n"), col("m")).as("u"), greatest(col("n"), col("m")).as("v"))
+        .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+      // small-star on (parent < child) edges: per child v,
+      // m = min parent; every parent and v itself attach to m
+      val byChild = ls.groupBy(col("v")).agg(min(col("u")).as("m"))
+      val next = ls.join(byChild, "v").select(col("u").as("x"), col("m"))
+        .unionByName(byChild.select(col("v").as("x"), col("m")))
+        .filter(col("x") =!= col("m"))
+        .select(col("m").as("u"), col("x").as("v"))
+        .distinct().localCheckpoint(true)
+      converged = next.exceptAll(cur).isEmpty && cur.exceptAll(next).isEmpty
+      cur = next
+      it += 1
+    }
+    // at fixpoint every edge is (component-min, member); isolated former
+    // nodes (their whole component contracted onto them) label themselves
+    nodes.join(cur.select(col("v").as("id"), col("u").as("lbl")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("label"))
+  }
+
   def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
     val e = edges.toDF("a", "b")
     // eager localCheckpoint, not cache: iterative algorithms re-optimize

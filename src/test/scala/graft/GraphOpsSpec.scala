@@ -17,6 +17,40 @@ class GraphOpsSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("large-star/small-star equals label propagation on every graph shape") {
+    val shapes = Map(
+      "chain" -> (1L to 200L).sliding(2).map(p => (p(0), p(1))).toSeq,
+      "two cliques + bridge-free pair" ->
+        ((for (i <- 1L to 6L; j <- (i + 1) to 6L) yield (i, j)) ++
+          (for (i <- 10L to 14L; j <- (i + 1) to 14L) yield (i, j)) ++
+          Seq((100L, 101L))),
+      "random blobs" -> {
+        // deterministic pseudo-random pairs over 3 residue classes
+        (0 until 300).map { k =>
+          val h = k * 2654435761L % 97
+          (h * 3 + k % 3, (h + k) % 97 * 3 + k % 3)
+        }.filter(p => p._1 != p._2)
+      },
+      "star" -> (2L to 50L).map(i => (i, 1L)))
+    for ((name, pairs) <- shapes) {
+      val edges = pairs.toDF("a", "b")
+      val lp = GraphOps.connectedComponents(edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val star = GraphOps.connectedComponentsStar(edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(star === lp, s"mismatch on $name")
+    }
+  }
+
+  test("star contraction resolves a long chain in few rounds (diameter-independent)") {
+    // a 200-link chain has diameter 200; the contraction must converge
+    // well under the 50-iteration cap and label everything with the min
+    val edges = (1L to 200L).sliding(2).map(p => (p(0), p(1))).toSeq.toDF("a", "b")
+    val labels = GraphOps.connectedComponentsStar(edges, maxIters = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length === 200 && labels.forall(_._2 == 1L))
+  }
+
   test("label propagation is orientation-independent") {
     val e1 = Seq((5L, 6L), (7L, 6L)).toDF("a", "b")
     val e2 = Seq((6L, 5L), (6L, 7L)).toDF("a", "b")
