@@ -127,6 +127,26 @@ object Extras {
       |  ON a.user_id = b.user_id AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
       |ORDER BY user_id, click_id, purchase_id NULLS FIRST""".stripMargin
 
+  /** q83: FULL-outer stream-stream join — completes the outer family:
+    * unmatched clicks and unmatched purchases both surface as null-padded
+    * rows on watermark advance. user_id coalesces across sides (it is
+    * null on the click side of purchase-only rows).
+    */
+  def q83StreamFullJoin(spark: SparkSession, dir: String): DataFrame =
+    EventsStream.runStreamFullJoinOnce(spark, dir, s"stream_full_join_${counter.incrementAndGet()}")
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+
+  val q83Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events)
+      |SELECT coalesce(a.user_id, b.user_id) AS user_id,
+      |  a.event_id AS click_id, b.event_id AS purchase_id,
+      |  (epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS lag_s
+      |FROM (SELECT * FROM e WHERE event_type = 'click') a
+      |FULL JOIN (SELECT * FROM e WHERE event_type = 'purchase') b
+      |  ON a.user_id = b.user_id AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
+      |ORDER BY user_id, click_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin
+
   /** q73: streaming dedup of a doubled (at-least-once replayed) feed must
     * equal the batch per-type counts of the original — exactly-once
     * delivery recovered from at-least-once input via keyed state.
@@ -150,6 +170,7 @@ object Extras {
     "q66_frame_sample"        -> ((s: SparkSession, d: String) => MultimodalOps.q66FrameSample(s, d)),
     "q73_stream_dedup"        -> (q73StreamDedup _),
     "q82_stream_left_join"    -> (q82StreamLeftJoin _),
+    "q83_stream_full_join"    -> (q83StreamFullJoin _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -162,5 +183,6 @@ object Extras {
     "q66_frame_sample"        -> MultimodalOps.q66Sql,
     "q73_stream_dedup"        -> q73Sql,
     "q82_stream_left_join"    -> q82Sql,
+    "q83_stream_full_join"    -> q83Sql,
   )
 }

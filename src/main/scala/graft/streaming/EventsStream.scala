@@ -206,6 +206,29 @@ object EventsStream {
         expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000").as("lag_s"))
   }
 
+  /** Full-outer variant: unmatched clicks AND unmatched purchases each
+    * emit a null-padded row once the opposite side's watermark passes
+    * their window. `user_id` must coalesce across sides — it is null on
+    * the click side of a purchase-only row.
+    */
+  def runStreamFullJoinOnce(spark: SparkSession, dir: String, name: String = "stream_full_join"): DataFrame = {
+    val events = readEvents(spark, dir)
+      .unionByName(readEvents(spark, flushPath(spark)))
+    val q = cpJoin(events, "full_outer")
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(coalesce(col("user_id"), col("p_user_id")).as("user_id"),
+        col("click_id"), col("purchase_id"),
+        expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000").as("lag_s"))
+      .filter(col("user_id") >= 0)
+  }
+
   /** Run the stream-stream join over the finite source (append mode —
     * inner join emits exactly the matched pairs; single-file source ⇒ one
     * micro-batch, so no cross-batch eviction on this corpus).
