@@ -32,6 +32,27 @@ object Extras {
       |GROUP BY 1, 2
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** q84: SLIDING-window streaming agg (2h window, 1h slide) — every event
+    * contributes to two overlapping windows; complete mode emits all of
+    * them. Oracle: each event doubled into its two window starts
+    * (`trunc(ts,h)` and `trunc(ts,h) − 1h`), then the same grouped sums.
+    */
+  def q84StreamSliding(spark: SparkSession, dir: String): DataFrame =
+    EventsStream.runSlidingWindowOnce(spark, dir, s"stream_sliding_${counter.incrementAndGet()}")
+      .orderBy(col("window_start"), col("event_type"))
+
+  val q84Sql: String =
+    """WITH e AS (
+      |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+      |w AS (
+      |  SELECT date_trunc('hour', ts) AS window_start, event_type, value FROM e
+      |  UNION ALL
+      |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM e)
+      |SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM w GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+
   def q52MultimodalMeta(spark: SparkSession, dir: String): DataFrame =
     MultimodalOps.q52MultimodalMeta(spark, dir)
 
@@ -171,6 +192,7 @@ object Extras {
     "q73_stream_dedup"        -> (q73StreamDedup _),
     "q82_stream_left_join"    -> (q82StreamLeftJoin _),
     "q83_stream_full_join"    -> (q83StreamFullJoin _),
+    "q84_stream_sliding"      -> (q84StreamSliding _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -184,5 +206,6 @@ object Extras {
     "q73_stream_dedup"        -> q73Sql,
     "q82_stream_left_join"    -> q82Sql,
     "q83_stream_full_join"    -> q83Sql,
+    "q84_stream_sliding"      -> q84Sql,
   )
 }

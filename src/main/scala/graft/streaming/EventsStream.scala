@@ -56,6 +56,34 @@ object EventsStream {
     * return the result as a batch DataFrame — complete mode so final
     * windows are emitted (append would hold back the watermark tail).
     */
+  /** SLIDING-window per-type aggregation (2h windows every 1h): each event
+    * lands in exactly two overlapping windows — the semantics tumbling
+    * can't express (a reading contributes to both "22:00–24:00" and
+    * "23:00–01:00" summaries). Same watermark/update machinery as
+    * [[hourlyWindowAgg]]; the batch oracle doubles each event into its two
+    * window starts.
+    */
+  def slidingWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "168 hours")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  def runSlidingWindowOnce(spark: SparkSession, dir: String, name: String = "stream_sliding"): DataFrame = {
+    val q = slidingWindowAgg(readEvents(spark, dir))
+      .writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   def runWindowAggOnce(spark: SparkSession, dir: String, name: String = "stream_agg"): DataFrame = {
     val q = hourlyWindowAgg(readEvents(spark, dir))
       .writeStream
