@@ -680,6 +680,54 @@ object TextOps {
        |FROM scanned GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q85 — TF-IDF relevance scoring: per-document top-3 terms by
+  // tf · ln(N/df) over lowercased whitespace tokens (len ≥ 3). The
+  // curation-side use is quality/topicality weighting before sampling.
+  // ln() is a library call (≤1 ulp cross-engine), so the score takes the
+  // mandatory two-stage rounding and ranks break ties on the term string
+  // — never on the raw double (MEMORY determinism rules).
+  // ------------------------------------------------------------------
+  def q85Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .filter(length(col("term")) >= 3)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score6").desc, col("term"))
+    tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("score6", graft.weather.WeatherPipeline.roundSafe(
+        col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), col("rank").cast("int").as("rank"), col("score6"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val q85Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      |  WHERE length(term) >= 3 GROUP BY 1, 2),
+      |d AS (SELECT term, COUNT(*) AS df FROM t GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT t.doc_id, t.term,
+      |    round(round(t.tf * ln(CAST(n_docs AS DOUBLE) / df) * 1e8) / 100) / 1e6 + 0.0 AS score6
+      |  FROM t JOIN d USING (term), n),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score6 DESC, term) AS rank
+      |  FROM scored)
+      |SELECT doc_id, term, CAST(rank AS INT) AS rank, score6
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_text_stats"     -> (q40TextStats _),
     "q41_lang_id"        -> (q41LangId _),
@@ -694,6 +742,7 @@ object TextOps {
     "q77_dedup_clusters" -> (q77DedupClusters _),
     "q78_source_mixing"  -> (q78SourceMixing _),
     "q80_pii_redact"     -> (q80PiiRedact _),
+    "q85_tfidf"          -> (q85Tfidf _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -710,5 +759,6 @@ object TextOps {
     "q77_dedup_clusters" -> q77Sql,
     "q78_source_mixing"  -> q78Sql,
     "q80_pii_redact"     -> q80Sql,
+    "q85_tfidf"          -> q85Sql,
   )
 }
