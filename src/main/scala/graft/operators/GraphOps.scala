@@ -25,15 +25,6 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
-  /** `edges`: two long columns (a, b), undirected. Returns (id, label)
-    * for every node appearing in an edge, label = component minimum.
-    *
-    * Each round does neighbor-min propagation PLUS a pointer jump
-    * (`label := label(label)`), so label depth halves per round —
-    * convergence in O(log diameter) rounds instead of O(diameter); a
-    * 1000-link chain resolves in ~10 rounds. The final labels frame is
-    * materialized and the loop caches released before returning.
-    */
   /** Alternating large-star/small-star contraction — the adversarial-
     * diameter path (the published MapReduce CC construction: alternating
     * min-attach rounds contract every component to a star around its
@@ -54,9 +45,12 @@ object GraphOps {
     * chains, stars, cliques and random blob graphs.
     */
   def connectedComponentsStar(edges: DataFrame, maxIters: Int = 50): DataFrame = {
-    val e0 = edges.toDF("a", "b").filter(col("a") =!= col("b"))
-    val nodes = e0.select(col("a").as("id"))
-      .unionByName(e0.select(col("b").as("id"))).distinct().localCheckpoint(true)
+    val eAll = edges.toDF("a", "b")
+    // node set from the UNFILTERED list: a node whose only edge is a
+    // self-loop must still label itself (parity with connectedComponents)
+    val nodes = eAll.select(col("a").as("id"))
+      .unionByName(eAll.select(col("b").as("id"))).distinct().localCheckpoint(true)
+    val e0 = eAll.filter(col("a") =!= col("b"))
     // canonical (small, large) orientation
     var cur = e0
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
@@ -85,12 +79,25 @@ object GraphOps {
       cur = next
       it += 1
     }
+    // the labeling below is only valid AT the fixpoint — a partial
+    // contraction would silently split components, so fail loudly instead
+    require(converged,
+      s"connectedComponentsStar did not converge in $maxIters rounds")
     // at fixpoint every edge is (component-min, member); isolated former
     // nodes (their whole component contracted onto them) label themselves
     nodes.join(cur.select(col("v").as("id"), col("u").as("lbl")), Seq("id"), "left")
       .select(col("id"), coalesce(col("lbl"), col("id")).as("label"))
   }
 
+  /** `edges`: two long columns (a, b), undirected. Returns (id, label)
+    * for every node appearing in an edge, label = component minimum.
+    *
+    * Each round does neighbor-min propagation PLUS a pointer jump
+    * (`label := label(label)`), so label depth halves per round —
+    * convergence in O(log diameter) rounds instead of O(diameter); a
+    * 1000-link chain resolves in ~10 rounds. The final labels frame is
+    * materialized and the loop caches released before returning.
+    */
   def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
     val e = edges.toDF("a", "b")
     // eager localCheckpoint, not cache: iterative algorithms re-optimize
@@ -130,6 +137,11 @@ object GraphOps {
       converged = changed == 0
       it += 1
     }
+    // unconverged labels are only "min seen so far" — per-component minima
+    // have NOT reached everyone, so downstream keep/drop decisions would
+    // double-keep documents; fail loudly instead
+    require(converged,
+      s"connectedComponents did not converge in $maxIters rounds")
     labels
   }
 }

@@ -124,27 +124,10 @@ object RadiusJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     */
   private val FpMargin = 1 + 1e-6
 
-  private def floorCell(coord: Expression, cell: Double, delta: Int): Expression = {
-    val f = Floor(Divide(coord, Literal(cell)))
-    if (delta == 0) f else Add(f, Literal(delta.toLong))
-  }
-
-  private def packedCell(c1: Expression, c2: Expression, cellDeg: Double,
-      d1: Int = 0, d2: Int = 0): Expression =
-    Add(Multiply(floorCell(c1, cellDeg, d1), Literal(Stride)),
-      floorCell(c2, cellDeg, d2))
-
   /** 3D stride: cell indexes are bounded by R/cell < 1e6 (guarded at
     * match time), so |i|·S² + |j|·S + |k| stays well inside Long.
     */
   private val Stride3 = 1L << 21
-
-  private def packed3(x: Expression, y: Expression, z: Expression, cell: Double,
-      dx: Int = 0, dy: Int = 0, dz: Int = 0): Expression =
-    Add(Add(
-      Multiply(floorCell(x, cell, dx), Literal(Stride3 * Stride3)),
-      Multiply(floorCell(y, cell, dy), Literal(Stride3))),
-      floorCell(z, cell, dz))
 
   /** Earth-centered 3D coordinates of a (lat°, lon°) point on the sphere
     * of radius R — the chord-grid axes for the haversine rewrite.
@@ -157,33 +140,41 @@ object RadiusJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       Multiply(Literal(sphereR), Sin(latR)))
   }
 
-  /** A proven radius conjunct, reduced to per-side cell expressions:
-    * each side's single own cell, and its full neighbor fan (9 for the
-    * planar 2D grid, 27 for the spherical 3D chord grid). The explode
-    * side is chosen later from stats.
+  /** One join side's cell expressions, built from its k grid axes:
+    * `own` packs the row's floor indices into a single long key;
+    * `prep` aliases each floor index so the neighbor fan is computed
+    * FROM THE ALIASED ATTRIBUTES in a Project beneath the Generate —
+    * the fan itself is then just literal ±1 adds and stride multiplies.
+    * Embedding the full axis trees into every CreateArray element
+    * instead would re-evaluate the trig/divide work up to 3^k times per
+    * exploded row.
     */
-  private case class CellPlan(ownLeft: Expression, fanLeft: Seq[Expression],
-      ownRight: Expression, fanRight: Seq[Expression])
+  private case class SideCells(own: Expression, prep: Seq[Alias], fan: Seq[Expression])
 
-  private def planarPlan(l1: Expression, r1: Expression,
-      l2: Expression, r2: Expression, cellDeg: Double): CellPlan = {
-    def fan(c1: Expression, c2: Expression) =
-      for (d1 <- -1 to 1; d2 <- -1 to 1) yield packedCell(c1, c2, cellDeg, d1, d2)
-    CellPlan(packedCell(l1, l2, cellDeg), fan(l1, l2),
-      packedCell(r1, r2, cellDeg), fan(r1, r2))
+  private def sideCells(axes: Seq[Expression], strides: Seq[Long], cell: Double): SideCells = {
+    val floors = axes.map(a => Floor(Divide(a, Literal(cell))))
+    val own = floors.zip(strides)
+      .map { case (f, st) => Multiply(f, Literal(st)): Expression }
+      .reduce(Add(_, _))
+    val prep = floors.zipWithIndex.map { case (f, i) => Alias(f, s"${CellName}_ax$i")() }
+    val attrs = prep.map(_.toAttribute)
+    val deltas = axes.indices.foldLeft(Seq(Seq.empty[Long]))((acc, _) =>
+      acc.flatMap(ds => (-1L to 1L).map(d => ds :+ d)))
+    val fan = deltas.map { ds =>
+      attrs.zip(ds).zip(strides).map { case ((a, d), st) =>
+        Multiply(if (d == 0L) a: Expression else Add(a, Literal(d)), Literal(st)): Expression
+      }.reduce(Add(_, _))
+    }
+    SideCells(own, prep, fan)
   }
 
-  private def spherePlan(latL: Expression, lonL: Expression,
-      latR: Expression, lonR: Expression, sphereR: Double, cell: Double): CellPlan = {
-    def cells(lat: Expression, lon: Expression) = {
-      val (x, y, z) = xyz(lat, lon, sphereR)
-      (packed3(x, y, z, cell),
-        for (dx <- -1 to 1; dy <- -1 to 1; dz <- -1 to 1)
-          yield packed3(x, y, z, cell, dx, dy, dz))
-    }
-    val (ol, fl) = cells(latL, lonL)
-    val (or, fr) = cells(latR, lonR)
-    CellPlan(ol, fl, or, fr)
+  private def planarCells(c1: Expression, c2: Expression, cellDeg: Double): SideCells =
+    sideCells(Seq(c1, c2), Seq(Stride, 1L), cellDeg)
+
+  private def sphereCells(lat: Expression, lon: Expression,
+      sphereR: Double, cell: Double): SideCells = {
+    val (x, y, z) = xyz(lat, lon, sphereR)
+    sideCells(Seq(x, y, z), Seq(Stride3 * Stride3, Stride3, 1L), cell)
   }
 
   /** The four coordinate expressions, oriented (left-side, right-side) per
@@ -221,13 +212,14 @@ object RadiusJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case j @ Join(left, right, Inner | Cross, Some(cond), hint)
         if !(left.output ++ right.output).exists(_.name.startsWith(CellName)) =>
       val conjuncts = splitConjunctivePredicates(cond)
-      val hit: Option[CellPlan] = conjuncts.iterator.flatMap {
+      val hit: Option[(SideCells, SideCells)] = conjuncts.iterator.flatMap {
         case RadiusConjunct(a1, b1, a2, b2, k, r) =>
           for {
             (l1, r1) <- orient(left, right, a1, b1)
             (l2, r2) <- orient(left, right, a2, b2)
             if r / k > 0
-          } yield planarPlan(l1, r1, l2, r2, r / k * FpMargin)
+          } yield (planarCells(l1, l2, r / k * FpMargin),
+            planarCells(r1, r2, r / k * FpMargin))
         case HaversineConjunct(lat1, lon1, lat2, lon2, sphereR, r) =>
           // Arc ≤ r ⟺ 3D chord ≤ 2R·sin(r/2R), and a chord bounds every
           // axis delta — so cells of that size with a 3×3×3 fan cover all
@@ -241,33 +233,34 @@ object RadiusJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             (latL, lonL, latR, lonR) <-
               orientPoints(left, right, lat1, lon1, lat2, lon2)
             if r / sphereR < math.Pi && cell > 0 && sphereR / cell < 1e6
-          } yield spherePlan(latL, lonL, latR, lonR, sphereR, cell)
+          } yield (sphereCells(latL, lonL, sphereR, cell),
+            sphereCells(latR, lonR, sphereR, cell))
         case _ => None
       }.take(1).toSeq.headOption
 
       hit match {
         case None => j
-        case Some(cp) =>
+        case Some((cpL, cpR)) =>
           // the neighbor-fan explode goes on the SMALLER side (9–27× a
           // dimension table is noise; the same fan on the fact side wastes
           // an order of magnitude) — the bigger side computes its single
           // own-cell.
           val explodeLeft = left.stats.sizeInBytes < right.stats.sizeInBytes
 
-          def ownCell(p: LogicalPlan, e: Expression) = {
-            val a = Alias(e, CellName + "_l")()
+          def ownCell(p: LogicalPlan, sc: SideCells) = {
+            val a = Alias(sc.own, CellName + "_l")()
             (Project(p.output :+ a, p), a.toAttribute: Expression)
           }
-          def neighborCells(p: LogicalPlan, es: Seq[Expression]) = {
-            val rAttr = AttributeReference(CellName + "_r", LongType, nullable = false)()
-            (Generate(Explode(CreateArray(es)), unrequiredChildIndex = Nil,
+          def neighborCells(p: LogicalPlan, sc: SideCells) = {
+            val rAttr = AttributeReference(CellName + "_r", LongType)()
+            (Generate(Explode(CreateArray(sc.fan)), unrequiredChildIndex = Nil,
               outer = false, qualifier = None, generatorOutput = Seq(rAttr),
-              child = p), rAttr: Expression)
+              child = Project(p.output ++ sc.prep, p)), rAttr: Expression)
           }
 
           val ((newLeft, cellL), (newRight, cellR)) =
-            if (explodeLeft) (neighborCells(left, cp.fanLeft), ownCell(right, cp.ownRight))
-            else (ownCell(left, cp.ownLeft), neighborCells(right, cp.fanRight))
+            if (explodeLeft) (neighborCells(left, cpL), ownCell(right, cpR))
+            else (ownCell(left, cpL), neighborCells(right, cpR))
           val newCond = And(cond, EqualTo(cellL, cellR))
           val newJoin = Join(newLeft, newRight, Inner, Some(newCond), hint)
           Project(j.output, newJoin)

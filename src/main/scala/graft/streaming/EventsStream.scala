@@ -52,10 +52,6 @@ object EventsStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
-  /** Run the windowed agg to completion over the (finite) file source and
-    * return the result as a batch DataFrame — complete mode so final
-    * windows are emitted (append would hold back the watermark tail).
-    */
   /** SLIDING-window per-type aggregation (2h windows every 1h): each event
     * lands in exactly two overlapping windows — the semantics tumbling
     * can't express (a reading contributes to both "22:00–24:00" and
@@ -72,29 +68,31 @@ object EventsStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
-  def runSlidingWindowOnce(spark: SparkSession, dir: String, name: String = "stream_sliding"): DataFrame = {
-    val q = slidingWindowAgg(readEvents(spark, dir))
-      .writeStream
-      .outputMode(OutputMode.Complete)
+  /** Run a (finite-source) streaming frame to completion into a memory
+    * sink and return the sink table — the shared scaffold for every
+    * run*Once entry (AvailableNow processes all available data, including
+    * the no-data state-cleanup batch outer joins need).
+    */
+  private def runToMemory(df: DataFrame, mode: OutputMode, name: String): DataFrame = {
+    val q = df.writeStream
+      .outputMode(mode)
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    df.sparkSession.table(name)
   }
 
-  def runWindowAggOnce(spark: SparkSession, dir: String, name: String = "stream_agg"): DataFrame = {
-    val q = hourlyWindowAgg(readEvents(spark, dir))
-      .writeStream
-      .outputMode(OutputMode.Complete)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
-  }
+  def runSlidingWindowOnce(spark: SparkSession, dir: String, name: String = "stream_sliding"): DataFrame =
+    runToMemory(slidingWindowAgg(readEvents(spark, dir)), OutputMode.Complete, name)
+
+  /** Run the windowed agg to completion over the (finite) file source and
+    * return the result as a batch DataFrame — complete mode so final
+    * windows are emitted (append would hold back the watermark tail).
+    */
+  def runWindowAggOnce(spark: SparkSession, dir: String, name: String = "stream_agg"): DataFrame =
+    runToMemory(hourlyWindowAgg(readEvents(spark, dir)), OutputMode.Complete, name)
 
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
@@ -153,13 +151,6 @@ object EventsStream {
     q.awaitTermination()
   }
 
-  /** Stream-stream inner join with event-time range condition — the
-    * attribution shape (purchases within 60 min after a click by the same
-    * user). Both sides carry watermarks so the state store can evict
-    * clicks older than watermark − 60 min; the time-range bound makes the
-    * join's state finite at unbounded input (the property that matters at
-    * 100 TB/day: state is O(users × window), not O(stream)).
-    */
   /** Click→purchase conversion join over an events frame — shared by the
     * inner (q64) and left-outer (q82) variants. Watermarks on both sides
     * bound the join state: each side keeps only rows younger than the
@@ -182,6 +173,13 @@ object EventsStream {
       col("purchase_ts") <= col("click_ts") + expr("INTERVAL 60 MINUTES"), joinType)
   }
 
+  /** Stream-stream inner join with event-time range condition — the
+    * attribution shape (purchases within 60 min after a click by the same
+    * user). Both sides carry watermarks so the state store can evict
+    * clicks older than watermark − 60 min; the time-range bound makes the
+    * join's state finite at unbounded input (the property that matters at
+    * 100 TB/day: state is O(users × window), not O(stream)).
+    */
   def clickPurchaseJoin(spark: SparkSession, dir: String): DataFrame =
     cpJoin(readEvents(spark, dir), "inner")
 
@@ -203,9 +201,16 @@ object EventsStream {
         org.apache.spark.sql.Row(-2L, tsNs, -1L, "purchase", 0.0, "{}"))
       spark.createDataFrame(rows, eventsSchema)
         .coalesce(1).write.mode("overwrite").parquet(dir)
+      // the rename MUST succeed: readEvents' pathGlobFilter only matches
+      // "events.parquet", and a missing flush file would silently hold the
+      // watermark back — the outer joins would drop every unmatched row
+      // with no local error (only a remote hash mismatch)
       val d = new java.io.File(dir)
-      d.listFiles().filter(_.getName.endsWith(".parquet"))
-        .foreach(f => f.renameTo(new java.io.File(d, "events.parquet")))
+      val part = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      require(part.length == 1, s"expected one flush part file, got ${part.length}")
+      val target = new java.io.File(d, "events.parquet")
+      require(part.head.renameTo(target) && target.isFile,
+        s"failed to rename flush file ${part.head} -> $target")
       flushLanded.set(dir)
     }
     flushLanded.get
@@ -220,15 +225,7 @@ object EventsStream {
   def runStreamLeftJoinOnce(spark: SparkSession, dir: String, name: String = "stream_left_join"): DataFrame = {
     val events = readEvents(spark, dir)
       .unionByName(readEvents(spark, flushPath(spark)))
-    val q = cpJoin(events, "left_outer")
-      .writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    runToMemory(cpJoin(events, "left_outer"), OutputMode.Append, name)
       .filter(col("user_id") >= 0)
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000").as("lag_s"))
@@ -242,15 +239,7 @@ object EventsStream {
   def runStreamFullJoinOnce(spark: SparkSession, dir: String, name: String = "stream_full_join"): DataFrame = {
     val events = readEvents(spark, dir)
       .unionByName(readEvents(spark, flushPath(spark)))
-    val q = cpJoin(events, "full_outer")
-      .writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    runToMemory(cpJoin(events, "full_outer"), OutputMode.Append, name)
       .select(coalesce(col("user_id"), col("p_user_id")).as("user_id"),
         col("click_id"), col("purchase_id"),
         expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000").as("lag_s"))
@@ -261,19 +250,10 @@ object EventsStream {
     * inner join emits exactly the matched pairs; single-file source ⇒ one
     * micro-batch, so no cross-batch eviction on this corpus).
     */
-  def runStreamJoinOnce(spark: SparkSession, dir: String, name: String = "stream_join"): DataFrame = {
-    val q = clickPurchaseJoin(spark, dir)
-      .writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+  def runStreamJoinOnce(spark: SparkSession, dir: String, name: String = "stream_join"): DataFrame =
+    runToMemory(clickPurchaseJoin(spark, dir), OutputMode.Append, name)
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000").as("lag_s"))
-  }
 
   /** Streaming dedup: two copies of the events stream unioned (simulating
     * an at-least-once source replaying the feed), then
@@ -286,18 +266,11 @@ object EventsStream {
   def runStreamDedupOnce(spark: SparkSession, dir: String, name: String = "stream_dedup"): DataFrame = {
     val doubled = readEvents(spark, dir).unionByName(readEvents(spark, dir))
       .dropDuplicates("event_id")
-    val q = doubled
+    runToMemory(doubled
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
-      .writeStream
-      .outputMode(OutputMode.Complete)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value")),
+      OutputMode.Complete, name)
   }
 
   /** Run sessionization over the finite source, return final per-user rows. */
@@ -306,16 +279,8 @@ object EventsStream {
     val evs = readEvents(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[Ev]
-    val q = sessionize(evs)
-      .writeStream
-      .outputMode(OutputMode.Update)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
     // update mode may emit a row per batch per key; keep the final state
-    val df = spark.table(name)
+    val df = runToMemory(sessionize(evs).toDF(), OutputMode.Update, name)
     import org.apache.spark.sql.expressions.Window
     df.withColumn("__rn", row_number().over(
         Window.partitionBy(col("user_id")).orderBy(col("n_events").desc)))

@@ -32,9 +32,10 @@ object WeatherQueries {
   def clear(): Unit = memo.synchronized {
     memo.values.foreach(df => df.unpersist(blocking = false))
     memo.clear()
-    // also drop the landed-set's SparkSession references; re-landing after
-    // a clear() is an idempotent overwrite of the same per-JVM path
-    landed.synchronized(landed.clear())
+    // the landed-set is NOT cleared: the bronze files stay on disk and
+    // stay valid — re-landing would Overwrite them under new part names
+    // while another session's already-analyzed frame still references the
+    // old ones (FileNotFound / silently short scans)
   }
 
   // -- bronze landing for the weather feed ------------------------------
@@ -45,9 +46,13 @@ object WeatherQueries {
   // (native µs ts + event_date partitioning — the reference's BRIN-index
   // analogue, sql/schema.sql:278-292) makes the same filter prune at the
   // reader: WeatherBronzeSpec asserts PushedFilters + PartitionFilters on
-  // the live silver plan. Landed once per (session, corpus); rows are
-  // identical to the raw feed, so q20–q22 hashes are unchanged.
-  private val landed = scala.collection.mutable.Set.empty[(SparkSession, String)]
+  // the live silver plan. Landed once per (JVM, corpus) — keyed by corpus
+  // dir alone, NOT per session: the landing is deterministic per corpus
+  // and every session reads the same files, while a per-session key would
+  // let a second session Overwrite part files a first session's analyzed
+  // frames still reference. Rows are identical to the raw feed, so
+  // q20–q22 hashes are unchanged.
+  private val landed = scala.collection.mutable.Set.empty[String]
 
   // Per-JVM unique landing root: a fixed shared path + Overwrite would let
   // a concurrent JVM (bench and verify on the same corpus) delete files a
@@ -73,7 +78,7 @@ object WeatherQueries {
   private[graft] def bronzeEventsWindowed(s: SparkSession, d: String): DataFrame = {
     val p = bronzePath(d)
     landed.synchronized {
-      if (!landed((s, d))) { Bronze.landEvents(s, d, p); landed += ((s, d)) }
+      if (!landed(d)) { Bronze.landEvents(s, d, p); landed += d }
     }
     Bronze.eventsWindowed(s, p,
       lit(WeatherPipeline.AsOf).cast("timestamp") -

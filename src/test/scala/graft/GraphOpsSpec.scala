@@ -31,7 +31,10 @@ class GraphOpsSpec extends SparkSpec {
           (h * 3 + k % 3, (h + k) % 97 * 3 + k % 3)
         }.filter(p => p._1 != p._2)
       },
-      "star" -> (2L to 50L).map(i => (i, 1L)))
+      "star" -> (2L to 50L).map(i => (i, 1L)),
+      // self-loops: a node whose ONLY edge is (x, x) must still appear,
+      // labeled as itself, in both implementations
+      "self-loops" -> Seq((5L, 5L), (7L, 8L), (8L, 8L)))
     for ((name, pairs) <- shapes) {
       val edges = pairs.toDF("a", "b")
       val lp = GraphOps.connectedComponents(edges)
