@@ -728,6 +728,39 @@ object TextOps {
       |FROM ranked WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q86 — INCREMENTAL exact dedup: admit a new batch (doc_id%10=0 plays
+  // the role of today's crawl) against the already-curated corpus (the
+  // rest) without reprocessing the corpus. Batch-internal dedup keeps the
+  // min doc_id per fingerprint; the cross-corpus check is a left-anti
+  // join against the corpus's fingerprint column. At 100 TB the corpus
+  // side is the persisted fingerprint INDEX (one md5 per kept doc,
+  // bucketed by fp) — the daily batch shuffles only itself plus a
+  // fp-bucketed probe; the corpus is never rescanned, which is the whole
+  // point of running curation incrementally.
+  // ------------------------------------------------------------------
+  def q86IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).withColumn("fp", md5(col("text")))
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0).select(col("fp"))
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    batch.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(corpus, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q86Sql: String =
+    """WITH d AS (SELECT doc_id, md5(text) AS fp FROM documents),
+      |corpus AS (SELECT fp FROM d WHERE doc_id % 10 <> 0),
+      |batch AS (
+      |  SELECT doc_id, fp, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      |  FROM d WHERE doc_id % 10 = 0)
+      |SELECT doc_id, fp FROM batch
+      |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM corpus)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_text_stats"     -> (q40TextStats _),
     "q41_lang_id"        -> (q41LangId _),
@@ -743,6 +776,7 @@ object TextOps {
     "q78_source_mixing"  -> (q78SourceMixing _),
     "q80_pii_redact"     -> (q80PiiRedact _),
     "q85_tfidf"          -> (q85Tfidf _),
+    "q86_incr_dedup"     -> (q86IncrementalDedup _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -760,5 +794,6 @@ object TextOps {
     "q78_source_mixing"  -> q78Sql,
     "q80_pii_redact"     -> q80Sql,
     "q85_tfidf"          -> q85Sql,
+    "q86_incr_dedup"     -> q86Sql,
   )
 }
