@@ -168,6 +168,35 @@ object Extras {
       |  ON a.user_id = b.user_id AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
       |ORDER BY user_id, click_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin
 
+  /** q87: native session windows (30min gap) per user. Oracle:
+    * gaps-and-islands — a new session starts when the µs lag to the
+    * previous event is ≥ the gap (Spark sessions are [start, end) with
+    * end = last_ts + gap, so an event exactly at the boundary opens a new
+    * one). Exact integer µs arithmetic on both engines.
+    */
+  def q87SessionWindows(spark: SparkSession, dir: String): DataFrame =
+    EventsStream.runSessionWindowOnce(spark, dir, s"stream_session_win_${counter.incrementAndGet()}")
+      .orderBy(col("user_id"), col("session_start"))
+
+  val q87Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |m AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |g AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m)
+      |SELECT MIN(ts) AS session_start, user_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM g GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** q73: streaming dedup of a doubled (at-least-once replayed) feed must
     * equal the batch per-type counts of the original — exactly-once
     * delivery recovered from at-least-once input via keyed state.
@@ -193,6 +222,7 @@ object Extras {
     "q82_stream_left_join"    -> (q82StreamLeftJoin _),
     "q83_stream_full_join"    -> (q83StreamFullJoin _),
     "q84_stream_sliding"      -> (q84StreamSliding _),
+    "q87_session_windows"     -> (q87SessionWindows _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -207,5 +237,6 @@ object Extras {
     "q82_stream_left_join"    -> q82Sql,
     "q83_stream_full_join"    -> q83Sql,
     "q84_stream_sliding"      -> q84Sql,
+    "q87_session_windows"     -> q87Sql,
   )
 }

@@ -68,6 +68,28 @@ object EventsStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Native SESSION windows (30min inactivity gap) per user — the third
+    * window kind (tumbling q51, sliding q84): window extent is data-driven
+    * state, not clock arithmetic (`SessionWindowStateStore` merges windows
+    * as events arrive). Append mode + watermark; the flush source closes
+    * every real session so the finite run emits them all. Oracled against
+    * a batch gaps-and-islands construction in exact µs arithmetic.
+    */
+  def sessionWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "168 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+
+  def runSessionWindowOnce(spark: SparkSession, dir: String, name: String = "stream_session_win"): DataFrame = {
+    val events = readEvents(spark, dir)
+      .unionByName(readEvents(spark, flushPath(spark)))
+    runToMemory(sessionWindowAgg(events), OutputMode.Append, name)
+      .filter(col("user_id") >= 0)
+  }
+
   /** Run a (finite-source) streaming frame to completion into a memory
     * sink and return the sink table — the shared scaffold for every
     * run*Once entry (AvailableNow processes all available data, including
