@@ -86,9 +86,14 @@ object Relational {
   // ------------------------------------------------------------------
   // q03 — F1: time-window filter with an explicit asOf instead of NOW()
   // (reference cleaning.py:50-53; determinism per SURVEY §7 risk 1).
+  // Reads through the shared per-JVM bronze landing (168h window ⊇ this
+  // 72h one, same AsOf): the raw feed's ns→µs conversion blocks pushdown,
+  // while the landed µs ts makes this filter a row-group prune plus an
+  // event_date partition prune — the same fix WeatherBronzeSpec pins for
+  // the flagship, applied to the last time-filtered events scan.
   // ------------------------------------------------------------------
   def q03TimeWindow(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+    val ev = graft.weather.WeatherQueries.bronzeEventsWindowed(spark, dir)
     ev.filter(col("ts") >= lit(AsOf).cast("timestamp") - expr("INTERVAL 72 HOURS"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
