@@ -52,11 +52,23 @@ object RadiusJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  /** `sqrt(d1² + d2²) * k <= r` with literal k, r. */
+  /** `dist <= bound` or the strict `dist < bound` — the ≤-cover is sound
+    * for both (a strict predicate only REMOVES pairs from the post-filter,
+    * never adds one outside the cell cover). Yields (dist, bound).
+    */
+  private object RadiusCmp {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case LessThanOrEqual(d, b) => Some((d, b))
+      case LessThan(d, b) => Some((d, b))
+      case _ => None
+    }
+  }
+
+  /** `sqrt(d1² + d2²) * k <= r` (or `<`) with literal k, r. */
   private object RadiusConjunct {
     def unapply(e: Expression): Option[(Expression, Expression, Expression, Expression, Double, Double)] =
       e match {
-        case LessThanOrEqual(
+        case RadiusCmp(
             Multiply(Sqrt(Add(Sq(Subtract(a1, b1, _)), Sq(Subtract(a2, b2, _)), _)), Literal(k: Double, DoubleType), _),
             Literal(r: Double, DoubleType)) if k > 0 && r >= 0 =>
           Some((a1, b1, a2, b2, k, r))
@@ -105,11 +117,11 @@ object RadiusJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  /** `haversine_km(lat1, lon1, lat2, lon2) <= r` with literal r ≥ 0. */
+  /** `haversine_km(lat1, lon1, lat2, lon2) <= r` (or `<`) with literal r ≥ 0. */
   private object HaversineConjunct {
     def unapply(e: Expression): Option[(Expression, Expression, Expression, Expression, Double, Double)] =
       e match {
-        case LessThanOrEqual(HaversineCall(lat1, lon1, lat2, lon2, sphereR),
+        case RadiusCmp(HaversineCall(lat1, lon1, lat2, lon2, sphereR),
             Literal(r: Double, DoubleType)) if r >= 0 =>
           Some((lat1, lon1, lat2, lon2, sphereR, r))
         case _ => None

@@ -118,6 +118,25 @@ class RadiusRewriteSpec extends SparkSpec {
     }
   }
 
+  test("strict < radius predicates are rewritten too, with identical rows") {
+    def strict(s: SparkSession): DataFrame = {
+      val dLat = col("latitude") - col("centroid_lat")
+      val dLon = col("longitude") - col("centroid_lon")
+      WeatherSynth.postalCodes(s, Sf)
+        .crossJoin(WeatherSynth.stations(s, Sf))
+        .filter(sqrt(dLat * dLat + dLon * dLon) * 111.0 < 50.0)
+        .select(col("postal_code"), col("station_id"))
+    }
+    val expected = strict(spark).collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    withExtSession { s =>
+      val plan = strict(s).queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && plan.contains("__graft_cell"), plan)
+      val got = strict(s).collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      assert(got === expected)
+    }
+  }
+
   test("non-radius cross joins are left untouched") {
     withExtSession { s =>
       val plan = WeatherSynth.postalCodes(s, Sf)
