@@ -975,6 +975,36 @@ object Relational {
       |ORDER BY station_id, valid_from""".stripMargin
 
   /** queries + oracles exported to [[graft.SparkEntry]]. */
+  // ------------------------------------------------------------------
+  // q88 — UNPIVOT (melt): the inverse of q74's pivot, completing the
+  // reshaping pair — wide per-flag metric columns back to long
+  // (key, metric, value) rows. Spark's Dataset.unpivot plans as the same
+  // Expand operator the rollup uses: row-local fan-out, no shuffle
+  // beyond the feeding aggregate.
+  // ------------------------------------------------------------------
+  def q88Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.lineitem(spark, dir).groupBy(col("l_returnflag"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
+        sum(dec(col("l_discount"))).cast("double").as("sum_disc"))
+    agg.unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+  }
+
+  val q88Sql: String =
+    """WITH agg AS (
+      |  SELECT l_returnflag,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, metric, value FROM agg
+      |UNPIVOT (value FOR metric IN (sum_qty, sum_price, sum_disc))
+      |ORDER BY l_returnflag, metric""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"  -> (q01PricingSummary _),
     "q02_filter_project"   -> (q02FilterProject _),
@@ -1009,6 +1039,7 @@ object Relational {
     "q75_asof_features"    -> (q75AsofFeatures _),
     "q76_quantize_embeddings" -> (q76QuantizeEmbeddings _),
     "q79_scd2_dimension"   -> (q79Scd2Dimension _),
+    "q88_unpivot"          -> (q88Unpivot _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1045,5 +1076,6 @@ object Relational {
     "q75_asof_features"    -> q75Sql,
     "q76_quantize_embeddings" -> q76Sql,
     "q79_scd2_dimension"   -> q79Sql,
+    "q88_unpivot"          -> q88Sql,
   )
 }
