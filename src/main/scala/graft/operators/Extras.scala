@@ -170,9 +170,11 @@ object Extras {
 
   /** q87: native session windows (30min gap) per user. Oracle:
     * gaps-and-islands — a new session starts when the µs lag to the
-    * previous event is ≥ the gap (Spark sessions are [start, end) with
-    * end = last_ts + gap, so an event exactly at the boundary opens a new
-    * one). Exact integer µs arithmetic on both engines.
+    * previous event is STRICTLY greater than the gap: Spark merges an
+    * event whose start <= current session end (UpdatingSessionsIterator
+    * splits only on start > end), so an event exactly gap-after its
+    * predecessor still merges. Exact integer µs arithmetic on both
+    * engines.
     */
   def q87SessionWindows(spark: SparkSession, dir: String): DataFrame =
     EventsStream.runSessionWindowOnce(spark, dir, s"stream_session_win_${counter.incrementAndGet()}")
@@ -184,7 +186,7 @@ object Extras {
       |m AS (
       |  SELECT user_id, ts,
       |    CASE WHEN LAG(ts) OVER w IS NULL
-      |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+      |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
       |         THEN 1 ELSE 0 END AS new_s
       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
       |g AS (

@@ -757,8 +757,8 @@ object TextOps {
       |batch AS (
       |  SELECT doc_id, fp, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
       |  FROM d WHERE doc_id % 10 = 0)
-      |SELECT doc_id, fp FROM batch
-      |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM corpus)
+      |SELECT doc_id, fp FROM batch b
+      |WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
       |ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -71,9 +71,11 @@ object EventsStream {
   /** Native SESSION windows (30min inactivity gap) per user — the third
     * window kind (tumbling q51, sliding q84): window extent is data-driven
     * state, not clock arithmetic (`SessionWindowStateStore` merges windows
-    * as events arrive). Append mode + watermark; the flush source closes
-    * every real session so the finite run emits them all. Oracled against
-    * a batch gaps-and-islands construction in exact µs arithmetic.
+    * as events arrive; an event starting exactly at the current session
+    * end MERGES — Spark splits only on start > end). Append mode +
+    * watermark; the flush source closes every real session so the finite
+    * run emits them all. Oracled against a batch gaps-and-islands
+    * construction in exact µs arithmetic.
     */
   def sessionWindowAgg(events: DataFrame): DataFrame =
     events

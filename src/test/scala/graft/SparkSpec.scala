@@ -18,26 +18,29 @@ abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSession.spark
   val Sf = "/root/testdata/sf0.001"
 
-  /** Run `f` against a session built with [[graft.GraftExtensions]] (same
-    * SparkContext, its own SessionState), restoring the shared session as
-    * active/default afterwards. The extension session itself stays on the
-    * context for the JVM's lifetime — stopping it would stop the context.
+  /** Run `f` against a freshly-built session (same SparkContext, its own
+    * SessionState) whose builder is shaped by `customize`, restoring the
+    * shared session as active/default afterwards. The new session stays on
+    * the context for the JVM's lifetime — stopping it would stop the
+    * context.
     */
-  def withExtSession[T](f: SparkSession => T): T = {
+  def withCustomSession[T](customize: SparkSession.Builder => SparkSession.Builder)(
+      f: SparkSession => T): T = {
     val base = spark // ensure the shared context exists first
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     try {
-      val ext = SparkSession.builder()
-        .master("local[4]")
-        .config("spark.sql.shuffle.partitions", "4")
-        .config("spark.ui.enabled", "false")
-        .withExtensions(new GraftExtensions)
-        .getOrCreate()
-      f(ext)
+      f(customize(SparkSession.builder().master("local[4]")).getOrCreate())
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)
     }
   }
+
+  /** [[withCustomSession]] with [[graft.GraftExtensions]] injected. */
+  def withExtSession[T](f: SparkSession => T): T =
+    withCustomSession(_
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions))(f)
 }

@@ -28,4 +28,21 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.count() === batch.count())
     assert(joined.count() === 0)
   }
+
+  test("session_window merges an event arriving exactly at the gap boundary") {
+    import spark.implicits._
+    // user 1: second event exactly 30min after the first -> start == current
+    // session end -> MERGES (Spark splits only on start > end); user 2: 1 us
+    // past the boundary -> two sessions. This is the boundary the q87
+    // gaps-and-islands oracle encodes with a strict > on the lag.
+    val df = Seq(
+      (1L, "2024-01-01 12:00:00"), (1L, "2024-01-01 12:30:00"),
+      (2L, "2024-01-01 12:00:00"), (2L, "2024-01-01 12:30:00.000001"))
+      .toDF("user_id", "s").withColumn("ts", col("s").cast("timestamp"))
+    val out = df.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.filter(_._1 == 1L).map(_._2).toSeq === Seq(2L), out.mkString(","))
+    assert(out.filter(_._1 == 2L).map(_._2).sorted.toSeq === Seq(1L, 1L), out.mkString(","))
+  }
 }
