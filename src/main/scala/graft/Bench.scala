@@ -13,11 +13,24 @@ object Bench {
     // warm up codegen/session machinery outside the timings
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+    // builder-side convenience (driver leaves it unset → full suite):
+    // SPARK_GRAFT_ONLY="q78,q46" restricts to those query prefixes;
+    // SPARK_GRAFT_REPS=2 times each query that many times (last rep wins,
+    // separating first-build memoization cost from steady-state).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only.exists(name.startsWith) }
+      .map { case (name, fn) =>
+        var last = 0.0
+        for (_ <- 1 to reps) {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          last = (System.nanoTime() - t0) / 1e9
+        }
+        name -> last
+      }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

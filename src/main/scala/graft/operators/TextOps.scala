@@ -352,13 +352,26 @@ object TextOps {
     val toks = withToks(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(col("toks")).as("tok"))
       .withColumn("h", md5(col("tok")))
-    val sumCols = (0 until SimBits).map(b =>
-      sum(when(expr(s"instr('89abcdef', substring(h, ${b + 1}, 1))") > 0, 1)
-        .otherwise(-1)).as(s"s$b"))
-    val sums = toks.groupBy(col("doc_id")).agg(sumCols.head, sumCols.tail: _*)
+    // Fold the 32 per-bit string probes into integer bit arithmetic: parse
+    // the 32 hex chars once into 4×32-bit chunks, pack each char's
+    // top-nibble bit ('8'..'f' ⟺ nibble ≥ 8) into one 32-bit mask in the
+    // projection, then aggregate shift-and-mask bit sums on that long.
+    // Same fingerprint — sum(±1) ≥ 0 ⟺ 2·ones ≥ n — but the aggregate
+    // update path is pure long ops in codegen, no per-row substring/instr.
+    val chunks = (0 until 4).map(j =>
+      conv(substring(col("h"), 8 * j + 1, 8), 16, 10).cast("long"))
+    val mask = (0 until SimBits).map { b =>
+      val j = b / 8; val i = b % 8 // hex char b+1 = nibble (7-i) of chunk j
+      shiftleft(shiftright(chunks(j), 4 * (7 - i) + 3).bitwiseAND(lit(1L)), b)
+    }.reduce(_ + _) // disjoint bit positions — sum == bitwise OR
+    val masked = toks.select(col("doc_id"), mask.as("m"))
+    val aggCols = count(lit(1)).as("n") +: (0 until SimBits).map(b =>
+      sum(shiftright(col("m"), b).bitwiseAND(lit(1L))).as(s"o$b"))
+    val sums = masked.groupBy(col("doc_id")).agg(aggCols.head, aggCols.tail: _*)
     val fp = sums.select(col("doc_id"),
       (0 until SimBits).map(b =>
-        when(col(s"s$b") >= 0, lit(1L) * math.pow(2, b).toLong).otherwise(0L))
+        when(col(s"o$b") * 2 >= col("n"), lit(math.pow(2, b).toLong))
+          .otherwise(0L))
         .reduce(_ + _).as("fingerprint")).cache()
     // leave-one-out band keys: drop band e, concat the remaining three
     def bandKey(e: Int): Column =

@@ -50,7 +50,10 @@ object VectorOps {
   // ------------------------------------------------------------------
   // q47 — embedding-cosine near-dup: brute-force pairs at cos ≥ 0.4
   // (the corpus has no planted near-identical vectors; 0.4 captures the
-  // intra-cluster tail).
+  // intra-cluster tail). All-pairs BY DESIGN — this is the correctness
+  // baseline the approximate paths are measured against; q89 is the
+  // LSH-bucketed scale path for the same contract, with its pair recall
+  // vs this truth gated in q81/AnnRecallSpec.
   // ------------------------------------------------------------------
   def q47EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
     val a = vecs(spark, dir, "a_")
@@ -153,16 +156,21 @@ object VectorOps {
     bits.mkString(" + ")
   }
 
-  def q49AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** One row per (vector, table) with that table's bucket — the inverted
+    * index; at scale this is the partition key of the index table.
+    */
+  private def lshIndex(spark: SparkSession, dir: String): DataFrame = {
     VectorExpressions.register(spark)
     val bucketCols = (0 until LshTables).map(t => bucketExprSpark(t))
-    // one row per (vector, table) with that table's bucket — the inverted
-    // index; at scale this is the partition key of the index table
-    val exploded = Tables.embeddings(spark, dir)
+    Tables.embeddings(spark, dir)
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm", sqrt(VectorExpressions.dot(col("v"), col("v"))))
       .select(col("vec_id"), col("v"), col("nrm"),
         posexplode(array(bucketCols: _*)).as(Seq("t", "bucket")))
+  }
+
+  def q49AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val exploded = lshIndex(spark, dir)
     // multi-probe: the query side additionally fans out to every bucket at
     // hamming distance 1 (own bucket + B single-bit flips per table)
     val probeCols = Seq(col("bucket")) ++
@@ -318,6 +326,57 @@ object VectorOps {
        |ORDER BY q_id, rank""".stripMargin
 
   // ------------------------------------------------------------------
+  // q89 — LSH-bucketed embedding near-dup: the scale path for q47. Same
+  // contract (pairs at cos ≥ 0.4) but candidates come from the q49 LSH
+  // index instead of the all-pairs product: one side of the pair fans to
+  // its own bucket plus the B hamming-1 flips per table (9 keys/row ×
+  // L tables), the other side stays at L index rows, and the join is
+  // equi on (t, bucket) — a shuffle-by-bucket whose per-key size is
+  // ~N/2^B per table (raise B with N). Multi-probe is what makes recall
+  // usable at the corpus's moderate similarities (cos 0.4–0.6): a pair is
+  // caught when any table's buckets differ by ≤ 1 bit. Exact-cosine
+  // verify + DISTINCT dedups multi-table collisions. Recall vs the q47
+  // truth is measured and gated in q81/AnnRecallSpec — approximation is a
+  // measured contract, not an assumption.
+  // ------------------------------------------------------------------
+  def q89NeardupLsh(spark: SparkSession, dir: String): DataFrame = {
+    val idx = lshIndex(spark, dir)
+    val probeCols = Seq(col("bucket")) ++
+      (0 until LshBits).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
+    val a = idx.select(col("vec_id").as("a_id"), col("v").as("a_v"),
+      col("nrm").as("a_nrm"), col("t"),
+      explode(array(probeCols: _*)).as("bucket"))
+    val b = idx.select(col("vec_id").as("b_id"), col("v").as("b_v"),
+      col("nrm").as("b_nrm"), col("t"), col("bucket"))
+    a.join(b, Seq("t", "bucket")).filter(col("a_id") < col("b_id"))
+      .withColumn("sim", cosine("a_v", "b_v", "a_nrm", "b_nrm"))
+      .filter(col("sim") >= 0.4)
+      .select(col("a_id"), col("b_id"), roundSafe6(col("sim")).as("sim6"))
+      .distinct()
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val q89Sql: String = {
+    val tables = (0 until LshTables).map { t =>
+      s"SELECT vec_id, v, nrm, $t AS t, ${bucketExprSqlDuck(t)} AS bucket FROM v"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $SqlVecs,
+       |bucketed AS (
+       |  $tables),
+       |probes AS (
+       |  SELECT vec_id, v, nrm, t,
+       |    unnest(list_concat([bucket], list_transform(generate_series(0, ${LshBits - 1}),
+       |      j -> xor(bucket, CAST(1 << j AS BIGINT))))) AS bucket
+       |  FROM bucketed)
+       |SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
+       |  round((list_dot_product(a.v, b.v)/(a.nrm*b.nrm))*1e6)/1e6 + 0.0 AS sim6
+       |FROM probes a JOIN bucketed b ON a.t = b.t AND a.bucket = b.bucket
+       |  AND a.vec_id < b.vec_id
+       |WHERE list_dot_product(a.v, b.v)/(a.nrm*b.nrm) >= 0.4
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // q81 — ANN quality contract: recall@k of the two approximate indexes
   // against the brute-force truth (q48). Hash-determinism alone would let
   // an index with recall 0.2 pass the gate; this measures it. recall@k =
@@ -338,8 +397,19 @@ object VectorOps {
           (col("n") * k).as("possible"),
           (round(col("hits").cast("double") / (col("n") * k) * 1e4, 0) / 1e4 + 0.0)
             .as("recall4"))
+    // pair recall of the LSH near-dup path vs the brute-force q47 truth:
+    // same (method, hits, possible, recall4) shape, possible = |truth|
+    val truthPairs = q47EmbeddingNeardup(spark, dir).select(col("a_id"), col("b_id"))
+    val neardup = q89NeardupLsh(spark, dir).select(col("a_id"), col("b_id"))
+      .join(truthPairs, Seq("a_id", "b_id"))
+      .agg(count(lit(1)).as("hits"))
+      .crossJoin(truthPairs.agg(count(lit(1)).as("possible")))
+      .select(lit("neardup").as("method"), col("hits"), col("possible"),
+        (round(col("hits").cast("double") / col("possible") * 1e4, 0) / 1e4 + 0.0)
+          .as("recall4"))
     recallOf(q57AnnIvf(spark, dir), 5, "ivf")
       .union(recallOf(q49AnnLsh(spark, dir), 3, "lsh"))
+      .union(neardup)
       .orderBy(col("method"))
   }
 
@@ -347,14 +417,21 @@ object VectorOps {
     s"""WITH truth AS (SELECT q_id, b_id, rank FROM ($q48Sql)),
        |lsh AS (SELECT q_id, b_id FROM ($q49Sql)),
        |ivf AS (SELECT q_id, b_id FROM ($q57Sql)),
+       |truthp AS (SELECT a_id, b_id FROM ($q47Sql)),
+       |nd AS (SELECT a_id, b_id FROM ($q89Sql)),
        |nq AS (SELECT COUNT(DISTINCT q_id) AS n FROM truth),
+       |np AS (SELECT COUNT(*) AS possible FROM truthp),
        |lh AS (SELECT COUNT(*) AS hits FROM lsh JOIN truth USING (q_id, b_id) WHERE rank <= 3),
-       |ih AS (SELECT COUNT(*) AS hits FROM ivf JOIN truth USING (q_id, b_id) WHERE rank <= 5)
+       |ih AS (SELECT COUNT(*) AS hits FROM ivf JOIN truth USING (q_id, b_id) WHERE rank <= 5),
+       |nh AS (SELECT COUNT(*) AS hits FROM nd JOIN truthp USING (a_id, b_id))
        |SELECT * FROM (
        |  SELECT 'ivf' AS method, hits, n * 5 AS possible,
        |    round(CAST(hits AS DOUBLE)/(n*5)*1e4)/1e4 + 0.0 AS recall4 FROM ih, nq
        |  UNION ALL
-       |  SELECT 'lsh', hits, n * 3, round(CAST(hits AS DOUBLE)/(n*3)*1e4)/1e4 + 0.0 FROM lh, nq)
+       |  SELECT 'lsh', hits, n * 3, round(CAST(hits AS DOUBLE)/(n*3)*1e4)/1e4 + 0.0 FROM lh, nq
+       |  UNION ALL
+       |  SELECT 'neardup', hits, possible,
+       |    round(CAST(hits AS DOUBLE)/possible*1e4)/1e4 + 0.0 FROM nh, np)
        |ORDER BY method""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -364,6 +441,7 @@ object VectorOps {
     "q50_knn_classify"      -> (q50KnnClassify _),
     "q57_ann_ivf"           -> (q57AnnIvf _),
     "q81_ann_recall"        -> (q81AnnRecall _),
+    "q89_neardup_lsh"       -> (q89NeardupLsh _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -373,5 +451,6 @@ object VectorOps {
     "q50_knn_classify"      -> q50Sql,
     "q57_ann_ivf"           -> q57Sql,
     "q81_ann_recall"        -> q81Sql,
+    "q89_neardup_lsh"       -> q89Sql,
   )
 }
