@@ -36,6 +36,9 @@ object ScaleUp {
       .master("local[16]")
       .config("spark.sql.shuffle.partitions", 16)
       .config("spark.sql.session.timeZone", "UTC")
+      // events.ts is TIMESTAMP(NANOS): read as long; the replica keeps it
+      // as plain INT64 nanos, which Tables.events handles identically
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

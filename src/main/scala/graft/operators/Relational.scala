@@ -1005,6 +1005,69 @@ object Relational {
       |UNPIVOT (value FOR metric IN (sum_qty, sum_price, sum_disc))
       |ORDER BY l_returnflag, metric""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q90 — CUBE with GROUPING flags (completes the grouping-sets family
+  // next to q61's ROLLUP): all four aggregation levels in one Expand
+  // pass, with grouping() markers so subtotal rows are distinguishable
+  // from genuine NULL keys — the robust pattern even though these
+  // columns happen to be non-null. Same physical shape as rollup: Expand
+  // fans each row to its grouping sets, one partial→final aggregate
+  // exchange, no extra shuffle.
+  // ------------------------------------------------------------------
+  def q90Cube(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"))
+      .orderBy(col("g_flag"), col("g_status"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  val q90Sql: String =
+    """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS INT) AS g_status
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY g_flag, g_status,
+      |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q91 — tie-aware ranking family (dense_rank / percent_rank /
+  // cume_dist; q36 already covers frames, lead, ntile). Only tie-aware
+  // functions appear — their outputs depend on the ORDER BY *values*,
+  // never on physical row order within a tie, so results are
+  // deterministic under any partitioning. percent_rank/cume_dist are
+  // single divisions of exact small ints — IEEE-identical cross-engine
+  // unrounded (the q40-ratio rule). row_number over the same ties would
+  // be nondeterministic and is deliberately absent.
+  // ------------------------------------------------------------------
+  def q91RankFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"))
+    Tables.customer(spark, dir)
+      .withColumn("bal_dense_rank", dense_rank().over(w))
+      .withColumn("bal_percent_rank", percent_rank().over(w))
+      .withColumn("bal_cume_dist", cume_dist().over(w))
+      .filter(col("c_custkey") % 100 === 0)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        col("bal_dense_rank").cast("long").as("bal_dense_rank"),
+        col("bal_percent_rank"), col("bal_cume_dist"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q91Sql: String =
+    """SELECT c_custkey, c_mktsegment, c_acctbal,
+      |  CAST(DENSE_RANK() OVER w AS BIGINT) AS bal_dense_rank,
+      |  PERCENT_RANK() OVER w AS bal_percent_rank,
+      |  CUME_DIST() OVER w AS bal_cume_dist
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+      |QUALIFY c_custkey % 100 = 0
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"  -> (q01PricingSummary _),
     "q02_filter_project"   -> (q02FilterProject _),
@@ -1040,6 +1103,8 @@ object Relational {
     "q76_quantize_embeddings" -> (q76QuantizeEmbeddings _),
     "q79_scd2_dimension"   -> (q79Scd2Dimension _),
     "q88_unpivot"          -> (q88Unpivot _),
+    "q90_cube"             -> (q90Cube _),
+    "q91_rank_functions"   -> (q91RankFunctions _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1077,5 +1142,7 @@ object Relational {
     "q76_quantize_embeddings" -> q76Sql,
     "q79_scd2_dimension"   -> q79Sql,
     "q88_unpivot"          -> q88Sql,
+    "q90_cube"             -> q90Sql,
+    "q91_rank_functions"   -> q91Sql,
   )
 }
