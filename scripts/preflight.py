@@ -41,7 +41,19 @@ def main():
     con = duckdb.connect()
     for name in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
         t = os.path.basename(name)[:-8]
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{name}')")
+        # directory-shaped tables (e.g. the ScaleUp sf1 replica) need a glob
+        src = f"{name}/*.parquet" if os.path.isdir(name) else name
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+        if t == "events":
+            # the ScaleUp replica stores ts as plain INT64 nanos (Spark
+            # cannot write TIMESTAMP_NS); normalize to the same µs-floored
+            # timestamp Tables.events produces so oracles are scale-agnostic
+            (ts_type,) = [r[1] for r in con.execute(f"DESCRIBE {t}").fetchall()
+                          if r[0] == "ts"]
+            if ts_type == "BIGINT":
+                con.execute(f"""CREATE OR REPLACE VIEW {t} AS
+                    SELECT * REPLACE (make_timestamp(ts // 1000) AS ts)
+                    FROM read_parquet('{src}')""")
     n_pass = n_fail = 0
     for qname in sorted(oracles):
         if only and qname not in only:

@@ -212,6 +212,23 @@ object Extras {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q92: stream-static enrichment — events stream broadcast-joined to the
+    * customer dim per micro-batch (stateless join, no watermark bookkeeping
+    * on the dim side), then hourly windows per market segment. Oracle: the
+    * identical batch join + hour-truncated rollup.
+    */
+  def q92StreamEnrich(spark: SparkSession, dir: String): DataFrame =
+    EventsStream.runStreamEnrichOnce(spark, dir, s"stream_enrich_${counter.incrementAndGet()}")
+      .orderBy(col("window_start"), col("c_mktsegment"))
+
+  val q92Sql: String =
+    """SELECT date_trunc('hour', e.ts) AS window_start, c.c_mktsegment,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1, 2
+      |ORDER BY window_start, c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_stream_window"       -> (q51StreamWindow _),
     "q52_multimodal_meta"     -> (q52MultimodalMeta _),
@@ -225,6 +242,7 @@ object Extras {
     "q83_stream_full_join"    -> (q83StreamFullJoin _),
     "q84_stream_sliding"      -> (q84StreamSliding _),
     "q87_session_windows"     -> (q87SessionWindows _),
+    "q92_stream_enrich"       -> (q92StreamEnrich _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -240,5 +258,6 @@ object Extras {
     "q83_stream_full_join"    -> q83Sql,
     "q84_stream_sliding"      -> q84Sql,
     "q87_session_windows"     -> q87Sql,
+    "q92_stream_enrich"       -> q92Sql,
   )
 }

@@ -29,14 +29,21 @@ object EventsStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming source over the events table. */
+  /** Streaming source over the events table. Handles both corpus layouts:
+    * the driver's single `events.parquet` file (glob-filtered out of the
+    * table directory) and a directory-shaped `events.parquet/part-*.parquet`
+    * (e.g. the ScaleUp sf1 replica) — the glob filter would match zero part
+    * FILES in the latter and silently stream nothing.
+    */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet") // file source wants a dir
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // exact: see Tables.events
+    val reader = spark.readStream.schema(eventsSchema)
+    val src =
+      if (new java.io.File(s"$dir/events.parquet").isDirectory)
+        reader.parquet(s"$dir/events.parquet")
+      else
+        reader.option("pathGlobFilter", "events.parquet").parquet(dir)
+    src.withColumn("ts", timestamp_micros(expr("ts div 1000"))) // exact: see Tables.events
   }
 
   /** Hourly tumbling-window per-type aggregation (the streaming face of
@@ -110,6 +117,32 @@ object EventsStream {
 
   def runSlidingWindowOnce(spark: SparkSession, dir: String, name: String = "stream_sliding"): DataFrame =
     runToMemory(slidingWindowAgg(readEvents(spark, dir)), OutputMode.Complete, name)
+
+  /** Stream-STATIC enrichment: the events stream joined to a batch
+    * dimension (user → market segment), then window-aggregated per
+    * segment — the most common production streaming shape (enrich every
+    * event against a slowly-changing dim before aggregating). The join is
+    * stateless: each micro-batch broadcast-hash-joins against the dim as
+    * of that batch (re-resolved per batch — a dim update is picked up at
+    * the next trigger), so unlike stream-stream joins it holds no join
+    * state at all; only the downstream windowed agg keeps state.
+    */
+  def enrichedWindowAgg(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "168 hours")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("c_mktsegment"),
+        col("n"), col("sum_value"))
+
+  def runStreamEnrichOnce(spark: SparkSession, dir: String, name: String = "stream_enrich"): DataFrame = {
+    val dim = graft.sources.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    runToMemory(enrichedWindowAgg(readEvents(spark, dir), dim),
+      OutputMode.Complete, name)
+  }
 
   /** Run the windowed agg to completion over the (finite) file source and
     * return the result as a batch DataFrame — complete mode so final

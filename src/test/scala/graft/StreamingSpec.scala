@@ -18,6 +18,19 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("stream-static enrichment equals the batch join + rollup") {
+    val streamed = EventsStream.runStreamEnrichOnce(spark, Sf, "t_stream_enrich")
+    val dim = Tables.customer(spark, Sf).select(col("c_custkey"), col("c_mktsegment"))
+    val batch = Tables.events(spark, Sf)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("sessionize final state matches per-user batch counts") {
     val sessions = EventsStream.runSessionizeOnce(spark, Sf, "t_stream_sessions")
     val batch = Tables.events(spark, Sf).groupBy(col("user_id"))
