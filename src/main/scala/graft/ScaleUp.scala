@@ -44,6 +44,19 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
 
     def src(t: String): DataFrame = spark.read.parquet(s"$srcDir/$t.parquet")
+    // the +r*STRIDE offset is collision-free only while every source key
+    // fits under one stride; a silent overflow would alias keys ACROSS
+    // replicas and corrupt the join selectivities this corpus exists to
+    // measure — so check loudly, per keyed table, before writing anything
+    def assertKeysUnderStride(t: String, keyCols: Seq[String]): Unit = {
+      val maxCols = keyCols.map(c => max(col(c).cast("long")))
+      val maxes = src(t).agg(maxCols.head, maxCols.tail: _*).collect()(0)
+      keyCols.zipWithIndex.foreach { case (c, i) =>
+        val m = maxes.getLong(i)
+        require(m < Stride,
+          s"$t.$c max $m >= stride $Stride: replica keys would collide")
+      }
+    }
     // one scan fanned out `factor`× — no shuffle, writers parallelize
     def fan(t: String): DataFrame =
       src(t).crossJoin(broadcast(spark.range(factor).toDF("__r")))
@@ -54,6 +67,14 @@ object ScaleUp {
       df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
       println(s"[scaleup] $t: ${spark.read.parquet(s"$outDir/$t.parquet").count()} rows")
     }
+
+    Seq(
+      "customer" -> Seq("c_custkey"), "supplier" -> Seq("s_suppkey"),
+      "part" -> Seq("p_partkey"), "orders" -> Seq("o_orderkey", "o_custkey"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      "events" -> Seq("event_id", "user_id"),
+      "documents" -> Seq("doc_id"), "embeddings" -> Seq("vec_id")
+    ).foreach { case (t, ks) => assertKeysUnderStride(t, ks) }
 
     write(src("region"), "region")
     write(src("nation"), "nation")

@@ -158,13 +158,19 @@ object Relational {
       |ORDER BY source""".stripMargin
 
   // ------------------------------------------------------------------
-  // q06 — J1: small-dimension equi join, broadcast side explicit
-  // (reference aggregation.py:68 — stations table is tiny).
+  // q06 — J1: small-dimension equi join (reference aggregation.py:68 —
+  // stations table is tiny). NO explicit broadcast hint: supplier GROWS
+  // with SF, so the hint that is harmless here would force an OOM-sized
+  // broadcast at 100×. The optimizer broadcasts from parquet size stats
+  // while supplier fits the threshold and degrades to a sort-merge join
+  // once it doesn't — RegimeSpec proves both regimes produce this exact
+  // result. (Hard hints are reserved for dims whose size is bounded BY
+  // CONSTRUCTION, e.g. nation = 25 rows forever in q35.)
   // ------------------------------------------------------------------
   def q06BroadcastJoin(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val sup = Tables.supplier(spark, dir)
-    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+    li.join(sup, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(
         count(lit(1)).as("n_items"),

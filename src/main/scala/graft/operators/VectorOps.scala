@@ -386,7 +386,11 @@ object VectorOps {
   // the floor each index must clear.
   // ------------------------------------------------------------------
   def q81AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    // both truth frames are referenced 2-3× below (per-method hit joins +
+    // the denominator counts); localCheckpoint materializes each O(N²)
+    // scan ONCE instead of recomputing it per reference
     val truth = q48KnnCosine(spark, dir).select(col("q_id"), col("b_id"), col("rank"))
+      .localCheckpoint()
     val n = truth.agg(countDistinct(col("q_id")).as("n"))
     def recallOf(method: DataFrame, k: Int, name: String): DataFrame =
       method.select(col("q_id"), col("b_id"))
@@ -400,6 +404,7 @@ object VectorOps {
     // pair recall of the LSH near-dup path vs the brute-force q47 truth:
     // same (method, hits, possible, recall4) shape, possible = |truth|
     val truthPairs = q47EmbeddingNeardup(spark, dir).select(col("a_id"), col("b_id"))
+      .localCheckpoint()
     val neardup = q89NeardupLsh(spark, dir).select(col("a_id"), col("b_id"))
       .join(truthPairs, Seq("a_id", "b_id"))
       .agg(count(lit(1)).as("hits"))

@@ -35,11 +35,22 @@ object EventsStream {
     * (e.g. the ScaleUp sf1 replica) — the glob filter would match zero part
     * FILES in the latter and silently stream nothing.
     */
+  /** Directory check through the path's OWN FileSystem (Hadoop conf), not
+    * java.io.File — a java.io check is always false for HDFS/S3 paths and
+    * would silently fall into the glob branch, streaming zero rows for a
+    * directory-shaped table.
+    */
+  private def isDirectory(spark: SparkSession, p: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(path) && fs.getFileStatus(path).isDirectory
+  }
+
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val reader = spark.readStream.schema(eventsSchema)
     val src =
-      if (new java.io.File(s"$dir/events.parquet").isDirectory)
+      if (isDirectory(spark, s"$dir/events.parquet"))
         reader.parquet(s"$dir/events.parquet")
       else
         reader.option("pathGlobFilter", "events.parquet").parquet(dir)

@@ -391,7 +391,12 @@ object WeatherPipeline {
     val dLon = col("longitude") - col("centroid_lon")
     stations
       .withColumn("cell", GeoFunctions.gridCell(col("latitude"), col("longitude"), cellDeg))
-      .join(broadcast(probe), "cell")
+      // no broadcast hint: the join is equi on `cell`, so when the probe
+      // side outgrows the threshold the optimizer falls back to a plain
+      // shuffle on `cell` (SMJ/SHJ) — never a nested loop. The hint that
+      // made the 225-row case explicit would instead force the broadcast
+      // at ANY probe size; RegimeSpec pins the no-broadcast plan shape.
+      .join(probe, "cell")
       .withColumn("distance_km", sqrt(dLat * dLat + dLon * dLon) * 111.0)
       .filter(col("distance_km") <= radiusKm)
       .select(col("postal_code"), col("station_id"),

@@ -13,17 +13,14 @@ import graft.operators.VectorOps
   */
 class AnnRecallSpec extends SparkSpec {
 
-  test("IVF (nprobe=2) recall@5 ≥ 0.6 and multiprobe LSH recall@3 ≥ 0.5") {
+  test("IVF recall@5 ≥ 0.6, multiprobe LSH recall@3 ≥ 0.5, near-dup pair recall ≥ 0.5") {
+    // one q81 run covers all three floors — the pipeline recomputes two
+    // brute-force truth scans, so don't run it once per assertion
     val rows = VectorOps.q81AnnRecall(spark, Sf).collect()
       .map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(rows.keySet === Set("ivf", "lsh", "neardup"), rows)
     assert(rows("ivf") >= 0.6, s"IVF recall@5 degraded: ${rows("ivf")}")
     assert(rows("lsh") >= 0.5, s"LSH recall@3 degraded: ${rows("lsh")}")
-  }
-
-  test("LSH near-dup pair recall vs the brute-force q47 truth ≥ 0.5") {
-    val rows = VectorOps.q81AnnRecall(spark, Sf).collect()
-      .map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(rows("neardup") >= 0.5, s"near-dup pair recall degraded: ${rows("neardup")}")
   }
 }
