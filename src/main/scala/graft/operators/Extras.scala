@@ -229,6 +229,18 @@ object Extras {
       |GROUP BY 1, 2
       |ORDER BY window_start, c_mktsegment""".stripMargin
 
+  /** q93: checkpoint-restart recovery — the corpus streamed in two
+    * tranches across separate checkpointed runs plus a no-op retry (see
+    * EventsStream.runStreamRecoveryOnce). The final merged gold must equal
+    * the batch hourly rollup over the WHOLE corpus (same oracle as q51):
+    * restart boundaries are invisible exactly when the source log skips
+    * processed files, the state store resumes, and the merge is
+    * idempotent — the reference's retries + ON CONFLICT contract.
+    */
+  def q93StreamRecovery(spark: SparkSession, dir: String): DataFrame =
+    EventsStream.runStreamRecoveryOnce(spark, dir)
+      .orderBy(col("window_start"), col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_stream_window"       -> (q51StreamWindow _),
     "q52_multimodal_meta"     -> (q52MultimodalMeta _),
@@ -243,6 +255,7 @@ object Extras {
     "q84_stream_sliding"      -> (q84StreamSliding _),
     "q87_session_windows"     -> (q87SessionWindows _),
     "q92_stream_enrich"       -> (q92StreamEnrich _),
+    "q93_stream_recovery"     -> (q93StreamRecovery _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -259,5 +272,6 @@ object Extras {
     "q84_stream_sliding"      -> q84Sql,
     "q87_session_windows"     -> q87Sql,
     "q92_stream_enrich"       -> q92Sql,
+    "q93_stream_recovery"     -> q51Sql, // same contract: batch hourly rollup
   )
 }

@@ -114,54 +114,76 @@ object VectorOps {
   // exact-cosine verify; top-3. Parameters picked by a measured sweep:
   // a single 8-bit table scored recall 0 on the q81 contract; B=8/L=6/
   // probe≤1 scores ~0.63 at a 24% candidate fraction on this corpus
-  // (moderately-similar neighbors are sign-LSH's hard case; at larger N
-  // raise B to keep bucket ≈ N/2^B bounded). Hyperplane signs derive
-  // from md5 high-nibbles of "t|j|i" (identical constants in both
-  // engines, no RNG).
+  // (moderately-similar neighbors are sign-LSH's hard case). B is NOT
+  // fixed: [[lshBitsFor]] grows it with log N so buckets stay ≈
+  // TargetBucket as the corpus scales (the PLANS §sf1 rule, now code).
+  // Hyperplane signs derive from md5 high-nibbles of "t|j|i" (identical
+  // constants in both engines, no RNG).
   // ------------------------------------------------------------------
   private val LshTables = 6
-  private val LshBits = 8
+  /** Floor (and every-test-scale value) of the B(N) rule. */
+  val DefaultLshBits = 8
+  /** Per-table bucket-size target the B(N) rule holds: bucket ≈ N/2^B. */
+  private val TargetBucket = 32
   private val Dim = 64
+
+  /** B(N) = max(8, ⌈log2(N / TargetBucket)⌉) — the rule PLANS §sf1
+    * measured (fixed B=8 left q89 at 1.5× of brute at 10× data because
+    * buckets grew linearly with N) made executable: the bit width grows
+    * with log N so per-table buckets stay ≈TargetBucket and the
+    * (t, bucket) equi-join's per-key work is flat as the corpus scales.
+    * N=500→8 (floor), 50k→11, 100M→22. Every verify/bench corpus
+    * (500–5,000 vectors) resolves to the floor, which is what lets the
+    * static DuckDB oracles pin B=8; AnnRecallSpec asserts that resolution
+    * and gates recall at both the rule's value and an oversharded one.
+    */
+  def lshBitsFor(n: Long): Int =
+    math.max(DefaultLshBits,
+      math.ceil(math.log(math.max(1.0, n.toDouble / TargetBucket)) / math.log(2.0)).toInt)
 
   /** ±1 hyperplane signs: table t, plane j, component i = high bit of the
     * first md5 nibble of "t|j|i" — MessageDigest here, inline md5() in
-    * the DuckDB oracle.
+    * the DuckDB oracle. The seed string does not involve B, so the B=12
+    * planes extend the B=8 planes (prefix property: changing B re-shards
+    * buckets without re-drawing the geometry).
     */
-  private lazy val planes: IndexedSeq[IndexedSeq[Seq[Double]]] = {
-    val mdt = java.security.MessageDigest.getInstance("MD5")
-    (0 until LshTables).map { t =>
-      (0 until LshBits).map { j =>
-        (0 until Dim).map { i =>
-          val h = mdt.digest(s"$t|$j|$i".getBytes("UTF-8"))
-          if (((h(0) >> 4) & 0xF) >= 8) 1.0 else -1.0
+  private val planesCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, IndexedSeq[IndexedSeq[Seq[Double]]]]()
+  private def planes(bits: Int): IndexedSeq[IndexedSeq[Seq[Double]]] =
+    planesCache.computeIfAbsent(bits, { b =>
+      val mdt = java.security.MessageDigest.getInstance("MD5")
+      (0 until LshTables).map { t =>
+        (0 until b).map { j =>
+          (0 until Dim).map { i =>
+            val h = mdt.digest(s"$t|$j|$i".getBytes("UTF-8"))
+            if (((h(0) >> 4) & 0xF) >= 8) 1.0 else -1.0
+          }
         }
       }
-    }
-  }
+    })
 
-  private def bucketExprSpark(t: Int): Column = {
-    val bits = (0 until LshBits).map { j =>
-      when(VectorExpressions.dot(col("v"), typedLit(planes(t)(j))) >= 0,
+  private def bucketExprSpark(t: Int, bits: Int): Column =
+    (0 until bits).map { j =>
+      when(VectorExpressions.dot(col("v"), typedLit(planes(bits)(t)(j))) >= 0,
         lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+    }.reduce(_ + _)
 
-  private def bucketExprSqlDuck(t: Int): String = {
-    val bits = (0 until LshBits).map { j =>
+  private def bucketExprSqlDuck(t: Int, bits: Int): String = {
+    val terms = (0 until bits).map { j =>
       val fold = s"list_sum(list_transform(generate_series(0, ${Dim - 1}), " +
         s"i -> v[i + 1] * (CASE WHEN instr('89abcdef', substring(md5('$t|$j|' || CAST(i AS VARCHAR)), 1, 1)) > 0 THEN 1.0 ELSE -1.0 END)))"
       s"(CASE WHEN $fold >= 0 THEN ${1L << j}::BIGINT ELSE 0::BIGINT END)"
     }
-    bits.mkString(" + ")
+    terms.mkString(" + ")
   }
 
-  /** One row per (vector, table) with that table's bucket — the inverted
-    * index; at scale this is the partition key of the index table.
+  /** One row per (vector, table) with that table's `bits`-wide bucket —
+    * the inverted index; at scale this is the partition key of the index
+    * table, with `bits` chosen by [[lshBitsFor]] so buckets stay bounded.
     */
-  private def lshIndex(spark: SparkSession, dir: String): DataFrame = {
+  private def lshIndex(spark: SparkSession, dir: String, bits: Int): DataFrame = {
     VectorExpressions.register(spark)
-    val bucketCols = (0 until LshTables).map(t => bucketExprSpark(t))
+    val bucketCols = (0 until LshTables).map(t => bucketExprSpark(t, bits))
     Tables.embeddings(spark, dir)
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm", sqrt(VectorExpressions.dot(col("v"), col("v"))))
@@ -169,12 +191,19 @@ object VectorOps {
         posexplode(array(bucketCols: _*)).as(Seq("t", "bucket")))
   }
 
-  def q49AnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val exploded = lshIndex(spark, dir)
+  /** Corpus size for the B(N) rule — one metadata-cheap count per call. */
+  private def embeddingCount(spark: SparkSession, dir: String): Long =
+    Tables.embeddings(spark, dir).count()
+
+  def q49AnnLsh(spark: SparkSession, dir: String): DataFrame =
+    q49AnnLshAt(spark, dir, lshBitsFor(embeddingCount(spark, dir)))
+
+  private[graft] def q49AnnLshAt(spark: SparkSession, dir: String, bits: Int): DataFrame = {
+    val exploded = lshIndex(spark, dir, bits)
     // multi-probe: the query side additionally fans out to every bucket at
     // hamming distance 1 (own bucket + B single-bit flips per table)
     val probeCols = Seq(col("bucket")) ++
-      (0 until LshBits).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
+      (0 until bits).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
     val q = exploded.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"),
         col("nrm").as("q_nrm"), col("t"),
@@ -192,16 +221,18 @@ object VectorOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // oracle pins B = DefaultLshBits: lshBitsFor(N) resolves to the floor at
+  // every verify scale (AnnRecallSpec asserts the resolution)
   val q49Sql: String = {
     val tables = (0 until LshTables).map { t =>
-      s"SELECT vec_id, v, nrm, $t AS t, ${bucketExprSqlDuck(t)} AS bucket FROM v"
+      s"SELECT vec_id, v, nrm, $t AS t, ${bucketExprSqlDuck(t, DefaultLshBits)} AS bucket FROM v"
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH $SqlVecs,
        |bucketed AS (
        |  $tables),
        |probes AS (
        |  SELECT vec_id, v, nrm, t,
-       |    unnest(list_concat([bucket], list_transform(generate_series(0, ${LshBits - 1}),
+       |    unnest(list_concat([bucket], list_transform(generate_series(0, ${DefaultLshBits - 1}),
        |      j -> xor(bucket, CAST(1 << j AS BIGINT))))) AS bucket
        |  FROM bucketed WHERE vec_id % 50 = 0),
        |sims AS (
@@ -262,17 +293,67 @@ object VectorOps {
        |ORDER BY q_id""".stripMargin
 
   // ------------------------------------------------------------------
-  // q57 — IVF-style ANN: coarse quantizer with deterministic centroids
-  // (every 100th vector), nprobe=2. Each vector is assigned to its
-  // nearest centroid (argmin with id tie-break) — the inverted-file
-  // partition key; queries search only the two nearest cells. At scale
-  // the assignment is a broadcast join + partitioned table; search cost
-  // drops from O(N) to O(N·nprobe/cells) per query.
+  // q57 — IVF-style ANN: coarse quantizer with LEARNED centroids
+  // (deterministic seeded k-means), nprobe=2. Init = every 100th vector
+  // (the md5-free deterministic seed); then IvfIters rounds of
+  // assign-to-nearest + recompute-mean move the centroids onto the
+  // corpus's actual cluster structure. A DuckDB sweep over T=0..4 at
+  // sf{0.001,0.01,0.1} measured recall@5 0.70→0.80, 0.90→0.84,
+  // 0.615→0.575 at T=3 with candidate fraction unchanged — noise-level
+  // on THIS corpus because the every-100th sample already covers its
+  // label clusters; training is kept because a production corpus gives
+  // no such guarantee, and q81 gates whatever the centroids yield. Each
+  // vector
+  // is assigned to its nearest centroid (argmax rounded cosine, c_id
+  // tie-break) — the inverted-file partition key; queries search only
+  // the two nearest cells. At scale the assignment is a broadcast join +
+  // partitioned table (train on a hash-sample, assign the full corpus);
+  // search cost drops from O(N) to O(N·nprobe/cells) per query.
+  //
+  // Cross-engine determinism of the training loop: the mean is computed
+  // over FLOOR(x·1e6) BIGINT quantizations — integer sums are exact and
+  // order-free, so both engines derive bit-identical centroids, and the
+  // division sequence (SUM→DOUBLE ÷ COUNT→DOUBLE ÷ 1e6) is two IEEE
+  // double divisions in the same order. An emptied cell drops out in
+  // both engines alike.
   // ------------------------------------------------------------------
+  private val IvfIters = 3
+
+  /** IvfIters rounds of deterministic spherical k-means over `base`
+    * (`id`, `v`, `nrm`); returns (`c_id`, `c_v`, `c_nrm`). Each round is
+    * one broadcast-join assignment pass + one posexplode/groupBy mean —
+    * two narrow shuffles per round, centroids localCheckpointed so the
+    * iteration's lineage doesn't stack.
+    */
+  private def kmeansCents(base: DataFrame): DataFrame = {
+    var cents = base.filter(col("id") % 100 === 0)
+      .select(col("id").as("c_id"), col("v").as("c_v"), col("nrm").as("c_nrm"))
+    val wAssign = Window.partitionBy(col("id")).orderBy(col("c_sim").desc, col("c_id"))
+    for (_ <- 1 to IvfIters) {
+      val assigned = base.crossJoin(broadcast(cents))
+        .withColumn("c_sim", roundSafe6(
+          VectorExpressions.dot(col("v"), col("c_v")) / (col("nrm") * col("c_nrm"))))
+        .withColumn("c_rank", row_number().over(wAssign))
+        .filter(col("c_rank") === 1)
+        .select(col("id"), col("v"), col("c_id").as("cell"))
+      cents = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("cell"), col("i"))
+        .agg((sum(floor(col("x") * 1e6).cast("long")).cast("double") /
+              count(lit(1)).cast("double") / 1e6).as("m"))
+        .groupBy(col("cell"))
+        .agg(collect_list(struct(col("i"), col("m"))).as("pairs"))
+        .select(col("cell").as("c_id"),
+          expr("transform(array_sort(pairs), e -> e.m)").as("c_v"))
+        .withColumn("c_nrm", sqrt(VectorExpressions.dot(col("c_v"), col("c_v"))))
+        .localCheckpoint()
+    }
+    cents
+  }
+
   def q57AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val base = vecs(spark, dir, "")
-    val cents = base.filter(col("id") % 100 === 0)
-      .select(col("id").as("c_id"), col("v").as("c_v"), col("nrm").as("c_nrm"))
+    val cents = kmeansCents(base)
     // assign every vector to its nearest centroid (rank 1), remember rank 2
     // for query-side probing
     val simToCent = base.crossJoin(broadcast(cents))
@@ -297,9 +378,31 @@ object VectorOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  val q57Sql: String =
+  val q57Sql: String = {
+    // the k-means training chain, one assigned_k/cents_k CTE pair per
+    // round — the same quantized-mean arithmetic as kmeansCents
+    val kmeans = (1 to IvfIters).map { it =>
+      val prev = s"cents${it - 1}"
+      s"""assigned$it AS (
+         |  SELECT id, v, cell FROM (
+         |    SELECT a.vec_id AS id, a.v, c.c_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |        ORDER BY round((list_dot_product(a.v, c.c_v)/(a.nrm*c.c_nrm))*1e6)/1e6 + 0.0 DESC,
+         |                 c.c_id) AS rn
+         |    FROM v a CROSS JOIN $prev c) WHERE rn = 1),
+         |cents$it AS (
+         |  SELECT c_id, c_v, sqrt(list_dot_product(c_v, c_v)) AS c_nrm FROM (
+         |    SELECT cell AS c_id, list(m ORDER BY i) AS c_v FROM (
+         |      SELECT cell, i,
+         |        CAST(SUM(CAST(FLOOR(x*1e6) AS BIGINT)) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE)/1e6 AS m
+         |      FROM (SELECT cell, unnest(v) AS x, unnest(generate_series(1, $Dim)) AS i FROM assigned$it)
+         |      GROUP BY cell, i)
+         |    GROUP BY cell))""".stripMargin
+    }.mkString(",\n")
     s"""WITH $SqlVecs,
-       |cents AS (SELECT vec_id AS c_id, v AS c_v, nrm AS c_nrm FROM v WHERE vec_id % 100 = 0),
+       |cents0 AS (SELECT vec_id AS c_id, v AS c_v, nrm AS c_nrm FROM v WHERE vec_id % 100 = 0),
+       |$kmeans,
+       |cents AS (SELECT * FROM cents$IvfIters),
        |ranked AS (
        |  SELECT a.vec_id AS id, a.v, a.nrm, c.c_id,
        |    round((list_dot_product(a.v, c.c_v)/(a.nrm*c.c_nrm))*1e6)/1e6 + 0.0 AS c_sim,
@@ -324,6 +427,7 @@ object VectorOps {
        |SELECT q_id, b_id, CAST(rank AS INT) AS rank, sim6
        |FROM topk WHERE rank <= 5
        |ORDER BY q_id, rank""".stripMargin
+  }
 
   // ------------------------------------------------------------------
   // q89 — LSH-bucketed embedding near-dup: the scale path for q47. Same
@@ -339,10 +443,13 @@ object VectorOps {
   // truth is measured and gated in q81/AnnRecallSpec — approximation is a
   // measured contract, not an assumption.
   // ------------------------------------------------------------------
-  def q89NeardupLsh(spark: SparkSession, dir: String): DataFrame = {
-    val idx = lshIndex(spark, dir)
+  def q89NeardupLsh(spark: SparkSession, dir: String): DataFrame =
+    q89NeardupLshAt(spark, dir, lshBitsFor(embeddingCount(spark, dir)))
+
+  private[graft] def q89NeardupLshAt(spark: SparkSession, dir: String, bits: Int): DataFrame = {
+    val idx = lshIndex(spark, dir, bits)
     val probeCols = Seq(col("bucket")) ++
-      (0 until LshBits).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
+      (0 until bits).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
     val a = idx.select(col("vec_id").as("a_id"), col("v").as("a_v"),
       col("nrm").as("a_nrm"), col("t"),
       explode(array(probeCols: _*)).as("bucket"))
@@ -358,14 +465,14 @@ object VectorOps {
 
   val q89Sql: String = {
     val tables = (0 until LshTables).map { t =>
-      s"SELECT vec_id, v, nrm, $t AS t, ${bucketExprSqlDuck(t)} AS bucket FROM v"
+      s"SELECT vec_id, v, nrm, $t AS t, ${bucketExprSqlDuck(t, DefaultLshBits)} AS bucket FROM v"
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH $SqlVecs,
        |bucketed AS (
        |  $tables),
        |probes AS (
        |  SELECT vec_id, v, nrm, t,
-       |    unnest(list_concat([bucket], list_transform(generate_series(0, ${LshBits - 1}),
+       |    unnest(list_concat([bucket], list_transform(generate_series(0, ${DefaultLshBits - 1}),
        |      j -> xor(bucket, CAST(1 << j AS BIGINT))))) AS bucket
        |  FROM bucketed)
        |SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,

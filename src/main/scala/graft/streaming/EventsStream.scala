@@ -219,6 +219,104 @@ object EventsStream {
     q.awaitTermination()
   }
 
+  // ------------------------------------------------------------------
+  // Checkpoint-restart recovery. The reference's core operational
+  // semantic is idempotent re-run: task retries + ON CONFLICT upserts
+  // (`dags/ingest_observations_dag.py:22-23` retries=2; `README.md:269`
+  // "All inserts use ON CONFLICT for safe re-runs"). The engine analogue
+  // is a CHECKPOINTED streaming query: the file-source log skips
+  // already-processed files across restarts, the state store resumes
+  // window counts, and the idempotent keyed merge absorbs any replayed
+  // sink batch — exactly-once results over at-least-once machinery.
+  // ------------------------------------------------------------------
+
+  /** Land `df` as a single parquet FILE named `<name>.parquet` inside
+    * `feedDir` — the append-only landing-zone shape a file stream watches.
+    * Hadoop FS throughout (staging write + rename) so the same code works
+    * on HDFS-like stores, not just local disk.
+    */
+  def landFeedFile(df: DataFrame, feedDir: String, name: String): Unit = {
+    val hconf = df.sparkSession.sessionState.newHadoopConf()
+    val staging = new org.apache.hadoop.fs.Path(s"$feedDir/.staging_$name")
+    val fs = staging.getFileSystem(hconf)
+    df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val parts = fs.globStatus(new org.apache.hadoop.fs.Path(staging, "part-*.parquet"))
+    require(parts.length == 1, s"expected one part file, got ${parts.length}")
+    val target = new org.apache.hadoop.fs.Path(s"$feedDir/$name.parquet")
+    require(fs.rename(parts.head.getPath, target), s"rename to $target failed")
+    fs.delete(staging, true)
+  }
+
+  /** One checkpointed tranche of the streaming gold upsert: process the
+    * feed files this checkpoint has NOT yet seen (AvailableNow drains and
+    * stops), merge the updated windows into `outPath`, terminate. Calling
+    * it again with the same checkpoint after more files land IS the
+    * restart path — the run boundary must be invisible in the result,
+    * which StreamingRecoverySpec and q93 prove against the batch oracle.
+    */
+  def streamingUpsertGoldTranche(spark: SparkSession, feedDir: String,
+      checkpointDir: String, outPath: String): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val feed = spark.readStream.schema(eventsSchema).parquet(feedDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = hourlyWindowAgg(feed)
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Upsert.mergeIntoParquet(batch, outPath,
+          keys = Seq("window_start", "event_type"), versionCol = "n",
+          mode = graft.sources.Upsert.Mode.LastWins)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Split the raw (nanos-long ts) feed into two ingest tranches the way
+    * a real landing zone fills: tranche 1 is the first half of the time
+    * range, tranche 2 the second half PLUS held-back late stragglers —
+    * every 7th row from the 144h before the cut. On restart the restored
+    * watermark sits ≈168h before the cut (tranche 1's max event time −
+    * the 168h horizon), so the stragglers are genuinely LATE data that is
+    * still inside the watermark and must merge into already-written
+    * windows; rows older than the horizon would be correctly dropped,
+    * which is why the split is time-ordered rather than round-robin.
+    */
+  def recoverySplit(raw: DataFrame): (DataFrame, DataFrame) = {
+    val mm = raw.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    val cutNs = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+    val lateNs = cutNs - 144L * 3600L * 1000000000L
+    val straggler = col("ts") >= lateNs && col("ts") < cutNs && col("event_id") % 7 === 0
+    val inT1 = col("ts") < cutNs && !straggler
+    (raw.filter(inT1), raw.filter(!inT1))
+  }
+
+  /** Recovery harness (q93): the events corpus is split in two tranches
+    * landed across SEPARATE checkpointed runs — run, stop (the simulated
+    * failure/redeploy), land more data, restart — plus a third run with no
+    * new data (the reference's retry of an already-complete task). The
+    * final gold must equal the single-shot batch rollup: that equality is
+    * only possible if the restart neither re-reads tranche 1 (counts would
+    * double) nor loses the state store (cross-tranche windows would
+    * undercount) nor drops the in-watermark late stragglers carried by
+    * tranche 2 (their windows would undercount).
+    */
+  def runStreamRecoveryOnce(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_recovery_").toString
+    val (feedDir, ckpt, gold) = (s"$base/feed", s"$base/checkpoint", s"$base/gold")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val (t1, t2) = recoverySplit(raw)
+    landFeedFile(t1, feedDir, "tranche1")
+    streamingUpsertGoldTranche(spark, feedDir, ckpt, gold)   // run 1
+    landFeedFile(t2, feedDir, "tranche2")
+    streamingUpsertGoldTranche(spark, feedDir, ckpt, gold)   // restart
+    streamingUpsertGoldTranche(spark, feedDir, ckpt, gold)   // no-op retry
+    spark.read.parquet(gold)
+      .select(col("window_start"), col("event_type"), col("n"), col("sum_value"))
+  }
+
   /** Click→purchase conversion join over an events frame — shared by the
     * inner (q64) and left-outer (q82) variants. Watermarks on both sides
     * bound the join state: each side keeps only rows younger than the

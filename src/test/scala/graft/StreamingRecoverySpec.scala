@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.streaming.EventsStream
+
+/** Checkpoint-restart recovery — the last operational claim from the
+  * round-4 verdict. The reference's recovery contract is task retries +
+  * ON CONFLICT upserts (`dags/ingest_observations_dag.py:22-23`,
+  * `README.md:269`); the engine analogue is a checkpointed streaming
+  * query whose restarts are invisible in the result. This spec drives
+  * the tranche machinery directly (q93 runs the same path end-to-end
+  * against the DuckDB oracle) and pins each step:
+  *
+  *  1. after tranche 1 the gold accounts for exactly the tranche-1 rows;
+  *  2. after landing tranche 2 and RESTARTING on the same checkpoint,
+  *     gold equals the whole-corpus batch rollup — which is only possible
+  *     if the file-source log skipped tranche 1 (re-reading would double
+  *     counts into the resumed state) AND the state store resumed
+  *     (losing it would undercount windows spanning both tranches);
+  *  3. a third run with no new data (the reference's retry of an
+  *     already-complete task) changes nothing.
+  */
+class StreamingRecoverySpec extends SparkSpec {
+
+  test("checkpointed upsert resumes across restart and equals the batch rollup") {
+    val base = Files.createTempDirectory("graft_recovery_spec_").toString
+    val (feed, ckpt, gold) = (s"$base/feed", s"$base/ckpt", s"$base/gold")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$Sf/events.parquet")
+    val batch = Tables.events(spark, Sf)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
+    val (t1, t2) = EventsStream.recoverySplit(raw)
+
+    // run 1: first tranche of the feed, then the query STOPS (simulated
+    // failure/redeploy between ingest batches)
+    EventsStream.landFeedFile(t1, feed, "t1")
+    EventsStream.streamingUpsertGoldTranche(spark, feed, ckpt, gold)
+    val gold1 = spark.read.parquet(gold)
+    val t1Rows = t1.count()
+    assert(gold1.agg(sum(col("n"))).head.getLong(0) === t1Rows,
+      "tranche-1 gold must account for exactly the tranche-1 events")
+    assert(t1Rows < raw.count(), "split must leave work for the restart")
+    // the restart must exercise LATE data: tranche 2 carries stragglers
+    // older than tranche 1's frontier (but inside the 168h watermark)
+    assert(t2.agg(min(col("ts"))).head.getLong(0) <
+           t1.agg(max(col("ts"))).head.getLong(0),
+      "tranche 2 must contain in-watermark late rows")
+
+    // run 2: land the second tranche, RESTART on the same checkpoint
+    EventsStream.landFeedFile(t2, feed, "t2")
+    EventsStream.streamingUpsertGoldTranche(spark, feed, ckpt, gold)
+    val gold2 = spark.read.parquet(gold)
+    assert(gold2.exceptAll(batch).count() === 0 && batch.exceptAll(gold2).count() === 0,
+      "restarted stream must converge to the whole-corpus batch rollup")
+
+    // run 3: no new files — the retry of a complete task is a no-op
+    EventsStream.streamingUpsertGoldTranche(spark, feed, ckpt, gold)
+    val gold3 = spark.read.parquet(gold)
+    assert(gold3.exceptAll(batch).count() === 0 && batch.exceptAll(gold3).count() === 0,
+      "no-op retry must not change the gold table")
+  }
+}
