@@ -51,6 +51,7 @@ object Bench {
     graft.weather.WeatherQueries.clear()
     graft.operators.IngestOps.clear()
     graft.operators.TextOps.clear()
+    graft.operators.VectorOps.clear()
     spark.catalog.clearCache()
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

@@ -47,6 +47,7 @@ object Verify {
     graft.weather.WeatherQueries.clear()
     graft.operators.IngestOps.clear()
     graft.operators.TextOps.clear()
+    graft.operators.VectorOps.clear()
     spark.catalog.clearCache()
     spark.stop()
   }

@@ -241,6 +241,17 @@ object Extras {
     EventsStream.runStreamRecoveryOnce(spark, dir)
       .orderBy(col("window_start"), col("event_type"))
 
+  /** q94: JOIN-state recovery — the click→purchase join run across a
+    * checkpointed stop/restart with the cut placed INSIDE the largest-lag
+    * matched pair (click in tranche 1, purchase in tranche 2), plus a
+    * no-op retry; appended to a parquet sink. Equality with q64's batch
+    * self-join oracle proves the join state store resumed across restart
+    * — the stateful-join analogue of q93's windowed-agg proof.
+    */
+  def q94StreamJoinRecovery(spark: SparkSession, dir: String): DataFrame =
+    EventsStream.runStreamJoinRecoveryOnce(spark, dir)
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_stream_window"       -> (q51StreamWindow _),
     "q52_multimodal_meta"     -> (q52MultimodalMeta _),
@@ -256,6 +267,7 @@ object Extras {
     "q87_session_windows"     -> (q87SessionWindows _),
     "q92_stream_enrich"       -> (q92StreamEnrich _),
     "q93_stream_recovery"     -> (q93StreamRecovery _),
+    "q94_stream_join_recovery" -> (q94StreamJoinRecovery _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -273,5 +285,6 @@ object Extras {
     "q87_session_windows"     -> q87Sql,
     "q92_stream_enrich"       -> q92Sql,
     "q93_stream_recovery"     -> q51Sql, // same contract: batch hourly rollup
+    "q94_stream_join_recovery" -> q64Sql, // same contract: batch self-join
   )
 }

@@ -25,6 +25,21 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Release the cached blocks behind an eager `localCheckpoint` once the
+    * frame is superseded. Iterative loops otherwise pin O(rounds) of
+    * round-state blocks per call — measured: a second q77 run in the same
+    * JVM went 8 s → 26 s purely from the previous run's leaked round
+    * states. No-op for non-checkpoint plans; the blocks are release-safe
+    * because every consumer of a superseded frame has already been
+    * materialized into its own checkpoint (or a collected count) when
+    * this is called.
+    */
+  private def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** Alternating large-star/small-star contraction — the adversarial-
     * diameter path (the published MapReduce CC construction: alternating
     * min-attach rounds contract every component to a star around its
@@ -76,7 +91,10 @@ object GraphOps {
         .select(col("m").as("u"), col("x").as("v"))
         .distinct().localCheckpoint(true)
       converged = next.exceptAll(cur).isEmpty && cur.exceptAll(next).isEmpty
+      release(ls)
+      val prev = cur
       cur = next
+      release(prev)
       it += 1
     }
     // the labeling below is only valid AT the fixpoint — a partial
@@ -133,10 +151,14 @@ object GraphOps {
         .localCheckpoint(true)
       val changed = next.as("n").join(labels.as("p"), "id")
         .filter(col("n.label") =!= col("p.label")).count()
+      release(l1)
+      val prev = labels
       labels = next
+      release(prev)
       converged = changed == 0
       it += 1
     }
+    release(sym) // the returned labels frame is its own checkpoint
     // unconverged labels are only "min seen so far" — per-component minima
     // have NOT reached everyone, so downstream keep/drop decisions would
     // double-keep documents; fail loudly instead

@@ -247,6 +247,16 @@ object EventsStream {
     fs.delete(staging, true)
   }
 
+  /** Streaming source over an append-only feed directory (the landing
+    * zone shape [[landFeedFile]] fills) — same schema + µs conversion as
+    * [[readEvents]].
+    */
+  private def readFeed(spark: SparkSession, feedDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsSchema).parquet(feedDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** One checkpointed tranche of the streaming gold upsert: process the
     * feed files this checkpoint has NOT yet seen (AvailableNow drains and
     * stops), merge the updated windows into `outPath`, terminate. Calling
@@ -256,10 +266,7 @@ object EventsStream {
     */
   def streamingUpsertGoldTranche(spark: SparkSession, feedDir: String,
       checkpointDir: String, outPath: String): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val feed = spark.readStream.schema(eventsSchema).parquet(feedDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val q = hourlyWindowAgg(feed)
+    val q = hourlyWindowAgg(readFeed(spark, feedDir))
       .writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpointDir)
@@ -315,6 +322,74 @@ object EventsStream {
     streamingUpsertGoldTranche(spark, feedDir, ckpt, gold)   // no-op retry
     spark.read.parquet(gold)
       .select(col("window_start"), col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** One checkpointed tranche of the click→purchase INNER join, appended
+    * to a parquet sink (whose `_spark_metadata` commit log is the sink
+    * half of exactly-once: a replayed batch's files are superseded, never
+    * double-read). Join STATE lives in the checkpoint: a click whose
+    * purchase arrives in a later tranche must still pair after restart.
+    */
+  def streamJoinTranche(spark: SparkSession, feedDir: String,
+      checkpointDir: String, outPath: String): Unit = {
+    val q = cpJoin(readFeed(spark, feedDir), "inner")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000").as("lag_s"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The cut for the JOIN recovery harness: halfway (in event time)
+    * between the click and purchase of the largest-lag matched pair, so
+    * the restart is FORCED to resume join state — the click lands in
+    * tranche 1, its purchase in tranche 2, and only a checkpoint-restored
+    * state store can pair them (a time-midpoint cut was measured to
+    * produce zero cross-tranche pairs on this corpus). Deterministic:
+    * max lag, then smallest click/purchase event_id.
+    */
+  def joinRecoveryCutNs(raw: DataFrame): Long = {
+    val windowNs = 3600L * 1000000000L
+    val c = raw.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id").as("u"), col("ts").as("cts"))
+    val p = raw.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("u"), col("ts").as("pts"))
+    val best = c.join(p, Seq("u"))
+      .filter(col("pts") >= col("cts") && col("pts") <= col("cts") + windowNs)
+      .orderBy((col("pts") - col("cts")).desc, col("cid"), col("pid"))
+      .select(col("cts"), col("pts")).head()
+    val (cts, pts) = (best.getLong(0), best.getLong(1))
+    require(pts > cts + 1, s"largest-lag pair too tight to cut: $cts..$pts")
+    cts + (pts - cts) / 2
+  }
+
+  /** Recovery harness for JOIN state (q94): the feed split at
+    * [[joinRecoveryCutNs]] and streamed through [[streamJoinTranche]] as
+    * run → stop → land rest → restart → no-op retry. The final sink must
+    * equal the batch self-join (q64's oracle): equality is only possible
+    * if the source log skipped tranche 1 (re-reads would duplicate
+    * within-tranche pairs in the append sink), the join state store
+    * resumed (the forced cross-tranche pair would be lost), and the sink
+    * log kept replays idempotent.
+    */
+  def runStreamJoinRecoveryOnce(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_join_recovery_").toString
+    val (feedDir, ckpt, out) = (s"$base/feed", s"$base/checkpoint", s"$base/out")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val cutNs = joinRecoveryCutNs(raw)
+    landFeedFile(raw.filter(col("ts") < cutNs), feedDir, "tranche1")
+    streamJoinTranche(spark, feedDir, ckpt, out)   // run 1
+    landFeedFile(raw.filter(col("ts") >= cutNs), feedDir, "tranche2")
+    streamJoinTranche(spark, feedDir, ckpt, out)   // restart
+    streamJoinTranche(spark, feedDir, ckpt, out)   // no-op retry
+    spark.read.parquet(out)
+      .select(col("user_id"), col("click_id"), col("purchase_id"), col("lag_s"))
   }
 
   /** Click→purchase conversion join over an events frame — shared by the

@@ -65,4 +65,40 @@ class StreamingRecoverySpec extends SparkSpec {
     assert(gold3.exceptAll(batch).count() === 0 && batch.exceptAll(gold3).count() === 0,
       "no-op retry must not change the gold table")
   }
+
+  test("stream-stream join state survives a checkpointed restart") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$Sf/events.parquet")
+
+    // the cut sits INSIDE the largest-lag matched pair: its click can
+    // only pair with its purchase if the restarted query restored the
+    // join state store from the checkpoint
+    val cutNs = EventsStream.joinRecoveryCutNs(raw)
+    val windowNs = 3600L * 1000000000L
+    val crossPairs = raw.filter(col("event_type") === "click" && col("ts") < cutNs)
+      .select(col("user_id").as("u"), col("ts").as("cts"))
+      .join(raw.filter(col("event_type") === "purchase" && col("ts") >= cutNs)
+        .select(col("user_id").as("u"), col("ts").as("pts")), Seq("u"))
+      .filter(col("pts") >= col("cts") && col("pts") <= col("cts") + windowNs)
+      .count()
+    assert(crossPairs > 0, "cut must split at least one matched pair across tranches")
+
+    val got = EventsStream.runStreamJoinRecoveryOnce(spark, Sf)
+    val batch = graft.sources.Tables.events(spark, Sf)
+    val clicks = batch.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val purchases = batch.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    val expected = clicks.join(purchases,
+        col("user_id") === col("pu") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 60 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000").as("lag_s"))
+    assert(got.count() === expected.count(),
+      "restarted join must emit exactly the batch join's pairs")
+    assert(got.exceptAll(expected).count() === 0 &&
+           expected.exceptAll(got).count() === 0,
+      "restarted join must equal the batch self-join")
+  }
 }
