@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.streaming.EventsStream
+
+/** State-store portability — the 100 TB/day posture item the default
+  * config hides: `HDFSBackedStateStoreProvider` keeps every key's state
+  * in executor HEAP (fine for the test corpus, an OOM at production key
+  * cardinality), while `RocksDBStateStoreProvider` spills state to local
+  * disk with the same exactly-once semantics. The engine's stateful
+  * operators must not care which provider runs underneath; this spec
+  * runs the two heaviest state shapes — windowed aggregation and the
+  * watermarked stream-stream join — on RocksDB and asserts results
+  * identical to batch semantics (the same oracles q51/q64 pin on the
+  * default provider).
+  */
+class RocksDbStateSpec extends SparkSpec {
+
+  private def withRocksDb[T](f: org.apache.spark.sql.SparkSession => T): T =
+    withCustomSession(_
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.ui.enabled", "false"))(f)
+
+  test("windowed aggregation on RocksDB state equals the batch rollup") {
+    withRocksDb { s =>
+      val streamed = EventsStream.runWindowAggOnce(s, Sf, "rocksdb_win_agg")
+      val batch = Tables.events(s, Sf)
+        .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      assert(streamed.count() === batch.count())
+      assert(streamed.exceptAll(batch).count() === 0 &&
+             batch.exceptAll(streamed).count() === 0,
+        "RocksDB-backed windowed agg must equal the batch rollup")
+    }
+  }
+
+  test("stream-stream join on RocksDB state equals the batch self-join") {
+    withRocksDb { s =>
+      val streamed = EventsStream.runStreamJoinOnce(s, Sf, "rocksdb_join")
+      val e = Tables.events(s, Sf)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+      val batch = clicks.join(purchases,
+          col("user_id") === col("pu") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 60 MINUTES"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000").as("lag_s"))
+      assert(streamed.count() === batch.count())
+      assert(streamed.exceptAll(batch).count() === 0 &&
+             batch.exceptAll(streamed).count() === 0,
+        "RocksDB-backed stream-stream join must equal the batch self-join")
+    }
+  }
+}
