@@ -25,20 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
-  /** Release the cached blocks behind an eager `localCheckpoint` once the
-    * frame is superseded. Iterative loops otherwise pin O(rounds) of
-    * round-state blocks per call — measured: a second q77 run in the same
-    * JVM went 8 s → 26 s purely from the previous run's leaked round
-    * states. No-op for non-checkpoint plans; the blocks are release-safe
-    * because every consumer of a superseded frame has already been
-    * materialized into its own checkpoint (or a collected count) when
-    * this is called.
+  /** Superseded-round release ([[graft.util.Checkpoints.release]]):
+    * iterative loops otherwise pin O(rounds) of round-state blocks per
+    * call — measured: a second q77 run in the same JVM went 8 s → 26 s
+    * purely from the previous run's leaked states. Release-safe here
+    * because every consumer of a superseded frame has been materialized
+    * into its own checkpoint (or a collected count) first.
     */
-  private def release(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-      case _ => ()
-    }
+  private def release(df: DataFrame): Unit = graft.util.Checkpoints.release(df)
 
   /** Alternating large-star/small-star contraction — the adversarial-
     * diameter path (the published MapReduce CC construction: alternating

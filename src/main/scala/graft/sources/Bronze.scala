@@ -58,8 +58,17 @@ object Bronze {
     val dated = batch.withColumn("event_date", to_date(col("ts")))
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    // a killed FIRST landing can leave the directory existing but holding
+    // no data (job abort removes _temporary, not the dir) — a bare
+    // fs.exists would then route the RETRY into spark.read.parquet on an
+    // empty dir, which throws instead of converging. "Has data" = any
+    // entry that isn't a _metadata/.hidden artifact.
+    val hasData = fs.exists(target) && fs.listStatus(target).exists { s =>
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
     val toWrite =
-      if (!fs.exists(target)) dated
+      if (!hasData) dated
       else {
         val touched = dated.select(col("event_date")).distinct()
         val existing = events(spark, path)

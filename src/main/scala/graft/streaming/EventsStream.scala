@@ -320,8 +320,21 @@ object EventsStream {
     landFeedFile(t2, feedDir, "tranche2")
     streamingUpsertGoldTranche(spark, feedDir, ckpt, gold)   // restart
     streamingUpsertGoldTranche(spark, feedDir, ckpt, gold)   // no-op retry
-    spark.read.parquet(gold)
+    val out = spark.read.parquet(gold)
       .select(col("window_start"), col("event_type"), col("n"), col("sum_value"))
+    detachAndClean(out, base)
+  }
+
+  /** Materialize a harness result off its temp files (eager checkpoint),
+    * then delete the whole temp tree — each q93/q94 invocation otherwise
+    * leaves a corpus copy + checkpoint + sink under /tmp (repeated
+    * bench/verify rounds would fill the disk).
+    */
+  private def detachAndClean(df: DataFrame, baseDir: String): DataFrame = {
+    val out = df.localCheckpoint(true)
+    val p = new org.apache.hadoop.fs.Path(baseDir)
+    p.getFileSystem(df.sparkSession.sessionState.newHadoopConf()).delete(p, true)
+    out
   }
 
   /** One checkpointed tranche of the click→purchase INNER join, appended
@@ -388,8 +401,8 @@ object EventsStream {
     landFeedFile(raw.filter(col("ts") >= cutNs), feedDir, "tranche2")
     streamJoinTranche(spark, feedDir, ckpt, out)   // restart
     streamJoinTranche(spark, feedDir, ckpt, out)   // no-op retry
-    spark.read.parquet(out)
-      .select(col("user_id"), col("click_id"), col("purchase_id"), col("lag_s"))
+    detachAndClean(spark.read.parquet(out)
+      .select(col("user_id"), col("click_id"), col("purchase_id"), col("lag_s")), base)
   }
 
   /** Click→purchase conversion join over an events frame — shared by the
@@ -440,18 +453,12 @@ object EventsStream {
       val rows = java.util.Arrays.asList(
         org.apache.spark.sql.Row(-1L, tsNs, -1L, "click", 0.0, "{}"),
         org.apache.spark.sql.Row(-2L, tsNs, -1L, "purchase", 0.0, "{}"))
-      spark.createDataFrame(rows, eventsSchema)
-        .coalesce(1).write.mode("overwrite").parquet(dir)
-      // the rename MUST succeed: readEvents' pathGlobFilter only matches
-      // "events.parquet", and a missing flush file would silently hold the
-      // watermark back — the outer joins would drop every unmatched row
-      // with no local error (only a remote hash mismatch)
-      val d = new java.io.File(dir)
-      val part = d.listFiles().filter(_.getName.endsWith(".parquet"))
-      require(part.length == 1, s"expected one flush part file, got ${part.length}")
-      val target = new java.io.File(d, "events.parquet")
-      require(part.head.renameTo(target) && target.isFile,
-        s"failed to rename flush file ${part.head} -> $target")
+      // the landing MUST produce exactly "events.parquet": readEvents'
+      // pathGlobFilter only matches that name, and a missing flush file
+      // would silently hold the watermark back — the outer joins would
+      // drop every unmatched row with no local error (only a remote hash
+      // mismatch). landFeedFile's staging+rename enforces it.
+      landFeedFile(spark.createDataFrame(rows, eventsSchema), dir, "events")
       flushLanded.set(dir)
     }
     flushLanded.get

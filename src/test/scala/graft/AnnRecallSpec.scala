@@ -36,9 +36,19 @@ class AnnRecallSpec extends SparkSpec {
     */
   test("B(N) resolves to the oracle's floor; recall gated at B=8 and oversharded B=12") {
     import org.apache.spark.sql.functions._
-    assert(VectorOps.lshBitsFor(500)  === 8, "sf0.001/0.01 corpus → floor")
-    assert(VectorOps.lshBitsFor(5000) === 8, "sf0.1 corpus → floor")
-    assert(VectorOps.lshBitsFor(50000) === 11, "sf1 — the PLANS-measured case")
+    // THE GUARD the static oracles depend on: q49/q89/q81 derive B from
+    // the corpus count at runtime while their DuckDB oracles pin
+    // B = DefaultLshBits — if the driver's verify/bench corpora ever grow
+    // past the floor's range, this must fail in CI before the oracle
+    // mismatch shows up as a phantom engine bug. Checked against the
+    // ACTUAL corpora, not assumed row counts.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val n = graft.sources.Tables.embeddings(spark, s"/root/testdata/$sf").count()
+      assert(VectorOps.lshBitsFor(n) === VectorOps.DefaultLshBits,
+        s"$sf ($n vectors) no longer resolves to the pinned oracle B — regenerate the oracles")
+    }
+    // the rule's growth shape beyond the floor
+    assert(VectorOps.lshBitsFor(50000) === 11, "the PLANS §sf1 design case")
     assert(VectorOps.lshBitsFor(100000000L) === 22)
 
     val truth3 = VectorOps.q48KnnCosine(spark, Sf).filter(col("rank") <= 3)

@@ -61,4 +61,16 @@ class IncrementalBronzeSpec extends SparkSpec {
            expected.exceptAll(replayed).count() === 0,
       "replayed slice must not change the table")
   }
+
+  test("retry after a failed first landing converges instead of crashing") {
+    // a killed first write leaves the target dir existing but empty (job
+    // abort removes _temporary, not the dir) — the retry must treat it as
+    // absent, not read it as a parquet table
+    val base = Files.createTempDirectory("graft_incr_retry_").toString
+    val path = s"$base/events"
+    new java.io.File(path).mkdirs()
+    val events = Tables.events(spark, Sf)
+    Bronze.landEventsIncremental(spark, events, path)
+    assert(spark.read.parquet(path).count() === events.count())
+  }
 }
