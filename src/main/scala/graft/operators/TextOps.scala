@@ -774,6 +774,47 @@ object TextOps {
       |WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q95 — sequence packing: assign every document a (sequence, offset)
+  // position in fixed 2048-token training windows — the layout step
+  // between a curated corpus and a pretraining data loader. Documents
+  // pack in doc_id order by cumulative token offset (q40's whitespace
+  // token count); a document starting at offset `s` belongs to sequence
+  // floor(s/2048) at offset s mod 2048 — exact integer arithmetic in
+  // both engines. Packing is PER SOURCE (the shard): the cumulative sum
+  // is a window partitioned by source, so shards pack in parallel — a
+  // single global pack would serialize into one sorted partition, which
+  // is exactly what a training loader's sharded layout avoids anyway.
+  // ------------------------------------------------------------------
+  def q95SequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cap = 2048L
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withToks(Tables.documents(spark, dir))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        expr(s"start div $cap").as("seq_id"),
+        (col("start") % cap).as("seq_offset"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val q95Sql: String =
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, doc_id, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start
+      |  FROM t)
+      |SELECT source, doc_id, n_tokens,
+      |  CAST(start // 2048 AS BIGINT) AS seq_id,
+      |  CAST(start % 2048 AS BIGINT) AS seq_offset
+      |FROM c ORDER BY source, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_text_stats"     -> (q40TextStats _),
     "q41_lang_id"        -> (q41LangId _),
@@ -788,6 +829,7 @@ object TextOps {
     "q77_dedup_clusters" -> (q77DedupClusters _),
     "q78_source_mixing"  -> (q78SourceMixing _),
     "q80_pii_redact"     -> (q80PiiRedact _),
+    "q95_sequence_packing" -> (q95SequencePacking _),
     "q85_tfidf"          -> (q85Tfidf _),
     "q86_incr_dedup"     -> (q86IncrementalDedup _),
   )
@@ -806,6 +848,7 @@ object TextOps {
     "q77_dedup_clusters" -> q77Sql,
     "q78_source_mixing"  -> q78Sql,
     "q80_pii_redact"     -> q80Sql,
+    "q95_sequence_packing" -> q95Sql,
     "q85_tfidf"          -> q85Sql,
     "q86_incr_dedup"     -> q86Sql,
   )
