@@ -497,7 +497,11 @@ object VectorOps {
   // caught when any table's buckets differ by ≤ 1 bit. Exact-cosine
   // verify + DISTINCT dedups multi-table collisions. Recall vs the q47
   // truth is measured and gated in q81/AnnRecallSpec — approximation is a
-  // measured contract, not an assumption.
+  // measured contract, not an assumption. A pathologically HOT bucket (a
+  // dense near-identical cluster) is real data for dedup — it must not be
+  // dropped; at scale the (t, bucket) equi-join's skew is the runtime's
+  // problem, and AQE's skew-split handles it without a plan change
+  // (AqeSkewSpec demonstrates the mechanism on exactly this join shape).
   // ------------------------------------------------------------------
   def q89NeardupLsh(spark: SparkSession, dir: String): DataFrame =
     q89NeardupLshAt(spark, dir, lshBitsFor(embeddingCount(spark, dir)))
