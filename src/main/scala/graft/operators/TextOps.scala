@@ -815,6 +815,44 @@ object TextOps {
       |  CAST(start % 2048 AS BIGINT) AS seq_offset
       |FROM c ORDER BY source, doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q96 — packed-sequence materialization: the loader-facing artifact
+  // q95's layout describes. Per (source, sequence): member count, token
+  // total, and the md5 of the member texts concatenated in pack order —
+  // the oracle hashes the content instead of shipping multi-KB strings
+  // through the compare. One groupBy on the (source-partitioned) q95
+  // assignment joined back to the text by doc_id; the in-group order is
+  // reconstructed engine-side (array_sort on (doc_id, text) structs vs
+  // string_agg ORDER BY), so no engine depends on physical row order.
+  // ------------------------------------------------------------------
+  def q96PackedSequences(spark: SparkSession, dir: String): DataFrame =
+    q95SequencePacking(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        md5(concat_ws(" ",
+          expr("transform(array_sort(collect_list(struct(doc_id, text))), x -> x.text)")))
+          .as("content_md5"))
+      .orderBy(col("source"), col("seq_id"))
+
+  val q96Sql: String =
+    """WITH t AS (
+      |  SELECT source, doc_id, text,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, doc_id, text, n_tokens,
+      |    (CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens) // 2048 AS seq_id
+      |  FROM t)
+      |SELECT source, CAST(seq_id AS BIGINT) AS seq_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |  md5(string_agg(text, ' ' ORDER BY doc_id)) AS content_md5
+      |FROM c GROUP BY source, seq_id
+      |ORDER BY source, seq_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_text_stats"     -> (q40TextStats _),
     "q41_lang_id"        -> (q41LangId _),
@@ -830,6 +868,7 @@ object TextOps {
     "q78_source_mixing"  -> (q78SourceMixing _),
     "q80_pii_redact"     -> (q80PiiRedact _),
     "q95_sequence_packing" -> (q95SequencePacking _),
+    "q96_packed_sequences" -> (q96PackedSequences _),
     "q85_tfidf"          -> (q85Tfidf _),
     "q86_incr_dedup"     -> (q86IncrementalDedup _),
   )
@@ -849,6 +888,7 @@ object TextOps {
     "q78_source_mixing"  -> q78Sql,
     "q80_pii_redact"     -> q80Sql,
     "q95_sequence_packing" -> q95Sql,
+    "q96_packed_sequences" -> q96Sql,
     "q85_tfidf"          -> q85Sql,
     "q86_incr_dedup"     -> q86Sql,
   )
