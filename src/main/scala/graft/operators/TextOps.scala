@@ -786,19 +786,26 @@ object TextOps {
   // single global pack would serialize into one sorted partition, which
   // is exactly what a training loader's sharded layout avoids anyway.
   // ------------------------------------------------------------------
-  def q95SequencePacking(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared packing core: ONE documents scan + ONE source-partitioned
+    * window yields (source, doc_id, text, n_tokens, start) — q95 projects
+    * the layout from it, q96 aggregates the artifact from it; neither
+    * re-scans or self-joins the corpus.
+    */
+  private def packingCore(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cap = 2048L
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     withToks(Tables.documents(spark, dir))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
-      .select(col("source"), col("doc_id"), col("n_tokens"),
-        expr(s"start div $cap").as("seq_id"),
-        (col("start") % cap).as("seq_offset"))
-      .orderBy(col("source"), col("doc_id"))
   }
+
+  def q95SequencePacking(spark: SparkSession, dir: String): DataFrame =
+    packingCore(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        expr("start div 2048").as("seq_id"),
+        (col("start") % 2048L).as("seq_offset"))
+      .orderBy(col("source"), col("doc_id"))
 
   val q95Sql: String =
     """WITH t AS (
@@ -820,14 +827,19 @@ object TextOps {
   // q95's layout describes. Per (source, sequence): member count, token
   // total, and the md5 of the member texts concatenated in pack order —
   // the oracle hashes the content instead of shipping multi-KB strings
-  // through the compare. One groupBy on the (source-partitioned) q95
-  // assignment joined back to the text by doc_id; the in-group order is
-  // reconstructed engine-side (array_sort on (doc_id, text) structs vs
-  // string_agg ORDER BY), so no engine depends on physical row order.
+  // through the compare. Attribution is DOCUMENT-level by design: a
+  // document belongs to the window its offset STARTS in (a straddling
+  // doc carries its tokens with it, so a start-window's total may exceed
+  // 2048 and the spanned window gets no row) — the loader token-splits
+  // at read time using q95's seq_offset; this artifact indexes documents,
+  // it does not re-chunk them. One groupBy over the shared packingCore
+  // (no corpus re-scan, no self-join); in-group order is reconstructed
+  // engine-side (array_sort on (doc_id, text) structs vs string_agg
+  // ORDER BY), so no engine depends on physical row order.
   // ------------------------------------------------------------------
   def q96PackedSequences(spark: SparkSession, dir: String): DataFrame =
-    q95SequencePacking(spark, dir)
-      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), Seq("doc_id"))
+    packingCore(spark, dir)
+      .withColumn("seq_id", expr("start div 2048"))
       .groupBy(col("source"), col("seq_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),

@@ -16,10 +16,11 @@ class PackingPlanSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("hashpartitioning(source"),
       s"expected a source-partitioned exchange in:\n$plan")
-    // the output orderBy is the only legitimate global ordering; the
-    // window itself must not run on a single partition
-    val windowed = plan.linesIterator.filter(_.contains("Window")).mkString("\n")
-    assert(!windowed.contains("SinglePartition"),
-      s"window collapsed to a single partition:\n$plan")
+    // no stage may collapse to one partition. Spark prints the collapse
+    // on the EXCHANGE line ('Exchange SinglePartition'), not the Window
+    // line, so assert over the whole plan; the terminal orderBy plans as
+    // rangepartitioning, so a passing plan has no SinglePartition at all
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"a stage collapsed to a single partition:\n$plan")
   }
 }
