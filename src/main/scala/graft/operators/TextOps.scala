@@ -848,6 +848,54 @@ object TextOps {
           .as("content_md5"))
       .orderBy(col("source"), col("seq_id"))
 
+  // ------------------------------------------------------------------
+  // q97 — repetition quality signals (the Gopher/Dolma-style filter
+  // family): per document, the share of bigram occurrences claimed by
+  // the single most frequent bigram and the share belonging to any
+  // repeated bigram — high values mark boilerplate/spam that length and
+  // stopword stats (q40) miss. The corpus is single-line so the signals
+  // are token-level: bigrams explode once, aggregate by (doc, bigram),
+  // then per-doc max/sum — two shuffles, all-integer until the final
+  // division (exact cross-engine unrounded, same rule as q40's ratios).
+  // A document with < 2 tokens has no bigrams and hence NO ROW (it
+  // cannot be repetitive) — both engines drop it identically at the
+  // explode/unnest, so a row's n_bigrams is always ≥ 1.
+  // ------------------------------------------------------------------
+  def q97Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val grams = withToks(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+          .as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("cnt"))
+    grams.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        max(col("cnt")).as("top_cnt"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L))).as("dup_cnt"))
+      .select(col("doc_id"), col("n_bigrams"), col("top_cnt"),
+        (col("top_cnt").cast("double") / col("n_bigrams")).as("top_bigram_frac"),
+        (col("dup_cnt").cast("double") / col("n_bigrams")).as("dup_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q97Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i + 1])) AS bigram
+      |  FROM toks),
+      |cnts AS (
+      |  SELECT doc_id, bigram, COUNT(*) AS cnt FROM grams GROUP BY doc_id, bigram)
+      |SELECT doc_id,
+      |  CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+      |  CAST(MAX(cnt) AS BIGINT) AS top_cnt,
+      |  CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top_bigram_frac,
+      |  CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE) / SUM(cnt) AS dup_bigram_frac
+      |FROM cnts GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val q96Sql: String =
     """WITH t AS (
       |  SELECT source, doc_id, text,
@@ -881,6 +929,7 @@ object TextOps {
     "q80_pii_redact"     -> (q80PiiRedact _),
     "q95_sequence_packing" -> (q95SequencePacking _),
     "q96_packed_sequences" -> (q96PackedSequences _),
+    "q97_repetition"       -> (q97Repetition _),
     "q85_tfidf"          -> (q85Tfidf _),
     "q86_incr_dedup"     -> (q86IncrementalDedup _),
   )
@@ -901,6 +950,7 @@ object TextOps {
     "q80_pii_redact"     -> q80Sql,
     "q95_sequence_packing" -> q95Sql,
     "q96_packed_sequences" -> q96Sql,
+    "q97_repetition"       -> q97Sql,
     "q85_tfidf"          -> q85Sql,
     "q86_incr_dedup"     -> q86Sql,
   )
