@@ -58,4 +58,10 @@ class RegimeSpec extends SparkSpec {
         WeatherSynth.stations(s, d), WeatherSynth.postalCodes(s, d))
     }
   }
+
+  test("q89 LSH (t,bucket) candidate join degrades to a shuffle join") {
+    // at a billion-row index neither side of the bucket join broadcasts —
+    // the equi key must carry it to SMJ/SHJ, never a nested loop
+    checkRegime("q89")(graft.operators.VectorOps.q89NeardupLsh)
+  }
 }

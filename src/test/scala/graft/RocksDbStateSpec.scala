@@ -38,6 +38,34 @@ class RocksDbStateSpec extends SparkSpec {
     }
   }
 
+  /** The composition that IS production recovery: checkpointed restart
+    * (StreamingRecoverySpec's contract) with the state store that holds
+    * production-size state. Across the stop/restart the window counts
+    * must reload from the RocksDB snapshot+changelog in the checkpoint —
+    * equality with the batch rollup is impossible otherwise (cross-
+    * tranche windows would undercount).
+    */
+  test("checkpointed restart recovers RocksDB state: two-tranche upsert equals batch") {
+    withRocksDb { s =>
+      val base = java.nio.file.Files.createTempDirectory("graft_rocksdb_recovery_").toString
+      val (feed, ckpt, gold) = (s"$base/feed", s"$base/ckpt", s"$base/gold")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$Sf/events.parquet")
+      val (t1, t2) = EventsStream.recoverySplit(raw)
+      EventsStream.landFeedFile(t1, feed, "t1")
+      EventsStream.streamingUpsertGoldTranche(s, feed, ckpt, gold)
+      EventsStream.landFeedFile(t2, feed, "t2")
+      EventsStream.streamingUpsertGoldTranche(s, feed, ckpt, gold)
+      val got = s.read.parquet(gold)
+      val batch = Tables.events(s, Sf)
+        .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      assert(got.exceptAll(batch).count() === 0 && batch.exceptAll(got).count() === 0,
+        "RocksDB-backed restart must converge to the whole-corpus batch rollup")
+    }
+  }
+
   test("stream-stream join on RocksDB state equals the batch self-join") {
     withRocksDb { s =>
       val streamed = EventsStream.runStreamJoinOnce(s, Sf, "rocksdb_join")
