@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the LAST stdout line as the summary JSON.
+// sbt's "[success] Total time: ..." trailer prints after the forked
+// program's output and has made BENCH_r01..r05 unparseable — suppress it
+// (both scopes: sbt consults the current project's setting, Global is belt).
+Global / showSuccess := false
+showSuccess := false
+// lintUnused can't see command-engine keys — false positive, silence it
+Global / excludeLintKeys += showSuccess
+// ... and un-prefix the forked program's output: the default LoggedOutput
+// strategy wraps every stdout line in "[info] ", which would still defeat
+// a strict last-line JSON parse. StdoutOutput inherits the real stdio.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

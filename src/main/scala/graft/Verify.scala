@@ -14,6 +14,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.util.Harness.quietLineageWarn() // deliberate releases, see Harness
     new java.io.File(outDir).mkdirs()
     // builder-side convenience: SPARK_GRAFT_ONLY="q62,q34" limits the dump
     // to those queries (unset → all, which is what the driver runs)
@@ -27,6 +28,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release this query's transients (result already written) so the
+      // 90+-query dump doesn't accumulate suite-long debris — see Harness
+      graft.util.Harness.sweep(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -252,6 +252,24 @@ object Extras {
     EventsStream.runStreamJoinRecoveryOnce(spark, dir)
       .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
 
+  /** q98: the composed production ingest — a checkpointed stream whose
+    * foreachBatch lands each micro-batch into the incremental bronze
+    * table (dynamic-partition day merge), driven through stop → restart
+    * with day-straddling late data → no-op retry (see
+    * EventsStream.runStreamBronzeIngestOnce). Oracle: the raw feed
+    * row-for-row — the landing must lose nothing (a replacing write
+    * would drop re-touched days' earlier rows) and duplicate nothing
+    * (replays must hit the event_id merge, not append).
+    */
+  def q98StreamBronzeIngest(spark: SparkSession, dir: String): DataFrame =
+    EventsStream.runStreamBronzeIngestOnce(spark, dir)
+      .orderBy(col("event_id"))
+
+  val q98Sql: String =
+    """SELECT event_id, date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_sec,
+      |  user_id, event_type, value, props
+      |FROM events ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_stream_window"       -> (q51StreamWindow _),
     "q52_multimodal_meta"     -> (q52MultimodalMeta _),
@@ -268,6 +286,7 @@ object Extras {
     "q92_stream_enrich"       -> (q92StreamEnrich _),
     "q93_stream_recovery"     -> (q93StreamRecovery _),
     "q94_stream_join_recovery" -> (q94StreamJoinRecovery _),
+    "q98_stream_bronze_ingest" -> (q98StreamBronzeIngest _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -286,5 +305,6 @@ object Extras {
     "q92_stream_enrich"       -> q92Sql,
     "q93_stream_recovery"     -> q51Sql, // same contract: batch hourly rollup
     "q94_stream_join_recovery" -> q64Sql, // same contract: batch self-join
+    "q98_stream_bronze_ingest" -> q98Sql,
   )
 }

@@ -95,6 +95,10 @@ object GraphOps {
     // contraction would silently split components, so fail loudly instead
     require(converged,
       s"connectedComponentsStar did not converge in $maxIters rounds")
+    // nodes + the fixpoint edges survive into the returned plan — hand
+    // them to the harness sweep (released only after the result is used)
+    graft.util.Checkpoints.track(nodes)
+    graft.util.Checkpoints.track(cur)
     // at fixpoint every edge is (component-min, member); isolated former
     // nodes (their whole component contracted onto them) label themselves
     nodes.join(cur.select(col("v").as("id"), col("u").as("lbl")), Seq("id"), "left")
@@ -158,6 +162,7 @@ object GraphOps {
     // double-keep documents; fail loudly instead
     require(converged,
       s"connectedComponents did not converge in $maxIters rounds")
-    labels
+    // the returned frame is its own checkpoint; harness-swept, not leaked
+    graft.util.Checkpoints.track(labels)
   }
 }

@@ -279,6 +279,7 @@ object TextOps {
       }: _*)).as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
       .cache() // self-joined below; without this the 16-min signature agg runs twice
+      .transform(graft.util.Checkpoints.track) // harness-swept per-query scratch
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
         col("a.band_hash") === col("b.band_hash") &&
@@ -372,7 +373,8 @@ object TextOps {
       (0 until SimBits).map(b =>
         when(col(s"o$b") * 2 >= col("n"), lit(math.pow(2, b).toLong))
           .otherwise(0L))
-        .reduce(_ + _).as("fingerprint")).cache()
+        .reduce(_ + _).as("fingerprint"))
+      .cache().transform(graft.util.Checkpoints.track) // harness-swept
     // leave-one-out band keys: drop band e, concat the remaining three
     def bandKey(e: Int): Column =
       (0 until SimBands).filter(_ != e)
@@ -598,7 +600,7 @@ object TextOps {
         graft.weather.WeatherPipeline.roundSafe(col("keep_frac_raw"), 6).as("keep_frac"),
         lpad(lower(hex(floor(col("keep_frac_raw") * 4294967296.0).cast("long"))), 9, "0")
           .as("thresh_hex"))
-      .cache() // one tiny frame feeds both the filter join and the output
+      .cache().transform(graft.util.Checkpoints.track) // swept per-query; feeds both the filter join and the output
     docs.join(broadcast(frac), "source")
       .filter(lpad(substring(md5(col("doc_id").cast("string")), 1, 8), 9, "0") < col("thresh_hex"))
       .groupBy(col("source"))
@@ -858,14 +860,20 @@ object TextOps {
   // then per-doc max/sum — two shuffles, all-integer until the final
   // division (exact cross-engine unrounded, same rule as q40's ratios).
   // A document with < 2 tokens has no bigrams and hence NO ROW (it
-  // cannot be repetitive) — both engines drop it identically at the
-  // explode/unnest, so a row's n_bigrams is always ≥ 1.
+  // cannot be repetitive), so a row's n_bigrams is always ≥ 1. The
+  // Spark side must guard that case EXPLICITLY: `sequence(0, size-2)`
+  // steps BACKWARD when size = 1 (sequence(0,-1) = [0,-1]), which would
+  // emit two null-bigram rows where DuckDB's generate_series(1, len-1)
+  // emits none — a phantom mismatch on any corpus with a short doc
+  // (CorpusPipelineSpec pins the guard; every shipped corpus happens to be
+  // ≥ 10 tokens/doc, which is why the bug never fired).
   // ------------------------------------------------------------------
   def q97Repetition(spark: SparkSession, dir: String): DataFrame = {
     val grams = withToks(Tables.documents(spark, dir))
       .select(col("doc_id"),
-        explode(expr(
+        explode(when(size(col("toks")) >= 2, expr(
           "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+          .otherwise(typedLit(Seq.empty[String])))
           .as("bigram"))
       .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("cnt"))
     grams.groupBy(col("doc_id"))

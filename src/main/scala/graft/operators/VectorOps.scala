@@ -360,14 +360,20 @@ object VectorOps {
     * the SparkContext that built it. [[clear]] — wired into Verify/Bench
     * teardown — releases the checkpointed blocks, not just the map.
     */
-  private val centsCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val centsCache = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
   def clear(): Unit = {
     centsCache.values().forEach(graft.util.Checkpoints.release(_))
     centsCache.clear()
   }
 
+  // keyed by (SparkContext application, dir), not dir alone: the cached
+  // frame is localCheckpointed, so its blocks belong to the context that
+  // built it — a second context in the same JVM handed the first's frame
+  // would fail at runtime (or worse, plan against a stopped context)
   private def kmeansCents(dir: String, base: DataFrame): DataFrame =
-    centsCache.computeIfAbsent(dir, _ => trainCents(base))
+    centsCache.computeIfAbsent(
+      (base.sparkSession.sparkContext.applicationId, dir),
+      _ => trainCents(base))
 
   /** IvfIters rounds of deterministic spherical k-means over `base`
     * (`id`, `v`, `nrm`); returns (`c_id`, `c_v`, `c_nrm`). Each round is
@@ -556,8 +562,9 @@ object VectorOps {
     // both truth frames are referenced 2-3× below (per-method hit joins +
     // the denominator counts); localCheckpoint materializes each O(N²)
     // scan ONCE instead of recomputing it per reference
-    val truth = q48KnnCosine(spark, dir).select(col("q_id"), col("b_id"), col("rank"))
-      .localCheckpoint()
+    val truth = graft.util.Checkpoints.track(
+      q48KnnCosine(spark, dir).select(col("q_id"), col("b_id"), col("rank"))
+        .localCheckpoint())
     val n = truth.agg(countDistinct(col("q_id")).as("n"))
     def recallOf(method: DataFrame, k: Int, name: String): DataFrame =
       method.select(col("q_id"), col("b_id"))
@@ -570,9 +577,11 @@ object VectorOps {
             .as("recall4"))
     // pair recall of the LSH near-dup path vs the brute-force q47 truth:
     // same (method, hits, possible, recall4) shape, possible = |truth|
-    val truthPairs = q47EmbeddingNeardup(spark, dir).select(col("a_id"), col("b_id"))
-      .localCheckpoint()
-    val neardup = q89NeardupLsh(spark, dir).select(col("a_id"), col("b_id"))
+    val truthPairs = graft.util.Checkpoints.track(
+      q47EmbeddingNeardup(spark, dir).select(col("a_id"), col("b_id"))
+        .localCheckpoint())
+    val neardup = q89NeardupLshAt(spark, dir, DefaultLshBits)
+      .select(col("a_id"), col("b_id"))
       .join(truthPairs, Seq("a_id", "b_id"))
       .agg(count(lit(1)).as("hits"))
       .crossJoin(truthPairs.agg(count(lit(1)).as("possible")))
@@ -580,7 +589,7 @@ object VectorOps {
         (round(col("hits").cast("double") / col("possible") * 1e4, 0) / 1e4 + 0.0)
           .as("recall4"))
     recallOf(q57AnnIvf(spark, dir), 5, "ivf")
-      .union(recallOf(q49AnnLsh(spark, dir), 3, "lsh"))
+      .union(recallOf(q49AnnLshAt(spark, dir, DefaultLshBits), 3, "lsh"))
       .union(neardup)
       .orderBy(col("method"))
   }
@@ -609,11 +618,16 @@ object VectorOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_embedding_neardup" -> (q47EmbeddingNeardup _),
     "q48_knn_cosine"        -> (q48KnnCosine _),
-    "q49_ann_lsh"           -> (q49AnnLsh _),
+    // q49/q89 pin B=DefaultLshBits here: their DuckDB oracles are static
+    // SQL at that width, so the adaptive q49AnnLsh/q89NeardupLsh on a
+    // corpus where lshBitsFor(N) > 8 would read as a phantom engine bug.
+    // The B(N) path stays the public op (ScaleUp + AnnRecallSpec exercise
+    // it); at every shipped verify/bench scale the two are identical.
+    "q49_ann_lsh"           -> ((s: SparkSession, d: String) => q49AnnLshAt(s, d, DefaultLshBits)),
     "q50_knn_classify"      -> (q50KnnClassify _),
     "q57_ann_ivf"           -> (q57AnnIvf _),
     "q81_ann_recall"        -> (q81AnnRecall _),
-    "q89_neardup_lsh"       -> (q89NeardupLsh _),
+    "q89_neardup_lsh"       -> ((s: SparkSession, d: String) => q89NeardupLshAt(s, d, DefaultLshBits)),
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -44,10 +44,11 @@ object Bronze {
     *
     * A touched day is MERGED, not replaced: existing rows of those days
     * (a broadcast semi-join on the tiny day list, i.e. partition-pruned
-    * reads) union the batch, deduped on `event_id` — so re-landing a
-    * failed batch is a no-op (the reference's retries + ON CONFLICT,
-    * `README.md:269`) and a 6h slice never erases the day's earlier
-    * slices. `localCheckpoint` materializes the existing slice before the
+    * reads) union the batch, keyed-deduped on `event_id` with the incoming
+    * row winning (ON CONFLICT DO UPDATE) — so re-landing a failed batch is
+    * a no-op and a CORRECTED re-land deterministically takes the new row
+    * (the reference's retries + ON CONFLICT, `README.md:269`), and a 6h
+    * slice never erases the day's earlier slices. `localCheckpoint` materializes the existing slice before the
     * write because Spark refuses to overwrite a path its own plan reads.
     *
     * `batch` has the raw feed's shape (µs `ts` timestamp, as from
@@ -67,22 +68,44 @@ object Bronze {
       val n = s.getPath.getName
       !n.startsWith("_") && !n.startsWith(".")
     }
-    val toWrite =
-      if (!hasData) dated
+    val existing =
+      if (!hasData) None
       else {
         val touched = dated.select(col("event_date")).distinct()
-        val existing = events(spark, path)
+        Some(events(spark, path)
           .join(broadcast(touched), Seq("event_date"), "left_semi")
-          .localCheckpoint()
-        existing.unionByName(dated).dropDuplicates("event_id")
+          .localCheckpoint())
       }
+    // conflict resolution is the reference's ON CONFLICT DO UPDATE: the
+    // INCOMING row wins deterministically (bare dropDuplicates would keep
+    // an arbitrary copy, so a corrected re-land could silently keep the
+    // stale row). Exact replays still converge — the kept incoming copy is
+    // byte-identical to the existing one. Within-batch duplicate event_ids
+    // tie-break on latest ts.
+    val toWrite = existing match {
+      case None => dated
+      case Some(ex) =>
+        val tagged = ex.withColumn("__src", lit(0))
+          .unionByName(dated.withColumn("__src", lit(1)))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_id"))
+          .orderBy(col("__src").desc, col("ts").desc)
+        tagged.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn", "__src")
+    }
     val saved = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     try {
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       toWrite.write.mode(SaveMode.Overwrite).partitionBy("event_date").parquet(path)
-    } finally saved match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      // the checkpointed existing-slice's only consumer is the write just
+      // completed — release its blocks now instead of leaking them for the
+      // session's life (one leak per 6h batch adds up in a long service)
+      existing.foreach(graft.util.Checkpoints.release)
     }
   }
 

@@ -331,10 +331,72 @@ object EventsStream {
     * bench/verify rounds would fill the disk).
     */
   private def detachAndClean(df: DataFrame, baseDir: String): DataFrame = {
-    val out = df.localCheckpoint(true)
+    val out = graft.util.Checkpoints.track(df.localCheckpoint(true))
     val p = new org.apache.hadoop.fs.Path(baseDir)
     p.getFileSystem(df.sparkSession.sessionState.newHadoopConf()).delete(p, true)
     out
+  }
+
+  /** One checkpointed tranche of the PRODUCTION ingest shape: a stream
+    * over the landing zone whose every micro-batch lands into the
+    * incremental bronze table ([[graft.sources.Bronze.landEventsIncremental]]
+    * — dynamic-partition merge, incoming wins). This composes the two
+    * halves the reference runs as one cron path (6h schedule + retries +
+    * ON CONFLICT, `dags/ingest_observations_dag.py:30`, `README.md:269`):
+    * the checkpoint's source log makes a restart process only unseen feed
+    * files, and the keyed day-merge makes a REPLAYED batch (foreachBatch
+    * is at-least-once) converge instead of duplicating.
+    *
+    * Returns the number of feed rows THIS run processed (0 on a no-op
+    * retry) — the restart proof needs it, because content equality alone
+    * cannot distinguish "skipped tranche 1" from "re-read tranche 1 and
+    * the idempotent merge absorbed it". StreamingBronzeIngestSpec asserts
+    * both, plus untouched-day byte-identity; q98 oracles the end state.
+    */
+  def streamingBronzeIngestTranche(spark: SparkSession, feedDir: String,
+      checkpointDir: String, bronzePath: String): Long = {
+    val seen = new java.util.concurrent.atomic.AtomicLong(0) // foreachBatch runs on the driver
+    val q = readFeed(spark, feedDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // two actions on the batch (count + landing) — pin it once
+        val b = batch.persist()
+        seen.addAndGet(b.count())
+        graft.sources.Bronze.landEventsIncremental(b.sparkSession, b, bronzePath)
+        b.unpersist()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    seen.get()
+  }
+
+  /** Recovery harness (q98): the composed streaming→bronze ingest driven
+    * through the same kill/restart/retry schedule as q93 — tranche 1,
+    * stop, tranche 2 (whose stragglers re-touch up to six EARLIER days,
+    * so the restart must MERGE into existing day partitions, not replace
+    * them), then a retry with nothing new. The final bronze table must
+    * hold exactly the raw feed's rows — no loss (a replacing write would
+    * drop tranche-1 rows of re-touched days), no duplication (a
+    * non-keyed append would double replayed rows).
+    */
+  def runStreamBronzeIngestOnce(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_bronze_ingest_").toString
+    val (feedDir, ckpt, bronze) = (s"$base/feed", s"$base/checkpoint", s"$base/bronze")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val (t1, t2) = recoverySplit(raw)
+    landFeedFile(t1, feedDir, "tranche1")
+    streamingBronzeIngestTranche(spark, feedDir, ckpt, bronze)   // run 1
+    landFeedFile(t2, feedDir, "tranche2")
+    streamingBronzeIngestTranche(spark, feedDir, ckpt, bronze)   // restart
+    streamingBronzeIngestTranche(spark, feedDir, ckpt, bronze)   // no-op retry
+    val out = spark.read.parquet(bronze)
+      .select(col("event_id"), date_trunc("second", col("ts")).as("ts_sec"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    detachAndClean(out, base)
   }
 
   /** One checkpointed tranche of the click→purchase INNER join, appended

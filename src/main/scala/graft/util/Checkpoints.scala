@@ -10,14 +10,44 @@ import org.apache.spark.sql.DataFrame
   */
 object Checkpoints {
 
-  /** Unpersist the cached blocks behind an eager `localCheckpoint` once
-    * the frame is superseded. Safe no-op for non-checkpoint plans. Only
+  /** Unpersist the storage behind a frame once it is superseded: the
+    * cached blocks of an eager `localCheckpoint`, or the CacheManager
+    * entry of a `.cache()`d plan (a no-op for plans with neither). Only
     * call when every consumer of the frame has already been materialized
-    * (into its own checkpoint, a written file, or a collected result).
+    * (into its own checkpoint, a written file, or a collected result) —
+    * a released localCheckpoint is UNRECOMPUTABLE (lineage truncated).
     */
   def release(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-      case _ => ()
+      case _ => df.unpersist(blocking = false)
     }
+
+  // Per-invocation transients (q81's truth checkpoints, q77's final label
+  // frame, q93/q94's detached results, q45/q46/q78's scratch caches) have
+  // no owner that outlives the query, so in a 94-query suite they pile up
+  // in the block manager until teardown — measured as the late-suite bench
+  // inflation of round 5 (q81 63.5 s in-suite vs 5.65 s isolated). Sites
+  // that mint such a frame register it here; the harness (Bench/Verify)
+  // sweeps between queries, AFTER the query's result is materialized.
+  // Library callers that never sweep get exactly the old behavior.
+  private val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Register a per-query transient frame for the harness sweep; returns
+    * the frame unchanged.
+    */
+  def track(df: DataFrame): DataFrame = tracked.synchronized {
+    tracked += df; df
+  }
+
+  /** Release every tracked transient (see [[track]]); returns how many
+    * were swept. Callers must first materialize all consumers of the
+    * current query's result.
+    */
+  def sweep(): Int = tracked.synchronized {
+    val n = tracked.size
+    tracked.foreach(release)
+    tracked.clear()
+    n
+  }
 }

@@ -47,4 +47,27 @@ class CorpusPipelineSpec extends SparkSpec {
     val mismatches = a.join(b, "doc_id").filter(col("split") =!= col("split_b"))
     assert(mismatches.count() === 0)
   }
+
+  test("q97 drops sub-bigram docs instead of emitting null-bigram rows") {
+    // sequence(0, size-2) steps BACKWARD for a 1-token doc ([0,-1]) — the
+    // unguarded expr emitted two null-bigram rows (n_bigrams=2, fracs 1.0)
+    // where the oracle's generate_series(1, len-1) emits none. Pin the
+    // guard on a corpus the shipped testdata never exercises: docs with
+    // 0, 1, 2 and 3 tokens.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_q97").toString
+    Seq(
+      (1L, "solo", "src"),                 // 1 token  → no row
+      (2L, "  ", "src"),                   // 0 tokens → no row
+      (3L, "two tokens", "src"),           // 1 bigram
+      (4L, "a a a", "src"),                // 2 bigrams, both "a a"
+    ).toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.operators.TextOps.q97Repetition(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.keySet === Set(3L, 4L))
+    assert(out(3L) === ((1L, 1L, 1.0, 0.0)))
+    assert(out(4L) === ((2L, 2L, 1.0, 1.0)))
+  }
 }
