@@ -67,6 +67,9 @@ object Bench {
     // summary line is >2.5 KB, whose OPENING BRACE would fall outside the
     // window — so the summary keys are the unambiguous qNN prefixes
     // (~1.3 KB total) and the full names ride the stderr [bench] lines
+    // a duplicate prefix would silently drop a timing — fail loudly instead
+    require(results.keySet.map(_.split("_")(0)).size == results.size,
+      "duplicate qNN prefix in query names")
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k.split("_")(0) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
