@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{Extras, IngestOps, Relational, TextOps, VectorOps}
+import graft.operators.{Extras, IngestOps, Layout, Relational, TextOps, VectorOps}
 import graft.weather.WeatherQueries
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -10,9 +10,9 @@ object SparkEntry {
     WeatherQueries.goldObservations(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ WeatherQueries.queries ++ TextOps.queries ++ VectorOps.queries ++ Extras.queries ++ IngestOps.queries
+    Relational.queries ++ WeatherQueries.queries ++ TextOps.queries ++ VectorOps.queries ++ Extras.queries ++ IngestOps.queries ++ Layout.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracleSql ++ WeatherQueries.oracleSql ++ TextOps.oracleSql ++ VectorOps.oracleSql ++ Extras.oracleSql ++ IngestOps.oracleSql
+    Relational.oracleSql ++ WeatherQueries.oracleSql ++ TextOps.oracleSql ++ VectorOps.oracleSql ++ Extras.oracleSql ++ IngestOps.oracleSql ++ Layout.oracleSql
 }

@@ -217,15 +217,35 @@ object IngestOps {
       |FROM postal
       |ORDER BY postal_code""".stripMargin
 
+  /** q105: the composed incremental transform — two mid-day-straddling
+    * slices each driven through incremental bronze merge + gold refresh
+    * of exactly the touched days ([[graft.sources.IncrementalGold]]).
+    * Oracle: the wholesale daily aggregate over the raw feed — slice-wise
+    * refresh must be indistinguishable from recomputing the table. */
+  def q105IncrGold(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.IncrementalGold.runIncrementalGoldOnce(spark, dir)
+      .orderBy(col("event_date"), col("event_type"))
+
+  val q105Sql: String =
+    """SELECT CAST(ts AS DATE) AS event_date, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_ingest_parse"      -> (q55IngestParse _),
     "q56_station_discovery" -> (q56StationDiscovery _),
     "q58_geojson_centroids" -> (q58GeojsonCentroids _),
+    "q105_incr_gold"        -> (q105IncrGold _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "q55_ingest_parse"      -> q55Sql,
     "q56_station_discovery" -> q56Sql,
     "q58_geojson_centroids" -> q58Sql,
+    "q105_incr_gold"        -> q105Sql,
   )
 }

@@ -1,0 +1,291 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Data-layout and table-diagnostics operators — the maintenance surface a
+  * 100 TB lake needs around the query engine (the reference gets the same
+  * effects from Postgres physics: composite B-tree indexes
+  * `sql/schema.sql:295-305` make point/range lookups cheap regardless of
+  * heap order, and autovacuum keeps the heap compact; a Parquet lake has
+  * neither, so layout IS the index):
+  *
+  *   - q99 Z-ORDER clustering: interleave the bits of two quantized
+  *     dimensions so range-partitioning on the single z-value gives
+  *     locality on BOTH dimensions at once — files then carry tight
+  *     min/max footer stats on both columns and either predicate prunes
+  *     (the multi-dimensional analogue of partition-by-date, and the
+  *     standard lakehouse answer to "which secondary index"). The oracled
+  *     query materializes the bucket→bounds map itself, so the skipping
+  *     bound the layout promises is the thing the hash gate checks;
+  *     [[Layout.clusterByZ]] applies the same z-value as a physical
+  *     `repartitionByRange` write (ZorderSpec measures the extents).
+  *   - q100 single-scan profiling: nulls / distincts / min / max for a
+  *     column set in ONE pass over the table (Catalyst Expand), long-format
+  *     output — the stats-collection pass that feeds CBO and data-quality
+  *     monitors; per-column scan loops are exactly what a 100 TB table
+  *     cannot afford.
+  *   - q102 heavy-hitter diagnostics: top-k join keys with individual and
+  *     cumulative frequency share — the skew profile that decides between
+  *     a plain shuffle join, AQE skew splitting, and the salted join
+  *     (`functions/SkewJoin`). Two-phase: per-key counts (map-side
+  *     partialable), then a 20-row windowed cumsum on the driver-sized
+  *     top slice.
+  *
+  * Cross-engine determinism follows the Relational rules: integer/bitwise
+  * arithmetic everywhere (bit-spreading is exact by construction), single
+  * divisions of exact integers for ratios, decimal-cast renderings for
+  * profile strings.
+  */
+object Layout {
+
+  // ---- q99: Z-order ---------------------------------------------------
+
+  /** Spread the low 16 bits of `v` to even bit positions (0,2,4,…,30) —
+    * the classic mask-shift Morton ladder; exact on BIGINT in both
+    * engines. */
+  private def spread16(v: Column): Column = {
+    val a = v.bitwiseOR(shiftleft(v, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val c = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(0x33333333L))
+    c.bitwiseOR(shiftleft(c, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 16-bit quantization of `x` onto [0, 65535] over [lo, hi]. The
+    * products stay < 2^53 so the double arithmetic is exact; `floor` of
+    * an IEEE quotient is engine-identical. */
+  private def quant16(x: Column, lo: Column, hi: Column): Column =
+    floor((x - lo) * 65535.0 / (hi - lo)).cast("long")
+
+  /** 32-bit Morton code of two 16-bit quantized dimensions. */
+  def zValue(x: Column, y: Column, xlo: Column, xhi: Column,
+      ylo: Column, yhi: Column): Column =
+    spread16(quant16(x, xlo, xhi))
+      .bitwiseOR(shiftleft(spread16(quant16(y, ylo, yhi)), 1))
+
+  /** Physically cluster `df` into `nParts` files by the Morton code of
+    * (xCol, yCol). Bounds are computed distributively and broadcast — no
+    * driver collect. The projection after the sort keeps intra-partition
+    * order, so each written file covers a contiguous z-range and its
+    * footer min/max on BOTH columns is tight (ZorderSpec asserts the
+    * extents; at cluster scale this is what makes either-column
+    * predicates skip files). */
+  def clusterByZ(df: DataFrame, xCol: String, yCol: String, nParts: Int): DataFrame = {
+    val bounds = df.agg(
+      min(col(xCol)).as("__xlo"), max(col(xCol)).as("__xhi"),
+      min(col(yCol)).as("__ylo"), max(col(yCol)).as("__yhi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("__z", zValue(col(xCol), col(yCol),
+        col("__xlo"), col("__xhi"), col("__ylo"), col("__yhi")))
+      .repartitionByRange(nParts, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z", "__xlo", "__xhi", "__ylo", "__yhi")
+  }
+
+  /** q99 — the z-order bucket→bounds map over lineitem (l_partkey ×
+    * l_orderkey): top-6-bit z-buckets (an 8×8 grid) with each bucket's
+    * min/max on both source dimensions and the extent fraction of the
+    * global range they span. Tight fractions on BOTH dims are the
+    * file-skipping guarantee the clustering exists for. Two scans: a
+    * 4-scalar bounds aggregate (broadcast) + the bucketed aggregate. */
+  def q99ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val bounds = li.agg(
+      min(col("l_partkey")).as("plo"), max(col("l_partkey")).as("phi"),
+      min(col("l_orderkey")).as("olo"), max(col("l_orderkey")).as("ohi"))
+    li.crossJoin(broadcast(bounds))
+      .withColumn("zbucket", shiftright(
+        zValue(col("l_partkey"), col("l_orderkey"),
+          col("plo"), col("phi"), col("olo"), col("ohi")), 26))
+      .groupBy(col("zbucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
+        min(col("l_orderkey")).as("min_order"), max(col("l_orderkey")).as("max_order"))
+      .crossJoin(broadcast(bounds))
+      .select(col("zbucket"), col("n_rows"),
+        col("min_part"), col("max_part"), col("min_order"), col("max_order"),
+        ((col("max_part") - col("min_part")).cast("double") / (col("phi") - col("plo")))
+          .as("part_extent"),
+        ((col("max_order") - col("min_order")).cast("double") / (col("ohi") - col("olo")))
+          .as("order_extent"))
+      .orderBy(col("zbucket"))
+  }
+
+  val q99Sql: String =
+    """WITH b AS (
+      |  SELECT MIN(l_partkey) AS plo, MAX(l_partkey) AS phi,
+      |         MIN(l_orderkey) AS olo, MAX(l_orderkey) AS ohi
+      |  FROM lineitem),
+      |q AS (
+      |  SELECT l_partkey, l_orderkey,
+      |    CAST(floor((l_partkey - plo) * 65535.0 / (phi - plo)) AS BIGINT) AS xq,
+      |    CAST(floor((l_orderkey - olo) * 65535.0 / (ohi - olo)) AS BIGINT) AS yq
+      |  FROM lineitem, b),
+      |s1 AS (SELECT l_partkey, l_orderkey,
+      |  (xq | (xq << 8)) & 16711935 AS x, (yq | (yq << 8)) & 16711935 AS y FROM q),
+      |s2 AS (SELECT l_partkey, l_orderkey,
+      |  (x | (x << 4)) & 252645135 AS x, (y | (y << 4)) & 252645135 AS y FROM s1),
+      |s3 AS (SELECT l_partkey, l_orderkey,
+      |  (x | (x << 2)) & 858993459 AS x, (y | (y << 2)) & 858993459 AS y FROM s2),
+      |s4 AS (SELECT l_partkey, l_orderkey,
+      |  (x | (x << 1)) & 1431655765 AS x, (y | (y << 1)) & 1431655765 AS y FROM s3),
+      |z AS (SELECT l_partkey, l_orderkey, (x | (y << 1)) >> 26 AS zbucket FROM s4)
+      |SELECT zbucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+      |  MIN(l_orderkey) AS min_order, MAX(l_orderkey) AS max_order,
+      |  CAST(MAX(l_partkey) - MIN(l_partkey) AS DOUBLE) / (phi - plo) AS part_extent,
+      |  CAST(MAX(l_orderkey) - MIN(l_orderkey) AS DOUBLE) / (ohi - olo) AS order_extent
+      |FROM z, b
+      |GROUP BY zbucket, phi, plo, ohi, olo
+      |ORDER BY zbucket""".stripMargin
+
+  // ---- q100: single-scan profile -------------------------------------
+
+  /** q100 — column profiling in ONE table scan: Catalyst plans the three
+    * exact `count(distinct …)` through a single Expand (one pass, ×4 row
+    * replication) rather than per-column scans. Long-format output with
+    * decimal/date string renderings (exact cross-engine). At 100 TB the
+    * same shape runs with `approx_count_distinct` to drop the Expand —
+    * the structure (one scan, long output) is the point. */
+  def q100Profile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val a = li.agg(
+      count(lit(1)).as("n_rows"),
+      count(col("l_quantity")).as("nn_q"), countDistinct(col("l_quantity")).as("nd_q"),
+      min(col("l_quantity")).as("mn_q"), max(col("l_quantity")).as("mx_q"),
+      count(col("l_returnflag")).as("nn_f"), countDistinct(col("l_returnflag")).as("nd_f"),
+      min(col("l_returnflag")).as("mn_f"), max(col("l_returnflag")).as("mx_f"),
+      count(col("l_shipdate")).as("nn_d"), countDistinct(col("l_shipdate")).as("nd_d"),
+      min(col("l_shipdate")).as("mn_d"), max(col("l_shipdate")).as("mx_d"))
+    a.selectExpr(
+      """stack(3,
+        |  'l_quantity', n_rows - nn_q, nd_q,
+        |    CAST(CAST(mn_q AS DECIMAL(18,2)) AS STRING),
+        |    CAST(CAST(mx_q AS DECIMAL(18,2)) AS STRING),
+        |  'l_returnflag', n_rows - nn_f, nd_f, mn_f, mx_f,
+        |  'l_shipdate', n_rows - nn_d, nd_d,
+        |    date_format(mn_d, 'yyyy-MM-dd'), date_format(mx_d, 'yyyy-MM-dd')
+        |) AS (col_name, n_nulls, n_distinct, min_val, max_val)""".stripMargin,
+      "n_rows")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+      .orderBy(col("col_name"))
+  }
+
+  val q100Sql: String =
+    """SELECT 'l_quantity' AS col_name, COUNT(*) AS n_rows,
+      |  COUNT(*) - COUNT(l_quantity) AS n_nulls,
+      |  CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+      |  CAST(CAST(MIN(l_quantity) AS DECIMAL(18,2)) AS VARCHAR) AS min_val,
+      |  CAST(CAST(MAX(l_quantity) AS DECIMAL(18,2)) AS VARCHAR) AS max_val
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
+      |  CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+      |  MIN(l_returnflag), MAX(l_returnflag)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'l_shipdate', COUNT(*), COUNT(*) - COUNT(l_shipdate),
+      |  CAST(COUNT(DISTINCT l_shipdate) AS BIGINT),
+      |  strftime(MIN(l_shipdate), '%Y-%m-%d'), strftime(MAX(l_shipdate), '%Y-%m-%d')
+      |FROM lineitem
+      |ORDER BY col_name""".stripMargin
+
+  // ---- q102: heavy hitters --------------------------------------------
+
+  /** q102 — join-key skew diagnostics: the 20 hottest l_partkey values
+    * with per-key and cumulative share of the table. The aggregate is
+    * map-side partialable; the window runs on the 20-row top slice only.
+    * Shares are single divisions of exact integers (IEEE-identical).
+    * This is the measurement that chooses between plain shuffle, AQE
+    * skew split, and `SkewJoin.salted` at 100 TB. */
+  def q102HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val total = li.agg(count(lit(1)).as("total"))
+    val top = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("n_rows").desc, col("l_partkey")).limit(20)
+    val w = Window.orderBy(col("n_rows").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.withColumn("cum_n", sum(col("n_rows")).over(w))
+      .crossJoin(broadcast(total))
+      .select(col("l_partkey"), col("n_rows"),
+        (col("n_rows").cast("double") / col("total")).as("share"),
+        (col("cum_n").cast("double") / col("total")).as("cum_share"))
+      .orderBy(col("n_rows").desc, col("l_partkey"))
+  }
+
+  val q102Sql: String =
+    """WITH t AS (SELECT COUNT(*) AS total FROM lineitem),
+      |top AS (
+      |  SELECT l_partkey, COUNT(*) AS n_rows FROM lineitem
+      |  GROUP BY l_partkey ORDER BY n_rows DESC, l_partkey LIMIT 20)
+      |SELECT l_partkey, CAST(n_rows AS BIGINT) AS n_rows,
+      |  CAST(n_rows AS DOUBLE) / total AS share,
+      |  CAST(SUM(n_rows) OVER (ORDER BY n_rows DESC, l_partkey
+      |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / total AS cum_share
+      |FROM top, t
+      |ORDER BY n_rows DESC, l_partkey""".stripMargin
+
+  // ---- q107: equi-width histogram -------------------------------------
+
+  /** q107 — 20-bucket equi-width histogram of l_extendedprice: the
+    * distribution profile that pairs with q100's scalar stats (CBO
+    * selectivity, drift monitors, outlier triage). Bucketing is a pure
+    * row-local floor over broadcast bounds (one scalar-bounds pass + one
+    * map-side-combinable aggregate); the top boundary value clamps into
+    * the last bucket, matching the closed upper interval convention.
+    * Bucket bounds are re-derived arithmetically so the output is
+    * self-describing. */
+  def q107Histogram(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val bounds = li.agg(min(col("l_extendedprice")).as("lo"),
+      max(col("l_extendedprice")).as("hi"))
+    val nb = 20
+    li.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        least(floor((col("l_extendedprice") - col("lo")) * nb / (col("hi") - col("lo"))),
+          lit(nb - 1)).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+      .crossJoin(broadcast(bounds))
+      .select(col("bucket"), col("n_rows"), col("min_price"), col("max_price"),
+        graft.weather.WeatherPipeline.roundSafe(
+          col("lo") + col("bucket") * (col("hi") - col("lo")) / nb, 4).as("bucket_lo"),
+        graft.weather.WeatherPipeline.roundSafe(
+          col("lo") + (col("bucket") + 1) * (col("hi") - col("lo")) / nb, 4).as("bucket_hi"))
+      .orderBy(col("bucket"))
+  }
+
+  val q107Sql: String =
+    """WITH b AS (
+      |  SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem),
+      |h AS (
+      |  SELECT least(floor((l_extendedprice - lo) * 20 / (hi - lo)), 19) AS bucket,
+      |         l_extendedprice
+      |  FROM lineitem, b)
+      |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+      |  round(round((lo + bucket * (hi - lo) / 20)*1e8)/1e4)/1e4 + 0.0 AS bucket_lo,
+      |  round(round((lo + (bucket + 1) * (hi - lo) / 20)*1e8)/1e4)/1e4 + 0.0 AS bucket_hi
+      |FROM h, b
+      |GROUP BY bucket, lo, hi
+      |ORDER BY bucket""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_zorder_layout" -> (q99ZorderLayout _),
+    "q100_profile"      -> (q100Profile _),
+    "q102_heavy_hitters" -> (q102HeavyHitters _),
+    "q107_histogram"    -> (q107Histogram _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q99_zorder_layout" -> q99Sql,
+    "q100_profile"      -> q100Sql,
+    "q102_heavy_hitters" -> q102Sql,
+    "q107_histogram"    -> q107Sql,
+  )
+}

@@ -1074,6 +1074,44 @@ object Relational {
       |QUALIFY c_custkey % 100 = 0
       |ORDER BY c_custkey""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q106 — window-free argmax: per group, the row achieving the group
+  // maximum, via two partial-aggregable passes (max per group, then an
+  // equi-join back at the max + a min tie-break) instead of a
+  // row_number window. The window form sorts every group's full row set
+  // on one reducer per group; this form ships only per-group scalars
+  // through both aggregates and joins against a broadcast-sized max
+  // table — at 100 TB the difference between a sort of the table and
+  // two map-side-combined passes. Tie-break on min l_orderkey makes the
+  // answer deterministic (max_by alone is not, under ties).
+  // ------------------------------------------------------------------
+  def q106Argmax(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val mx = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(max(col("l_extendedprice")).as("max_price"))
+      .withColumnRenamed("l_returnflag", "rf").withColumnRenamed("l_linestatus", "ls")
+    li.join(broadcast(mx),
+        col("l_returnflag") === col("rf") && col("l_linestatus") === col("ls") &&
+        col("l_extendedprice") === col("max_price"))
+      .groupBy(col("rf"), col("ls"), col("max_price"))
+      .agg(min(col("l_orderkey")).as("argmax_order"))
+      .select(col("rf").as("l_returnflag"), col("ls").as("l_linestatus"),
+        col("max_price"), col("argmax_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q106Sql: String =
+    """WITH mx AS (
+      |  SELECT l_returnflag, l_linestatus, MAX(l_extendedprice) AS max_price
+      |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+      |SELECT m.l_returnflag, m.l_linestatus, m.max_price,
+      |  MIN(l.l_orderkey) AS argmax_order
+      |FROM lineitem l JOIN mx m
+      |  ON l.l_returnflag = m.l_returnflag AND l.l_linestatus = m.l_linestatus
+      |  AND l.l_extendedprice = m.max_price
+      |GROUP BY m.l_returnflag, m.l_linestatus, m.max_price
+      |ORDER BY m.l_returnflag, m.l_linestatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"  -> (q01PricingSummary _),
     "q02_filter_project"   -> (q02FilterProject _),
@@ -1111,6 +1149,7 @@ object Relational {
     "q88_unpivot"          -> (q88Unpivot _),
     "q90_cube"             -> (q90Cube _),
     "q91_rank_functions"   -> (q91RankFunctions _),
+    "q106_argmax"          -> (q106Argmax _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1150,5 +1189,6 @@ object Relational {
     "q88_unpivot"          -> q88Sql,
     "q90_cube"             -> q90Sql,
     "q91_rank_functions"   -> q91Sql,
+    "q106_argmax"          -> q106Sql,
   )
 }

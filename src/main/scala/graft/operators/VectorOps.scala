@@ -615,6 +615,36 @@ object VectorOps {
        |    round(CAST(hits AS DOUBLE)/possible*1e4)/1e4 + 0.0 FROM nh, np)
        |ORDER BY method""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q104 — per-label centroids, long format: the class-prototype /
+  // cluster-summary aggregate (label → mean vector) behind nearest-
+  // centroid classification and embedding-drift monitors. Same integer
+  // discipline as the IVF trainer: per-dimension means over FLOOR(x·1e6)
+  // BIGINT sums (exact, order-independent), one double division, then a
+  // scale-0 round (where both engines agree) back to 1e-6 precision.
+  // posexplode → groupBy(label, dim) moves only N·Dim slim rows and
+  // partial-aggregates map-side; no vector payload crosses the shuffle.
+  // ------------------------------------------------------------------
+  def q104VectorCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), (col("pos") + lit(1)).cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (round(sum(floor(col("x") * 1e6).cast("long")).cast("double") /
+          count(lit(1)), 0) / 1e6 + 0.0).as("centroid"))
+      .orderBy(col("label"), col("dim"))
+
+  val q104Sql: String =
+    s"""WITH e AS (
+       |  SELECT label, unnest(embedding) AS x,
+       |         unnest(generate_series(1, $Dim)) AS dim
+       |  FROM embeddings)
+       |SELECT label, CAST(dim AS BIGINT) AS dim,
+       |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  round(CAST(SUM(CAST(FLOOR(x*1e6) AS BIGINT)) AS DOUBLE)/COUNT(*))/1e6 + 0.0 AS centroid
+       |FROM e GROUP BY label, dim
+       |ORDER BY label, dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_embedding_neardup" -> (q47EmbeddingNeardup _),
     "q48_knn_cosine"        -> (q48KnnCosine _),
@@ -628,6 +658,7 @@ object VectorOps {
     "q57_ann_ivf"           -> (q57AnnIvf _),
     "q81_ann_recall"        -> (q81AnnRecall _),
     "q89_neardup_lsh"       -> ((s: SparkSession, d: String) => q89NeardupLshAt(s, d, DefaultLshBits)),
+    "q104_vector_centroids" -> (q104VectorCentroids _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -638,5 +669,6 @@ object VectorOps {
     "q57_ann_ivf"           -> q57Sql,
     "q81_ann_recall"        -> q81Sql,
     "q89_neardup_lsh"       -> q89Sql,
+    "q104_vector_centroids" -> q104Sql,
   )
 }

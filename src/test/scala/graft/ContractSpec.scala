@@ -16,9 +16,10 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("query names are unique across modules and well-formed") {
-    import graft.operators.{Extras, IngestOps, Relational, TextOps, VectorOps}
+    import graft.operators.{Extras, IngestOps, Layout, Relational, TextOps, VectorOps}
     val maps = Seq(Relational.queries, graft.weather.WeatherQueries.queries,
-      TextOps.queries, VectorOps.queries, Extras.queries, IngestOps.queries)
+      TextOps.queries, VectorOps.queries, Extras.queries, IngestOps.queries,
+      Layout.queries)
     val total = maps.map(_.size).sum
     assert(SparkEntry.queries.size === total,
       "duplicate query name across modules (map union dropped an entry)")
