@@ -55,9 +55,13 @@ object Layout {
 
   /** 16-bit quantization of `x` onto [0, 65535] over [lo, hi]. The
     * products stay < 2^53 so the double arithmetic is exact; `floor` of
-    * an IEEE quotient is engine-identical. */
+    * an IEEE quotient is engine-identical. A degenerate range (constant
+    * column: hi == lo) quantizes to 0 instead of NaN-poisoning the
+    * Morton code — [[clusterByZ]] then degrades to clustering on the
+    * other dimension alone. */
   private def quant16(x: Column, lo: Column, hi: Column): Column =
-    floor((x - lo) * 65535.0 / (hi - lo)).cast("long")
+    when(hi > lo, floor((x - lo) * 65535.0 / (hi - lo)))
+      .otherwise(lit(0)).cast("long")
 
   /** 32-bit Morton code of two 16-bit quantized dimensions. */
   def zValue(x: Column, y: Column, xlo: Column, xhi: Column,
@@ -143,23 +147,34 @@ object Layout {
 
   // ---- q100: single-scan profile -------------------------------------
 
-  /** q100 — column profiling in ONE table scan: Catalyst plans the three
-    * exact `count(distinct …)` through a single Expand (one pass, ×4 row
-    * replication) rather than per-column scans. Long-format output with
-    * decimal/date string renderings (exact cross-engine). At 100 TB the
-    * same shape runs with `approx_count_distinct` to drop the Expand —
-    * the structure (one scan, long output) is the point. */
+  /** q100 — column profiling: nulls/distincts/min/max for the numeric and
+    * date columns in ONE hash-aggregated scan (Catalyst plans the exact
+    * `count(distinct …)`s through an Expand — row replication, still one
+    * pass over the table), plus a dedicated TINY pass for the string
+    * column. The split is deliberate: a string min/max buffer is not
+    * hash-aggregate-mutable, so mixing it into the Expand demotes the
+    * whole multi-distinct pipeline to SortAggregate — a sort of the
+    * expanded table (measured 4.4 s vs 1.6 s at sf0.1, worse at scale).
+    * The string pass groups BY the value instead (string keys hash fine)
+    * and reduces the resulting handful of groups. Long-format output with
+    * decimal/date string renderings (exact cross-engine). At 100 TB swap
+    * exact distincts for `approx_count_distinct` to drop the Expand —
+    * the structure (scans that hash-aggregate, long output) is the point. */
   def q100Profile(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val a = li.agg(
       count(lit(1)).as("n_rows"),
       count(col("l_quantity")).as("nn_q"), countDistinct(col("l_quantity")).as("nd_q"),
       min(col("l_quantity")).as("mn_q"), max(col("l_quantity")).as("mx_q"),
-      count(col("l_returnflag")).as("nn_f"), countDistinct(col("l_returnflag")).as("nd_f"),
-      min(col("l_returnflag")).as("mn_f"), max(col("l_returnflag")).as("mx_f"),
+      count(col("l_returnflag")).as("nn_f"),
       count(col("l_shipdate")).as("nn_d"), countDistinct(col("l_shipdate")).as("nd_d"),
       min(col("l_shipdate")).as("mn_d"), max(col("l_shipdate")).as("mx_d"))
-    a.selectExpr(
+    val flags = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("__c"))
+      // count the KEY, not the group: a null group must not inflate the
+      // distinct count (COUNT(DISTINCT x) ignores NULLs)
+      .agg(count(col("l_returnflag")).as("nd_f"),
+        min(col("l_returnflag")).as("mn_f"), max(col("l_returnflag")).as("mx_f"))
+    a.crossJoin(broadcast(flags)).selectExpr(
       """stack(3,
         |  'l_quantity', n_rows - nn_q, nd_q,
         |    CAST(CAST(mn_q AS DECIMAL(18,2)) AS STRING),
@@ -245,8 +260,9 @@ object Layout {
     val nb = 20
     li.crossJoin(broadcast(bounds))
       .withColumn("bucket",
-        least(floor((col("l_extendedprice") - col("lo")) * nb / (col("hi") - col("lo"))),
-          lit(nb - 1)).cast("long"))
+        when(col("hi") > col("lo"),
+          least(floor((col("l_extendedprice") - col("lo")) * nb / (col("hi") - col("lo"))),
+            lit(nb - 1))).otherwise(lit(0)).cast("long"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("l_extendedprice")).as("min_price"),

@@ -1112,6 +1112,69 @@ object Relational {
       |GROUP BY m.l_returnflag, m.l_linestatus, m.max_price
       |ORDER BY m.l_returnflag, m.l_linestatus""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q108 — gap-fill / resample: project each tracked entity onto a
+  // regular hourly grid and forward-fill the last observed value across
+  // empty hours — the standard metrics/IoT densification every
+  // time-series consumer (charting, feature windows, drift monitors)
+  // runs before use. Structure: per-(entity,hour) pre-aggregate (the
+  // deterministic "last event of the hour" via a ts/event_id-ordered
+  // rank), a GENERATED grid (sequence × distinct entities — never a
+  // shuffle of the fact), a left join back, and ONE forward-fill window
+  // per entity (`last(_, ignoreNulls)` over rows-unbounded-preceding).
+  // At 100 TB the grid is entities × hours — orders smaller than the
+  // fact — and the only full-data pass is the hourly pre-aggregate,
+  // which partial-aggregates map-side. Leading hours before an entity's
+  // first event stay NULL (is_gap marks every filled row).
+  // ------------------------------------------------------------------
+  def q108GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).filter(col("user_id") % 10 === 0)
+    val ranked = ev.withColumn("hour", date_trunc("hour", col("ts")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("hour"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+    val perHour = ranked.groupBy(col("user_id"), col("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("__rn") === 1, col("value"))).as("last_value"))
+    val bounds = ev.agg(date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val grid = ev.select(col("user_id")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hour"))
+    val fill = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perHour, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("last_value"), ignoreNulls = true).over(fill).as("value_filled"),
+        col("n_events").isNull.as("is_gap"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
+  val q108Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |  FROM events WHERE user_id % 10 = 0),
+      |per_hour AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
+      |    MAX(CASE WHEN rn = 1 THEN value END) AS last_value
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+      |          ORDER BY ts DESC, event_id DESC) AS rn FROM ev)
+      |  GROUP BY 1, 2),
+      |b AS (SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM ev),
+      |grid AS (
+      |  SELECT u.user_id, g.hour
+      |  FROM (SELECT DISTINCT user_id FROM ev) u,
+      |       (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b) g)
+      |SELECT g.user_id, g.hour,
+      |  CAST(COALESCE(p.n_events, 0) AS BIGINT) AS n_events,
+      |  LAST_VALUE(p.last_value IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.hour
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+      |  p.n_events IS NULL AS is_gap
+      |FROM grid g LEFT JOIN per_hour p ON g.user_id = p.user_id AND g.hour = p.hour
+      |ORDER BY g.user_id, g.hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"  -> (q01PricingSummary _),
     "q02_filter_project"   -> (q02FilterProject _),
@@ -1150,6 +1213,7 @@ object Relational {
     "q90_cube"             -> (q90Cube _),
     "q91_rank_functions"   -> (q91RankFunctions _),
     "q106_argmax"          -> (q106Argmax _),
+    "q108_gap_fill"        -> (q108GapFill _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1190,5 +1254,6 @@ object Relational {
     "q90_cube"             -> q90Sql,
     "q91_rank_functions"   -> q91Sql,
     "q106_argmax"          -> q106Sql,
+    "q108_gap_fill"        -> q108Sql,
   )
 }
