@@ -22,6 +22,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.util.Harness.quietLineageWarn() // deliberate releases, see Harness
+    graft.util.Checkpoints.arm() // harness-only transient registry
     // warm up codegen/session machinery outside the timings
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
@@ -31,6 +32,11 @@ object Bench {
     // separating first-build memoization cost from steady-state).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    // the summary keys timings by qNN prefix (tail-window fit, below); a
+    // duplicate prefix would silently drop a timing — fail BEFORE the
+    // hours-long measurement, not after it
+    require(SparkEntry.queries.keySet.map(_.split("_")(0)).size == SparkEntry.queries.size,
+      "duplicate qNN prefix in query names")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     // pre-land the weather bronze feed so its one-time write cost is not
     // billed to whichever weather query happens to run first (an ingest
@@ -67,9 +73,6 @@ object Bench {
     // summary line is >2.5 KB, whose OPENING BRACE would fall outside the
     // window — so the summary keys are the unambiguous qNN prefixes
     // (~1.3 KB total) and the full names ride the stderr [bench] lines
-    // a duplicate prefix would silently drop a timing — fail loudly instead
-    require(results.keySet.map(_.split("_")(0)).size == results.size,
-      "duplicate qNN prefix in query names")
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k.split("_")(0) + "\":" + fmt(v) }
       .mkString("{", ",", "}")

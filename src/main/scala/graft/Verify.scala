@@ -15,6 +15,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.util.Harness.quietLineageWarn() // deliberate releases, see Harness
+    graft.util.Checkpoints.arm() // harness-only transient registry
     new java.io.File(outDir).mkdirs()
     // builder-side convenience: SPARK_GRAFT_ONLY="q62,q34" limits the dump
     // to those queries (unset → all, which is what the driver runs)

@@ -124,8 +124,10 @@ object Layout {
       |  FROM lineitem),
       |q AS (
       |  SELECT l_partkey, l_orderkey,
-      |    CAST(floor((l_partkey - plo) * 65535.0 / (phi - plo)) AS BIGINT) AS xq,
-      |    CAST(floor((l_orderkey - olo) * 65535.0 / (ohi - olo)) AS BIGINT) AS yq
+      |    CAST(CASE WHEN phi > plo
+      |      THEN floor((l_partkey - plo) * 65535.0 / (phi - plo)) ELSE 0 END AS BIGINT) AS xq,
+      |    CAST(CASE WHEN ohi > olo
+      |      THEN floor((l_orderkey - olo) * 65535.0 / (ohi - olo)) ELSE 0 END AS BIGINT) AS yq
       |  FROM lineitem, b),
       |s1 AS (SELECT l_partkey, l_orderkey,
       |  (xq | (xq << 8)) & 16711935 AS x, (yq | (yq << 8)) & 16711935 AS y FROM q),
@@ -169,8 +171,8 @@ object Layout {
       count(col("l_returnflag")).as("nn_f"),
       count(col("l_shipdate")).as("nn_d"), countDistinct(col("l_shipdate")).as("nd_d"),
       min(col("l_shipdate")).as("mn_d"), max(col("l_shipdate")).as("mx_d"))
-    val flags = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("__c"))
-      // count the KEY, not the group: a null group must not inflate the
+    val flags = li.select(col("l_returnflag")).distinct()
+      // count the KEY, not the row: a null key must not inflate the
       // distinct count (COUNT(DISTINCT x) ignores NULLs)
       .agg(count(col("l_returnflag")).as("nd_f"),
         min(col("l_returnflag")).as("mn_f"), max(col("l_returnflag")).as("mx_f"))
@@ -280,7 +282,8 @@ object Layout {
     """WITH b AS (
       |  SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem),
       |h AS (
-      |  SELECT least(floor((l_extendedprice - lo) * 20 / (hi - lo)), 19) AS bucket,
+      |  SELECT CASE WHEN hi > lo
+      |    THEN least(floor((l_extendedprice - lo) * 20 / (hi - lo)), 19) ELSE 0 END AS bucket,
       |         l_extendedprice
       |  FROM lineitem, b)
       |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -1175,6 +1175,123 @@ object Relational {
       |FROM grid g LEFT JOIN per_hour p ON g.user_id = p.user_id AND g.hour = p.hour
       |ORDER BY g.user_id, g.hour""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q109 — referential-integrity audit: per-FK orphan counts and rates
+  // for the fact's three dimension keys. A Parquet lake has no FK
+  // constraints (the reference leans on declared FKs + composite indexes,
+  // `sql/schema.sql`), so integrity is a QUERY: left-anti probes of the
+  // fact against each dimension's key set. Each probe broadcasts the
+  // dim-key projection (keys only, never payload) — at 100 TB dims that
+  // outgrow broadcast use the bloom runtime filter (RuntimeFilterSpec)
+  // or a shuffle anti-join; the fact is scanned once per FK with only
+  // the key column read (column pruning). Rates are single divisions of
+  // exact counts. This is the post-land gate an ingest pipeline runs
+  // before promoting bronze to silver.
+  // ------------------------------------------------------------------
+  def q109FkAudit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    def audit(fk: String, dimKeys: DataFrame, name: String): DataFrame = {
+      val orphans = li.select(col(fk)).join(broadcast(dimKeys), col(fk) === col("__k"), "left_anti")
+      li.agg(count(lit(1)).as("n_rows")).crossJoin(
+        orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("fk_name"), col("n_rows"), col("n_orphans"),
+          (col("n_orphans").cast("double") / col("n_rows")).as("orphan_rate"))
+    }
+    val parts = Tables.part(spark, dir).select(col("p_partkey").as("__k"))
+    val supps = Tables.supplier(spark, dir).select(col("s_suppkey").as("__k"))
+    val ords = Tables.orders(spark, dir).select(col("o_orderkey").as("__k"))
+    audit("l_partkey", parts, "lineitem.l_partkey->part")
+      .unionByName(audit("l_suppkey", supps, "lineitem.l_suppkey->supplier"))
+      .unionByName(audit("l_orderkey", ords, "lineitem.l_orderkey->orders"))
+      .orderBy(col("fk_name"))
+  }
+
+  val q109Sql: String =
+    """SELECT 'lineitem.l_partkey->part' AS fk_name,
+      |  (SELECT COUNT(*) FROM lineitem) AS n_rows,
+      |  (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+      |     (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)) AS n_orphans,
+      |  CAST((SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+      |     (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)) AS DOUBLE)
+      |    / (SELECT COUNT(*) FROM lineitem) AS orphan_rate
+      |UNION ALL
+      |SELECT 'lineitem.l_suppkey->supplier',
+      |  (SELECT COUNT(*) FROM lineitem),
+      |  (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+      |     (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)),
+      |  CAST((SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+      |     (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)) AS DOUBLE)
+      |    / (SELECT COUNT(*) FROM lineitem)
+      |UNION ALL
+      |SELECT 'lineitem.l_orderkey->orders',
+      |  (SELECT COUNT(*) FROM lineitem),
+      |  (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+      |     (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+      |  CAST((SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+      |     (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS DOUBLE)
+      |    / (SELECT COUNT(*) FROM lineitem)
+      |ORDER BY fk_name""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q112 — snapshot drift audit: split the event corpus at its date
+  // midpoint and compare each event_type's volume and value
+  // distribution across the halves — the monitor that catches silent
+  // upstream shifts (a source going quiet, a metric changing units)
+  // before they poison a training run. One conditional-aggregation pass
+  // over the fact (map-side partial, no per-half scan); the pivot date
+  // is computed from a scalar bounds row and broadcast. Sums go through
+  // decimal(18,2) so both engines add exactly; the avgs and drift are
+  // single double operations on those exact inputs (cross-engine safe
+  // unrounded, same rule as q40's ratios).
+  // ------------------------------------------------------------------
+  def q112SnapshotDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        col("value").cast("decimal(18,2)").as("v"))
+    val bounds = ev.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .select(expr("date_add(lo, CAST(floor(datediff(hi, lo) / 2) AS INT))").as("pivot_d"))
+    val early = col("d") <= col("pivot_d")
+    ev.crossJoin(broadcast(bounds))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(early, 1L).otherwise(0L)).as("n_early"),
+        sum(when(!early, 1L).otherwise(0L)).as("n_late"),
+        sum(when(early, col("v"))).as("sum_early_dec"),
+        sum(when(!early, col("v"))).as("sum_late_dec"))
+      .select(col("event_type"), col("n_early"), col("n_late"),
+        (col("n_late").cast("double") / col("n_early")).as("volume_ratio"),
+        (col("sum_early_dec").cast("double") / col("n_early")).as("avg_early"),
+        (col("sum_late_dec").cast("double") / col("n_late")).as("avg_late"),
+        (col("sum_late_dec").cast("double") / col("n_late")
+          - col("sum_early_dec").cast("double") / col("n_early")).as("avg_drift"))
+      .orderBy(col("event_type"))
+  }
+
+  val q112Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events),
+      |b AS (
+      |  SELECT MIN(d) + CAST(FLOOR(date_diff('day', MIN(d), MAX(d)) / 2) AS INTEGER) AS pivot_d
+      |  FROM e)
+      |SELECT event_type,
+      |  CAST(SUM(CASE WHEN d <= pivot_d THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
+      |  CAST(SUM(CASE WHEN d > pivot_d THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |  CAST(SUM(CASE WHEN d > pivot_d THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / SUM(CASE WHEN d <= pivot_d THEN 1 ELSE 0 END) AS volume_ratio,
+      |  CAST(SUM(CASE WHEN d <= pivot_d THEN v END) AS DOUBLE)
+      |    / SUM(CASE WHEN d <= pivot_d THEN 1 ELSE 0 END) AS avg_early,
+      |  CAST(SUM(CASE WHEN d > pivot_d THEN v END) AS DOUBLE)
+      |    / SUM(CASE WHEN d > pivot_d THEN 1 ELSE 0 END) AS avg_late,
+      |  CAST(SUM(CASE WHEN d > pivot_d THEN v END) AS DOUBLE)
+      |    / SUM(CASE WHEN d > pivot_d THEN 1 ELSE 0 END)
+      |  - CAST(SUM(CASE WHEN d <= pivot_d THEN v END) AS DOUBLE)
+      |    / SUM(CASE WHEN d <= pivot_d THEN 1 ELSE 0 END) AS avg_drift
+      |FROM e, b
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"  -> (q01PricingSummary _),
     "q02_filter_project"   -> (q02FilterProject _),
@@ -1214,6 +1331,8 @@ object Relational {
     "q91_rank_functions"   -> (q91RankFunctions _),
     "q106_argmax"          -> (q106Argmax _),
     "q108_gap_fill"        -> (q108GapFill _),
+    "q109_fk_audit"        -> (q109FkAudit _),
+    "q112_snapshot_drift"  -> (q112SnapshotDrift _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1255,5 +1374,7 @@ object Relational {
     "q91_rank_functions"   -> q91Sql,
     "q106_argmax"          -> q106Sql,
     "q108_gap_fill"        -> q108Sql,
+    "q109_fk_audit"        -> q109Sql,
+    "q112_snapshot_drift"  -> q112Sql,
   )
 }

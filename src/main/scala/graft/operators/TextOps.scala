@@ -1025,6 +1025,108 @@ object TextOps {
       |FROM c GROUP BY source, seq_id
       |ORDER BY source, seq_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q110 — token-window chunking with overlap: the corpus→context-window
+  // step every RAG index and long-document pretraining pipeline runs
+  // (size 32, stride 24 → 8-token overlap). Chunk starts are a generated
+  // sequence per doc — explode is row-local, no shuffle at all until the
+  // final ORDER BY; at 100 TB this is a map-only pass whose output
+  // partitioning inherits the input's. A trailing start that adds no NEW
+  // tokens beyond the previous chunk (start + overlap ≥ n_toks) is
+  // dropped — the standard no-fully-contained-chunk rule, applied
+  // identically in both engines. Chunk identity travels as md5 of the
+  // joined tokens, not the text itself — the compare stays narrow and
+  // offset bugs still flip the hash.
+  // ------------------------------------------------------------------
+  private val ChunkTokens = 32
+  private val ChunkStride = 24
+
+  def q110Chunking(spark: SparkSession, dir: String): DataFrame =
+    withToks(Tables.documents(spark, dir))
+      .withColumn("start", explode(expr(
+        s"filter(sequence(0, size(toks) - 1, $ChunkStride), " +
+          s"s -> s = 0 OR s + ${ChunkTokens - ChunkStride} < size(toks))")))
+      .withColumn("chunk", expr(s"slice(toks, start + 1, $ChunkTokens)"))
+      .select(col("doc_id"),
+        (col("start") / ChunkStride).cast("long").as("chunk_id"),
+        col("start").cast("long").as("start_tok"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val q110Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+       |s AS (
+       |  SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, $ChunkStride)) AS start
+       |  FROM t),
+       |k AS (
+       |  SELECT doc_id, start,
+       |    toks[start + 1 : least(start + $ChunkTokens, len(toks))] AS chunk
+       |  FROM s
+       |  WHERE start = 0 OR start + ${ChunkTokens - ChunkStride} < len(toks))
+       |SELECT doc_id, CAST(start // $ChunkStride AS BIGINT) AS chunk_id,
+       |  CAST(start AS BIGINT) AS start_tok,
+       |  CAST(len(chunk) AS BIGINT) AS n_tokens,
+       |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+       |FROM k ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q111 — benchmark decontamination: for every eval-split document
+  // (q71's h ≥ 'e6' test bucket), the fraction of its distinct word
+  // 5-grams that appear ANYWHERE in the train split (h < 'cc') — the
+  // GPT-3-style n-gram overlap check run before trusting an eval number.
+  // The key scale move: the train side collapses to a DISTINCT gram SET
+  // before the join, so a gram shared by a million train docs costs one
+  // row, not a million candidate pairs — membership, never pairing. The
+  // probe is then one equi-join keyed on the gram (eval side is the
+  // small side; at 100 TB the set is also the natural seed for a bloom
+  // runtime filter, RuntimeFilterSpec's shape). Docs under 5 tokens have
+  // no 5-grams and no row — guarded explicitly (q97's sequence()
+  // backward-step lesson).
+  // ------------------------------------------------------------------
+  private val ContamGram = 5
+
+  def q111Decontamination(spark: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val grams = withToks(Tables.documents(spark, dir))
+      .withColumn("h", h)
+      .select(col("doc_id"), col("h"), explode(
+        when(size(col("toks")) >= ContamGram, expr(
+          s"transform(sequence(0, size(toks) - $ContamGram), " +
+            s"i -> array_join(slice(toks, i + 1, $ContamGram), ' '))"))
+          .otherwise(typedLit(Seq.empty[String]))).as("gram"))
+      .distinct()
+    val trainGrams = grams.filter(col("h") < "cc")
+      .select(col("gram").as("tg")).distinct()
+    grams.filter(col("h") >= "e6")
+      .join(trainGrams, col("gram") === col("tg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("tg")).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_grams")).as("contamination_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q111Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h,
+       |    regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT DISTINCT doc_id, h, gram FROM (
+       |    SELECT doc_id, h,
+       |      unnest(list_transform(generate_series(1, len(toks) - ${ContamGram - 1}),
+       |        i -> array_to_string(toks[i : i + ${ContamGram - 1}], ' '))) AS gram
+       |    FROM t WHERE len(toks) >= $ContamGram)),
+       |tg AS (SELECT DISTINCT gram FROM g WHERE h < 'cc'),
+       |eg AS (SELECT doc_id, gram FROM g WHERE h >= 'e6')
+       |SELECT eg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |  CAST(COUNT(tg.gram) AS BIGINT) AS n_hit,
+       |  CAST(COUNT(tg.gram) AS DOUBLE) / COUNT(*) AS contamination_rate
+       |FROM eg LEFT JOIN tg ON eg.gram = tg.gram
+       |GROUP BY eg.doc_id ORDER BY eg.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_text_stats"     -> (q40TextStats _),
     "q41_lang_id"        -> (q41LangId _),
@@ -1046,6 +1148,8 @@ object TextOps {
     "q86_incr_dedup"     -> (q86IncrementalDedup _),
     "q101_stratified_sample" -> (q101StratifiedSample _),
     "q103_dedup_apply"   -> (q103DedupApply _),
+    "q110_chunking"      -> (q110Chunking _),
+    "q111_decontamination" -> (q111Decontamination _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1069,5 +1173,7 @@ object TextOps {
     "q86_incr_dedup"     -> q86Sql,
     "q101_stratified_sample" -> q101Sql,
     "q103_dedup_apply"   -> q103Sql,
+    "q110_chunking"      -> q110Sql,
+    "q111_decontamination" -> q111Sql,
   )
 }

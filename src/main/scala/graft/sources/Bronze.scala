@@ -54,6 +54,17 @@ object Bronze {
     * `batch` has the raw feed's shape (µs `ts` timestamp, as from
     * `Tables.events`). IncrementalBronzeSpec proves two-batch == one-shot
     * and the untouched-partition guarantee.
+    *
+    * CONTRACT — an event's `event_date` is immutable. The merge reads
+    * only the batch's own day partitions, so a correction that moves an
+    * event ACROSS days would leave the stale copy alive in the old day
+    * (finding it would take an O(table) id probe — the price of having no
+    * PK index on a partitioned lake; the reference pays a B-tree for it,
+    * `sql/schema.sql:295`). Corrections may change any payload column and
+    * move `ts` WITHIN the day. Cross-day moves are a rebuild/compaction
+    * operation (`landEvents`, or [[Compact]] per affected partition pair),
+    * not an incremental land — the same contract every date-partitioned
+    * lakehouse MERGE carries.
     */
   def landEventsIncremental(spark: SparkSession, batch: DataFrame, path: String): Unit = {
     val dated = batch.withColumn("event_date", to_date(col("ts")))
@@ -81,7 +92,11 @@ object Bronze {
     // an arbitrary copy, so a corrected re-land could silently keep the
     // stale row). Exact replays still converge — the kept incoming copy is
     // byte-identical to the existing one. Within-batch duplicate event_ids
-    // tie-break on latest ts.
+    // tie-break on latest ts, then on the full payload tuple: the
+    // byte-identity guarantees (IncrementalBronzeSpec,
+    // StreamingBronzeIngestSpec) need the winner to be a pure function of
+    // the input even for a malformed batch carrying two same-id same-ts
+    // rows with different payloads.
     val toWrite = existing match {
       case None => dated
       case Some(ex) =>
@@ -89,7 +104,9 @@ object Bronze {
           .unionByName(dated.withColumn("__src", lit(1)))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("event_id"))
-          .orderBy(col("__src").desc, col("ts").desc)
+          .orderBy(col("__src").desc, col("ts").desc,
+            col("value").desc, col("event_type").desc, col("props").desc,
+            col("user_id").desc)
         tagged.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn", "__src")
     }

@@ -30,15 +30,28 @@ object Checkpoints {
   // inflation of round 5 (q81 63.5 s in-suite vs 5.65 s isolated). Sites
   // that mint such a frame register it here; the harness (Bench/Verify)
   // sweeps between queries, AFTER the query's result is materialized.
-  // Library callers that never sweep get exactly the old behavior.
+  // The registry is ARMED only by harness mains (Bench/Verify call
+  // [[arm]] at startup). A library caller that never sweeps must not
+  // feed it: strong references here would pin every transient for the
+  // process lifetime in a long-lived service (the pre-registry lifecycle
+  // — GC + ContextCleaner for checkpoints, CacheManager until an
+  // explicit clear for caches — is the correct one there). Weak
+  // references are NOT a fix: a cached frame's wrapper can be collected
+  // between query end and sweep, and its CacheManager entry (held
+  // strongly by the session) would then leak past the sweep it was
+  // registered for.
   private val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  @volatile private var armed = false
 
-  /** Register a per-query transient frame for the harness sweep; returns
-    * the frame unchanged.
+  /** Enable the registry — harness mains only, before the query loop. */
+  def arm(): Unit = armed = true
+
+  /** Register a per-query transient frame for the harness sweep (no-op
+    * unless [[arm]]ed); returns the frame unchanged.
     */
-  def track(df: DataFrame): DataFrame = tracked.synchronized {
-    tracked += df; df
-  }
+  def track(df: DataFrame): DataFrame =
+    if (!armed) df
+    else tracked.synchronized { tracked += df; df }
 
   /** Release every tracked transient (see [[track]]); returns how many
     * were swept. Callers must first materialize all consumers of the

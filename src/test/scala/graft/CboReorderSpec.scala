@@ -26,9 +26,12 @@ class CboReorderSpec extends SparkSpec {
     val names = Seq("cbo_lineitem", "cbo_part", "cbo_supplier")
     names.foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
     try {
-      Tables.lineitem(spark, Sf).write.saveAsTable("cbo_lineitem")
-      Tables.part(spark, Sf).write.saveAsTable("cbo_part")
-      Tables.supplier(spark, Sf).write.saveAsTable("cbo_supplier")
+      // overwrite: an aborted prior run leaves the warehouse DIRECTORY on
+      // disk with no metastore entry — DROP IF EXISTS is then a no-op and
+      // a default ErrorIfExists create fails forever after
+      Tables.lineitem(spark, Sf).write.mode("overwrite").saveAsTable("cbo_lineitem")
+      Tables.part(spark, Sf).write.mode("overwrite").saveAsTable("cbo_part")
+      Tables.supplier(spark, Sf).write.mode("overwrite").saveAsTable("cbo_supplier")
       names.foreach(n => spark.sql(s"ANALYZE TABLE $n COMPUTE STATISTICS FOR ALL COLUMNS"))
 
       // written WORST-first: the unfiltered wide part join before the
