@@ -70,4 +70,56 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out(3L) === ((1L, 1L, 1.0, 0.0)))
     assert(out(4L) === ((2L, 2L, 1.0, 1.0)))
   }
+
+  test("q110 chunk boundaries: truncation, containment drop, coverage") {
+    // token counts straddling the size-32/stride-24 geometry: a start
+    // whose chunk adds no new tokens beyond the previous chunk must be
+    // dropped, a kept trailing chunk truncates, and the kept chunks
+    // always cover every token exactly through the last one
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_q110").toString
+    def doc(n: Int): String = (1 to n).map(i => s"t$i").mkString(" ")
+    Seq((1L, doc(1)), (25L, doc(25)), (32L, doc(32)), (33L, doc(33)), (57L, doc(57)))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.TextOps.q110Chunking(spark, dir)
+      .select("doc_id", "chunk_id", "start_tok", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def chunks(id: Long) = rows.filter(_._1 == id).sortBy(_._2)
+      .map(c => (c._2, c._3, c._4)).toSeq
+    assert(chunks(1L) === Seq((0L, 0L, 1L)))     // single short chunk
+    assert(chunks(25L) === Seq((0L, 0L, 25L)))   // start 24 contained → dropped
+    assert(chunks(32L) === Seq((0L, 0L, 32L)))   // exact fit, no tail
+    assert(chunks(33L) === Seq((0L, 0L, 32L), (1L, 24L, 9L)))
+    assert(chunks(57L) === Seq((0L, 0L, 32L), (1L, 24L, 32L), (2L, 48L, 9L)))
+    // coverage: the last chunk always ends at the doc's last token
+    for (id <- Seq(1L, 25L, 32L, 33L, 57L)) {
+      val last = chunks(id).last
+      assert(last._2 + last._3 === id, s"doc $id not covered to its end")
+    }
+  }
+
+  test("q111 contamination is exact-set membership per eval doc") {
+    // doc_ids picked by their md5 bucket: 1/2/4 train (< 'cc'),
+    // 3/44/49 test (>= 'e6'). Doc 3 copies doc 1 verbatim -> rate 1.0;
+    // doc 44 shares exactly its first 5-gram with doc 2 -> 1/4 hit;
+    // doc 49 is under 5 tokens -> no row.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_q111").toString
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (4L, "unrelated training content goes right here"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (44L, "one two three four five unique tail words"),
+      (49L, "tiny doc"),
+    ).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.operators.TextOps.q111Decontamination(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet === Set(3L, 44L))
+    assert(out(3L) === ((2L, 2L, 1.0)))    // both 5-grams of the copy hit
+    assert(out(44L) === ((4L, 1L, 0.25)))  // only the shared prefix gram
+  }
 }
