@@ -294,11 +294,51 @@ object Layout {
       |GROUP BY bucket, lo, hi
       |ORDER BY bucket""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q113 — dense global sequence ids (the zipWithIndex problem): assign
+  // 0..N-1 in doc_id order WITHOUT the single-partition sort that
+  // `ROW_NUMBER() OVER (ORDER BY doc_id)` plans — the classic scale
+  // trap for "give every training example a contiguous id". Structure:
+  // a bucket that is a pure MONOTONIC function of the key
+  // (floor(doc_id / W) — order-preserving by construction, no sampling,
+  // no repartitionByRange nondeterminism), per-bucket row_number (the
+  // only wide shuffle, and its sort is per-bucket parallel), a
+  // bucket-count cumsum over the tiny bucket table (driver-scale rows),
+  // and a broadcast join adding the offsets. At 100 TB, W is the knob:
+  // pick W so max per-bucket rows fits an executor's sort buffer; the
+  // fat table is shuffled exactly once, and nothing ever funnels through
+  // one task. seq_id is a pure function of the key set — rerun-stable.
+  // ------------------------------------------------------------------
+  private val IdBucketWidth = 100L
+
+  def q113DenseIds(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .withColumn("__b", floor(col("doc_id") / IdBucketWidth))
+    val offsets = docs.groupBy(col("__b")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off",
+        coalesce(sum(col("__cnt")).over(
+          Window.orderBy(col("__b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__off"))
+    docs.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__b")).orderBy(col("doc_id"))))
+      .join(broadcast(offsets), "__b")
+      .select(col("doc_id"), col("source"),
+        (col("__rn") - 1 + col("__off")).as("seq_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q113Sql: String =
+    """SELECT doc_id, source,
+      |  ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS seq_id
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_zorder_layout" -> (q99ZorderLayout _),
     "q100_profile"      -> (q100Profile _),
     "q102_heavy_hitters" -> (q102HeavyHitters _),
     "q107_histogram"    -> (q107Histogram _),
+    "q113_dense_ids"    -> (q113DenseIds _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -306,5 +346,6 @@ object Layout {
     "q100_profile"      -> q100Sql,
     "q102_heavy_hitters" -> q102Sql,
     "q107_histogram"    -> q107Sql,
+    "q113_dense_ids"    -> q113Sql,
   )
 }

@@ -1127,6 +1127,47 @@ object TextOps {
        |FROM eg LEFT JOIN tg ON eg.gram = tg.gram
        |GROUP BY eg.doc_id ORDER BY eg.doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q114 — length-bucketed batching report: group documents into
+  // power-of-two token-length buckets (the inference/serving batching
+  // scheme) and report per-bucket padding waste — the measurement that
+  // justifies sequence packing (q95) over naive pad-to-bucket. The
+  // bucket is an exact integer CASE ladder, NOT ceil(log2(n)): a float
+  // log at an exact power of two can land on either side of the bucket
+  // edge depending on the engine's libm, and the ladder costs the same.
+  // All-integer until the final division; one map-side-combinable
+  // aggregate.
+  // ------------------------------------------------------------------
+  def q114LengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(col("toks")).cast("long")
+    val bucket = when(n <= 16L, 16L).when(n <= 32L, 32L).when(n <= 64L, 64L)
+      .when(n <= 128L, 128L).when(n <= 256L, 256L).otherwise(512L)
+    withToks(Tables.documents(spark, dir))
+      .select(bucket.as("bucket"), n.as("n_toks"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("real_tokens"))
+      .select(col("bucket"), col("n_docs"), col("real_tokens"),
+        (col("bucket") * col("n_docs")).as("padded_tokens"),
+        (lit(1.0) - col("real_tokens").cast("double")
+          / (col("bucket") * col("n_docs"))).as("padding_waste"))
+      .orderBy(col("bucket"))
+  }
+
+  val q114Sql: String =
+    """WITH t AS (
+      |  SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n_toks
+      |  FROM documents),
+      |b AS (
+      |  SELECT CASE WHEN n_toks <= 16 THEN 16 WHEN n_toks <= 32 THEN 32
+      |              WHEN n_toks <= 64 THEN 64 WHEN n_toks <= 128 THEN 128
+      |              WHEN n_toks <= 256 THEN 256 ELSE 512 END AS bucket, n_toks
+      |  FROM t)
+      |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_toks) AS BIGINT) AS real_tokens,
+      |  CAST(bucket * COUNT(*) AS BIGINT) AS padded_tokens,
+      |  1.0 - CAST(SUM(n_toks) AS DOUBLE) / (bucket * COUNT(*)) AS padding_waste
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_text_stats"     -> (q40TextStats _),
     "q41_lang_id"        -> (q41LangId _),
@@ -1150,6 +1191,7 @@ object TextOps {
     "q103_dedup_apply"   -> (q103DedupApply _),
     "q110_chunking"      -> (q110Chunking _),
     "q111_decontamination" -> (q111Decontamination _),
+    "q114_length_buckets" -> (q114LengthBuckets _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1175,5 +1217,6 @@ object TextOps {
     "q103_dedup_apply"   -> q103Sql,
     "q110_chunking"      -> q110Sql,
     "q111_decontamination" -> q111Sql,
+    "q114_length_buckets" -> q114Sql,
   )
 }
