@@ -1292,6 +1292,150 @@ object Relational {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q115 — point-in-time (temporal) dimension join: enrich each fact
+  // with the SCD2 version that was current AT THE FACT'S TIMESTAMP —
+  // the leak-free feature lookup every training pipeline needs against
+  // a versioned dimension (the reference's registry history, stored as
+  // q79 builds it). Semantics are as-of latest-prior, NOT a
+  // BETWEEN-range predicate: the [valid_from, valid_to] form leaves a
+  // 1-second boundary gap by construction, and Spark plans a non-equi
+  // range join as BNLJ anyway. Composition: q79's dimension + the
+  // generic single-shuffle AsofJoin (union trick — one shuffle on the
+  // key, a carried struct per row, zero join explosion), then a
+  // per-station rollup. The oracle states the same semantics as a
+  // latest-prior QUALIFY.
+  // ------------------------------------------------------------------
+  def q115PointInTime(spark: SparkSession, dir: String): DataFrame = {
+    val dim = q79Scd2Dimension(spark, dir)
+      .select(col("station_id"), col("valid_from"), col("reading"))
+    val facts = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("station_id",
+        concat(lit("S"), lpad((col("user_id") % 100).cast("string"), 3, "0")))
+      .select(col("station_id"), col("event_id"), col("ts"))
+    AsofJoin.nearestPrior(facts, dim, Seq("station_id"),
+        leftTs = "ts", rightTs = "valid_from", payloadCols = Seq("reading"))
+      .groupBy(col("station_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("asof_reading")).as("n_matched"),
+        (sum(dec(col("asof_reading"))).cast("double") / count(col("asof_reading")))
+          .as("avg_reading"))
+      .orderBy(col("station_id"))
+  }
+
+  val q115Sql: String =
+    """WITH upd AS (
+      |  SELECT 'S' || lpad(CAST(user_id % 100 AS VARCHAR), 3, '0') AS station_id,
+      |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS valid_from,
+      |    CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS reading
+      |  FROM events GROUP BY 1, 2),
+      |f AS (
+      |  SELECT 'S' || lpad(CAST(user_id % 100 AS VARCHAR), 3, '0') AS station_id,
+      |    event_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type = 'purchase'),
+      |pit AS (
+      |  SELECT f.station_id, f.event_id, u.reading
+      |  FROM f LEFT JOIN upd u
+      |    ON f.station_id = u.station_id AND u.valid_from <= f.ts
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY f.station_id, f.event_id
+      |    ORDER BY u.valid_from DESC NULLS LAST) = 1)
+      |SELECT station_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(reading) AS BIGINT) AS n_matched,
+      |  CAST(SUM(CAST(reading AS DECIMAL(18,2))) AS DOUBLE) / COUNT(reading) AS avg_reading
+      |FROM pit GROUP BY station_id ORDER BY station_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q116 — ordered funnel (view → click → purchase): for each user the
+  // first view, the first click strictly AFTER that view, and the first
+  // purchase strictly after that click — the product-analytics query
+  // where order matters, not mere presence. Three chained conditional
+  // mins as whole-partition window expressions sharing ONE exchange on
+  // user_id (same partitioning → Spark reuses the shuffle; each step
+  // references the previous step's column, which a single groupBy
+  // cannot express). Counts + conversion rates in one final 1-row
+  // aggregate. At 100 TB: one shuffle of the event log, state per user
+  // is three timestamps.
+  // ------------------------------------------------------------------
+  def q116Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val staged = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "click" &&
+        col("ts") > col("t1"), col("ts"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" &&
+        col("ts") > col("t2"), col("ts"))).over(w))
+    staged.groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"), max(col("t3")).as("t3"))
+      .agg(count(lit(1)).as("n_users"),
+        count(col("t1")).as("n_view"),
+        count(col("t2")).as("n_view_click"),
+        count(col("t3")).as("n_full_funnel"))
+      .select(col("n_users"), col("n_view"), col("n_view_click"), col("n_full_funnel"),
+        (col("n_view_click").cast("double") / col("n_view")).as("click_rate"),
+        (col("n_full_funnel").cast("double") / col("n_view_click")).as("purchase_rate"))
+  }
+
+  val q116Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |t1 AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+      |t2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2 FROM e JOIN t1 ON e.user_id = t1.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id),
+      |t3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3 FROM e JOIN t2 ON e.user_id = t2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id)
+      |SELECT
+      |  (SELECT COUNT(DISTINCT user_id) FROM e) AS n_users,
+      |  (SELECT COUNT(*) FROM t1) AS n_view,
+      |  (SELECT COUNT(*) FROM t2) AS n_view_click,
+      |  (SELECT COUNT(*) FROM t3) AS n_full_funnel,
+      |  CAST((SELECT COUNT(*) FROM t2) AS DOUBLE)
+      |    / (SELECT COUNT(*) FROM t1) AS click_rate,
+      |  CAST((SELECT COUNT(*) FROM t3) AS DOUBLE)
+      |    / (SELECT COUNT(*) FROM t2) AS purchase_rate""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q117 — cohort retention: users grouped by first-seen date, activity
+  // counted by day offset from that date — the (cohort × offset)
+  // retention triangle. Two shuffles total: user_id (first-seen
+  // aggregate, then the fact re-keyed through it) and (cohort, offset);
+  // cohort sizes ride a broadcast join of the tiny cohort table. All
+  // counts exact; the rate is one double division.
+  // ------------------------------------------------------------------
+  def q117CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val cohorts = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort"))
+    val sizes = cohorts.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_size"))
+    ev.join(cohorts, "user_id")
+      .groupBy(col("cohort"), datediff(col("d"), col("cohort")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(broadcast(sizes), "cohort")
+      .select(col("cohort"), col("day_offset"), col("n_active"), col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size")).as("retention"))
+      .orderBy(col("cohort"), col("day_offset"))
+  }
+
+  val q117Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+      |c AS (SELECT user_id, MIN(d) AS cohort FROM e GROUP BY user_id),
+      |s AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM c GROUP BY cohort),
+      |a AS (
+      |  SELECT c.cohort, date_diff('day', c.cohort, e.d) AS day_offset,
+      |    COUNT(DISTINCT e.user_id) AS n_active
+      |  FROM e JOIN c ON e.user_id = c.user_id
+      |  GROUP BY 1, 2)
+      |SELECT a.cohort, CAST(a.day_offset AS INTEGER) AS day_offset,
+      |  CAST(a.n_active AS BIGINT) AS n_active, s.cohort_size,
+      |  CAST(a.n_active AS DOUBLE) / s.cohort_size AS retention
+      |FROM a JOIN s ON a.cohort = s.cohort
+      |ORDER BY a.cohort, a.day_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"  -> (q01PricingSummary _),
     "q02_filter_project"   -> (q02FilterProject _),
@@ -1333,6 +1477,9 @@ object Relational {
     "q108_gap_fill"        -> (q108GapFill _),
     "q109_fk_audit"        -> (q109FkAudit _),
     "q112_snapshot_drift"  -> (q112SnapshotDrift _),
+    "q115_point_in_time"   -> (q115PointInTime _),
+    "q116_funnel"          -> (q116Funnel _),
+    "q117_cohort_retention" -> (q117CohortRetention _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1376,5 +1523,8 @@ object Relational {
     "q108_gap_fill"        -> q108Sql,
     "q109_fk_audit"        -> q109Sql,
     "q112_snapshot_drift"  -> q112Sql,
+    "q115_point_in_time"   -> q115Sql,
+    "q116_funnel"          -> q116Sql,
+    "q117_cohort_retention" -> q117Sql,
   )
 }
