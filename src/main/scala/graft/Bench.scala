@@ -32,6 +32,10 @@ object Bench {
     // separating first-build memoization cost from steady-state).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    // qNN-prefix OR full-name match; bare startsWith would over-select
+    // now that three-digit queries exist ("q11" must not pull in q110+)
+    def selected(name: String): Boolean =
+      only.isEmpty || only.contains(name) || only.contains(name.split("_")(0))
     // the summary keys timings by qNN prefix (tail-window fit, below); a
     // duplicate prefix would silently drop a timing — fail BEFORE the
     // hours-long measurement, not after it
@@ -45,7 +49,7 @@ object Bench {
     def fmt(v: Double): String = // ROOT locale: "." decimal point always
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.isEmpty || only.exists(name.startsWith) }
+      .filter { case (name, _) => selected(name) }
       .map { case (name, fn) =>
         var last = 0.0
         for (_ <- 1 to reps) {

@@ -21,8 +21,11 @@ object Verify {
     // to those queries (unset → all, which is what the driver runs)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    // qNN-prefix OR full-name match; bare startsWith would over-select
+    // now that three-digit queries exist ("q11" must not pull in q110+)
     SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only.exists(name.startsWith) }
+      .filter { case (name, _) =>
+        only.isEmpty || only.contains(name) || only.contains(name.split("_")(0)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

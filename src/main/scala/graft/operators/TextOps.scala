@@ -1135,20 +1135,27 @@ object TextOps {
   // bucket is an exact integer CASE ladder, NOT ceil(log2(n)): a float
   // log at an exact power of two can land on either side of the bucket
   // edge depending on the engine's libm, and the ladder costs the same.
+  // Docs past the top rung surface as an explicit overflow bucket (-1,
+  // NULL padding columns) rather than a silently-wrong capped number.
   // All-integer until the final division; one map-side-combinable
   // aggregate.
   // ------------------------------------------------------------------
   def q114LengthBuckets(spark: SparkSession, dir: String): DataFrame = {
     val n = size(col("toks")).cast("long")
+    // docs past the top rung land in bucket -1 (overflow) with NULL
+    // padding columns: a doc longer than every bucket cannot be padded
+    // INTO one, and a silent 512-cap would report padded < real (a
+    // negative, physically meaningless waste) while both engines agree
     val bucket = when(n <= 16L, 16L).when(n <= 32L, 32L).when(n <= 64L, 64L)
-      .when(n <= 128L, 128L).when(n <= 256L, 256L).otherwise(512L)
+      .when(n <= 128L, 128L).when(n <= 256L, 256L).when(n <= 512L, 512L)
+      .otherwise(-1L)
     withToks(Tables.documents(spark, dir))
       .select(bucket.as("bucket"), n.as("n_toks"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("real_tokens"))
       .select(col("bucket"), col("n_docs"), col("real_tokens"),
-        (col("bucket") * col("n_docs")).as("padded_tokens"),
-        (lit(1.0) - col("real_tokens").cast("double")
+        when(col("bucket") > 0, col("bucket") * col("n_docs")).as("padded_tokens"),
+        when(col("bucket") > 0, lit(1.0) - col("real_tokens").cast("double")
           / (col("bucket") * col("n_docs"))).as("padding_waste"))
       .orderBy(col("bucket"))
   }
@@ -1160,12 +1167,14 @@ object TextOps {
       |b AS (
       |  SELECT CASE WHEN n_toks <= 16 THEN 16 WHEN n_toks <= 32 THEN 32
       |              WHEN n_toks <= 64 THEN 64 WHEN n_toks <= 128 THEN 128
-      |              WHEN n_toks <= 256 THEN 256 ELSE 512 END AS bucket, n_toks
+      |              WHEN n_toks <= 256 THEN 256 WHEN n_toks <= 512 THEN 512
+      |              ELSE -1 END AS bucket, n_toks
       |  FROM t)
       |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
       |  CAST(SUM(n_toks) AS BIGINT) AS real_tokens,
-      |  CAST(bucket * COUNT(*) AS BIGINT) AS padded_tokens,
-      |  1.0 - CAST(SUM(n_toks) AS DOUBLE) / (bucket * COUNT(*)) AS padding_waste
+      |  CASE WHEN bucket > 0 THEN CAST(bucket * COUNT(*) AS BIGINT) END AS padded_tokens,
+      |  CASE WHEN bucket > 0
+      |    THEN 1.0 - CAST(SUM(n_toks) AS DOUBLE) / (bucket * COUNT(*)) END AS padding_waste
       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
