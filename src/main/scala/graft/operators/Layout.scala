@@ -333,12 +333,67 @@ object Layout {
       |  ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS seq_id
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q118 — correlation matrix via sufficient statistics: Pearson r for
+  // each measure pair from ONE kind of pass — map-side-combinable exact
+  // sums (n, Σx, Σy, Σxy, Σx², Σy², all decimal — both engines add
+  // exactly), converted to double only at the closed-form step. This is
+  // how a profiler computes correlations at 100 TB: never a centered
+  // second pass, never per-row doubles into a float sum (non-associative
+  // across partitionings). The final arithmetic is an identical
+  // fixed-shape expression tree in both engines (every IEEE op correctly
+  // rounded, same order), rounded to 1e-6 by the shared convention.
+  // ------------------------------------------------------------------
+  def q118Correlation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    def dec(c: Column): Column = c.cast("decimal(18,2)")
+    def d(c: Column): Column = c.cast("double")
+    def pair(name: String, xc: String, yc: String): DataFrame = {
+      val x = dec(col(xc)); val y = dec(col(yc))
+      li.agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"))
+        .select(lit(name).as("pair"), col("n"),
+          graft.weather.WeatherPipeline.roundSafe(
+            (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
+              / (sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+                * sqrt(d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))),
+            6).as("corr"))
+    }
+    pair("quantity_price", "l_quantity", "l_extendedprice")
+      .unionByName(pair("quantity_discount", "l_quantity", "l_discount"))
+      .unionByName(pair("price_discount", "l_extendedprice", "l_discount"))
+      .orderBy(col("pair"))
+  }
+
+  private def corrSql(name: String, xc: String, yc: String): String =
+    s"""SELECT '$name' AS pair, CAST(n AS BIGINT) AS n,
+       |  round(round(
+       |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       |    * 1e8) / 1e2) / 1e6 + 0.0 AS corr
+       |FROM (SELECT COUNT(*) AS n,
+       |  SUM(CAST($xc AS DECIMAL(18,2))) AS sx,
+       |  SUM(CAST($yc AS DECIMAL(18,2))) AS sy,
+       |  SUM(CAST($xc AS DECIMAL(18,2)) * CAST($yc AS DECIMAL(18,2))) AS sxy,
+       |  SUM(CAST($xc AS DECIMAL(18,2)) * CAST($xc AS DECIMAL(18,2))) AS sxx,
+       |  SUM(CAST($yc AS DECIMAL(18,2)) * CAST($yc AS DECIMAL(18,2))) AS syy
+       |  FROM lineitem)""".stripMargin
+
+  val q118Sql: String =
+    Seq(corrSql("quantity_price", "l_quantity", "l_extendedprice"),
+      corrSql("quantity_discount", "l_quantity", "l_discount"),
+      corrSql("price_discount", "l_extendedprice", "l_discount"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY pair")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_zorder_layout" -> (q99ZorderLayout _),
     "q100_profile"      -> (q100Profile _),
     "q102_heavy_hitters" -> (q102HeavyHitters _),
     "q107_histogram"    -> (q107Histogram _),
     "q113_dense_ids"    -> (q113DenseIds _),
+    "q118_correlation"  -> (q118Correlation _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -347,5 +402,6 @@ object Layout {
     "q102_heavy_hitters" -> q102Sql,
     "q107_histogram"    -> q107Sql,
     "q113_dense_ids"    -> q113Sql,
+    "q118_correlation"  -> q118Sql,
   )
 }
