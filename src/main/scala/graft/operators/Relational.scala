@@ -1375,7 +1375,11 @@ object Relational {
   // ------------------------------------------------------------------
   def q116Funnel(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
+    // NULL keys out up front: a funnel is per-user by definition, and the
+    // engines disagree downstream (Spark windows group NULLs into one
+    // partition; the oracle's equi-join drops them)
     val staged = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
       .select(col("user_id"), col("event_type"), col("ts"))
       .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
       .withColumn("t2", min(when(col("event_type") === "click" &&
@@ -1396,7 +1400,8 @@ object Relational {
 
   val q116Sql: String =
     """WITH e AS (
-      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+      |  WHERE user_id IS NOT NULL),
       |t1 AS (
       |  SELECT user_id, MIN(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
       |t2 AS (
