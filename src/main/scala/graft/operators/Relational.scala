@@ -1458,6 +1458,317 @@ object Relational {
       |FROM a JOIN s ON a.cohort = s.cohort
       |ORDER BY a.cohort, a.day_offset""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q119 — batch sessionization: split each user's event stream into
+  // sessions at >12 h inactivity gaps (the batch twin of q54/q87's
+  // streaming session windows), then report the session-size histogram.
+  // Classic gap-and-island: LAG marks session starts, a running SUM
+  // numbers them. ONE exchange on user_id serves both window passes AND
+  // the (user, session) aggregate (HashPartitioning(user) satisfies the
+  // superset clustering), so at 100 TB this is a single shuffle of the
+  // log with O(1) window state per row. All arithmetic integer (µs
+  // epochs) until the two final divisions. Tied timestamps are safe:
+  // LAG hands exactly one of the tied rows the prior ts regardless of
+  // tie order, and the default RANGE cumulative frame gives every tied
+  // row the same session id in both engines.
+  // ------------------------------------------------------------------
+  def q119Sessionization(spark: SparkSession, dir: String): DataFrame = {
+    val GapUs = 12L * 3600 * 1000000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+    val e = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val sessions = e
+      .withColumn("is_new",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) > GapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(
+        Window.partitionBy(col("user_id")).orderBy(col("us"))
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("dur_us"))
+    sessions
+      .groupBy(when(col("n_events") === 1, "1")
+        .when(col("n_events") <= 3, "2-3")
+        .when(col("n_events") <= 7, "4-7")
+        .otherwise("8+").as("bucket"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events_total"),
+        (sum(col("n_events")).cast("double") / count(lit(1))).as("avg_events"),
+        ((sum(col("dur_us")).cast("double") / count(lit(1))) / lit(1000000.0))
+          .as("avg_duration_sec"))
+      .orderBy(col("bucket"))
+  }
+
+  val q119Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events WHERE user_id IS NOT NULL),
+      |l AS (
+      |  SELECT user_id, us,
+      |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+      |      OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 43200000000
+      |      THEN 1 ELSE 0 END AS is_new
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id, us,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY us) AS session_id
+      |  FROM l),
+      |g AS (
+      |  SELECT user_id, session_id, COUNT(*) AS n_events,
+      |    MAX(us) - MIN(us) AS dur_us
+      |  FROM s GROUP BY 1, 2)
+      |SELECT CASE WHEN n_events = 1 THEN '1' WHEN n_events <= 3 THEN '2-3'
+      |            WHEN n_events <= 7 THEN '4-7' ELSE '8+' END AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |  CAST(SUM(n_events) AS BIGINT) AS n_events_total,
+      |  CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS avg_events,
+      |  (CAST(SUM(dur_us) AS DOUBLE) / COUNT(*)) / 1000000.0 AS avg_duration_sec
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q121 — per-group z-score anomaly detection: flag events whose value
+  // sits >3 standard deviations from their event_type's mean — the
+  // data-quality monitor run before a metric feeds training. Sufficient
+  // statistics (n, Σv, Σv²) in ONE map-side-combined pass over exact
+  // decimals (source values have 2 decimals, so v² has exactly 4 — no
+  // rounding anywhere in the sums), broadcast back to the fact for the
+  // flagging pass. The anomaly predicate is squared — (v-μ)² > 9·σ² —
+  // so it sits on +,-,* arithmetic only (IEEE-deterministic cross-
+  // engine); sqrt appears only in the rounded report column. At 100 TB:
+  // two fact scans, a 6-double broadcast, zero row explosion.
+  // ------------------------------------------------------------------
+  def q121AnomalyZscore(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), dec(col("value")).as("v"))
+    val mean = col("sv").cast("double") / col("n")
+    val stats = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum((col("v") * col("v")).cast("decimal(38,4)")).as("svv"))
+      .select(col("event_type"), col("n"), mean.as("mean"),
+        (col("svv").cast("double") / col("n") - mean * mean).as("vr"))
+    val vd = col("v").cast("double")
+    e.join(broadcast(stats), "event_type")
+      .groupBy(col("event_type"), col("n"), col("mean"), col("vr"))
+      .agg(sum(when((vd - col("mean")) * (vd - col("mean")) > lit(9.0) * col("vr"), 1L)
+        .otherwise(0L)).as("n_anomalies"))
+      .select(col("event_type"), col("n"),
+        graft.weather.WeatherPipeline.roundSafe(col("mean"), 6).as("mean6"),
+        graft.weather.WeatherPipeline.roundSafe(
+          sqrt(greatest(col("vr"), lit(0.0))), 6).as("std6"),
+        col("n_anomalies"),
+        (col("n_anomalies").cast("double") / col("n")).as("anomaly_rate"))
+      .orderBy(col("event_type"))
+  }
+
+  val q121Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |st AS (
+      |  SELECT event_type, COUNT(*) AS n, SUM(v) AS sv,
+      |    SUM(CAST(v * v AS DECIMAL(38,4))) AS svv
+      |  FROM e GROUP BY 1),
+      |m AS (
+      |  SELECT event_type, n,
+      |    CAST(sv AS DOUBLE) / n AS mean,
+      |    CAST(svv AS DOUBLE) / n
+      |      - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n) AS vr
+      |  FROM st)
+      |SELECT e.event_type, m.n AS n,
+      |  round(round(m.mean * 1e8) / 100) / 1e6 + 0.0 AS mean6,
+      |  round(round(sqrt(greatest(m.vr, 0.0)) * 1e8) / 100) / 1e6 + 0.0 AS std6,
+      |  CAST(SUM(CASE WHEN (CAST(e.v AS DOUBLE) - m.mean) * (CAST(e.v AS DOUBLE) - m.mean)
+      |    > 9.0 * m.vr THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+      |  CAST(SUM(CASE WHEN (CAST(e.v AS DOUBLE) - m.mean) * (CAST(e.v AS DOUBLE) - m.mean)
+      |    > 9.0 * m.vr THEN 1 ELSE 0 END) AS DOUBLE) / m.n AS anomaly_rate
+      |FROM e JOIN m USING (event_type)
+      |GROUP BY e.event_type, m.n, m.mean, m.vr
+      |ORDER BY e.event_type""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q122 — rolling time-series features: per-user trailing-5-event
+  // moving average and event-over-event delta — the feature-engineering
+  // pass that turns a raw log into model inputs. Users are selected by
+  // the same stable md5-prefix sampling as q70 (membership is a pure
+  // function of user_id — features for a user never change as other
+  // users arrive), then ONE exchange on user_id carries both window
+  // passes. The ROWS frame needs a TOTAL order: (ts, event_id) — event
+  // ids are the tie-break so duplicate timestamps can't make the frame
+  // contents engine-dependent. Moving sums stay decimal (exact) until
+  // the one division. At 100 TB: sampling prunes at the scan, then a
+  // single shuffle of the sampled slice.
+  // ------------------------------------------------------------------
+  def q122RollingFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val frame = ord.rowsBetween(-4, 0)
+    Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull &&
+        substring(md5(col("user_id").cast("string")), 1, 2) < "20")
+      .select(col("user_id"), col("event_id"), col("ts"), dec(col("value")).as("v"))
+      .withColumn("ma5",
+        sum(col("v")).over(frame).cast("double") / count(lit(1)).over(frame))
+      .withColumn("delta", (col("v") - lag(col("v"), 1).over(ord)).cast("double"))
+      .select(col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).as("t"),
+        col("v").cast("double").as("value"), col("ma5"), col("delta"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q122Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events
+      |  WHERE user_id IS NOT NULL
+      |    AND substring(md5(CAST(user_id AS VARCHAR)), 1, 2) < '20')
+      |SELECT user_id, event_id, date_trunc('second', ts) AS t,
+      |  CAST(v AS DOUBLE) AS value,
+      |  CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS ma5,
+      |  CAST(v - lag(v) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    AS DOUBLE) AS delta
+      |FROM e
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q124 — EWMA features, integer-exact: a 4-tap exponentially-weighted
+  // moving average (α = 1/2) per user, rolled up to the mean EWMA and
+  // mean |value − EWMA| deviation per event_type — the smoothed-signal
+  // features a forecasting pipeline derives from a raw log. The α = 1/2
+  // choice is deliberate: weights 8/4/2/1 over cents-scaled values keep
+  // EVERY intermediate — the weighted sum, the deviation, and their
+  // group totals — in exact int64, so the cross-engine result is exact
+  // with no float-summation order hazard at all; doubles appear only in
+  // the two final divisions. Rows without 3 predecessors are excluded
+  // (constant denominator 15). One user_id exchange serves all three
+  // LAGs; the rollup is map-side combined. At 100 TB: one shuffle of
+  // the log, O(1) state per row.
+  // ------------------------------------------------------------------
+  def q124EwmaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        (dec(col("value")) * 100).cast("long").as("vc"))
+      .withColumn("l1", lag(col("vc"), 1).over(ord))
+      .withColumn("l2", lag(col("vc"), 2).over(ord))
+      .withColumn("l3", lag(col("vc"), 3).over(ord))
+      .filter(col("l3").isNotNull)
+      .withColumn("ewma15",
+        col("vc") * 8 + col("l1") * 4 + col("l2") * 2 + col("l3"))
+      .withColumn("dev15", abs(col("vc") * 15 - col("ewma15")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("ewma15")).as("s_ewma15"), sum(col("dev15")).as("s_dev15"))
+      .select(col("event_type"), col("n"),
+        (col("s_ewma15").cast("double") / (col("n") * 1500)).as("avg_ewma"),
+        (col("s_dev15").cast("double") / (col("n") * 1500)).as("avg_abs_dev"))
+      .orderBy(col("event_type"))
+  }
+
+  val q124Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+      |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      |l AS (
+      |  SELECT event_type, vc,
+      |    lag(vc, 1) OVER w AS l1, lag(vc, 2) OVER w AS l2, lag(vc, 3) OVER w AS l3
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |f AS (
+      |  SELECT event_type, vc * 8 + l1 * 4 + l2 * 2 + l3 AS ewma15,
+      |    abs(vc * 15 - (vc * 8 + l1 * 4 + l2 * 2 + l3)) AS dev15
+      |  FROM l WHERE l3 IS NOT NULL)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(ewma15) AS DOUBLE) / (COUNT(*) * 1500) AS avg_ewma,
+      |  CAST(SUM(dev15) AS DOUBLE) / (COUNT(*) * 1500) AS avg_abs_dev
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q125 — triangle counting on the part co-occurrence graph (parts
+  // sharing an order are connected — the "bought together" graph;
+  // suppliers would form a degenerate complete graph at every SF, parts
+  // stay sparse with SF-invariant degree ≈ 115): nodes, edges, triangles
+  // and the global clustering coefficient — the graph-statistics pass
+  // behind community/fraud analysis, and the second graph operator next
+  // to q77's connected components. Edges are DEGREE-ORIENTED (from the
+  // (deg, id)-smaller endpoint to the larger) before the path join, the
+  // standard trick that counts each triangle exactly once AND bounds
+  // the wedge fan-out by graph arboricity instead of max-degree — the
+  // difference between a hub node exploding the join at 100 TB and the
+  // load spreading evenly. All counts exact integers; the coefficient
+  // is one final division.
+  // ------------------------------------------------------------------
+  def q125Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("s"))
+    val e0 = li.alias("a").join(li.alias("b"),
+        col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("u"), col("b.s").as("v")).distinct()
+    val deg = e0.select(col("u").as("x")).unionAll(e0.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val ed = e0
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+    val uFirst = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    // the oriented edge list feeds three join sides — checkpoint it once
+    // (harness-swept) instead of rebuilding the orientation joins 3×, and
+    // BROADCAST it on both probe sides so the O(Σ outdeg²) wedge stream
+    // is generated AND closed map-side, never shuffled (34.8 s → 12.5 s
+    // at sf0.1; the wedge fan-out is the scale term, the edge list stays
+    // |E|-small). The hint is right while |E| fits an executor — a
+    // catalog-sized graph; if edges ever scale with the fact table, drop
+    // the hints and the wedges shuffle-join on their keys instead.
+    val o = graft.util.Checkpoints.track(
+      ed.select(when(uFirst, col("u")).otherwise(col("v")).as("a"),
+        when(uFirst, col("v")).otherwise(col("u")).as("b")).localCheckpoint(true))
+    val tri = o.alias("e1").join(broadcast(o.alias("e2")), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("wa"), col("e2.b").as("wc"))
+      .join(broadcast(o.alias("e3")),
+        col("wa") === col("e3.a") && col("wc") === col("e3.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val edges = e0.agg(count(lit(1)).as("n_edges"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+      expr("sum(d * (d - 1)) div 2").as("n_triads"))
+    tri.crossJoin(edges).crossJoin(nodes)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"), col("n_triads"),
+        when(col("n_triads") > 0,
+          (col("n_triangles") * 3).cast("double") / col("n_triads")).as("clustering"))
+  }
+
+  val q125Sql: String =
+    """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+      |e0 AS (
+      |  SELECT DISTINCT a.s AS u, b.s AS v
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.s < b.s),
+      |deg AS (
+      |  SELECT x, COUNT(*) AS d FROM (
+      |    SELECT u AS x FROM e0 UNION ALL SELECT v AS x FROM e0)
+      |  GROUP BY 1),
+      |o AS (
+      |  SELECT CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e0.u < e0.v)
+      |           THEN e0.u ELSE e0.v END AS a,
+      |         CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e0.u < e0.v)
+      |           THEN e0.v ELSE e0.u END AS b
+      |  FROM e0 JOIN deg d1 ON d1.x = e0.u JOIN deg d2 ON d2.x = e0.v),
+      |tri AS (
+      |  SELECT COUNT(*) AS c FROM o e1
+      |  JOIN o e2 ON e1.b = e2.a
+      |  JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b)
+      |SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e0) AS n_edges,
+      |  (SELECT CAST(c AS BIGINT) FROM tri) AS n_triangles,
+      |  (SELECT CAST(SUM(d * (d - 1)) // 2 AS BIGINT) FROM deg) AS n_triads,
+      |  CASE WHEN (SELECT SUM(d * (d - 1)) // 2 FROM deg) > 0
+      |    THEN CAST((SELECT c FROM tri) * 3 AS DOUBLE)
+      |      / (SELECT SUM(d * (d - 1)) // 2 FROM deg) END AS clustering""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"  -> (q01PricingSummary _),
     "q02_filter_project"   -> (q02FilterProject _),
@@ -1502,6 +1813,11 @@ object Relational {
     "q115_point_in_time"   -> (q115PointInTime _),
     "q116_funnel"          -> (q116Funnel _),
     "q117_cohort_retention" -> (q117CohortRetention _),
+    "q119_sessionization"  -> (q119Sessionization _),
+    "q121_anomaly_zscore"  -> (q121AnomalyZscore _),
+    "q122_rolling_features" -> (q122RollingFeatures _),
+    "q124_ewma_features"   -> (q124EwmaFeatures _),
+    "q125_triangles"       -> (q125Triangles _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1548,5 +1864,10 @@ object Relational {
     "q115_point_in_time"   -> q115Sql,
     "q116_funnel"          -> q116Sql,
     "q117_cohort_retention" -> q117Sql,
+    "q119_sessionization"  -> q119Sql,
+    "q121_anomaly_zscore"  -> q121Sql,
+    "q122_rolling_features" -> q122Sql,
+    "q124_ewma_features"   -> q124Sql,
+    "q125_triangles"       -> q125Sql,
   )
 }

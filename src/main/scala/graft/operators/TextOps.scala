@@ -1177,6 +1177,203 @@ object TextOps {
       |    THEN 1.0 - CAST(SUM(n_toks) AS DOUBLE) / (bucket * COUNT(*)) END AS padding_waste
       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q120 — term co-occurrence lift: which vocabulary terms appear
+  // together in documents far more than independence predicts — the
+  // corpus-analysis pass behind topic discovery and collocation
+  // extraction. Vocabulary is capped at the top-40 document-frequency
+  // terms (deterministic df-then-term tie-break), so the per-document
+  // pair fan-out is bounded by C(40,2) no matter how large the corpus:
+  // the self-join is doc_id-equi over a broadcast-pruned term set, never
+  // all-pairs. Lift = N·c_xy / (c_x·c_y) is one IEEE division of exact
+  // int64 products (no logs — bit-identical cross-engine, same reason
+  // q112 keeps its ratios raw), so the ORDER BY lift is stable.
+  // ------------------------------------------------------------------
+  def q120Cooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val dt = docs
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .filter(length(col("term")) >= 3)
+      .distinct()
+    val top = dt.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term")).limit(40)
+    val k = dt.join(broadcast(top.select(col("term"))), "term")
+      .select(col("doc_id"), col("term"))
+    val pairs = k.alias("x").join(k.alias("y"),
+        col("x.doc_id") === col("y.doc_id") && col("x.term") < col("y.term"))
+      .groupBy(col("x.term").as("t1"), col("y.term").as("t2"))
+      .agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= 5)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    pairs
+      .join(broadcast(top.select(col("term").as("t1"), col("c").as("c_x"))), "t1")
+      .join(broadcast(top.select(col("term").as("t2"), col("c").as("c_y"))), "t2")
+      .crossJoin(broadcast(n))
+      .select(col("t1"), col("t2"), col("c_xy"), col("c_x"), col("c_y"),
+        ((col("n_docs") * col("c_xy")).cast("double") / (col("c_x") * col("c_y")))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("t1"), col("t2"))
+      .limit(100)
+  }
+
+  val q120Sql: String =
+    """WITH dt AS (
+      |  SELECT DISTINCT doc_id, term FROM (
+      |    SELECT doc_id,
+      |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |    FROM documents)
+      |  WHERE length(term) >= 3),
+      |top AS (
+      |  SELECT term, COUNT(*) AS c FROM dt GROUP BY 1
+      |  ORDER BY c DESC, term LIMIT 40),
+      |k AS (SELECT dt.doc_id, dt.term FROM dt JOIN top USING (term)),
+      |p AS (
+      |  SELECT x.term AS t1, y.term AS t2, COUNT(*) AS c_xy
+      |  FROM k x JOIN k y ON x.doc_id = y.doc_id AND x.term < y.term
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      |SELECT t1, t2, CAST(c_xy AS BIGINT) AS c_xy,
+      |  CAST(cx.c AS BIGINT) AS c_x, CAST(cy.c AS BIGINT) AS c_y,
+      |  CAST(n_docs * c_xy AS DOUBLE) / (cx.c * cy.c) AS lift
+      |FROM p JOIN top cx ON cx.term = p.t1 JOIN top cy ON cy.term = p.t2, n
+      |ORDER BY lift DESC, t1, t2 LIMIT 100""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q123 — BM25 relevance scoring (k1 = 1.2, b = 0.75): rank documents
+  // against the corpus's top-3-df term "query" — the retrieval scorer
+  // behind search-based data curation. Per-term scores land as pivoted
+  // COLUMNS (conditional max per query rank), so the final score is an
+  // explicitly-ordered 3-term sum — never a float SUM across rows,
+  // whose accumulation order an engine is free to choose. idf's ln sits
+  // on identical double inputs in both engines and the score is rounded
+  // via roundSafe (same double-rounding guard as q85's tf-idf). At
+  // 100 TB: the tf pass is the only corpus shuffle; the query terms,
+  // doc-length stats, and N ride broadcasts.
+  // ------------------------------------------------------------------
+  def q123Bm25(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .filter(length(col("term")) >= 3)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qterms = dfreq.orderBy(col("df").desc, col("term")).limit(3)
+      .withColumn("qrank",
+        row_number().over(Window.orderBy(col("df").desc, col("term"))))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val st = dl.agg(sum(col("dl")).as("tot"), count(lit(1)).as("nd"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val tfNorm = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+        (col("dl").cast("double") / (col("tot").cast("double") / col("nd")))))
+    val scored = tf.join(broadcast(qterms), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(st)).crossJoin(broadcast(n))
+      .select(col("doc_id"), col("dl"), col("qrank"), (idf * tfNorm).as("sc"))
+    scored.groupBy(col("doc_id"), col("dl"))
+      .agg(max(when(col("qrank") === 1, col("sc"))).as("s1"),
+        max(when(col("qrank") === 2, col("sc"))).as("s2"),
+        max(when(col("qrank") === 3, col("sc"))).as("s3"))
+      .select(col("doc_id"), col("dl"),
+        graft.weather.WeatherPipeline.roundSafe(
+          coalesce(col("s1"), lit(0.0)) + coalesce(col("s2"), lit(0.0))
+            + coalesce(col("s3"), lit(0.0)), 6).as("score6"))
+      .orderBy(col("score6").desc, col("doc_id")).limit(20)
+  }
+
+  val q123Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      |  WHERE length(term) >= 3 GROUP BY 1, 2),
+      |d AS (SELECT term, COUNT(*) AS df FROM t GROUP BY 1),
+      |q AS (
+      |  SELECT term, df, ROW_NUMBER() OVER (ORDER BY df DESC, term) AS qrank
+      |  FROM d ORDER BY df DESC, term LIMIT 3),
+      |dl AS (SELECT doc_id, SUM(tf) AS dl FROM t GROUP BY 1),
+      |st AS (SELECT SUM(dl) AS tot, COUNT(*) AS nd FROM dl),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |s AS (
+      |  SELECT t.doc_id, dl.dl, q.qrank,
+      |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+      |      * ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 *
+      |          (CAST(dl.dl AS DOUBLE) / (CAST(st.tot AS DOUBLE) / st.nd))))) AS sc
+      |  FROM t JOIN q USING (term) JOIN dl USING (doc_id), st, n),
+      |p AS (
+      |  SELECT doc_id, dl,
+      |    MAX(CASE WHEN qrank = 1 THEN sc END) AS s1,
+      |    MAX(CASE WHEN qrank = 2 THEN sc END) AS s2,
+      |    MAX(CASE WHEN qrank = 3 THEN sc END) AS s3
+      |  FROM s GROUP BY 1, 2)
+      |SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+      |  round(round((coalesce(s1, 0.0) + coalesce(s2, 0.0) + coalesce(s3, 0.0))
+      |    * 1e8) / 100) / 1e6 + 0.0 AS score6
+      |FROM p ORDER BY score6 DESC, doc_id LIMIT 20""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q126 — character-class entropy: Shannon entropy over five character
+  // classes (vowels / consonants / digits / whitespace / other) per
+  // document — the cheap gibberish detector that separates prose from
+  // minified code, base64 blobs, and table dumps in a crawl. The class
+  // histogram makes the float discipline tractable: FIVE -p·ln(p) terms
+  // summed in one explicitly-ordered expression chain (never a float
+  // aggregation across rows), each ln on identical double inputs in
+  // both engines, rounded via roundSafe. Entirely row-local (regex
+  // counts + scalar math) — embarrassingly parallel at any scale.
+  // ------------------------------------------------------------------
+  def q126CharEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val s = lower(col("text"))
+    def cnt(re: String): Column =
+      size(regexp_extract_all(s, lit(re), lit(0))).cast("long")
+    def term(c: Column): Column = {
+      val p = c.cast("double") / col("len")
+      when(c > 0, -(p * log(p))).otherwise(lit(0.0))
+    }
+    Tables.documents(spark, dir)
+      .withColumn("len", length(s).cast("long"))
+      .filter(col("len") > 0)
+      .withColumn("n_vowel", cnt("[aeiou]"))
+      .withColumn("n_cons", cnt("[b-df-hj-np-tv-z]"))
+      .withColumn("n_digit", cnt("[0-9]"))
+      .withColumn("n_space", cnt("\\s"))
+      .withColumn("n_other",
+        col("len") - col("n_vowel") - col("n_cons") - col("n_digit") - col("n_space"))
+      .select(col("doc_id"), col("len"),
+        graft.weather.WeatherPipeline.roundSafe(
+          term(col("n_vowel")) + term(col("n_cons")) + term(col("n_digit"))
+            + term(col("n_space")) + term(col("n_other")), 6).as("entropy6"),
+        ((col("n_vowel") + col("n_cons")).cast("double") / col("len")).as("frac_alpha"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q126Sql: String = {
+    def cnt(re: String) = s"len(regexp_extract_all(lower(text), '$re'))"
+    def term(c: String) =
+      s"CASE WHEN $c > 0 THEN -((CAST($c AS DOUBLE) / len) * ln(CAST($c AS DOUBLE) / len)) ELSE 0.0 END"
+    s"""WITH c AS (
+       |  SELECT doc_id, CAST(length(lower(text)) AS BIGINT) AS len,
+       |    CAST(${cnt("[aeiou]")} AS BIGINT) AS n_vowel,
+       |    CAST(${cnt("[b-df-hj-np-tv-z]")} AS BIGINT) AS n_cons,
+       |    CAST(${cnt("[0-9]")} AS BIGINT) AS n_digit,
+       |    CAST(${cnt("\\s")} AS BIGINT) AS n_space
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, len, n_vowel, n_cons, n_digit, n_space,
+       |    len - n_vowel - n_cons - n_digit - n_space AS n_other
+       |  FROM c WHERE len > 0)
+       |SELECT doc_id, len,
+       |  round(round((${term("n_vowel")} + ${term("n_cons")} + ${term("n_digit")}
+       |    + ${term("n_space")} + ${term("n_other")}) * 1e8) / 100) / 1e6 + 0.0 AS entropy6,
+       |  CAST(n_vowel + n_cons AS DOUBLE) / len AS frac_alpha
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_text_stats"     -> (q40TextStats _),
     "q41_lang_id"        -> (q41LangId _),
@@ -1201,6 +1398,9 @@ object TextOps {
     "q110_chunking"      -> (q110Chunking _),
     "q111_decontamination" -> (q111Decontamination _),
     "q114_length_buckets" -> (q114LengthBuckets _),
+    "q120_cooccurrence"  -> (q120Cooccurrence _),
+    "q123_bm25"          -> (q123Bm25 _),
+    "q126_char_entropy"  -> (q126CharEntropy _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1227,5 +1427,8 @@ object TextOps {
     "q110_chunking"      -> q110Sql,
     "q111_decontamination" -> q111Sql,
     "q114_length_buckets" -> q114Sql,
+    "q120_cooccurrence"  -> q120Sql,
+    "q123_bm25"          -> q123Sql,
+    "q126_char_entropy"  -> q126Sql,
   )
 }

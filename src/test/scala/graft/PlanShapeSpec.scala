@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Layout, TextOps}
+import graft.operators.{Layout, Relational, TextOps}
 
 /** Executable versions of the PLANS.md shape claims for the newest
   * operators: the claims "map-only" and "nothing funnels through one
@@ -39,6 +39,56 @@ class PlanShapeSpec extends SparkSpec {
       // the fat-table window shuffles by the bucket, not into one task
       assert(plan.contains("hashpartitioning(__b"),
         s"per-bucket window partitioning missing in:\n$plan")
+    }
+  }
+
+  test("q119 sessionization rides ONE exchange on user_id") {
+    withStaticPlan {
+      val q = Relational.q119Sessionization(spark, Sf)
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      // both window passes AND the (user, session) aggregate must reuse the
+      // user_id partitioning: a hashpartitioning(user_id, session_id)
+      // exchange would mean the superset-clustering reuse regressed
+      assert("hashpartitioning\\([^)]*session_id".r.findFirstIn(plan).isEmpty,
+        s"the (user, session) aggregate must reuse the user_id partitioning in:\n$plan")
+      val userExchanges =
+        "hashpartitioning\\(user_id".r.findAllIn(plan).size
+      assert(userExchanges === 1,
+        s"expected exactly one user_id exchange (shared by windows + session agg) in:\n$plan")
+    }
+  }
+
+  test("q121 anomaly pass broadcasts the stats, scanning the fact twice") {
+    withStaticPlan {
+      val q = Relational.q121AnomalyZscore(spark, Sf)
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"per-type stats must ride a broadcast, not a shuffle join:\n$plan")
+      val scans = "Scan parquet".r.findAllIn(plan).size
+      assert(scans === 2, s"expected exactly two fact scans in:\n$plan")
+    }
+  }
+
+  test("q122 rolling features share one user_id exchange across both windows") {
+    withStaticPlan {
+      val q = Relational.q122RollingFeatures(spark, Sf)
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      val userExchanges = "hashpartitioning\\(user_id".r.findAllIn(plan).size
+      assert(userExchanges === 1,
+        s"both window frames must reuse a single user_id exchange in:\n$plan")
+    }
+  }
+
+  test("q120 co-occurrence broadcasts the capped vocabulary") {
+    withStaticPlan {
+      val q = TextOps.q120Cooccurrence(spark, Sf)
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"the top-40 vocabulary prune must be a broadcast join:\n$plan")
     }
   }
 }
