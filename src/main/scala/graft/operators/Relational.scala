@@ -1690,6 +1690,25 @@ object Relational {
       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ------------------------------------------------------------------
+  /** Undirected part co-occurrence graph (parts sharing an order):
+    * distinct edges (u < v) plus per-node degrees. The edge list is
+    * localCheckpoint'ed (harness-swept) because every consumer — q125's
+    * orientation + three join sides, q130's adjacency + iterations —
+    * would otherwise re-run the distinct self-join per reference. */
+  private def partGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("s"))
+    val e0 = graft.util.Checkpoints.track(
+      li.alias("a").join(li.alias("b"),
+          col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
+        .select(col("a.s").as("u"), col("b.s").as("v")).distinct()
+        .localCheckpoint(true))
+    val deg = e0.select(col("u").as("x")).unionAll(e0.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    (e0, deg)
+  }
+
+  // ------------------------------------------------------------------
   // q125 — triangle counting on the part co-occurrence graph (parts
   // sharing an order are connected — the "bought together" graph;
   // suppliers would form a degenerate complete graph at every SF, parts
@@ -1705,13 +1724,7 @@ object Relational {
   // is one final division.
   // ------------------------------------------------------------------
   def q125Triangles(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("s"))
-    val e0 = li.alias("a").join(li.alias("b"),
-        col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
-      .select(col("a.s").as("u"), col("b.s").as("v")).distinct()
-    val deg = e0.select(col("u").as("x")).unionAll(e0.select(col("v").as("x")))
-      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val (e0, deg) = partGraph(spark, dir)
     val ed = e0
       .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
@@ -1769,6 +1782,225 @@ object Relational {
       |    THEN CAST((SELECT c FROM tri) * 3 AS DOUBLE)
       |      / (SELECT SUM(d * (d - 1)) // 2 FROM deg) END AS clustering""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q127 — rolling 7-day KPIs via a RANGE frame: daily volume and
+  // revenue per event_type plus trailing-7-CALENDAR-day windows — the
+  // dashboard aggregate every analytics stack recomputes nightly. The
+  // frame is RANGE over an integer day index, not ROWS: days with no
+  // traffic must still age out of the window (a ROWS frame would
+  // silently stretch across gaps). Revenue stays decimal through the
+  // frame sum (exact), doubled only at the edge. The fact shuffles ONCE
+  // to (type, day) partials — map-side combined — and the window runs
+  // over the tiny daily table partitioned by type.
+  // ------------------------------------------------------------------
+  def q127Rolling7d(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("rev_dec"))
+      .withColumn("didx", datediff(col("d"), lit("2024-01-01").cast("date")))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("didx"))
+      .rangeBetween(-6, 0)
+    daily.select(col("event_type"), col("d"), col("n"),
+        col("rev_dec").cast("double").as("revenue"),
+        sum(col("n")).over(w).as("n_7d"),
+        sum(col("rev_dec")).over(w).cast("double").as("revenue_7d"))
+      .orderBy(col("event_type"), col("d"))
+  }
+
+  val q127Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n,
+      |    SUM(CAST(value AS DECIMAL(18,2))) AS rev_dec
+      |  FROM events GROUP BY 1, 2),
+      |x AS (
+      |  SELECT *, date_diff('day', DATE '2024-01-01', d) AS didx FROM daily)
+      |SELECT event_type, d, CAST(n AS BIGINT) AS n,
+      |  CAST(rev_dec AS DOUBLE) AS revenue,
+      |  CAST(SUM(n) OVER w AS BIGINT) AS n_7d,
+      |  CAST(SUM(rev_dec) OVER w AS DOUBLE) AS revenue_7d
+      |FROM x
+      |WINDOW w AS (PARTITION BY event_type ORDER BY didx
+      |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_type, d""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q128 — Markov transition matrix over event sequences: P(next event
+  // type | current) from per-user ordered bigrams — the sequence model
+  // behind next-action prediction and bot detection. One exchange on
+  // user_id for the LAG (total order (ts, event_id), so duplicate
+  // timestamps can't flip a transition), then a tiny (from, to) count
+  // matrix; row totals ride a broadcast. Counts exact; each probability
+  // is one division.
+  // ------------------------------------------------------------------
+  def q128MarkovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val bi = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(ord))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = bi.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+    bi.join(broadcast(tot), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("tot")).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val q128Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      |  FROM events WHERE user_id IS NOT NULL),
+      |b AS (
+      |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    AS from_type, event_type AS to_type
+      |  FROM e),
+      |c AS (
+      |  SELECT from_type, to_type, COUNT(*) AS n FROM b
+      |  WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT from_type, SUM(n) AS tot FROM c GROUP BY 1)
+      |SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+      |  CAST(c.n AS DOUBLE) / t.tot AS p
+      |FROM c JOIN t USING (from_type)
+      |ORDER BY c.from_type, c.to_type""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q129 — exact decile binning WITHOUT a global sort: assign every
+  // purchase to its value decile and report per-bin stats — the feature
+  // binning / price-tier segmentation pass. The global rank comes from
+  // the same two-level machinery as q113's dense ids, keyed by VALUE
+  // RANGE instead of id range: cents-bucket counts → broadcast
+  // cumulative offsets → per-bucket row_number over (vc, event_id) (a
+  // total order — ties can't migrate across engines). decile =
+  // (rank·10) div n, all integer. The only single-partition stage is
+  // the ~100-row bucket cumsum; the fact never funnels through one
+  // task — the answer to "NTILE needs an unpartitioned window" at
+  // 100 TB.
+  // ------------------------------------------------------------------
+  def q129DecileBinning(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("event_id"), (dec(col("value")) * 100).cast("long").as("vc"))
+    val b = e.withColumn("__b", expr("vc div 100"))
+    val offsets = b.groupBy(col("__b")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off",
+        coalesce(sum(col("__cnt")).over(
+          Window.orderBy(col("__b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val nn = e.agg(count(lit(1)).as("nn"))
+    b.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__b")).orderBy(col("vc"), col("event_id"))))
+      .join(broadcast(offsets), "__b")
+      .crossJoin(broadcast(nn))
+      .select(col("vc"), (col("__rn") - 1 + col("__off")).as("rk"), col("nn"))
+      .groupBy(expr("(rk * 10) div nn").as("decile"))
+      .agg(count(lit(1)).as("n"),
+        (min(col("vc")).cast("double") / 100).as("min_value"),
+        (max(col("vc")).cast("double") / 100).as("max_value"),
+        (sum(col("vc")).cast("double") / 100).as("sum_value"))
+      .orderBy(col("decile"))
+  }
+
+  val q129Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+      |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+      |r AS (
+      |  SELECT vc, ROW_NUMBER() OVER (ORDER BY vc, event_id) - 1 AS rk,
+      |    COUNT(*) OVER () AS nn
+      |  FROM e)
+      |SELECT CAST((rk * 10) // nn AS BIGINT) AS decile,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(MIN(vc) AS DOUBLE) / 100 AS min_value,
+      |  CAST(MAX(vc) AS DOUBLE) / 100 AS max_value,
+      |  CAST(SUM(vc) AS DOUBLE) / 100 AS sum_value
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q130 — PageRank in integer fixed-point (d = 0.85, 5 iterations) on
+  // the part co-occurrence graph: the canonical iterative-graph
+  // workload, made bit-exact across engines by keeping ranks as
+  // SCALE=1e12-scaled int64 with floor division everywhere — float
+  // PageRank would accumulate contributions in engine-chosen order.
+  // Structure is GraphX-style: a degree-annotated adjacency list
+  // (checkpointed once), then per iteration one shuffle (contributions
+  // grouped by destination) and a broadcast-back of the node table;
+  // each iteration's rank frame is checkpointed so plans stay flat
+  // instead of nesting 5 joins deep. No dangling-node term: every node
+  // has degree ≥ 1 by construction (nodes exist only via edges).
+  // ------------------------------------------------------------------
+  def q130Pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val Scale = 1000000000000L
+    val (e0, deg) = partGraph(spark, dir)
+    val nn = deg.agg(count(lit(1)).as("nn"))
+    val adj = e0.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e0.select(col("v").as("src"), col("u").as("dst")))
+    // Iteration shape, MEASURED at sf0.1 (1.2M edges), keep-the-winner:
+    //   (a) per-iteration rank checkpoint + shuffle joins  → 12.5 s  ✓
+    //   (b) same but broadcasting the |V| rank table/iter  → 15.0 s
+    //       (each broadcast materializes the previous iteration first —
+    //        the job serializes into barrier waves)
+    //   (c) no checkpoints, one 5-deep nested DAG          → 29.8 s
+    //       (deg/nn recomputed inside every iteration; optimizer cost
+    //        grows with plan depth — the classic iterative-algorithm trap)
+    // The per-iteration checkpoint is what GraphX's Pregel does for the
+    // same reason. At cluster scale the |E|-shuffle per iteration is the
+    // term to kill: pre-partition adjd and the rank frame on the same key
+    // so the join is co-located, which local[*] gets for free here.
+    val adjd = graft.util.Checkpoints.track(
+      adj.join(deg.select(col("x").as("src"), col("d").as("dsrc")), "src")
+        .localCheckpoint(true))
+    var r = deg.crossJoin(broadcast(nn))
+      .select(col("x"), expr(s"$Scale div nn").as("r"))
+    for (_ <- 1 to 5) {
+      val contribs = adjd
+        .join(r.select(col("x").as("src"), col("r").as("rsrc")), "src")
+        .select(col("dst"), expr("(85 * rsrc) div (100 * dsrc)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+      r = graft.util.Checkpoints.track(
+        deg.crossJoin(broadcast(nn))
+          .join(contribs, col("x") === col("dst"), "left")
+          .select(col("x"),
+            (expr(s"(15 * $Scale) div (100 * nn)")
+              + coalesce(col("sc"), lit(0L))).as("r"))
+          .localCheckpoint(true))
+    }
+    r.orderBy(col("r").desc, col("x")).limit(20)
+      .select(col("x").as("part_id"), col("r").as("rank_scaled"))
+  }
+
+  val q130Sql: String = {
+    val base =
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+        |e0 AS (
+        |  SELECT DISTINCT a.s AS u, b.s AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.s < b.s),
+        |deg AS (
+        |  SELECT x, COUNT(*) AS d FROM (
+        |    SELECT u AS x FROM e0 UNION ALL SELECT v AS x FROM e0)
+        |  GROUP BY 1),
+        |adj AS (SELECT u AS src, v AS dst FROM e0
+        |        UNION ALL SELECT v AS src, u AS dst FROM e0),
+        |nn AS (SELECT COUNT(*) AS nn FROM deg),
+        |r0 AS (SELECT x, 1000000000000 // nn AS r FROM deg, nn)""".stripMargin
+    val iters = (1 to 5).map { k =>
+      s"""c$k AS (
+         |  SELECT a.dst AS x, SUM((85 * p.r) // (100 * dg.d)) AS sc
+         |  FROM adj a JOIN r${k - 1} p ON p.x = a.src JOIN deg dg ON dg.x = a.src
+         |  GROUP BY 1),
+         |r$k AS (
+         |  SELECT d.x, CAST((SELECT (15 * 1000000000000) // (100 * nn) FROM nn)
+         |    + COALESCE(c.sc, 0) AS BIGINT) AS r
+         |  FROM deg d LEFT JOIN c$k c ON c.x = d.x)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$iters
+       |SELECT x AS part_id, CAST(r AS BIGINT) AS rank_scaled
+       |FROM r5 ORDER BY r DESC, x LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"  -> (q01PricingSummary _),
     "q02_filter_project"   -> (q02FilterProject _),
@@ -1818,6 +2050,10 @@ object Relational {
     "q122_rolling_features" -> (q122RollingFeatures _),
     "q124_ewma_features"   -> (q124EwmaFeatures _),
     "q125_triangles"       -> (q125Triangles _),
+    "q127_rolling_7d"      -> (q127Rolling7d _),
+    "q128_markov_transitions" -> (q128MarkovTransitions _),
+    "q129_decile_binning"  -> (q129DecileBinning _),
+    "q130_pagerank"        -> (q130Pagerank _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1869,5 +2105,9 @@ object Relational {
     "q122_rolling_features" -> q122Sql,
     "q124_ewma_features"   -> q124Sql,
     "q125_triangles"       -> q125Sql,
+    "q127_rolling_7d"      -> q127Sql,
+    "q128_markov_transitions" -> q128Sql,
+    "q129_decile_binning"  -> q129Sql,
+    "q130_pagerank"        -> q130Sql,
   )
 }

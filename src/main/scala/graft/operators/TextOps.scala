@@ -1191,11 +1191,14 @@ object TextOps {
   // ------------------------------------------------------------------
   def q120Cooccurrence(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val dt = docs
+    // dt feeds both the df ranking and the pair join — checkpoint the
+    // tokenize+distinct once (harness-swept) rather than re-scan the corpus
+    val dt = graft.util.Checkpoints.track(docs
       .select(col("doc_id"),
         explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
       .filter(length(col("term")) >= 3)
       .distinct()
+      .localCheckpoint(true))
     val top = dt.groupBy(col("term")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("term")).limit(40)
     val k = dt.join(broadcast(top.select(col("term"))), "term")
@@ -1254,11 +1257,15 @@ object TextOps {
   def q123Bm25(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
-    val tf = docs
+    // tf feeds three consumers (df, dl, the scoring join) — checkpoint the
+    // tokenize+explode once (harness-swept) instead of re-scanning the
+    // corpus per consumer: sf10 measured 140 s → the explode was 3× the cost
+    val tf = graft.util.Checkpoints.track(docs
       .select(col("doc_id"),
         explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
       .filter(length(col("term")) >= 3)
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val qterms = dfreq.orderBy(col("df").desc, col("term")).limit(3)
       .withColumn("qrank",

@@ -82,6 +82,21 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q129 decile binning funnels only the bucket cumsum through one task") {
+    withStaticPlan {
+      val q = Relational.q129DecileBinning(spark, Sf)
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      // two tiny single-partition stages are inherent: the ~100-row
+      // value-bucket cumsum and the 1-row total count — never the fact
+      val singles = "SinglePartition".r.findAllIn(plan).size
+      assert(singles === 2,
+        s"only the bucket cumsum + scalar count may be single-partition in:\n$plan")
+      assert(plan.contains("hashpartitioning(__b"),
+        s"the fact must rank inside value-range buckets, not one task:\n$plan")
+    }
+  }
+
   test("q120 co-occurrence broadcasts the capped vocabulary") {
     withStaticPlan {
       val q = TextOps.q120Cooccurrence(spark, Sf)
