@@ -1730,19 +1730,22 @@ object Relational {
       .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
     val uFirst = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
     // the oriented edge list feeds three join sides — checkpoint it once
-    // (harness-swept) instead of rebuilding the orientation joins 3×, and
-    // BROADCAST it on both probe sides so the O(Σ outdeg²) wedge stream
-    // is generated AND closed map-side, never shuffled (34.8 s → 12.5 s
-    // at sf0.1; the wedge fan-out is the scale term, the edge list stays
-    // |E|-small). The hint is right while |E| fits an executor — a
-    // catalog-sized graph; if edges ever scale with the fact table, drop
-    // the hints and the wedges shuffle-join on their keys instead.
+    // (harness-swept) instead of rebuilding the orientation joins 3×.
+    // REGIME PICK on the materialized |E| (a free count off the
+    // checkpoint, same pattern as the LSH B(N) rule): a catalog-sized
+    // edge list rides a BROADCAST on both probe sides so the
+    // O(Σ outdeg²) wedge stream is generated AND closed map-side, never
+    // shuffled (34.8 s → 12.5 s at sf0.1, |E| = 1.2M); past ~20M edges
+    // (~0.5 GB hashed) the broadcast build itself is the bottleneck/OOM,
+    // so the wedges shuffle-join on their keys instead — sf10's |E| =
+    // 120M takes this branch.
     val o = graft.util.Checkpoints.track(
       ed.select(when(uFirst, col("u")).otherwise(col("v")).as("a"),
         when(uFirst, col("v")).otherwise(col("u")).as("b")).localCheckpoint(true))
-    val tri = o.alias("e1").join(broadcast(o.alias("e2")), col("e1.b") === col("e2.a"))
+    val side = (df: DataFrame) => if (o.count() <= 20000000L) broadcast(df) else df
+    val tri = o.alias("e1").join(side(o.alias("e2")), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("wa"), col("e2.b").as("wc"))
-      .join(broadcast(o.alias("e3")),
+      .join(side(o.alias("e3")),
         col("wa") === col("e3.a") && col("wc") === col("e3.b"))
       .agg(count(lit(1)).as("n_triangles"))
     val edges = e0.agg(count(lit(1)).as("n_edges"))
@@ -2001,6 +2004,91 @@ object Relational {
        |FROM r5 ORDER BY r DESC, x LIMIT 20""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q131 — opt-out purge audit: the report a right-to-be-forgotten run
+  // produces — per event_type, rows before / removed / after plus an
+  // exact retained-id checksum that downstream consumers can re-verify
+  // without trusting the purge job. Opt-out membership is the stable
+  // md5-prefix function (≈3% of users), so the audit is a pure function
+  // of the data. ONE conditional-aggregation pass over the fact
+  // (map-side partials, no per-cohort scan); NULL user_id rows are not
+  // deletable and count as retained. The physical deletion itself is
+  // Bronze.redactUsers (partition-surgical, RedactionSpec); this query
+  // is its verification artifact.
+  // ------------------------------------------------------------------
+  def q131OptoutPurge(spark: SparkSession, dir: String): DataFrame = {
+    val opted = col("user_id").isNotNull &&
+      substring(md5(col("user_id").cast("string")), 1, 2) >= "f8"
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(opted, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(!opted, 1L).otherwise(0L)).as("n_after"),
+        sum(when(!opted, col("event_id"))).as("retained_id_sum"))
+      .orderBy(col("event_type"))
+  }
+
+  val q131Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, event_id,
+      |    user_id IS NOT NULL
+      |      AND substring(md5(CAST(user_id AS VARCHAR)), 1, 2) >= 'f8' AS opted
+      |  FROM events)
+      |SELECT event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_before,
+      |  CAST(SUM(CASE WHEN opted THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |  CAST(SUM(CASE WHEN NOT opted THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+      |  CAST(SUM(CASE WHEN NOT opted THEN event_id END) AS BIGINT) AS retained_id_sum
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q132 — k-anonymity audit: the privacy gate a release manager runs
+  // before publishing an event extract. Quasi-identifier = (event_type,
+  // day, $10 value band); a row is re-identifiable when its QI class
+  // holds fewer than k=5 rows. Two map-side-combinable aggregations —
+  // fact → QI classes → per-type summary — report the k-anonymity level
+  // (min class size), the small-class count, and the rows a k=5
+  // suppression pass would redact. All-integer until the one risk-rate
+  // division. At 100 TB both aggs partial-combine; the QI-class
+  // cardinality (types × days × bands) is bounded and tiny relative to
+  // the fact, so the second agg is effectively free.
+  // ------------------------------------------------------------------
+  def q132Kanonymity(spark: SparkSession, dir: String): DataFrame = {
+    val classes = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        ((dec(col("value")) * 100).cast("long")).as("vc"))
+      .withColumn("band", expr("vc div 1000"))
+      .groupBy(col("event_type"), col("d"), col("band"))
+      .agg(count(lit(1)).as("cnt"))
+    classes.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_classes"),
+        min(col("cnt")).as("k_anonymity"),
+        sum(when(col("cnt") < 5, 1L).otherwise(0L)).as("n_small_classes"),
+        sum(when(col("cnt") < 5, col("cnt")).otherwise(0L)).as("rows_at_risk"),
+        sum(col("cnt")).as("n_rows"))
+      .select(col("event_type"), col("n_classes"), col("k_anonymity"),
+        col("n_small_classes"), col("rows_at_risk"), col("n_rows"),
+        graft.weather.WeatherPipeline.roundSafe(
+          col("rows_at_risk").cast("double") / col("n_rows"), 6).as("risk_rate6"))
+      .orderBy(col("event_type"))
+  }
+
+  val q132Sql: String =
+    """WITH classes AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000 AS band,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2, 3)
+      |SELECT event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |  CAST(MIN(cnt) AS BIGINT) AS k_anonymity,
+      |  CAST(SUM(CASE WHEN cnt < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_classes,
+      |  CAST(SUM(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT) AS rows_at_risk,
+      |  CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      |  round(round((CAST(SUM(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS DOUBLE)
+      |    / SUM(cnt)) * 1e8) / 100) / 1e6 + 0.0 AS risk_rate6
+      |FROM classes GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"  -> (q01PricingSummary _),
     "q02_filter_project"   -> (q02FilterProject _),
@@ -2054,6 +2142,8 @@ object Relational {
     "q128_markov_transitions" -> (q128MarkovTransitions _),
     "q129_decile_binning"  -> (q129DecileBinning _),
     "q130_pagerank"        -> (q130Pagerank _),
+    "q131_optout_purge"    -> (q131OptoutPurge _),
+    "q132_kanonymity"      -> (q132Kanonymity _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2109,5 +2199,7 @@ object Relational {
     "q128_markov_transitions" -> q128Sql,
     "q129_decile_binning"  -> q129Sql,
     "q130_pagerank"        -> q130Sql,
+    "q131_optout_purge"    -> q131Sql,
+    "q132_kanonymity"      -> q132Sql,
   )
 }

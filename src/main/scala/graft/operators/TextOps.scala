@@ -1381,6 +1381,64 @@ object TextOps {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q133 — vocabulary coverage / OOV audit: fix a top-1000 vocabulary by
+  // global term frequency (count DESC, term ASC — the deterministic
+  // tie-break every top-k here uses) and report, per source, how much of
+  // its token mass the vocab covers — the measurement behind "train the
+  // tokenizer on THIS corpus slice" decisions. The token stream is
+  // aggregated to (source, term) BEFORE any join, so vocab membership
+  // probes rows bounded by |sources|·|vocab∪corpus terms|, never the raw
+  // token stream; the vocab itself rides a broadcast. All-integer until
+  // the one coverage division. At 100 TB: term counts partial-combine;
+  // the global top-k is a skyline over the (already tiny) distinct-term
+  // table; membership becomes the same broadcast-semi-join shape as
+  // q111's decontamination gram set.
+  // ------------------------------------------------------------------
+  def q133VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val bySource = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .filter(length(col("term")) >= 3)
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+    val vocab = bySource.groupBy(col("term")).agg(sum(col("c")).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(1000)
+      .select(col("term"), lit(1L).as("in_v"))
+    bySource.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(when(col("in_v").isNotNull, col("c")).otherwise(0L)).as("n_covered"),
+        count(lit(1)).as("n_terms"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov_terms"))
+      .select(col("source"), col("n_tokens"), col("n_covered"),
+        (col("n_tokens") - col("n_covered")).as("n_oov_tokens"),
+        col("n_terms"), col("n_oov_terms"),
+        graft.weather.WeatherPipeline.roundSafe(
+          col("n_covered").cast("double") / col("n_tokens"), 6).as("coverage6"))
+      .orderBy(col("source"))
+  }
+
+  val q133Sql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |  FROM documents),
+      |bs AS (
+      |  SELECT source, term, COUNT(*) AS c FROM toks
+      |  WHERE length(term) >= 3 GROUP BY 1, 2),
+      |v AS (
+      |  SELECT term FROM (SELECT term, SUM(c) AS n FROM bs GROUP BY 1)
+      |  ORDER BY n DESC, term LIMIT 1000)
+      |SELECT bs.source AS source,
+      |  CAST(SUM(bs.c) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN v.term IS NOT NULL THEN bs.c ELSE 0 END) AS BIGINT) AS n_covered,
+      |  CAST(SUM(CASE WHEN v.term IS NULL THEN bs.c ELSE 0 END) AS BIGINT) AS n_oov_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |  CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_terms,
+      |  round(round((CAST(SUM(CASE WHEN v.term IS NOT NULL THEN bs.c ELSE 0 END) AS DOUBLE)
+      |    / SUM(bs.c)) * 1e8) / 100) / 1e6 + 0.0 AS coverage6
+      |FROM bs LEFT JOIN v ON bs.term = v.term
+      |GROUP BY bs.source ORDER BY bs.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_text_stats"     -> (q40TextStats _),
     "q41_lang_id"        -> (q41LangId _),
@@ -1408,6 +1466,7 @@ object TextOps {
     "q120_cooccurrence"  -> (q120Cooccurrence _),
     "q123_bm25"          -> (q123Bm25 _),
     "q126_char_entropy"  -> (q126CharEntropy _),
+    "q133_vocab_coverage" -> (q133VocabCoverage _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1437,5 +1496,6 @@ object TextOps {
     "q120_cooccurrence"  -> q120Sql,
     "q123_bm25"          -> q123Sql,
     "q126_char_entropy"  -> q126Sql,
+    "q133_vocab_coverage" -> q133Sql,
   )
 }

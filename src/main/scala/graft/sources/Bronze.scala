@@ -126,6 +126,65 @@ object Bronze {
     }
   }
 
+  /** Right-to-be-forgotten over the bronze landing: remove every row
+    * belonging to `users` (a one-column `user_id` opt-out table) by
+    * rewriting ONLY the day partitions that actually contain those users
+    * — the takedown/opt-out machinery a training-data lake must run
+    * without rebuilding the table. Three-step partition surgery:
+    *   1. a key-only probe finds the affected `event_date`s (the scan
+    *      reads two columns; at 100 TB a per-day user bloom or the
+    *      z-order layout narrows it further);
+    *   2. ONLY those partitions are re-read (broadcast semi-join on the
+    *      tiny day list → partition-pruned scan) and anti-joined against
+    *      the opt-out list (broadcast — an opt-out list is human-scale);
+    *   3. dynamic partition overwrite rewrites the touched days;
+    *      untouched days keep their files byte-for-byte (RedactionSpec).
+    * Rows with NULL user_id are never deletable — they survive the
+    * anti-join by definition. Returns the number of rows removed.
+    * Idempotent: a second run finds no affected days and writes nothing.
+    */
+  def redactUsers(spark: SparkSession, path: String, users: DataFrame): Long = {
+    val optOut = broadcast(users.select(col("user_id")).distinct())
+    val affectedDays = events(spark, path)
+      .join(optOut, Seq("user_id"), "left_semi")
+      .select(col("event_date")).distinct()
+      .localCheckpoint()
+    if (affectedDays.isEmpty) 0L
+    else {
+      val touched = events(spark, path)
+        .join(broadcast(affectedDays), Seq("event_date"), "left_semi")
+      val kept = touched.join(optOut, Seq("user_id"), "left_anti")
+        .localCheckpoint() // materialize before overwriting what we read
+      val removed = touched.count() - kept.count()
+      val saved = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      try {
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        kept.write.mode(SaveMode.Overwrite).partitionBy("event_date").parquet(path)
+        // dynamic overwrite only replaces partitions PRESENT in the written
+        // data — a day whose rows were ALL opted out produces no output and
+        // would silently keep its stale files. Drop those directories
+        // explicitly (both day lists are human-scale: driver-side is fine).
+        val keptDays = kept.select(col("event_date")).distinct()
+          .collect().map(_.get(0).toString).toSet
+        val emptied = affectedDays.collect().map(_.get(0).toString)
+          .filterNot(keptDays)
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        emptied.foreach { d =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/event_date=$d"), true)
+        }
+      } finally {
+        saved match {
+          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+        graft.util.Checkpoints.release(kept)
+        graft.util.Checkpoints.release(affectedDays)
+      }
+      removed
+    }
+  }
+
   def events(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
