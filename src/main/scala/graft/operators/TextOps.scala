@@ -1439,6 +1439,58 @@ object TextOps {
       |FROM bs LEFT JOIN v ON bs.term = v.term
       |GROUP BY bs.source ORDER BY bs.source""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q134 — reciprocal-rank fusion (k = 60): merge two retrieval signals
+  // — the q123 BM25 top-20 and a length-prior top-20 — into one ranking,
+  // the standard ensemble step in front of a reranker. RRF is chosen
+  // over score averaging deliberately: it consumes only RANKS, so the
+  // two signals' incomparable score scales never meet, and the floats
+  // are each 1/(60+r) — an int-derived division, added in one explicit
+  // order — so the cross-engine result is exact before the 1e-6 round.
+  // A doc missing from one list contributes 0 from it (union-of-top-k
+  // semantics). Scale posture: RRF fuses top-k LISTS (k = 20 here) — a
+  // driver-scale join by construction; all the data-scale work lives in
+  // the underlying retrieval queries, which carry their own plans.
+  // ------------------------------------------------------------------
+  def q134RrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rb = q123Bm25(spark, dir)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(col("score6").desc, col("doc_id")))
+          .cast("long").as("rb"))
+    val rl = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("n_chars").desc, col("doc_id")).limit(20)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(col("n_chars").desc, col("doc_id")))
+          .cast("long").as("rl"))
+    rb.join(rl, Seq("doc_id"), "full")
+      .select(col("doc_id"), col("rb"), col("rl"),
+        graft.weather.WeatherPipeline.roundSafe(
+          coalesce(lit(1.0) / (lit(60) + col("rb")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rl")), lit(0.0)), 6).as("rrf6"))
+      .orderBy(col("rrf6").desc, col("doc_id"))
+  }
+
+  val q134Sql: String =
+    s"""WITH bm AS (
+       |${q123Sql}
+       |),
+       |bmr AS (
+       |  SELECT doc_id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY score6 DESC, doc_id) AS BIGINT) AS rb
+       |  FROM bm),
+       |lenr AS (
+       |  SELECT doc_id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rl
+       |  FROM (SELECT doc_id, n_chars FROM documents
+       |        ORDER BY n_chars DESC, doc_id LIMIT 20))
+       |SELECT COALESCE(b.doc_id, l.doc_id) AS doc_id, b.rb, l.rl,
+       |  round(round((COALESCE(1.0 / (60 + b.rb), 0.0)
+       |    + COALESCE(1.0 / (60 + l.rl), 0.0)) * 1e8) / 100) / 1e6 + 0.0 AS rrf6
+       |FROM bmr b FULL JOIN lenr l ON b.doc_id = l.doc_id
+       |ORDER BY rrf6 DESC, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_text_stats"     -> (q40TextStats _),
     "q41_lang_id"        -> (q41LangId _),
@@ -1467,6 +1519,7 @@ object TextOps {
     "q123_bm25"          -> (q123Bm25 _),
     "q126_char_entropy"  -> (q126CharEntropy _),
     "q133_vocab_coverage" -> (q133VocabCoverage _),
+    "q134_rrf_fusion"    -> (q134RrfFusion _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1497,5 +1550,6 @@ object TextOps {
     "q123_bm25"          -> q123Sql,
     "q126_char_entropy"  -> q126Sql,
     "q133_vocab_coverage" -> q133Sql,
+    "q134_rrf_fusion"    -> q134Sql,
   )
 }

@@ -492,6 +492,85 @@ object VectorOps {
   }
 
   // ------------------------------------------------------------------
+  // q135 — incremental IVF index maintenance: the nightly-index question
+  // "a new embedding batch arrived — where does it land?" answered
+  // WITHOUT retraining. Centroids are trained (same deterministic
+  // k-means) on the standing corpus only (id % 10 ≠ 7, memoized under
+  // its own cache key); the incoming batch (id % 10 = 7) is assigned to
+  // its nearest existing centroid by the same slim argmax pass. The
+  // report — per cell: standing size, batch additions, dilution
+  // fraction — is what decides when drift has degraded the index enough
+  // to warrant a retrain (the q81 recall gate is the other half of that
+  // decision). At 100 TB this is the index's steady-state write path:
+  // assignment is a broadcast of ~N/100 centroids against only the
+  // batch, O(batch) work per batch, retrain amortized across many.
+  // ------------------------------------------------------------------
+  def q135IvfIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir, "")
+    val old = all.filter(col("id") % 10 =!= 7)
+    val batch = all.filter(col("id") % 10 === 7)
+    val cents = centsCache.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir + "|inc"), _ => trainCents(old))
+    val nOld = nearestCell(old, cents)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_old"))
+    val nNew = nearestCell(batch, cents)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_added"))
+    nOld.join(nNew, Seq("cell"), "full")
+      .select(col("cell").as("c_id"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_added"), lit(0L)).as("n_added"))
+      .withColumn("frac_added6", roundSafe6(
+        col("n_added").cast("double") / (col("n_old") + col("n_added"))))
+      .orderBy(col("c_id"))
+  }
+
+  val q135Sql: String = {
+    // the q57Sql k-means/argmax generators, parameterized by base table
+    // (q57Sql's own strings stay byte-stable for its hash gate)
+    def argmaxAssign(simsName: String, base: String, prev: String): String =
+      s"""$simsName AS (
+         |  SELECT a.vec_id AS id, c.c_id,
+         |    round((list_dot_product(a.v, c.c_v)/(a.nrm*c.c_nrm))*1e6)/1e6 + 0.0 AS c_sim
+         |  FROM $base a CROSS JOIN $prev c),
+         |${simsName}_mx AS (SELECT id, max(c_sim) AS ms FROM $simsName GROUP BY id),
+         |${simsName}_cell AS (
+         |  SELECT s.id, min(s.c_id) AS cell
+         |  FROM $simsName s JOIN ${simsName}_mx m ON s.id = m.id AND s.c_sim = m.ms
+         |  GROUP BY s.id)""".stripMargin
+    val kmeans = (1 to IvfIters).map { it =>
+      val prev = s"cents${it - 1}"
+      s"""${argmaxAssign(s"sims$it", "vold", prev)},
+         |assigned$it AS (
+         |  SELECT a.id, b.v, a.cell FROM sims${it}_cell a JOIN vold b ON a.id = b.vec_id),
+         |cents$it AS (
+         |  SELECT c_id, c_v, sqrt(list_dot_product(c_v, c_v)) AS c_nrm FROM (
+         |    SELECT cell AS c_id, list(m ORDER BY i) AS c_v FROM (
+         |      SELECT cell, i,
+         |        CAST(SUM(CAST(FLOOR(x*1e6) AS BIGINT)) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE)/1e6 AS m
+         |      FROM (SELECT cell, unnest(v) AS x, unnest(generate_series(1, $Dim)) AS i FROM assigned$it)
+         |      GROUP BY cell, i)
+         |    GROUP BY cell))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $SqlVecs,
+       |vold AS (SELECT * FROM v WHERE vec_id % 10 <> 7),
+       |vnew AS (SELECT * FROM v WHERE vec_id % 10 = 7),
+       |cents0 AS (SELECT vec_id AS c_id, v AS c_v, nrm AS c_nrm FROM vold WHERE vec_id % 100 = 0),
+       |$kmeans,
+       |cents AS (SELECT * FROM cents$IvfIters),
+       |${argmaxAssign("osims", "vold", "cents")},
+       |${argmaxAssign("nsims", "vnew", "cents")},
+       |oc AS (SELECT cell, COUNT(*) AS n_old FROM osims_cell GROUP BY 1),
+       |nc AS (SELECT cell, COUNT(*) AS n_added FROM nsims_cell GROUP BY 1)
+       |SELECT COALESCE(o.cell, n.cell) AS c_id,
+       |  CAST(COALESCE(o.n_old, 0) AS BIGINT) AS n_old,
+       |  CAST(COALESCE(n.n_added, 0) AS BIGINT) AS n_added,
+       |  round(CAST(COALESCE(n.n_added, 0) AS DOUBLE)
+       |    / (COALESCE(o.n_old, 0) + COALESCE(n.n_added, 0)) * 1e6) / 1e6 + 0.0 AS frac_added6
+       |FROM oc o FULL JOIN nc n ON o.cell = n.cell
+       |ORDER BY 1""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // q89 — LSH-bucketed embedding near-dup: the scale path for q47. Same
   // contract (pairs at cos ≥ 0.4) but candidates come from the q49 LSH
   // index instead of the all-pairs product: one side of the pair fans to
@@ -659,6 +738,7 @@ object VectorOps {
     "q81_ann_recall"        -> (q81AnnRecall _),
     "q89_neardup_lsh"       -> ((s: SparkSession, d: String) => q89NeardupLshAt(s, d, DefaultLshBits)),
     "q104_vector_centroids" -> (q104VectorCentroids _),
+    "q135_ivf_incremental"  -> (q135IvfIncremental _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -670,5 +750,6 @@ object VectorOps {
     "q81_ann_recall"        -> q81Sql,
     "q89_neardup_lsh"       -> q89Sql,
     "q104_vector_centroids" -> q104Sql,
+    "q135_ivf_incremental"  -> q135Sql,
   )
 }
