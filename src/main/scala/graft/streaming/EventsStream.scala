@@ -48,13 +48,27 @@ object EventsStream {
 
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reader = spark.readStream.schema(eventsSchema)
+    // a file-source readStream needs the schema DECLARED, and corpus
+    // generations differ on ts's physical type (INT64 ns vs native µs —
+    // see Tables.events): peek the footer through a batch read of the
+    // same path and declare what is actually on disk, then normalize to
+    // the canonical µs TimestampType. Feed dirs landed by the harnesses
+    // ([[landFeedFile]]) are always raw-ns longs and take the first arm.
+    val onDiskTs = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val schema = StructType(eventsSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = onDiskTs) else f))
+    val reader = spark.readStream.schema(schema)
     val src =
       if (isDirectory(spark, s"$dir/events.parquet"))
         reader.parquet(s"$dir/events.parquet")
       else
         reader.option("pathGlobFilter", "events.parquet").parquet(dir)
-    src.withColumn("ts", timestamp_micros(expr("ts div 1000"))) // exact: see Tables.events
+    onDiskTs match {
+      case LongType =>
+        src.withColumn("ts", timestamp_micros(expr("ts div 1000"))) // exact: see Tables.events
+      case _ =>
+        src.withColumn("ts", col("ts").cast("timestamp_ltz")) // UTC session: micros verbatim
+    }
   }
 
   /** Hourly tumbling-window per-type aggregation (the streaming face of
@@ -312,8 +326,7 @@ object EventsStream {
   def runStreamRecoveryOnce(spark: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_recovery_").toString
     val (feedDir, ckpt, gold) = (s"$base/feed", s"$base/checkpoint", s"$base/gold")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val raw = graft.sources.Tables.eventsRawNanos(spark, dir)
     val (t1, t2) = recoverySplit(raw)
     landFeedFile(t1, feedDir, "tranche1")
     streamingUpsertGoldTranche(spark, feedDir, ckpt, gold)   // run 1
@@ -385,8 +398,7 @@ object EventsStream {
   def runStreamBronzeIngestOnce(spark: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_bronze_ingest_").toString
     val (feedDir, ckpt, bronze) = (s"$base/feed", s"$base/checkpoint", s"$base/bronze")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val raw = graft.sources.Tables.eventsRawNanos(spark, dir)
     val (t1, t2) = recoverySplit(raw)
     landFeedFile(t1, feedDir, "tranche1")
     streamingBronzeIngestTranche(spark, feedDir, ckpt, bronze)   // run 1
@@ -455,8 +467,7 @@ object EventsStream {
   def runStreamJoinRecoveryOnce(spark: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_join_recovery_").toString
     val (feedDir, ckpt, out) = (s"$base/feed", s"$base/checkpoint", s"$base/out")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val raw = graft.sources.Tables.eventsRawNanos(spark, dir)
     val cutNs = joinRecoveryCutNs(raw)
     landFeedFile(raw.filter(col("ts") < cutNs), feedDir, "tranche1")
     streamJoinTranche(spark, feedDir, ckpt, out)   // run 1

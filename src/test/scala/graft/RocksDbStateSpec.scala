@@ -49,8 +49,7 @@ class RocksDbStateSpec extends SparkSpec {
     withRocksDb { s =>
       val base = java.nio.file.Files.createTempDirectory("graft_rocksdb_recovery_").toString
       val (feed, ckpt, gold) = (s"$base/feed", s"$base/ckpt", s"$base/gold")
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = s.read.parquet(s"$Sf/events.parquet")
+      val raw = graft.sources.Tables.eventsRawNanos(s, Sf)
       val (t1, t2) = EventsStream.recoverySplit(raw)
       EventsStream.landFeedFile(t1, feed, "t1")
       EventsStream.streamingUpsertGoldTranche(s, feed, ckpt, gold)

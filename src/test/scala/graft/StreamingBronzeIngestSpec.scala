@@ -41,8 +41,7 @@ class StreamingBronzeIngestSpec extends SparkSpec {
   test("restart lands only new batches; untouched days byte-identical; replay is a no-op") {
     val base = Files.createTempDirectory("graft_bronze_ingest_spec").toString
     val (feedDir, ckpt, bronze) = (s"$base/feed", s"$base/checkpoint", s"$base/bronze")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$Sf/events.parquet")
+    val raw = graft.sources.Tables.eventsRawNanos(spark, Sf)
     val (t1, t2) = EventsStream.recoverySplit(raw)
     val (n1, n2) = (t1.count(), t2.count())
 

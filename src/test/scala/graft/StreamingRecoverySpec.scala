@@ -28,8 +28,7 @@ class StreamingRecoverySpec extends SparkSpec {
     val base = Files.createTempDirectory("graft_recovery_spec_").toString
     val (feed, ckpt, gold) = (s"$base/feed", s"$base/ckpt", s"$base/gold")
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$Sf/events.parquet")
+    val raw = graft.sources.Tables.eventsRawNanos(spark, Sf)
     val batch = Tables.events(spark, Sf)
       .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -67,8 +66,7 @@ class StreamingRecoverySpec extends SparkSpec {
   }
 
   test("stream-stream join state survives a checkpointed restart") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$Sf/events.parquet")
+    val raw = graft.sources.Tables.eventsRawNanos(spark, Sf)
 
     // the cut sits INSIDE the largest-lag matched pair: its click can
     // only pair with its purchase if the restarted query restored the
