@@ -2089,6 +2089,70 @@ object Relational {
       |    / SUM(cnt)) * 1e8) / 100) / 1e6 + 0.0 AS risk_rate6
       |FROM classes GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q137 — per-group linear trend (OLS slope/intercept): value regressed
+  // on integer hour-of-corpus per event_type — the drift-DETECTION step
+  // after q112's drift audit and q121's point anomalies (is the metric
+  // moving, and how fast per hour?). Same sufficient-statistics
+  // discipline as q118: ONE map-side-combinable pass accumulating
+  // (n, Σx, Σy, Σxy, Σx²) with x an exact integer (µs div 3600e6 against
+  // a fixed epoch anchor — an affine shift, slope-invariant) and y
+  // decimal-exact; the closed forms
+  //   slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²),  intercept = (Σy − b·Σx)/n
+  // are evaluated as the identical IEEE expression tree in both engines
+  // and rounded at 1e-6. At 100 TB this is a per-partition 5-value
+  // partial + a 5-value reduce per group — the regression never sees a
+  // second pass or a row-order-dependent float sum.
+  // ------------------------------------------------------------------
+  def q137GroupTrend(spark: SparkSession, dir: String): DataFrame = {
+    def d(c: Column): Column = c.cast("double")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        // `div` = exact integer floor division (matches DuckDB `//`);
+        // `/` would detour through DOUBLE
+        expr("(unix_micros(ts) - unix_micros(timestamp '2024-01-01 00:00:00')) div 3600000000")
+          .cast("long").as("x"),
+        col("value").cast("decimal(18,2)").as("y"))
+    val stats = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val slope = (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+      (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+    stats.select(col("event_type"), col("n"),
+        graft.weather.WeatherPipeline.roundSafe(slope, 6).as("slope6"),
+        graft.weather.WeatherPipeline.roundSafe(
+          (d(col("sy")) - slope * d(col("sx"))) / d(col("n")), 6).as("intercept6"))
+      .orderBy(col("event_type"))
+  }
+
+  val q137Sql: String =
+    """WITH s AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      |  FROM (
+      |    SELECT event_type,
+      |      (epoch_us(CAST(ts AS TIMESTAMP))
+      |        - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) // 3600000000 AS x,
+      |      CAST(value AS DECIMAL(18,2)) AS y
+      |    FROM events)
+      |  GROUP BY event_type)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      |  round(round(
+      |    ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+      |    * 1e8) / 1e2) / 1e6 + 0.0 AS slope6,
+      |  round(round(
+      |    ((CAST(sy AS DOUBLE)
+      |      - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+      |        * CAST(sx AS DOUBLE))
+      |     / CAST(n AS DOUBLE))
+      |    * 1e8) / 1e2) / 1e6 + 0.0 AS intercept6
+      |FROM s ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"  -> (q01PricingSummary _),
     "q02_filter_project"   -> (q02FilterProject _),
@@ -2140,6 +2204,7 @@ object Relational {
     "q125_triangles"       -> (q125Triangles _),
     "q127_rolling_7d"      -> (q127Rolling7d _),
     "q128_markov_transitions" -> (q128MarkovTransitions _),
+    "q137_group_trend"     -> (q137GroupTrend _),
     "q129_decile_binning"  -> (q129DecileBinning _),
     "q130_pagerank"        -> (q130Pagerank _),
     "q131_optout_purge"    -> (q131OptoutPurge _),
@@ -2197,6 +2262,7 @@ object Relational {
     "q125_triangles"       -> q125Sql,
     "q127_rolling_7d"      -> q127Sql,
     "q128_markov_transitions" -> q128Sql,
+    "q137_group_trend"     -> q137Sql,
     "q129_decile_binning"  -> q129Sql,
     "q130_pagerank"        -> q130Sql,
     "q131_optout_purge"    -> q131Sql,
