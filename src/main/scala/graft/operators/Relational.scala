@@ -1935,11 +1935,6 @@ object Relational {
   // has degree ≥ 1 by construction (nodes exist only via edges).
   // ------------------------------------------------------------------
   def q130Pagerank(spark: SparkSession, dir: String): DataFrame = {
-    val Scale = 1000000000000L
-    val (e0, deg) = partGraph(spark, dir)
-    val nn = deg.agg(count(lit(1)).as("nn"))
-    val adj = e0.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(e0.select(col("v").as("src"), col("u").as("dst")))
     // Iteration shape, MEASURED at sf0.1 (1.2M edges), keep-the-winner:
     //   (a) per-iteration rank checkpoint + shuffle joins  → 12.5 s  ✓
     //   (b) same but broadcasting the |V| rank table/iter  → 15.0 s
@@ -1949,30 +1944,69 @@ object Relational {
     //       (deg/nn recomputed inside every iteration; optimizer cost
     //        grows with plan depth — the classic iterative-algorithm trap)
     // The per-iteration checkpoint is what GraphX's Pregel does for the
-    // same reason. At cluster scale the |E|-shuffle per iteration is the
-    // term to kill: pre-partition adjd and the rank frame on the same key
-    // so the join is co-located, which local[*] gets for free here.
-    val adjd = graft.util.Checkpoints.track(
-      adj.join(deg.select(col("x").as("src"), col("d").as("dsrc")), "src")
-        .localCheckpoint(true))
-    var r = deg.crossJoin(broadcast(nn))
-      .select(col("x"), expr(s"$Scale div nn").as("r"))
-    for (_ <- 1 to 5) {
-      val contribs = adjd
-        .join(r.select(col("x").as("src"), col("r").as("rsrc")), "src")
-        .select(col("dst"), expr("(85 * rsrc) div (100 * dsrc)").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
-      r = graft.util.Checkpoints.track(
-        deg.crossJoin(broadcast(nn))
-          .join(contribs, col("x") === col("dst"), "left")
-          .select(col("x"),
-            (expr(s"(15 * $Scale) div (100 * nn)")
-              + coalesce(col("sc"), lit(0L))).as("r"))
-          .localCheckpoint(true))
-    }
+    // same reason. On top of (a), the iteration join is CO-LOCATED: the
+    // adjacency and every rank frame are hash-partitioned on the join
+    // key before their (local)checkpoint — the captured LogicalRDD
+    // carries that outputPartitioning, so iterations 1..5 plan NO
+    // exchange on the |E|-row adjacency side; the only per-iteration
+    // shuffle is the |V|-sized contribution reduce. That is the
+    // cluster-scale term: the adjacency crosses the network once at
+    // build, never per iteration. PlanShapeSpec pins the property.
+    val (adjd, degc, nn) = pagerankFrames(spark, dir)
+    var r = pagerankInit(degc, nn)
+    for (_ <- 1 to 5)
+      r = pagerankStep(degc, nn, pagerankContribs(adjd, r))
     r.orderBy(col("r").desc, col("x")).limit(20)
       .select(col("x").as("part_id"), col("r").as("rank_scaled"))
   }
+
+  private val PrScale = 1000000000000L
+
+  /** Adjacency (degree-annotated, hash-partitioned on src) + degrees
+    * (hash-partitioned on x) + node count, each checkpointed so the
+    * captured partitioning survives into every iteration's plan. */
+  private[graft] def pagerankFrames(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val np = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val (e0, deg) = partGraph(spark, dir)
+    val adj = e0.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e0.select(col("v").as("src"), col("u").as("dst")))
+    val adjd = graft.util.Checkpoints.track(
+      adj.join(deg.select(col("x").as("src"), col("d").as("dsrc")), "src")
+        .repartition(np, col("src")) // explicit np: AQE must not coalesce
+        .localCheckpoint(true))      // away the co-partitioning contract
+    val degc = graft.util.Checkpoints.track(
+      deg.repartition(np, col("x")).localCheckpoint(true))
+    (adjd, degc, degc.agg(count(lit(1)).as("nn")))
+  }
+
+  /** r₀ = 1/N; partitioning flows from degc through the broadcast cross
+    * join and the checkpoint captures it — hash(x, np), no re-shuffle. */
+  private[graft] def pagerankInit(degc: DataFrame, nn: DataFrame): DataFrame =
+    graft.util.Checkpoints.track(
+      degc.crossJoin(broadcast(nn))
+        .select(col("x"), expr(s"$PrScale div nn").as("r"))
+        .localCheckpoint(true))
+
+  /** One contribution pass: adjd hash(src) ⋈ r hash(x→src) — alias-aware
+    * partitioning propagation makes both sides co-partitioned, so the
+    * ONLY exchange here is the hashpartitioning(dst) reduce. */
+  private[graft] def pagerankContribs(adjd: DataFrame, r: DataFrame): DataFrame =
+    adjd.join(r.select(col("x").as("src"), col("r").as("rsrc")), "src")
+      .select(col("dst"), expr("(85 * rsrc) div (100 * dsrc)").as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+
+  /** Rank update; left side degc keeps hash(x), which the left-outer
+    * join preserves and the checkpoint re-captures for next iteration. */
+  private[graft] def pagerankStep(
+      degc: DataFrame, nn: DataFrame, contribs: DataFrame): DataFrame =
+    graft.util.Checkpoints.track(
+      degc.crossJoin(broadcast(nn))
+        .join(contribs, col("x") === col("dst"), "left")
+        .select(col("x"),
+          (expr(s"(15 * $PrScale) div (100 * nn)")
+            + coalesce(col("sc"), lit(0L))).as("r"))
+        .localCheckpoint(true))
 
   val q130Sql: String = {
     val base =
@@ -2095,24 +2129,37 @@ object Relational {
   // after q112's drift audit and q121's point anomalies (is the metric
   // moving, and how fast per hour?). Same sufficient-statistics
   // discipline as q118: ONE map-side-combinable pass accumulating
-  // (n, Σx, Σy, Σxy, Σx²) with x an exact integer (µs div 3600e6 against
-  // a fixed epoch anchor — an affine shift, slope-invariant) and y
-  // decimal-exact; the closed forms
+  // (n, Σx, Σy, Σxy, Σx²) with x an exact integer (µs floor-divided by
+  // 3600e6 against a fixed epoch anchor — an affine shift,
+  // slope-invariant) and EVERY sum decimal-exact; the closed forms
   //   slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²),  intercept = (Σy − b·Σx)/n
   // are evaluated as the identical IEEE expression tree in both engines
   // and rounded at 1e-6. At 100 TB this is a per-partition 5-value
   // partial + a 5-value reduce per group — the regression never sees a
   // second pass or a row-order-dependent float sum.
+  //
+  // Two exactness traps, both closed here:
+  //  * Spark `div` and DuckDB `//` BOTH truncate toward zero (not
+  //    floor), so the raw hour bin straddling the anchor is
+  //    double-width for pre-anchor events; the explicit CASE turns
+  //    truncation into floor division, identically on both sides
+  //    (remainder sign is truncation-consistent in both engines).
+  //  * Σx/Σx²/Σxy accumulate in DECIMAL on the Spark side — a LongType
+  //    sum wraps silently on int64 overflow (non-ANSI) while DuckDB's
+  //    SUM(BIGINT) promotes to HUGEINT; at ~1e11 rows with x² ≈ 1e8,
+  //    Σx² exceeds int64 and the engines would diverge. decimal(38,·)
+  //    holds Σx² to ~1e38 — centuries of corpus at 100 TB/day.
   // ------------------------------------------------------------------
   def q137GroupTrend(spark: SparkSession, dir: String): DataFrame = {
     def d(c: Column): Column = c.cast("double")
     val ev = Tables.events(spark, dir)
       .select(col("event_type"),
-        // `div` = exact integer floor division (matches DuckDB `//`);
-        // `/` would detour through DOUBLE
-        expr("(unix_micros(ts) - unix_micros(timestamp '2024-01-01 00:00:00')) div 3600000000")
-          .cast("long").as("x"),
+        expr("unix_micros(ts) - unix_micros(timestamp '2024-01-01 00:00:00')").as("us"),
         col("value").cast("decimal(18,2)").as("y"))
+      .select(col("event_type"),
+        expr("(us div 3600000000) + (CASE WHEN us < 0 AND us % 3600000000 != 0" +
+          " THEN -1 ELSE 0 END)").cast("decimal(19,0)").as("x"),
+        col("y"))
     val stats = ev.groupBy(col("event_type")).agg(
       count(lit(1)).as("n"),
       sum(col("x")).as("sx"),
@@ -2134,10 +2181,15 @@ object Relational {
       |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
       |  FROM (
       |    SELECT event_type,
-      |      (epoch_us(CAST(ts AS TIMESTAMP))
-      |        - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) // 3600000000 AS x,
-      |      CAST(value AS DECIMAL(18,2)) AS y
-      |    FROM events)
+      |      (us // 3600000000) + (CASE WHEN us < 0 AND us % 3600000000 != 0
+      |        THEN -1 ELSE 0 END) AS x,
+      |      y
+      |    FROM (
+      |      SELECT event_type,
+      |        epoch_us(CAST(ts AS TIMESTAMP))
+      |          - epoch_us(TIMESTAMP '2024-01-01 00:00:00') AS us,
+      |        CAST(value AS DECIMAL(18,2)) AS y
+      |      FROM events))
       |  GROUP BY event_type)
       |SELECT event_type, CAST(n AS BIGINT) AS n,
       |  round(round(

@@ -13,23 +13,42 @@ class BronzeSpec extends SparkSpec {
 
   private val cut = "2024-01-15 00:00:00"
 
-  test("raw feed pushdown tracks the corpus generation (the caveat)") {
-    // nanos-generation corpora: the >= bound stays above the
-    // timestamp_micros conversion, only IsNotNull(ts) reaches the reader
-    // and every row group is read — the caveat bronze landing fixes.
-    // µs-generation corpora: Catalyst unwraps the NTZ→LTZ cast and the
-    // bound DOES reach PushedFilters — no caveat; bronze's remaining
-    // scale value there is the event_date partition pruning (next test).
-    val rawIsNanos = {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$Sf/events.parquet").schema("ts")
-        .dataType == org.apache.spark.sql.types.LongType
-    }
-    val plan = Tables.events(spark, Sf)
-      .filter(col("ts") >= lit(cut).cast("timestamp"))
-      .queryExecution.executedPlan.toString
-    if (rawIsNanos) assert(!plan.contains("GreaterThanOrEqual(ts"), plan)
-    else assert(plan.contains("GreaterThanOrEqual(ts"), plan)
+  test("raw feed pushdown, both corpus generations (the caveat)") {
+    // Both generation arms run on in-test fixtures so neither assertion
+    // can rot when the local corpus happens to be the other generation
+    // (pre-r7 this test branched on the corpus and exercised one arm).
+    import spark.implicits._
+    val cutTs = lit(cut).cast("timestamp")
+
+    // µs-generation arm: native TIMESTAMP(MICROS) [NTZ] — Catalyst
+    // unwraps the NTZ→LTZ cast (UTC session) and the >= bound DOES
+    // reach PushedFilters; bronze's remaining scale value there is the
+    // event_date partition pruning (next test).
+    val usDir = Files.createTempDirectory("graft_us_gen").toString
+    Seq(("2024-01-14 12:00:00", 1L), ("2024-01-16 12:00:00", 2L))
+      .toDF("ts_s", "event_id")
+      .select(col("ts_s").cast("timestamp_ntz").as("ts"), col("event_id"))
+      .write.parquet(s"$usDir/events.parquet")
+    val usPlan = Tables.events(spark, usDir)
+      .filter(col("ts") >= cutTs).queryExecution.executedPlan.toString
+    assert(usPlan.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(ts[^\\]]*\\].*"), usPlan)
+
+    // nanos-generation arm: ts as INT64 epoch-ns. Spark cannot WRITE
+    // TIMESTAMP(NANOS), but under nanosAsLong the real nanos corpus
+    // reads as exactly the LongType this plain-INT64 fixture does, and
+    // what blocks pushdown is the µs conversion arithmetic in
+    // Tables.events, not the parquet annotation. Only IsNotNull reaches
+    // the reader — the caveat the bronze landing fixes.
+    val nsDir = Files.createTempDirectory("graft_ns_gen").toString
+    Seq((1705190400000000000L, 1L), (1705363200000000000L, 2L))
+      .toDF("ts", "event_id")
+      .write.parquet(s"$nsDir/events.parquet")
+    val nsPlan = Tables.events(spark, nsDir)
+      .filter(col("ts") >= cutTs).queryExecution.executedPlan.toString
+    assert(!nsPlan.contains("GreaterThanOrEqual(ts"), nsPlan)
+    // and the conversion itself is exact: ns div 1000 keeps µs precision
+    val got = Tables.events(spark, nsDir).agg(min("ts")).collect()(0).getTimestamp(0)
+    assert(got.toInstant == java.time.Instant.parse("2024-01-14T00:00:00Z"))
   }
 
   test("bronze landing pushes ts to the reader and prunes partitions") {

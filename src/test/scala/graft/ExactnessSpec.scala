@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.{Relational, TextOps}
+
+/** Cross-engine exactness contracts the driver corpus cannot reach:
+  *
+  *  - q136's levenshtein gate compares a printable-ASCII projection of
+  *    the prefix because Spark's levenshtein counts code points while
+  *    DuckDB's counts bytes — any non-ASCII char in a compared prefix
+  *    diverges the raw metric ('é' vs 'a' = 1 vs 2). The driver corpus
+  *    is ASCII, so only a non-ASCII fixture exercises the projection.
+  *  - q137's hour bin floor-divides a possibly-negative µs offset; Spark
+  *    `div` and DuckDB `//` both truncate toward zero, so the explicit
+  *    floor CASE is what keeps the pre-anchor bins single-width. The
+  *    driver corpus starts after the anchor, so only a pre-anchor
+  *    fixture exercises the CASE.
+  *
+  * Expected values were computed by DuckDB 1.x on identical fixtures
+  * (scripts/preflight.py machinery) and re-derived by hand; pinning them
+  * here keeps the Spark side honest even though the JVM suite cannot run
+  * DuckDB itself.
+  */
+class ExactnessSpec extends SparkSpec {
+
+  test("q136 levenshtein gate is byte-stable on non-ASCII text") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_nonascii").toString
+    Seq(
+      (1L, "café münchen résumé the quick brown fox jumps over the lazy dog again and again", "de", "web", 70L),
+      (2L, "café münchen résumé the quick brown fox jumps over the lazy dog again and agaim", "de", "web", 70L),
+      (3L, "日本語のテキスト the quick brown fox jumps over the lazy dog and some more tail here", "ja", "web", 70L),
+      (4L, "日本語のテキスm the quick brown fox jumps over the lazy dog and some more tail here", "ja", "web", 70L),
+      (5L, "plain ascii document wholly unrelated to everything else in this little corpus", "en", "web", 70L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = TextOps.q136SortedNeighborhood(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // docs 1/2 share block "café"; after the ASCII strip their prefixes
+    // differ by ONE edit on both engines (byte-counting would say 1 too
+    // here, but the é/ü/é strips keep the compared strings identical
+    // byte-for-byte across engines). Docs 3/4 have distinct first tokens
+    // → different blocks, never compared (SNM blocking, by design).
+    assert(rows.toSeq === Seq((2L, 1L, 1L)))
+  }
+
+  test("q137 pre-anchor events bin by floor division, not truncation") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_preanchor").toString
+    Seq(
+      (1L, "2023-12-31 22:30:00", 10L, "click", 3.5, "{}"),
+      (2L, "2023-12-31 23:15:00", 11L, "click", 4.25, "{}"),
+      (3L, "2023-12-31 23:59:59", 12L, "click", 5.0, "{}"),
+      (4L, "2024-01-01 00:00:00", 13L, "click", 6.0, "{}"),
+      (5L, "2024-01-01 00:45:00", 14L, "click", 7.5, "{}"),
+      (6L, "2024-01-01 02:00:00", 15L, "click", 9.0, "{}"),
+      (7L, "2023-12-30 05:00:00", 16L, "view", 1.0, "{}"),
+      (8L, "2024-01-02 05:00:00", 17L, "view", 2.0, "{}"))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val rows = Relational.q137GroupTrend(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // click: floored x = [-2,-1,-1,0,0,2] → slope 81/56 = 1.446428…;
+    // truncation's x = [-1,0,0,0,0,2] gives a DIFFERENT slope — this
+    // pin fails if the floor CASE is ever dropped.
+    assert(rows.length === 2)
+    val click = rows.find(_._1 == "click").get
+    assert(click._2 === 6L)
+    assert(math.abs(click._3 - 1.446429) < 1e-9, s"slope ${click._3}")
+    assert(math.abs(click._4 - 6.357143) < 1e-9)
+    val view = rows.find(_._1 == "view").get
+    assert(view._2 === 2L)
+    assert(math.abs(view._3 - 0.013889) < 1e-9)
+    assert(math.abs(view._4 - 1.597222) < 1e-9)
+  }
+}

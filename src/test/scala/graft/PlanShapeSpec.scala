@@ -97,6 +97,36 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q130 iterations never re-shuffle the adjacency (co-located join)") {
+    withStaticPlan {
+      // The cluster-scale claim on q130: the |E|-row degree-annotated
+      // adjacency crosses the network ONCE (at its build repartition) and
+      // every subsequent iteration joins it co-partitioned — the captured
+      // LogicalRDD partitioning on both sides satisfies the join's
+      // distribution, so each contribution pass plans exactly one
+      // exchange, the |V|-sized hashpartitioning(dst) reduce. Driving the
+      // extracted iteration pieces directly lets every iteration's plan
+      // be inspected, not just the last.
+      val (adjd, degc, nn) = Relational.pagerankFrames(spark, Sf)
+      var r = Relational.pagerankInit(degc, nn)
+      for (i <- 1 to 3) {
+        val contribs = Relational.pagerankContribs(adjd, r)
+        val plan = contribs.queryExecution.executedPlan.toString
+        val exchanges = "Exchange".r.findAllIn(plan).size
+        assert(exchanges === 1,
+          s"iteration $i: only the dst contribution reduce may shuffle in:\n$plan")
+        assert(plan.contains("hashpartitioning(dst"),
+          s"iteration $i: the one exchange must be the dst reduce in:\n$plan")
+        r = Relational.pagerankStep(degc, nn, contribs)
+      }
+      // and the ranks stay a genuine distribution: Σr ≈ Scale (fixed-
+      // point floor losses only make it a hair under, never over)
+      val tot = r.agg(org.apache.spark.sql.functions.sum("r"))
+        .collect()(0).getLong(0)
+      assert(tot <= 1000000000000L && tot > 999000000000L, s"rank mass $tot")
+    }
+  }
+
   test("q120 co-occurrence broadcasts the capped vocabulary") {
     withStaticPlan {
       val q = TextOps.q120Cooccurrence(spark, Sf)
