@@ -1509,7 +1509,9 @@ object TextOps {
   // CONTENT keys; SNM pairs by SORT ADJACENCY: order the corpus by a
   // discriminating key and compare each record only to its w−1 successors.
   // Implementation is deliberately shard-parallel: records are windowed
-  // PARTITIONED BY a blocking key (the text's first token), ordered by
+  // PARTITIONED BY a blocking key (the text's first token; first TWO
+  // tokens for blocks past the HotBlock threshold — see the refinement
+  // note in the method), ordered by
   // (text, doc_id) within the block, and the w−1 = 2 successors arrive
   // via lead() — one exchange on the block key, a per-block sort, and
   // O(N·w) candidate verifies; never a global ORDER BY (single-partition
@@ -1534,10 +1536,42 @@ object TextOps {
   // ------------------------------------------------------------------
   def q136SortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Hot-block refinement (r7): a corpus where many documents share
+    // the same first token ("the ...") funnels them into ONE window
+    // partition — still the linear O(|block|·w) bound (measured: a
+    // 250k-doc hot block cost 3.3× wall, not the 60 000× a block
+    // self-join would), but one task owns the whole block while the
+    // rest of the cluster idles. So blocks past HotBlock docs get a
+    // COMPOSITE key (first TWO tokens) — classic multi-pass SNM
+    // blocking, as an executable regime rule like lshBitsFor: the
+    // hot-block membership is decided from a per-key count aggregate
+    // (tiny, broadcastable) computed identically in both engines.
+    // HotBlock = 10 000 sits two orders above every gate corpus's max
+    // block (197 at sf10), so oracle-scale output is byte-identical;
+    // the skewed-corpus measurement in PLANS §r7 shows the refinement
+    // restoring the uniform-corpus wall.
+    val HotBlock = 10000L
     val w = Window.partitionBy(col("blk")).orderBy(col("text"), col("doc_id"))
-    val r = Tables.documents(spark, dir)
+    val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"),
-        expr("split_part(text, ' ', 1)").as("blk"))
+        expr("split_part(text, ' ', 1)").as("t1"),
+        expr("split_part(text, ' ', 2)").as("t2"))
+    val hot = d.groupBy(col("t1")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > HotBlock).select(col("t1"), lit(true).as("__hot"))
+    // q125-style regime branch off the materialized hot-block probe: a
+    // uniform corpus (no hot block — every gate corpus, and the sf10
+    // replica) skips the composite-key join entirely and pays only the
+    // probe aggregate; the oracle SQL keeps the single general form,
+    // whose CASE reduces to the plain first-token key exactly when the
+    // probe comes back empty, so both branches hash identically.
+    val keyed = if (hot.isEmpty)
+      d.select(col("doc_id"), col("text"), col("t1").as("blk"))
+    else
+      d.join(broadcast(hot), Seq("t1"), "left")
+        .select(col("doc_id"), col("text"),
+          when(col("__hot").isNotNull, concat(col("t1"), lit(" "), col("t2")))
+            .otherwise(col("t1")).as("blk"))
+    val r = keyed
       .withColumn("n1_id", lead(col("doc_id"), 1).over(w))
       .withColumn("n1_tx", lead(col("text"), 1).over(w))
       .withColumn("n2_id", lead(col("doc_id"), 2).over(w))
@@ -1559,12 +1593,22 @@ object TextOps {
   }
 
   val q136Sql: String =
-    """WITH r AS (
-      |  SELECT doc_id, text, split_part(text, ' ', 1) AS blk,
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |    split_part(text, ' ', 1) AS t1, split_part(text, ' ', 2) AS t2
+      |  FROM documents),
+      |hot AS (SELECT t1 FROM d GROUP BY t1 HAVING COUNT(*) > 10000),
+      |k AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN t1 IN (SELECT t1 FROM hot)
+      |      THEN t1 || ' ' || t2 ELSE t1 END AS blk
+      |  FROM d),
+      |r AS (
+      |  SELECT doc_id, text, blk,
       |    LEAD(doc_id, 1) OVER w AS n1_id, LEAD(text, 1) OVER w AS n1_tx,
       |    LEAD(doc_id, 2) OVER w AS n2_id, LEAD(text, 2) OVER w AS n2_tx
-      |  FROM documents
-      |  WINDOW w AS (PARTITION BY split_part(text, ' ', 1) ORDER BY text, doc_id)),
+      |  FROM k
+      |  WINDOW w AS (PARTITION BY blk ORDER BY text, doc_id)),
       |cands AS (
       |  SELECT doc_id AS doc_a, n1_id AS doc_b,
       |    levenshtein(substring(regexp_replace(text, '[^\x20-\x7E]', '', 'g'), 1, 80),
