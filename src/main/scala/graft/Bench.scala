@@ -53,10 +53,12 @@ object Bench {
     // string order runs first (q103 — r6 archived it at 38.7 s carrying
     // this build). Same convention as the bronze pre-land above; the
     // build's own cost stays visible on stderr for attribution.
+    var prewarmLsh = 0.0
     if (Seq("q45_minhash_lsh", "q77_dedup_clusters", "q103_dedup_apply").exists(selected)) {
       val tw = System.nanoTime()
       graft.operators.TextOps.prewarmSharedArtifacts(spark, sfDir)
-      System.err.println(s"[bench] prewarm_lsh_pairs ${fmt((System.nanoTime() - tw) / 1e9)}")
+      prewarmLsh = (System.nanoTime() - tw) / 1e9
+      System.err.println(s"[bench] prewarm_lsh_pairs ${fmt(prewarmLsh)}")
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => selected(name) }
@@ -90,7 +92,12 @@ object Bench {
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k.split("_")(0) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
+    // the one-time LSH-pairs artifact build is first-class in the JSON
+    // (its own key + counted in the total) so cross-engine comparisons
+    // include work the reference pays inside its queries — previously it
+    // rode only the stderr attribution line and totals excluded it
+    val total =
+      (if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0) + prewarmLsh
     // teardown BEFORE the summary so nothing can print after it: evict
     // memoized/cached frames so nothing outlives the run
     graft.weather.WeatherQueries.clear()
@@ -98,7 +105,7 @@ object Bench {
     graft.operators.TextOps.clear()
     graft.operators.VectorOps.clear()
     spark.catalog.clearCache()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"prewarm_lsh_pairs":${fmt(prewarmLsh)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1967,7 +1967,10 @@ object Relational {
     * captured partitioning survives into every iteration's plan. */
   private[graft] def pagerankFrames(
       spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
-    val np = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // the conf may be non-numeric under some AQE setups ("auto") — fall
+    // back to the context's default parallelism rather than throwing
+    val np = spark.conf.get("spark.sql.shuffle.partitions").toIntOption
+      .getOrElse(spark.sparkContext.defaultParallelism)
     val (e0, deg) = partGraph(spark, dir)
     val adj = e0.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(e0.select(col("v").as("src"), col("u").as("dst")))

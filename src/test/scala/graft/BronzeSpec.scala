@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.sources.{Bronze, Tables}
 
@@ -24,7 +23,7 @@ class BronzeSpec extends SparkSpec {
     // unwraps the NTZ→LTZ cast (UTC session) and the >= bound DOES
     // reach PushedFilters; bronze's remaining scale value there is the
     // event_date partition pruning (next test).
-    val usDir = Files.createTempDirectory("graft_us_gen").toString
+    val usDir = TempDirs.create("graft_us_gen")
     Seq(("2024-01-14 12:00:00", 1L), ("2024-01-16 12:00:00", 2L))
       .toDF("ts_s", "event_id")
       .select(col("ts_s").cast("timestamp_ntz").as("ts"), col("event_id"))
@@ -39,7 +38,7 @@ class BronzeSpec extends SparkSpec {
     // what blocks pushdown is the µs conversion arithmetic in
     // Tables.events, not the parquet annotation. Only IsNotNull reaches
     // the reader — the caveat the bronze landing fixes.
-    val nsDir = Files.createTempDirectory("graft_ns_gen").toString
+    val nsDir = TempDirs.create("graft_ns_gen")
     Seq((1705190400000000000L, 1L), (1705363200000000000L, 2L))
       .toDF("ts", "event_id")
       .write.parquet(s"$nsDir/events.parquet")
@@ -52,7 +51,7 @@ class BronzeSpec extends SparkSpec {
   }
 
   test("bronze landing pushes ts to the reader and prunes partitions") {
-    val path = Files.createTempDirectory("graft_bronze").toString + "/events"
+    val path = TempDirs.create("graft_bronze") + "/events"
     Bronze.landEvents(spark, Sf, path)
 
     val tsPlan = Bronze.events(spark, path)

@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.weather.WeatherSynth
 
@@ -16,7 +15,7 @@ class BucketingSpec extends SparkSpec {
     "(?m)^.*Exchange hashpartitioning".r.findAllIn(plan).size
 
   test("bucketed-by-station_id staging removes the per-station shuffle") {
-    val wh = Files.createTempDirectory("graft_bucket").toString
+    val wh = TempDirs.create("graft_bucket")
     val stg = WeatherSynth.rawObservations(spark, Sf)
       .select("raw_id", "station_id", "timestamp", "temperature")
 

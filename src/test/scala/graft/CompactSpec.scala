@@ -1,13 +1,12 @@
 package graft
 
-import java.nio.file.Files
 import graft.sources.Compact
 
 class CompactSpec extends SparkSpec {
   import spark.implicits._
 
   test("compaction collapses small files, preserves rows, cleans staging") {
-    val path = Files.createTempDirectory("graft_compact").resolve("t").toString
+    val path = TempDirs.create("graft_compact") + "/" + "t"
     val df = (1 to 10000).map(i => (i.toLong, s"row_$i", i * 0.5)).toDF("id", "name", "v")
     df.repartition(50).write.parquet(path)
 
@@ -29,7 +28,7 @@ class CompactSpec extends SparkSpec {
   }
 
   test("already-compact directory is a no-op") {
-    val path = Files.createTempDirectory("graft_compact2").resolve("t").toString
+    val path = TempDirs.create("graft_compact2") + "/" + "t"
     Seq((1, "a"), (2, "b")).toDF("id", "s").coalesce(1).write.parquet(path)
     val stats = Compact.compactParquet(spark, path)
     assert(stats.filesBefore === 1 && stats.filesAfter === 1)

@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.operators.CorpusPipeline
 
@@ -10,7 +9,7 @@ import graft.operators.CorpusPipeline
 class CorpusPipelineSpec extends SparkSpec {
 
   test("curation is idempotent and stage invariants hold on disk") {
-    val out = Files.createTempDirectory("graft_corpus").toString
+    val out = TempDirs.create("graft_corpus")
     val layers = CorpusPipeline.run(spark, Sf, out)
     val once = spark.read.parquet(layers.curated).orderBy("doc_id").collect()
     CorpusPipeline.run(spark, Sf, out)
@@ -55,7 +54,7 @@ class CorpusPipelineSpec extends SparkSpec {
     // guard on a corpus the shipped testdata never exercises: docs with
     // 0, 1, 2 and 3 tokens.
     import spark.implicits._
-    val dir = Files.createTempDirectory("graft_q97").toString
+    val dir = TempDirs.create("graft_q97")
     Seq(
       (1L, "solo", "src"),                 // 1 token  → no row
       (2L, "  ", "src"),                   // 0 tokens → no row
@@ -77,7 +76,7 @@ class CorpusPipelineSpec extends SparkSpec {
     // dropped, a kept trailing chunk truncates, and the kept chunks
     // always cover every token exactly through the last one
     import spark.implicits._
-    val dir = Files.createTempDirectory("graft_q110").toString
+    val dir = TempDirs.create("graft_q110")
     def doc(n: Int): String = (1 to n).map(i => s"t$i").mkString(" ")
     Seq((1L, doc(1)), (25L, doc(25)), (32L, doc(32)), (33L, doc(33)), (57L, doc(57)))
       .toDF("doc_id", "text")
@@ -105,7 +104,7 @@ class CorpusPipelineSpec extends SparkSpec {
     // doc 44 shares exactly its first 5-gram with doc 2 -> 1/4 hit;
     // doc 49 is under 5 tokens -> no row.
     import spark.implicits._
-    val dir = Files.createTempDirectory("graft_q111").toString
+    val dir = TempDirs.create("graft_q111")
     Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "one two three four five six seven"),

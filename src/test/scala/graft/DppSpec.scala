@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.FileSourceScanExec
 import graft.sources.Bronze
@@ -16,7 +15,7 @@ import graft.sources.Bronze
 class DppSpec extends SparkSpec {
 
   test("a filtered dimension join prunes bronze day partitions at runtime") {
-    val base = Files.createTempDirectory("graft_dpp").toString
+    val base = TempDirs.create("graft_dpp")
     Bronze.landEvents(spark, Sf, s"$base/bronze")
 
     // day dimension over the fact's own partition values, with an

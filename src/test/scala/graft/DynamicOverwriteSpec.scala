@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 /** Backs the "pair with dynamic partition overwrite" claim: with
@@ -12,7 +11,7 @@ class DynamicOverwriteSpec extends SparkSpec {
   import spark.implicits._
 
   test("dynamic mode overwrites only the partitions present in the batch") {
-    val path = Files.createTempDirectory("graft_dyn").resolve("t").toString
+    val path = TempDirs.create("graft_dyn") + "/" + "t"
     val day1 = Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-01", 20.0))
     val day2 = Seq((3L, "2024-01-02", 30.0))
     (day1 ++ day2).toDF("id", "day", "v")

@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.operators.{Relational, TextOps}
 
@@ -26,7 +25,7 @@ class ExactnessSpec extends SparkSpec {
 
   test("q136 levenshtein gate is byte-stable on non-ASCII text") {
     import spark.implicits._
-    val dir = Files.createTempDirectory("graft_nonascii").toString
+    val dir = TempDirs.create("graft_nonascii")
     Seq(
       (1L, "café münchen résumé the quick brown fox jumps over the lazy dog again and again", "de", "web", 70L),
       (2L, "café münchen résumé the quick brown fox jumps over the lazy dog again and agaim", "de", "web", 70L),
@@ -47,7 +46,7 @@ class ExactnessSpec extends SparkSpec {
 
   test("q137 pre-anchor events bin by floor division, not truncation") {
     import spark.implicits._
-    val dir = Files.createTempDirectory("graft_preanchor").toString
+    val dir = TempDirs.create("graft_preanchor")
     Seq(
       (1L, "2023-12-31 22:30:00", 10L, "click", 3.5, "{}"),
       (2L, "2023-12-31 23:15:00", 11L, "click", 4.25, "{}"),

@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.sources.{Bronze, Tables}
 
@@ -13,7 +12,7 @@ import graft.sources.{Bronze, Tables}
 class IncrementalBronzeSpec extends SparkSpec {
 
   test("two-slice incremental landing == one-shot; untouched days keep their files") {
-    val base = Files.createTempDirectory("graft_incr_bronze_").toString
+    val base = TempDirs.create("graft_incr_bronze_")
     val (oneShot, incr) = (s"$base/oneshot", s"$base/incr")
     Bronze.landEvents(spark, Sf, oneShot)
     val expected = spark.read.parquet(oneShot)
@@ -66,7 +65,7 @@ class IncrementalBronzeSpec extends SparkSpec {
     // a killed first write leaves the target dir existing but empty (job
     // abort removes _temporary, not the dir) — the retry must treat it as
     // absent, not read it as a parquet table
-    val base = Files.createTempDirectory("graft_incr_retry_").toString
+    val base = TempDirs.create("graft_incr_retry_")
     val path = s"$base/events"
     new java.io.File(path).mkdirs()
     val events = Tables.events(spark, Sf)

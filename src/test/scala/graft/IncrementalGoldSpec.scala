@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.sources.{Bronze, IncrementalGold, Tables}
 
@@ -13,7 +12,7 @@ import graft.sources.{Bronze, IncrementalGold, Tables}
 class IncrementalGoldSpec extends SparkSpec {
 
   test("slice-wise refresh == full rebuild; untouched gold partitions keep their files") {
-    val base = Files.createTempDirectory("graft_incr_gold_spec_").toString
+    val base = TempDirs.create("graft_incr_gold_spec_")
     val (bronze, gold, goldFull) = (s"$base/bronze", s"$base/gold", s"$base/gold_full")
 
     // full landing + full rebuild = the wholesale expectation
@@ -62,7 +61,7 @@ class IncrementalGoldSpec extends SparkSpec {
   }
 
   test("the refresh's bronze read is partition-pruned to the dirty days") {
-    val base = Files.createTempDirectory("graft_incr_gold_prune_").toString
+    val base = TempDirs.create("graft_incr_gold_prune_")
     val bronze = s"$base/bronze"
     Bronze.landEvents(spark, Sf, bronze)
     val allDays = spark.read.parquet(bronze).select(col("event_date"))

@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.weather.{Pipeline, WeatherSynth}
 
@@ -17,13 +16,13 @@ class IncrementalSpec extends SparkSpec {
     val rawFc = WeatherSynth.rawForecasts(spark, Sf)
 
     // single-shot reference
-    val full = Files.createTempDirectory("graft_full").toString
+    val full = TempDirs.create("graft_full")
     val fullLayers = Pipeline.run(spark, Sf, full)
     val expected = spark.read.parquet(fullLayers.gold)
       .orderBy("postal_code", "timestamp", "data_type").collect().toSeq
 
     // incremental: even raw ids first, then odd
-    val inc = Files.createTempDirectory("graft_inc").toString
+    val inc = TempDirs.create("graft_inc")
     Pipeline.runWithRaws(spark,
       rawObs.filter(col("raw_id") % 2 === 0), rawFc.filter(col("raw_id") % 2 === 0),
       stations, postal, inc)

@@ -1,12 +1,11 @@
 package graft
 
-import java.nio.file.Files
 import graft.weather.Pipeline
 
 class PipelineSpec extends SparkSpec {
 
   test("full pipeline run is idempotent and passes its own validations") {
-    val out = Files.createTempDirectory("graft_pipeline").toString
+    val out = TempDirs.create("graft_pipeline")
     val layers = Pipeline.run(spark, Sf, out)
     val gold1 = spark.read.parquet(layers.gold)
       .orderBy("postal_code", "timestamp", "data_type").collect().toSeq

@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.sources.{Bronze, Tables}
 
@@ -13,7 +12,7 @@ import graft.sources.{Bronze, Tables}
 class RedactionSpec extends SparkSpec {
 
   test("redactUsers removes exactly the opt-out rows, touching only their days") {
-    val base = Files.createTempDirectory("graft_redact_").toString
+    val base = TempDirs.create("graft_redact_")
     val bronze = s"$base/bronze"
     Bronze.landEvents(spark, Sf, bronze)
     val before = spark.read.parquet(bronze).localCheckpoint()

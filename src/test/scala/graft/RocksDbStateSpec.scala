@@ -47,7 +47,7 @@ class RocksDbStateSpec extends SparkSpec {
     */
   test("checkpointed restart recovers RocksDB state: two-tranche upsert equals batch") {
     withRocksDb { s =>
-      val base = java.nio.file.Files.createTempDirectory("graft_rocksdb_recovery_").toString
+      val base = TempDirs.create("graft_rocksdb_recovery_")
       val (feed, ckpt, gold) = (s"$base/feed", s"$base/ckpt", s"$base/gold")
       val raw = graft.sources.Tables.eventsRawNanos(s, Sf)
       val (t1, t2) = EventsStream.recoverySplit(raw)

@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -20,7 +19,7 @@ class SchemaEvolutionSpec extends SparkSpec {
   import spark.implicits._
 
   test("bronze-style reads span schema generations") {
-    val path = Files.createTempDirectory("graft_schema_evo_").resolve("t").toString
+    val path = TempDirs.create("graft_schema_evo_") + "/" + "t"
     // generation 1: (id, v) on day 1
     Seq((1L, 10.0, "2024-01-01"), (2L, 20.0, "2024-01-01"))
       .toDF("id", "v", "day").write.partitionBy("day").parquet(path)

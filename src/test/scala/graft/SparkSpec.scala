@@ -14,6 +14,27 @@ object TestSession {
     .getOrCreate()
 }
 
+/** Temp-dir factory for specs: every directory is registered for
+  * recursive deletion at JVM exit, so suite runs stop leaking parquet
+  * fixtures into /tmp (they used to survive every run). */
+object TempDirs {
+  private val dirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  sys.addShutdownHook {
+    dirs.forEach { p =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(f => java.nio.file.Files.deleteIfExists(f))
+      } catch { case _: Throwable => () } // best-effort; never fail exit
+    }
+  }
+  def create(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    dirs.add(p)
+    p.toString
+  }
+}
+
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSession.spark
   val Sf = "/root/testdata/sf0.001"

@@ -39,7 +39,7 @@ class StreamingBronzeIngestSpec extends SparkSpec {
   }
 
   test("restart lands only new batches; untouched days byte-identical; replay is a no-op") {
-    val base = Files.createTempDirectory("graft_bronze_ingest_spec").toString
+    val base = TempDirs.create("graft_bronze_ingest_spec")
     val (feedDir, ckpt, bronze) = (s"$base/feed", s"$base/checkpoint", s"$base/bronze")
     val raw = graft.sources.Tables.eventsRawNanos(spark, Sf)
     val (t1, t2) = EventsStream.recoverySplit(raw)

@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.streaming.EventsStream
@@ -25,7 +24,7 @@ import graft.streaming.EventsStream
 class StreamingRecoverySpec extends SparkSpec {
 
   test("checkpointed upsert resumes across restart and equals the batch rollup") {
-    val base = Files.createTempDirectory("graft_recovery_spec_").toString
+    val base = TempDirs.create("graft_recovery_spec_")
     val (feed, ckpt, gold) = (s"$base/feed", s"$base/ckpt", s"$base/gold")
 
     val raw = graft.sources.Tables.eventsRawNanos(spark, Sf)

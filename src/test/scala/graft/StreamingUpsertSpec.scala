@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.streaming.EventsStream
@@ -8,7 +7,7 @@ import graft.streaming.EventsStream
 class StreamingUpsertSpec extends SparkSpec {
 
   test("foreachBatch streaming upsert converges to the batch rollup and is idempotent") {
-    val out = Files.createTempDirectory("graft_stream_gold").resolve("gold").toString
+    val out = TempDirs.create("graft_stream_gold") + "/" + "gold"
     EventsStream.streamingUpsertGold(spark, Sf, out)
     val streamed = spark.read.parquet(out)
     val batch = Tables.events(spark, Sf)

@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.Files
 import graft.sources.Upsert
 import graft.sources.Upsert.Mode
 
@@ -8,7 +7,7 @@ class UpsertSpec extends SparkSpec {
   import spark.implicits._
 
   private def tmp(): String =
-    Files.createTempDirectory("graft_upsert").resolve("table").toString
+    TempDirs.create("graft_upsert") + "/" + "table"
 
   test("LastWins keeps the newest version per key (ON CONFLICT DO UPDATE)") {
     val existing = Seq(("a", 1, 10.0), ("b", 1, 20.0)).toDF("k", "version", "v")
