@@ -34,10 +34,66 @@ def cells_equal(a, b) -> bool:
         return fa == fb  # exact: determinism is the whole point
     return str(a) == str(b)
 
+# Cross-engine exactness fixtures (VERDICT-r7 #6): the driver corpus is
+# ASCII and post-anchor, so two latent divergences — levenshtein units
+# (code points vs bytes) and pre-anchor hour-bin flooring — are pinned
+# on hand-built fixtures. ExactnessSpec pins the SPARK side against
+# these constants; this runs the SHIPPED oracle SQL in DuckDB against
+# the same fixtures on every preflight, so the DuckDB side of the
+# contract is machine-verified too, not trusted from a one-off run.
+FIXTURE_EXPECT = {
+    # q136 non-ASCII corpus -> (doc_a, doc_b, d) rows
+    "q136_sorted_neighborhood": [(2, 1, 1)],
+    # q137 pre-anchor events -> (event_type, n, slope6, intercept6)
+    "q137_group_trend": [("click", 6, 1.446429, 6.357143),
+                         ("view", 2, 0.013889, 1.597222)],
+}
+
+def fixture_gate(oracles) -> bool:
+    con = duckdb.connect()  # separate connection: no view clashes
+    con.execute("""CREATE VIEW documents AS SELECT * FROM (VALUES
+        (1, 'café münchen résumé the quick brown fox jumps over the lazy dog again and again', 'de', 'web', 70),
+        (2, 'café münchen résumé the quick brown fox jumps over the lazy dog again and agaim', 'de', 'web', 70),
+        (3, '日本語のテキスト the quick brown fox jumps over the lazy dog and some more tail here', 'ja', 'web', 70),
+        (4, '日本語のテキスm the quick brown fox jumps over the lazy dog and some more tail here', 'ja', 'web', 70),
+        (5, 'plain ascii document wholly unrelated to everything else in this little corpus', 'en', 'web', 70)
+      ) AS t(doc_id, text, lang, source, n_chars)""")
+    con.execute("""CREATE VIEW events AS SELECT * FROM (VALUES
+        (1, TIMESTAMP '2023-12-31 22:30:00', 10, 'click', 3.5, '{}'),
+        (2, TIMESTAMP '2023-12-31 23:15:00', 11, 'click', 4.25, '{}'),
+        (3, TIMESTAMP '2023-12-31 23:59:59', 12, 'click', 5.0, '{}'),
+        (4, TIMESTAMP '2024-01-01 00:00:00', 13, 'click', 6.0, '{}'),
+        (5, TIMESTAMP '2024-01-01 00:45:00', 14, 'click', 7.5, '{}'),
+        (6, TIMESTAMP '2024-01-01 02:00:00', 15, 'click', 9.0, '{}'),
+        (7, TIMESTAMP '2023-12-30 05:00:00', 16, 'view', 1.0, '{}'),
+        (8, TIMESTAMP '2024-01-02 05:00:00', 17, 'view', 2.0, '{}')
+      ) AS t(event_id, ts, user_id, event_type, value, props)""")
+    ok = True
+    for qname, want in FIXTURE_EXPECT.items():
+        if qname not in oracles:
+            print(f"FIXTURE SKIP {qname}: not in oracle_sql.json")
+            continue
+        try:
+            got = [tuple(r) for r in con.execute(oracles[qname]).fetchall()]
+        except Exception as e:
+            print(f"FIXTURE FAIL {qname}: exec error: {e}")
+            ok = False
+            continue
+        same = len(got) == len(want) and all(
+            len(g) == len(w) and all(cells_equal(a, b) for a, b in zip(g, w))
+            for g, w in zip(got, want))
+        if same:
+            print(f"FIXTURE PASS {qname} ({len(got)} rows)")
+        else:
+            print(f"FIXTURE FAIL {qname}: got {got} want {want}")
+            ok = False
+    return ok
+
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    fixtures_ok = fixture_gate(oracles)
     con = duckdb.connect()
     for name in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
         t = os.path.basename(name)[:-8]
@@ -96,8 +152,9 @@ def main():
         else:
             n_pass += 1
             print(f"PASS {qname} ({len(got_n)} rows)")
-    print(f"== {n_pass} pass / {n_fail} fail ==")
-    sys.exit(1 if n_fail else 0)
+    fx = "" if fixtures_ok else " (FIXTURE GATE FAILED)"
+    print(f"== {n_pass} pass / {n_fail} fail =={fx}")
+    sys.exit(1 if (n_fail or not fixtures_ok) else 0)
 
 if __name__ == "__main__":
     main()

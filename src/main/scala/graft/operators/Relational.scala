@@ -1737,17 +1737,52 @@ object Relational {
     // O(Σ outdeg²) wedge stream is generated AND closed map-side, never
     // shuffled (34.8 s → 12.5 s at sf0.1, |E| = 1.2M); past ~20M edges
     // (~0.5 GB hashed) the broadcast build itself is the bottleneck/OOM,
-    // so the wedges shuffle-join on their keys instead — sf10's |E| =
-    // 120M takes this branch.
+    // so the wedges close through a shuffle join — sf10's |E| = 120M
+    // takes this branch. (Threshold conf-overridable so the spec can
+    // force the shuffle branch at gate scale and pin branch equality.)
     val o = graft.util.Checkpoints.track(
       ed.select(when(uFirst, col("u")).otherwise(col("v")).as("a"),
         when(uFirst, col("v")).otherwise(col("u")).as("b")).localCheckpoint(true))
-    val side = (df: DataFrame) => if (o.count() <= 20000000L) broadcast(df) else df
-    val tri = o.alias("e1").join(side(o.alias("e2")), col("e1.b") === col("e2.a"))
-      .select(col("e1.a").as("wa"), col("e2.b").as("wc"))
-      .join(side(o.alias("e3")),
-        col("wa") === col("e3.a") && col("wc") === col("e3.b"))
-      .agg(count(lit(1)).as("n_triangles"))
+    val maxBcast = spark.conf.getOption("spark.graft.triangles.broadcastMaxEdges")
+      .flatMap(_.toLongOption).getOrElse(20000000L)
+    val nEdges = o.count()
+    val tri = if (nEdges <= maxBcast) {
+      o.alias("e1").join(broadcast(o.alias("e2")), col("e1.b") === col("e2.a"))
+        .select(col("e1.a").as("wa"), col("e2.b").as("wc"))
+        .join(broadcast(o.alias("e3")),
+          col("wa") === col("e3.a") && col("wc") === col("e3.b"))
+        .agg(count(lit(1)).as("n_triangles"))
+    } else {
+      // Shuffle regime, bloom-pruned (VERDICT-r7 #1). The naive shape —
+      // materialize all Σ outdeg² wedges through a sort-merge join —
+      // measured DNF at sf10 on one box (6.8B wedges exhaust 78 GB of
+      // spill disk mid-sort). The orientation already bounds per-key
+      // fan by arboricity (no degree skew to split); the killer is
+      // total wedge VOLUME hitting the exchange. So the closing join
+      // gets a hand-placed runtime filter: an exact-membership Bloom
+      // sketch of the oriented edge set (fpp 1%, ~1.2 GB bits at 1B
+      // edges — broadcastable at any realistic |E|) probes each wedge
+      // AS IT IS GENERATED, map-side, pipelined inside the generation
+      // join's output stage — wedges that close nowhere (the vast
+      // majority) die before ever being shuffled, sorted, or spilled.
+      // Survivors = triangles + fpp·wedges, re-verified by the exact
+      // join, so the count is exact — false positives are filtered,
+      // false negatives are impossible. The closing join is hinted
+      // shuffle_hash: the survivor stream stays unsorted (hash probe
+      // against the |E|/partitions build side) instead of paying a
+      // billion-row sort. Catalyst's own InjectRuntimeFilter cannot
+      // place this filter (it requires a selective scan-side creation
+      // plan, not a self-join product) — same primitive, hand-placed.
+      val bf = o.select(xxhash64(col("a"), col("b")).as("h"))
+        .stat.bloomFilter("h", nEdges, 0.01)
+      val probe = graft.functions.BloomExpressions.broadcastProbe(spark, bf)
+      o.alias("e1").join(o.alias("e2"), col("e1.b") === col("e2.a"))
+        .select(col("e1.a").as("wa"), col("e2.b").as("wc"))
+        .filter(probe(xxhash64(col("wa"), col("wc"))))
+        .join(o.alias("e3").hint("shuffle_hash"),
+          col("wa") === col("e3.a") && col("wc") === col("e3.b"))
+        .agg(count(lit(1)).as("n_triangles"))
+    }
     val edges = e0.agg(count(lit(1)).as("n_edges"))
     val nodes = deg.agg(count(lit(1)).as("n_nodes"),
       expr("sum(d * (d - 1)) div 2").as("n_triads"))

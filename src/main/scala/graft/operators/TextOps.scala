@@ -1545,49 +1545,82 @@ object TextOps {
     // COMPOSITE key (first TWO tokens) — classic multi-pass SNM
     // blocking, as an executable regime rule like lshBitsFor: the
     // hot-block membership is decided from a per-key count aggregate
-    // (tiny, broadcastable) computed identically in both engines.
-    // HotBlock = 10 000 sits two orders above every gate corpus's max
-    // block (197 at sf10), so oracle-scale output is byte-identical;
-    // the skewed-corpus measurement in PLANS §r7 shows the refinement
-    // restoring the uniform-corpus wall.
-    val HotBlock = 10000L
+    // computed identically in both engines. HotBlock = 10 000 sits two
+    // orders above every gate corpus's max block (197 at sf10), so
+    // oracle-scale output is byte-identical; the skewed-corpus
+    // measurement in PLANS §r7 shows the refinement restoring the
+    // uniform-corpus wall.
+    //
+    // Probe cost (r7 verdict #3): the r7 probe aggregated the FULL
+    // corpus (500k tokenizations, ~4 s at sf10 — a 43% tax on uniform
+    // corpora that have no hot block). The probe now counts only a
+    // deterministic md5-sampled slice — doc_ids whose md5 hex starts
+    // ≤ '03', p = 4/256 = 1/64 — against the scaled threshold
+    // HotBlock/64 ≈ 156. Detection of a real hot block is effectively
+    // certain (a 250k block expects ~3 900 sampled docs, σ ≈ 62,
+    // threshold 156) and EXACTLY reproducible in DuckDB (md5 of the
+    // same decimal string), so both engines derive the identical hot
+    // set at every scale — near-threshold blocks may flip in or out of
+    // refinement, but identically on both sides.
+    val HotSampled = 156L // = 10 000 × (4/256), rounded down
+    val sampled = substring(md5(col("doc_id").cast("string")), 1, 2) <= "03"
     val w = Window.partitionBy(col("blk")).orderBy(col("text"), col("doc_id"))
+    // only the stripped 80-char ASCII prefix is ever compared, so the
+    // window/lead/verify path carries `pfx` (≤80 B), not the full text
+    // (the full text still drives the window ORDER BY — prefix order
+    // would merge distinct neighborhoods that share an 80-char prefix)
+    def asciiPrefix(c: Column): Column =
+      substring(regexp_replace(c, "[^\\x20-\\x7E]", ""), 1, 80)
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"),
         expr("split_part(text, ' ', 1)").as("t1"),
         expr("split_part(text, ' ', 2)").as("t2"))
-    val hot = d.groupBy(col("t1")).agg(count(lit(1)).as("n"))
-      .filter(col("n") > HotBlock).select(col("t1"), lit(true).as("__hot"))
+    val hot = d.filter(sampled).groupBy(col("t1")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > HotSampled).select(col("t1"), lit(true).as("__hot"))
     // q125-style regime branch off the materialized hot-block probe: a
     // uniform corpus (no hot block — every gate corpus, and the sf10
     // replica) skips the composite-key join entirely and pays only the
-    // probe aggregate; the oracle SQL keeps the single general form,
+    // sampled probe; the oracle SQL keeps the single general form,
     // whose CASE reduces to the plain first-token key exactly when the
     // probe comes back empty, so both branches hash identically.
-    val keyed = if (hot.isEmpty)
-      d.select(col("doc_id"), col("text"), col("t1").as("blk"))
+    val skewed = !hot.isEmpty
+    val keyed = if (!skewed)
+      d.select(col("doc_id"), col("text"), asciiPrefix(col("text")).as("pfx"),
+        col("t1").as("blk"))
     else
       d.join(broadcast(hot), Seq("t1"), "left")
-        .select(col("doc_id"), col("text"),
+        .select(col("doc_id"), col("text"), asciiPrefix(col("text")).as("pfx"),
           when(col("__hot").isNotNull, concat(col("t1"), lit(" "), col("t2")))
             .otherwise(col("t1")).as("blk"))
     val r = keyed
       .withColumn("n1_id", lead(col("doc_id"), 1).over(w))
-      .withColumn("n1_tx", lead(col("text"), 1).over(w))
+      .withColumn("n1_px", lead(col("pfx"), 1).over(w))
       .withColumn("n2_id", lead(col("doc_id"), 2).over(w))
-      .withColumn("n2_tx", lead(col("text"), 2).over(w))
-    val cands = r.select(col("doc_id").as("doc_a"), col("text").as("ta"),
+      .withColumn("n2_px", lead(col("pfx"), 2).over(w))
+    val cands = r.select(col("doc_id").as("doc_a"), col("pfx").as("pa"),
         explode(array(
-          struct(col("n1_id").as("doc_b"), col("n1_tx").as("tb")),
-          struct(col("n2_id").as("doc_b"), col("n2_tx").as("tb")))).as("c"))
-      .select(col("doc_a"), col("c.doc_b").as("doc_b"), col("ta"), col("c.tb").as("tb"))
+          struct(col("n1_id").as("doc_b"), col("n1_px").as("pb")),
+          struct(col("n2_id").as("doc_b"), col("n2_px").as("pb")))).as("c"))
+      .select(col("doc_a"), col("c.doc_b").as("doc_b"), col("pa"), col("c.pb").as("pb"))
       .filter(col("doc_b").isNotNull)
-    def asciiPrefix(c: Column): Column =
-      substring(regexp_replace(c, "[^\\x20-\\x7E]", ""), 1, 80)
-    cands
+    // Second-order skew guard (r7 verdict #4): when blocks share the
+    // first TWO tokens (boilerplate prefixes — common in scraped text),
+    // the composite key re-degenerates and ONE task owns the hot
+    // block's window AND all its Levenshtein verifies. The window pass
+    // is genuinely cheap in that regime (a per-block sort + lead —
+    // O(|block| log |block|) on slim rows); the VERIFY pass is the
+    // expensive term (80×80 DP per candidate), so in the skew regime
+    // the candidate stream is round-robin repartitioned before the
+    // verify — every core shares the DP work no matter how deep the
+    // key degeneracy goes. Pair set is untouched (the repartition sits
+    // after candidate generation), so output is byte-identical; uniform
+    // corpora skip the extra exchange entirely.
+    val np = spark.conf.get("spark.sql.shuffle.partitions").toIntOption
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    val verified = if (skewed) cands.repartition(np) else cands
+    verified
       .select(col("doc_a"), col("doc_b"),
-        levenshtein(asciiPrefix(col("ta")), asciiPrefix(col("tb")))
-          .cast("long").as("d"))
+        levenshtein(col("pa"), col("pb")).cast("long").as("d"))
       .filter(col("d") <= 10)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -1597,7 +1630,10 @@ object TextOps {
       |  SELECT doc_id, text,
       |    split_part(text, ' ', 1) AS t1, split_part(text, ' ', 2) AS t2
       |  FROM documents),
-      |hot AS (SELECT t1 FROM d GROUP BY t1 HAVING COUNT(*) > 10000),
+      |hot AS (
+      |  SELECT t1 FROM d
+      |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '03'
+      |  GROUP BY t1 HAVING COUNT(*) > 156),
       |k AS (
       |  SELECT doc_id, text,
       |    CASE WHEN t1 IN (SELECT t1 FROM hot)

@@ -381,11 +381,72 @@ object VectorOps {
     * regenerated corpus needs [[clear]]), and the cached frame is used on
     * the SparkContext that built it. [[clear]] — wired into Verify/Bench
     * teardown — releases the checkpointed blocks, not just the map.
+    *
+    * The memo is the HOT layer of a two-level index: beneath it the
+    * trained artifact persists as parquet ([[loadOrBuild]]), so a fresh
+    * JVM — the nightly-run shape — LOADS the index instead of
+    * retraining (~390 s at sf10 for the q135 standing set).
     */
   private val centsCache = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
   def clear(): Unit = {
     centsCache.values().forEach(graft.util.Checkpoints.release(_))
     centsCache.clear()
+  }
+
+  /** Train passes actually executed this JVM (spec observable: a
+    * load-from-disk path must NOT bump this). */
+  private[graft] val trainPasses = new java.util.concurrent.atomic.AtomicLong
+  /** Index artifacts read from parquet instead of rebuilt. */
+  private[graft] val indexLoads = new java.util.concurrent.atomic.AtomicLong
+
+  /** Corpus identity stamp for index keying: md5 over the corpus dir
+    * plus (name, length, mtime) of every embeddings part file. A
+    * regenerated corpus — even content-identical — changes mtimes, so a
+    * stale index can never be served against new data (the r6 mid-round
+    * corpus regeneration is exactly the hazard this guards); the cost is
+    * only a harmless retrain. One RPC-cheap listStatus, no data scan.
+    */
+  private def corpusStamp(spark: SparkSession, dir: String): String = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(path)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .sortBy(_.getPath.getName)
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest((dir + "|" + parts.mkString(",")).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** On-disk IVF index store (VERDICT-r7 #2). Artifacts live under
+    * `spark.graft.ivf.indexDir` (default `<java.io.tmpdir>/graft_ivf_index`)
+    * at `<root>/<corpusStamp>-<name>`; presence = parquet `_SUCCESS`.
+    * The returned frame is localCheckpointed but deliberately NOT
+    * [[graft.util.Checkpoints.track]]ed — callers memoize it across
+    * queries and the harness sweep releases tracked frames between
+    * queries (a swept localCheckpoint is unrecomputable); [[clear]]
+    * releases it at teardown via the memo values. Parquet round-trips
+    * the centroid doubles bit-exactly, so load-vs-train output is
+    * byte-identical (pinned in IvfIndexPersistSpec).
+    */
+  private def loadOrBuild(spark: SparkSession, dir: String, name: String)(
+      build: => DataFrame): DataFrame = {
+    val root = spark.conf.getOption("spark.graft.ivf.indexDir")
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft_ivf_index")
+    val path = s"$root/${corpusStamp(spark, dir)}-$name"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val frame =
+      if (fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))) {
+        indexLoads.incrementAndGet()
+        spark.read.parquet(path)
+      } else {
+        val built = build
+        built.write.mode("overwrite").parquet(path)
+        graft.util.Checkpoints.release(built)
+        spark.read.parquet(path)
+      }
+    frame.localCheckpoint(true)
   }
 
   // keyed by (SparkContext application, dir), not dir alone: the cached
@@ -395,7 +456,7 @@ object VectorOps {
   private def kmeansCents(dir: String, base: DataFrame): DataFrame =
     centsCache.computeIfAbsent(
       (base.sparkSession.sparkContext.applicationId, dir),
-      _ => trainCents(base))
+      _ => loadOrBuild(base.sparkSession, dir, "full-cents")(trainCents(base)))
 
   /** IvfIters rounds of deterministic spherical k-means over `base`
     * (`id`, `v`, `nrm`); returns (`c_id`, `c_v`, `c_nrm`). Each round is
@@ -405,6 +466,7 @@ object VectorOps {
     * soon as the next round materializes (the GraphOps leak lesson).
     */
   private def trainCents(base: DataFrame): DataFrame = {
+    trainPasses.incrementAndGet()
     var cents = base.filter(col("id") % seedStride(base) === 0)
       .select(col("id").as("c_id"), col("v").as("c_v"), col("nrm").as("c_nrm"))
     for (_ <- 1 to IvfIters) {
@@ -533,20 +595,22 @@ object VectorOps {
     val old = all.filter(col("id") % 10 =!= 7)
     val batch = all.filter(col("id") % 10 === 7)
     val cents = centsCache.computeIfAbsent(
-      (spark.sparkContext.applicationId, dir + "|inc"), _ => trainCents(old))
+      (spark.sparkContext.applicationId, dir + "|inc"),
+      _ => loadOrBuild(spark, dir, "inc-cents")(trainCents(old)))
     // standing-set per-cell counts are part of the persisted index —
-    // built ONCE with the centroids (this memo), read on every nightly
-    // run. Without it each run re-assigned the whole standing corpus
-    // just to report dilution (measured 101.6 s of the sf10 warm path,
-    // 180k × 423 dot products); with it the warm path prices only the
+    // written to disk ONCE with the centroids ([[loadOrBuild]]) and
+    // loaded on every nightly run, including from a fresh JVM. Without
+    // them each run re-assigned the whole standing corpus just to
+    // report dilution (measured 101.6 s of the sf10 warm path,
+    // 180k × 423 dot products); with them the warm path prices only the
     // batch assignment, O(batch × K) — the incremental contract the
-    // operator exists for. Values are identical either way (the memo
-    // caches the same aggregation), so the oracle is untouched.
+    // operator exists for. Values are identical either way (the store
+    // persists the same aggregation), so the oracle is untouched.
     val nOld = centsCache.computeIfAbsent(
       (spark.sparkContext.applicationId, dir + "|inc|nold"), _ =>
-        nearestCell(old, cents)
-          .groupBy(col("cell")).agg(count(lit(1)).as("n_old"))
-          .localCheckpoint(true))
+        loadOrBuild(spark, dir, "inc-cellcounts")(
+          nearestCell(old, cents)
+            .groupBy(col("cell")).agg(count(lit(1)).as("n_old"))))
     val nNew = nearestCell(batch, cents)
       .groupBy(col("cell")).agg(count(lit(1)).as("n_added"))
     nOld.join(nNew, Seq("cell"), "full")

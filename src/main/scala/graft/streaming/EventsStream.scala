@@ -417,6 +417,34 @@ object EventsStream {
     * double-read). Join STATE lives in the checkpoint: a click whose
     * purchase arrives in a later tranche must still pair after restart.
     */
+  /** The q64 click→purchase join as a METERED query: the feed drains one
+    * file per micro-batch (`maxFilesPerTrigger`), so a time-ordered
+    * tranche layout yields one progress sample per tranche — the
+    * state-size/batch-duration curve the 100 TB posture is judged on
+    * (PLANS §sf10 streaming). Returns the started query; callers await
+    * termination and scrape `recentProgress`. Same plan as
+    * [[streamJoinTranche]] — only the source pacing differs.
+    */
+  def meteredJoinQuery(spark: SparkSession, feedDir: String,
+      checkpointDir: String, outPath: String,
+      maxFilesPerTrigger: Int): org.apache.spark.sql.streaming.StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val feed = spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(feedDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    cpJoin(feed, "inner")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000").as("lag_s"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   def streamJoinTranche(spark: SparkSession, feedDir: String,
       checkpointDir: String, outPath: String): Unit = {
     val q = cpJoin(readFeed(spark, feedDir), "inner")
