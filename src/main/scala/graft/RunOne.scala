@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Bench-only single-query runner with visible ROWS: times one query at
+  * full bench conditions and prints its result, so scale cross-checks
+  * (e.g. q125's sf2 broadcast-vs-bloom-shuffle exact-count comparison)
+  * can assert output equality across regime branches, not just wall
+  * time — Bench prints timings only, Verify writes parquet at gate
+  * scale. Extra Spark confs ride in as `k=v` args after the query name.
+  *
+  * Usage: runMain graft.RunOne <query> [conf=value ...]
+  */
+object RunOne {
+  def main(args: Array[String]): Unit = {
+    val q = args(0)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    args.drop(1).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      b.config(k, v)
+    }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.util.Checkpoints.arm()
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    for (r <- 1 to reps) {
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(q)(spark, sfDir).collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[runone] $q rep $r: $sec%.1f s, ${rows.length} rows")
+      if (r == reps) rows.take(50).foreach(row => println(s"[runone] $row"))
+      graft.util.Harness.sweep(spark)
+    }
+    spark.stop()
+  }
+}

@@ -1562,7 +1562,14 @@ object TextOps {
     // same decimal string), so both engines derive the identical hot
     // set at every scale — near-threshold blocks may flip in or out of
     // refinement, but identically on both sides.
-    val HotSampled = 156L // = 10 000 × (4/256), rounded down
+    // Threshold conf-overridable; < 0 declares the corpus uniform and
+    // skips the probe pass entirely — the escape hatch for pipelines
+    // that KNOW their blocking keys are well-distributed (the probe is
+    // one text-column scan, the only extra cost refinement adds to a
+    // uniform corpus), and the in-session A/B lever for pricing it.
+    val hotBlockDocs = spark.conf.getOption("spark.graft.snm.hotBlockDocs")
+      .flatMap(_.toLongOption).getOrElse(10000L)
+    val HotSampled = math.max(1L, hotBlockDocs * 4 / 256) // default 156
     val sampled = substring(md5(col("doc_id").cast("string")), 1, 2) <= "03"
     val w = Window.partitionBy(col("blk")).orderBy(col("text"), col("doc_id"))
     // only the stripped 80-char ASCII prefix is ever compared, so the
@@ -1583,7 +1590,7 @@ object TextOps {
     // sampled probe; the oracle SQL keeps the single general form,
     // whose CASE reduces to the plain first-token key exactly when the
     // probe comes back empty, so both branches hash identically.
-    val skewed = !hot.isEmpty
+    val skewed = hotBlockDocs >= 0 && !hot.isEmpty
     val keyed = if (!skewed)
       d.select(col("doc_id"), col("text"), asciiPrefix(col("text")).as("pfx"),
         col("t1").as("blk"))
@@ -1658,6 +1665,98 @@ object TextOps {
       |SELECT doc_a, doc_b, CAST(d AS BIGINT) AS d
       |FROM cands WHERE d <= 10 ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q138 — epoch assembly to an EXACT token budget: the step after q78's
+  // rate-based mixing when a training run needs "fill source s to
+  // budget_s tokens, stop there" — sampling at a rate only hits a budget
+  // in expectation; an epoch manifest admits documents in a fixed
+  // pseudorandom order until the budget is reached. Weights are
+  // temperature mixing at τ=2 over TOKENS (w_s = ⌊√tot_s⌋, integral so
+  // the Σw normalizer is order-independent — a double Σ√ would not be),
+  // the global budget is half the corpus, and per-source budgets are
+  // wide-integer floor arithmetic (decimal(38) × / HUGEINT — bg·w
+  // overflows int64 at real corpus sizes). Admission order is the
+  // q70/q101 md5 convention; a doc is admitted iff the tokens BEFORE it
+  // in that order are under budget (greedy-with-overflow, q95's
+  // straddle rule). The cumulative sum is the scale trap: a per-source
+  // window is 20 single-task sorts over the whole corpus, so this is
+  // the q113 two-phase shape generalized to HASH order — the 2-hex-char
+  // md5 prefix is a monotonic bucket of the sort key, per-(source,
+  // bucket) cumsums run partition-parallel after the one wide shuffle,
+  // and bucket offsets cascade over a source×256-row table joined back
+  // as a broadcast. Nothing funnels through one task at any corpus size.
+  // ------------------------------------------------------------------
+  def q138TokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = withToks(Tables.documents(spark, dir))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("b", substring(col("h"), 1, 2))
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("h"), col("b"))
+    val s = t.groupBy(col("source")).agg(sum(col("n_tokens")).as("tot_tokens"))
+      .withColumn("weight", floor(sqrt(col("tot_tokens").cast("double"))).cast("long"))
+    val g = s.agg(expr("sum(tot_tokens) div 2").as("bg"), sum(col("weight")).as("sw"))
+    val budgets = s.crossJoin(broadcast(g))
+      .withColumn("budget_tokens",
+        expr("CAST((CAST(bg AS DECIMAL(38,0)) * weight) DIV sw AS BIGINT)"))
+      .select(col("source"), col("tot_tokens"), col("weight"), col("budget_tokens"))
+      .cache().transform(graft.util.Checkpoints.track) // feeds filter join + output
+    // two-phase hash-order cumsum (q113 pattern): per-bucket parallel
+    // sort + tiny cascaded bucket offsets, never one task per source
+    val wIn = Window.partitionBy(col("source"), col("b"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = t.groupBy(col("source"), col("b")).agg(sum(col("n_tokens")).as("bt"))
+      .withColumn("off", coalesce(sum(col("bt")).over(
+        Window.partitionBy(col("source")).orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("b"), col("off"))
+    val kept = t
+      .withColumn("start_in_b", sum(col("n_tokens")).over(wIn) - col("n_tokens"))
+      .join(broadcast(offs), Seq("source", "b"))
+      .join(broadcast(budgets.select(col("source"), col("budget_tokens"))), "source")
+      .filter(col("off") + col("start_in_b") < col("budget_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_kept"), sum(col("n_tokens")).as("tokens_kept"))
+    budgets.join(kept, Seq("source"), "left")
+      .select(col("source"), col("tot_tokens"), col("weight"), col("budget_tokens"),
+        coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"),
+        (coalesce(col("tokens_kept"), lit(0L)).cast("double")
+          / col("budget_tokens").cast("double")).as("fill_ratio"))
+      .orderBy(col("source"))
+  }
+
+  val q138Sql: String =
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |    md5(CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |s AS (
+      |  SELECT source, SUM(n_tokens) AS tot_tokens,
+      |    CAST(FLOOR(SQRT(CAST(SUM(n_tokens) AS DOUBLE))) AS BIGINT) AS weight
+      |  FROM t GROUP BY 1),
+      |g AS (SELECT SUM(tot_tokens) // 2 AS bg, SUM(weight) AS sw FROM s),
+      |b AS (
+      |  SELECT source, tot_tokens, weight,
+      |    CAST(CAST(bg AS HUGEINT) * weight // sw AS BIGINT) AS budget_tokens
+      |  FROM s, g),
+      |c AS (
+      |  SELECT t.source, n_tokens, budget_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY t.source ORDER BY h, doc_id
+      |      ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+      |  FROM t JOIN b USING (source)),
+      |k AS (
+      |  SELECT source, COUNT(*) AS n_docs_kept, SUM(n_tokens) AS tokens_kept
+      |  FROM c WHERE start < budget_tokens GROUP BY 1)
+      |SELECT b.source, CAST(tot_tokens AS BIGINT) AS tot_tokens, weight, budget_tokens,
+      |  CAST(COALESCE(n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+      |  CAST(COALESCE(tokens_kept, 0) AS BIGINT) AS tokens_kept,
+      |  CAST(COALESCE(tokens_kept, 0) AS DOUBLE) / budget_tokens AS fill_ratio
+      |FROM b LEFT JOIN k ON b.source = k.source
+      |ORDER BY b.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_text_stats"     -> (q40TextStats _),
     "q41_lang_id"        -> (q41LangId _),
@@ -1688,6 +1787,7 @@ object TextOps {
     "q133_vocab_coverage" -> (q133VocabCoverage _),
     "q134_rrf_fusion"    -> (q134RrfFusion _),
     "q136_sorted_neighborhood" -> (q136SortedNeighborhood _),
+    "q138_token_budget"  -> (q138TokenBudget _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1720,5 +1820,6 @@ object TextOps {
     "q133_vocab_coverage" -> q133Sql,
     "q134_rrf_fusion"    -> q134Sql,
     "q136_sorted_neighborhood" -> q136Sql,
+    "q138_token_budget"  -> q138Sql,
   )
 }
