@@ -32,10 +32,17 @@ object RunOne {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     for (r <- 1 to reps) {
       val t0 = System.nanoTime()
-      val rows = SparkEntry.queries(q)(spark, sfDir).collect()
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      val rows = df.collect()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[runone] $q rep $r: $sec%.1f s, ${rows.length} rows")
-      if (r == reps) rows.take(50).foreach(row => println(s"[runone] $row"))
+      if (r == reps) {
+        rows.take(50).foreach(row => println(s"[runone] $row"))
+        // SPARK_GRAFT_OUT=<dir>: dump the full result for offline
+        // cross-engine diffs (the scale corpora Verify never sees)
+        sys.env.get("SPARK_GRAFT_OUT").foreach(out =>
+          df.write.mode("overwrite").parquet(s"$out/$q.parquet"))
+      }
       graft.util.Harness.sweep(spark)
     }
     spark.stop()

@@ -1509,9 +1509,9 @@ object TextOps {
   // CONTENT keys; SNM pairs by SORT ADJACENCY: order the corpus by a
   // discriminating key and compare each record only to its w−1 successors.
   // Implementation is deliberately shard-parallel: records are windowed
-  // PARTITIONED BY a blocking key (the text's first token; first TWO
-  // tokens for blocks past the HotBlock threshold — see the refinement
-  // note in the method), ordered by
+  // PARTITIONED BY a blocking key (the text's first token, extended
+  // token-by-token up to four for blocks past the HotBlock threshold —
+  // see the recursion note in the method), ordered by
   // (text, doc_id) within the block, and the w−1 = 2 successors arrive
   // via lead() — one exchange on the block key, a per-block sort, and
   // O(N·w) candidate verifies; never a global ORDER BY (single-partition
@@ -1581,24 +1581,61 @@ object TextOps {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"),
         expr("split_part(text, ' ', 1)").as("t1"),
-        expr("split_part(text, ' ', 2)").as("t2"))
-    val hot = d.filter(sampled).groupBy(col("t1")).agg(count(lit(1)).as("n"))
-      .filter(col("n") > HotSampled).select(col("t1"), lit(true).as("__hot"))
+        expr("split_part(text, ' ', 2)").as("t2"),
+        expr("split_part(text, ' ', 3)").as("t3"),
+        expr("split_part(text, ' ', 4)").as("t4"))
+    val samp = d.filter(sampled)
+    val hot1 = samp.groupBy(col("t1")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > HotSampled).select(col("t1"))
     // q125-style regime branch off the materialized hot-block probe: a
     // uniform corpus (no hot block — every gate corpus, and the sf10
-    // replica) skips the composite-key join entirely and pays only the
-    // sampled probe; the oracle SQL keeps the single general form,
+    // replica) skips the composite-key joins entirely and pays only the
+    // one sampled probe; the oracle SQL keeps the single general form,
     // whose CASE reduces to the plain first-token key exactly when the
     // probe comes back empty, so both branches hash identically.
-    val skewed = hotBlockDocs >= 0 && !hot.isEmpty
+    val skewed = hotBlockDocs >= 0 && !hot1.isEmpty
+    // The composite key RECURSES (r8): one extra token cannot
+    // discriminate a corpus whose boilerplate prefix is two tokens long
+    // ("the quick " prepended to half the docs re-degenerated the
+    // two-token key into one 250k-doc window partition — measured 2.7×
+    // uniform wall). Each level re-probes the SAME 1/64 md5 sample for
+    // blocks still hot under the extended key and extends ONLY those by
+    // one more token, capped at four (a >4-token shared prefix past
+    // HotBlock docs is left to the round-robin verify split below — the
+    // salt alternative would cut sort adjacency, i.e. change the pair
+    // set). Levels short-circuit driver-side: a uniform corpus pays one
+    // probe, a depth-k corpus pays k tiny sampled aggregates. Both
+    // engines derive the identical nested hot sets from the identical
+    // sample, so the key — and hence the pair set — stays byte-equal.
     val keyed = if (!skewed)
       d.select(col("doc_id"), col("text"), asciiPrefix(col("text")).as("pfx"),
         col("t1").as("blk"))
-    else
-      d.join(broadcast(hot), Seq("t1"), "left")
-        .select(col("doc_id"), col("text"), asciiPrefix(col("text")).as("pfx"),
-          when(col("__hot").isNotNull, concat(col("t1"), lit(" "), col("t2")))
-            .otherwise(col("t1")).as("blk"))
+    else {
+      val hot2 = samp.join(broadcast(hot1), Seq("t1"))
+        .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > HotSampled).select(col("t1"), col("t2"))
+      val deep2 = !hot2.isEmpty
+      val hot3 =
+        if (deep2) samp.join(broadcast(hot2), Seq("t1", "t2"))
+          .groupBy(col("t1"), col("t2"), col("t3")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > HotSampled).select(col("t1"), col("t2"), col("t3"))
+        else null
+      val deep3 = deep2 && !hot3.isEmpty
+      var j = d.join(broadcast(hot1.withColumn("__h1", lit(true))), Seq("t1"), "left")
+      j = if (deep2)
+        j.join(broadcast(hot2.withColumn("__h2", lit(true))), Seq("t1", "t2"), "left")
+      else j.withColumn("__h2", lit(null).cast("boolean"))
+      j = if (deep3)
+        j.join(broadcast(hot3.withColumn("__h3", lit(true))), Seq("t1", "t2", "t3"), "left")
+      else j.withColumn("__h3", lit(null).cast("boolean"))
+      j.select(col("doc_id"), col("text"), asciiPrefix(col("text")).as("pfx"),
+        when(col("__h3").isNotNull, concat(col("t1"), lit(" "), col("t2"),
+            lit(" "), col("t3"), lit(" "), col("t4")))
+          .when(col("__h2").isNotNull, concat(col("t1"), lit(" "), col("t2"),
+            lit(" "), col("t3")))
+          .when(col("__h1").isNotNull, concat(col("t1"), lit(" "), col("t2")))
+          .otherwise(col("t1")).as("blk"))
+    }
     val r = keyed
       .withColumn("n1_id", lead(col("doc_id"), 1).over(w))
       .withColumn("n1_px", lead(col("pfx"), 1).over(w))
@@ -1635,16 +1672,31 @@ object TextOps {
   val q136Sql: String =
     """WITH d AS (
       |  SELECT doc_id, text,
-      |    split_part(text, ' ', 1) AS t1, split_part(text, ' ', 2) AS t2
+      |    split_part(text, ' ', 1) AS t1, split_part(text, ' ', 2) AS t2,
+      |    split_part(text, ' ', 3) AS t3, split_part(text, ' ', 4) AS t4,
+      |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '03' AS smp
       |  FROM documents),
-      |hot AS (
-      |  SELECT t1 FROM d
-      |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '03'
-      |  GROUP BY t1 HAVING COUNT(*) > 156),
+      |h1 AS (
+      |  SELECT t1 FROM d WHERE smp GROUP BY t1 HAVING COUNT(*) > 156),
+      |h2 AS (
+      |  SELECT t1, t2 FROM d WHERE smp AND t1 IN (SELECT t1 FROM h1)
+      |  GROUP BY t1, t2 HAVING COUNT(*) > 156),
+      |h3 AS (
+      |  SELECT t1, t2, t3 FROM d
+      |  WHERE smp AND EXISTS (SELECT 1 FROM h2
+      |    WHERE h2.t1 = d.t1 AND h2.t2 = d.t2)
+      |  GROUP BY t1, t2, t3 HAVING COUNT(*) > 156),
       |k AS (
       |  SELECT doc_id, text,
-      |    CASE WHEN t1 IN (SELECT t1 FROM hot)
-      |      THEN t1 || ' ' || t2 ELSE t1 END AS blk
+      |    CASE WHEN EXISTS (SELECT 1 FROM h3
+      |           WHERE h3.t1 = d.t1 AND h3.t2 = d.t2 AND h3.t3 = d.t3)
+      |           THEN t1 || ' ' || t2 || ' ' || t3 || ' ' || t4
+      |         WHEN EXISTS (SELECT 1 FROM h2
+      |           WHERE h2.t1 = d.t1 AND h2.t2 = d.t2)
+      |           THEN t1 || ' ' || t2 || ' ' || t3
+      |         WHEN t1 IN (SELECT t1 FROM h1)
+      |           THEN t1 || ' ' || t2
+      |         ELSE t1 END AS blk
       |  FROM d),
       |r AS (
       |  SELECT doc_id, text, blk,
