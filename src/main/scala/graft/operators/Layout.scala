@@ -387,6 +387,100 @@ object Layout {
       corrSql("price_discount", "l_extendedprice", "l_discount"))
       .mkString("", "\nUNION ALL\n", "\nORDER BY pair")
 
+  // ------------------------------------------------------------------
+  // q139 — KMV (k-minimum-values) distinct sketch: per-event-type
+  // approximate COUNT DISTINCT users from the k = 64 smallest distinct
+  // md5 values, DV̂ = (k−1)/u_k with u_k the k-th smallest hash mapped
+  // to (0,1). This is the mergeable cardinality sketch a 100 TB profiler
+  // keeps per partition/day and unions instead of re-scanning (min-k of
+  // a union = min-k of the merged min-k sets); unlike HLL it is
+  // DETERMINISTIC cross-engine — both engines take the identical md5
+  // bottom-k, and the estimator is one division of exactly-represented
+  // doubles (48 hash bits < 2^53; 16^12 a power of two), so the gate can
+  // hash-compare an *approximate* operator exactly. Saturation rule:
+  // under k distinct values the sketch IS the exact count.
+  //
+  // The scale trap is the bottom-k: `row_number() OVER (PARTITION BY
+  // type ORDER BY h)` sorts EVERY distinct hash per type in one task.
+  // Same cure as q113/q129, keyed by the hash's own 4-hex prefix (a
+  // monotonic bucket of the sort key, 65 536 of them): per-(type,
+  // bucket) counts → cumulative over the constant-width bucket table →
+  // only buckets at or below the one holding the k-th value survive the
+  // broadcast filter, so the window sorts ~k + distinct/65 536 rows per
+  // type (15k rows at 1e9 distinct), never the full distinct set. The
+  // oracle keeps the naive window — same rows, driver-scale corpus.
+  // ------------------------------------------------------------------
+  private val KmvK = 64L
+
+  def q139KmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id"))
+    val d = ev.select(col("event_type"),
+        md5(col("user_id").cast("string")).as("h")).distinct()
+      .withColumn("b", substring(col("h"), 1, 4))
+    val cum = d.groupBy(col("event_type"), col("b")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // smallest bucket whose cumulative count reaches k (or the max
+    // bucket when the type has under k distinct values — keep all)
+    val bStar = cum.groupBy(col("event_type"))
+      .agg(coalesce(min(when(col("cum") >= KmvK, col("b"))), max(col("b"))).as("b_star"))
+    val kept = d.join(broadcast(bStar), "event_type")
+      .filter(col("b") <= col("b_star"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("h"))))
+      .filter(col("rn") <= KmvK)
+    val sk = kept.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("hk"))
+    val exact = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_rows"),
+      count_distinct(col("user_id")).as("n_distinct"))
+    exact.join(sk, "event_type")
+      .withColumn("kmv_estimate",
+        when(col("n_kept") < KmvK, col("n_distinct").cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) /
+            (expr("CAST(conv(substring(hk, 1, 12), 16, 10) AS BIGINT)").cast("double")
+              / lit(281474976710656.0)))) // 16^12
+      .select(col("event_type"), col("n_rows"), col("n_distinct"),
+        lit(KmvK).as("kmv_k"), col("kmv_estimate"),
+        ((col("kmv_estimate") - col("n_distinct").cast("double"))
+          / col("n_distinct").cast("double")).as("rel_err"))
+      .orderBy(col("event_type"))
+  }
+
+  val q139Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL),
+      |d AS (
+      |  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+      |  FROM e),
+      |r AS (
+      |  SELECT event_type, h,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      |  FROM d),
+      |sk AS (
+      |  SELECT event_type, COUNT(*) AS n_kept, MAX(h) AS hk
+      |  FROM r WHERE rn <= 64 GROUP BY 1),
+      |x AS (
+      |  SELECT event_type, COUNT(*) AS n_rows,
+      |    COUNT(DISTINCT user_id) AS n_distinct
+      |  FROM e GROUP BY 1),
+      |j AS (
+      |  SELECT x.event_type, x.n_rows, x.n_distinct,
+      |    CASE WHEN sk.n_kept < 64 THEN CAST(x.n_distinct AS DOUBLE)
+      |      ELSE 63.0 /
+      |        (CAST(CAST(CAST(('0x' || substring(sk.hk, 1, 12)) AS UBIGINT)
+      |           AS BIGINT) AS DOUBLE) / 281474976710656.0) END AS kmv_estimate
+      |  FROM x JOIN sk ON x.event_type = sk.event_type)
+      |SELECT event_type, CAST(n_rows AS BIGINT) AS n_rows,
+      |  CAST(n_distinct AS BIGINT) AS n_distinct,
+      |  CAST(64 AS BIGINT) AS kmv_k, kmv_estimate,
+      |  (kmv_estimate - CAST(n_distinct AS DOUBLE))
+      |    / CAST(n_distinct AS DOUBLE) AS rel_err
+      |FROM j ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_zorder_layout" -> (q99ZorderLayout _),
     "q100_profile"      -> (q100Profile _),
@@ -394,6 +488,7 @@ object Layout {
     "q107_histogram"    -> (q107Histogram _),
     "q113_dense_ids"    -> (q113DenseIds _),
     "q118_correlation"  -> (q118Correlation _),
+    "q139_kmv_distinct" -> (q139KmvDistinct _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -403,5 +498,6 @@ object Layout {
     "q107_histogram"    -> q107Sql,
     "q113_dense_ids"    -> q113Sql,
     "q118_correlation"  -> q118Sql,
+    "q139_kmv_distinct" -> q139Sql,
   )
 }
