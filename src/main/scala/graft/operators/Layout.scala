@@ -416,9 +416,13 @@ object Layout {
     val ev = Tables.events(spark, dir)
       .filter(col("user_id").isNotNull)
       .select(col("event_type"), col("user_id"))
+    // the distinct-hash set feeds BOTH the bucket counts and the kept
+    // filter — materialize it once (harness-swept) instead of paying the
+    // events scan + distinct shuffle twice
     val d = ev.select(col("event_type"),
         md5(col("user_id").cast("string")).as("h")).distinct()
       .withColumn("b", substring(col("h"), 1, 4))
+      .cache().transform(graft.util.Checkpoints.track)
     val cum = d.groupBy(col("event_type"), col("b")).agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum(col("cnt")).over(
         Window.partitionBy(col("event_type")).orderBy(col("b"))

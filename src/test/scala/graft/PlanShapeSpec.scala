@@ -10,6 +10,13 @@ import graft.operators.{Layout, Relational, TextOps}
   */
 class PlanShapeSpec extends SparkSpec {
 
+  /** Count distinct Exchange INSTANCES matching `pat`: a cached frame's
+    * subtree prints once per scan site, so raw pattern counts
+    * double-count — the plan_id disambiguates (same exchange, same id).
+    */
+  private def distinctExchanges(plan: String, pat: String): Int =
+    (pat + "[^\\[]*\\[plan_id=(\\d+)").r.findAllMatchIn(plan).map(_.group(1)).toSet.size
+
   private def withStaticPlan[T](f: => T): T = {
     val saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
     try { spark.conf.set("spark.sql.adaptive.enabled", "false"); f }
@@ -134,6 +141,40 @@ class PlanShapeSpec extends SparkSpec {
       val plan = q.queryExecution.executedPlan.toString
       assert(plan.contains("BroadcastHashJoin"),
         s"the top-40 vocabulary prune must be a broadcast join:\n$plan")
+    }
+  }
+
+  test("q138's corpus rides one (source, bucket) exchange; only the scalar budget is single-partition") {
+    withStaticPlan {
+      val q = TextOps.q138TokenBudget(spark, Sf)
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      // the admission window shuffles by the COMPOSITE (source, md5-prefix)
+      // key — a plain source partitioning would funnel each source into
+      // one task; the second (source, b) exchange is the bucket-count
+      // aggregate, map-side combined to constant width before it ships
+      val compo = distinctExchanges(plan, "hashpartitioning\\(source#\\d+, b#")
+      assert(compo === 2, s"expected window + bucket-count (source, b) exchanges in:\n$plan")
+      val singles = distinctExchanges(plan, "Exchange SinglePartition")
+      assert(singles === 1,
+        s"only the 1-row global budget aggregate may be single-partition in:\n$plan")
+    }
+  }
+
+  test("q139's bottom-k window reads the shared distinct set once, pruned by a broadcast") {
+    withStaticPlan {
+      val q = Layout.q139KmvDistinct(spark, Sf)
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      // ONE distinct shuffle (the cached shared frame) — a second
+      // (event_type, h) exchange would mean the distinct set is being
+      // recomputed for the kept filter
+      val dist = distinctExchanges(plan, "hashpartitioning\\(event_type#\\d+, h#")
+      assert(dist === 1, s"the distinct-hash set must materialize once in:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"the b_star bucket prune must be a broadcast join:\n$plan")
+      assert(!plan.contains("SinglePartition"),
+        s"no stage may funnel into one task in:\n$plan")
     }
   }
 }
