@@ -441,7 +441,7 @@ object Layout {
     val exact = ev.groupBy(col("event_type")).agg(
       count(lit(1)).as("n_rows"),
       count_distinct(col("user_id")).as("n_distinct"))
-    exact.join(sk, "event_type")
+    exact.join(broadcast(sk), "event_type")
       .withColumn("kmv_estimate",
         when(col("n_kept") < KmvK, col("n_distinct").cast("double"))
           .otherwise(lit((KmvK - 1).toDouble) /

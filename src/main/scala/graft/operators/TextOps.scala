@@ -1770,7 +1770,7 @@ object TextOps {
       .filter(col("off") + col("start_in_b") < col("budget_tokens"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs_kept"), sum(col("n_tokens")).as("tokens_kept"))
-    budgets.join(kept, Seq("source"), "left")
+    budgets.join(broadcast(kept), Seq("source"), "left")
       .select(col("source"), col("tot_tokens"), col("weight"), col("budget_tokens"),
         coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
         coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"),

@@ -146,6 +146,10 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q138's corpus rides one (source, bucket) exchange; only the scalar budget is single-partition") {
     withStaticPlan {
+      // a prior suite's cached budgets frame would splice its ORIGINAL
+      // subtree (with its own plan_ids) into this plan and skew the
+      // exchange counts — pin against a fresh cache
+      spark.sharedState.cacheManager.clearCache()
       val q = TextOps.q138TokenBudget(spark, Sf)
       q.collect()
       val plan = q.queryExecution.executedPlan.toString
@@ -163,6 +167,7 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q139's bottom-k window reads the shared distinct set once, pruned by a broadcast") {
     withStaticPlan {
+      spark.sharedState.cacheManager.clearCache() // same fresh-cache rule as the q138 pin
       val q = Layout.q139KmvDistinct(spark, Sf)
       q.collect()
       val plan = q.queryExecution.executedPlan.toString
