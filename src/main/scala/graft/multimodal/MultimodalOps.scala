@@ -175,6 +175,143 @@ object MultimodalOps {
       |    j -> ascii(substring(text, CAST(j AS INT), 1)))), 0) AS BIGINT) AS byte_sum
       |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** q140 — perceptual-hash near-duplicate detection over media payloads,
+    * the missing dedup arm of the multimodal family (every text dedup —
+    * q43–q46, q136, q141 — reads the text column; image/audio corpora
+    * dedup on a content fingerprint of the DECODED signal instead). The
+    * fingerprint is a 64-bit average-hash (aHash): 64 block means
+    * compared against the global mean — the standard cheap image hash.
+    * As everywhere in this family the CODEC is the stub: blocks are byte
+    * ranges of the payload's printable-ASCII projection rather than
+    * grayscale cells of a decoded raster; a production build swaps the
+    * code stream for pixel values and NOTHING downstream changes.
+    *
+    * Shape: hash is one row-local projection pass (map-only, no
+    * shuffle); candidate generation is LSH banding — the 64 bits split
+    * into 4 × 16-bit bands and only same-(media_type, band, value) items
+    * meet, never all pairs; the exact hamming distance (popcount over
+    * XORed bands) re-verifies candidates only. Mean comparisons are
+    * integer cross-multiplied (`bs·n > total·bc`) so no float ever
+    * enters the hash — bit-identical cross-engine by construction.
+    * Near-dup gate: hamming ≤ 6 of 64 (exact dup = 0); at the gate
+    * scales the corpus has no true media near-dups, so those columns
+    * read 0 there and the detection semantics are pinned on a
+    * corrupted-clone fixture in PhashSpec instead.
+    */
+  def q140PhashNearDup(spark: SparkSession, dir: String): DataFrame =
+    phashReport(mediaTable(spark, dir))
+
+  /** q140 body over any (doc_id, media_type, payload) frame — split out so
+    * the spec can drive it on fixture media. The hash itself is the
+    * codegen'd [[graft.functions.AHash64]] (one tight byte loop per row;
+    * the higher-order-function formulation re-evaluated its code array
+    * 129× per row after CollapseProject inlining — 286 s at sf0.1 vs
+    * sub-second for the expression); the 4 × 16-bit LSH bands are plain
+    * unsigned shifts off the returned long.
+    */
+  def phashReport(media: DataFrame): DataFrame = {
+    graft.functions.MediaExpressions.register(media.sparkSession)
+    val hashed = media
+      .withColumn("ah", graft.functions.MediaExpressions.ahash64(col("payload")))
+      .filter(col("ah") =!= -1L) // sentinel: under 64 projected bytes
+      .select(col("doc_id"), col("media_type"),
+        shiftrightunsigned(col("ah"), 0).bitwiseAND(lit(65535L)).cast("int").as("h0"),
+        shiftrightunsigned(col("ah"), 16).bitwiseAND(lit(65535L)).cast("int").as("h1"),
+        shiftrightunsigned(col("ah"), 32).bitwiseAND(lit(65535L)).cast("int").as("h2"),
+        shiftrightunsigned(col("ah"), 48).bitwiseAND(lit(65535L)).cast("int").as("h3"))
+      .cache().transform(graft.util.Checkpoints.track) // feeds band explode + both pair-side joins
+    val bands = hashed.select(col("doc_id"), col("media_type"),
+      posexplode(array(col("h0"), col("h1"), col("h2"), col("h3"))))
+      .toDF("doc_id", "media_type", "j", "h")
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.media_type") === col("b.media_type") && col("a.j") === col("b.j") &&
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.media_type").as("media_type"),
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val hcols = hashed.select(col("doc_id"), col("h0"), col("h1"), col("h2"), col("h3"))
+    val ham = cand
+      .join(hcols.as("ha"), col("id_a") === col("ha.doc_id"))
+      .join(hcols.as("hb"), col("id_b") === col("hb.doc_id"))
+      .select(col("media_type"), col("id_a"), col("id_b"),
+        expr("""CAST(bit_count(ha.h0 ^ hb.h0) + bit_count(ha.h1 ^ hb.h1)
+          | + bit_count(ha.h2 ^ hb.h2) + bit_count(ha.h3 ^ hb.h3) AS BIGINT)""".stripMargin)
+          .as("hd"))
+      .cache().transform(graft.util.Checkpoints.track) // feeds pair aggregate + dup-item census
+    val perType = hashed.groupBy(col("media_type")).agg(count(lit(1)).as("n_items"))
+    val pairAgg = ham.groupBy(col("media_type")).agg(
+      count(lit(1)).as("n_cand_pairs"),
+      sum(when(col("hd") === 0, 1L).otherwise(0L)).as("n_exact_pairs"),
+      sum(when(col("hd") <= 6, 1L).otherwise(0L)).as("n_neardup_pairs"),
+      min(col("hd")).as("min_h"), max(col("hd")).as("max_h"))
+    val dupItems = ham.filter(col("hd") <= 6)
+      .select(col("media_type"), explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct().groupBy(col("media_type")).agg(count(lit(1)).as("n_dup_items"))
+    perType
+      .join(broadcast(pairAgg), Seq("media_type"), "left")
+      .join(broadcast(dupItems), Seq("media_type"), "left")
+      .select(col("media_type"), col("n_items"),
+        coalesce(col("n_cand_pairs"), lit(0L)).as("n_cand_pairs"),
+        coalesce(col("n_exact_pairs"), lit(0L)).as("n_exact_pairs"),
+        coalesce(col("n_neardup_pairs"), lit(0L)).as("n_neardup_pairs"),
+        coalesce(col("n_dup_items"), lit(0L)).as("n_dup_items"),
+        coalesce(col("min_h"), lit(-1L)).as("min_hamming"),
+        coalesce(col("max_h"), lit(-1L)).as("max_hamming"))
+      .orderBy(col("media_type"))
+  }
+
+  val q140Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+      |    regexp_replace(text, '[^ -~]', '', 'g') AS s
+      |  FROM documents),
+      |d AS (SELECT doc_id, media_type, s, CAST(length(s) AS BIGINT) AS n
+      |  FROM m WHERE length(s) >= 64),
+      |c AS (SELECT doc_id, media_type, n, i, ascii(substr(s, CAST(i + 1 AS INT), 1)) AS code
+      |  FROM d, UNNEST(range(n)) AS t(i)),
+      |tot AS (SELECT doc_id, SUM(code) AS ts FROM c GROUP BY 1),
+      |blk AS (SELECT doc_id, media_type, n, (i * 64) // n AS b, SUM(code) AS bs, COUNT(*) AS bc
+      |  FROM c GROUP BY 1, 2, 3, 4),
+      |bits AS (SELECT blk.doc_id AS doc_id, media_type, b,
+      |    CASE WHEN bs * n > ts * bc THEN 1 ELSE 0 END AS bit
+      |  FROM blk JOIN tot ON blk.doc_id = tot.doc_id),
+      |bands AS (SELECT doc_id, media_type, CAST(b // 16 AS INT) AS j,
+      |    CAST(SUM(bit * (1::BIGINT << CAST(b % 16 AS INT))) AS INT) AS h
+      |  FROM bits GROUP BY 1, 2, 3),
+      |hash AS (SELECT doc_id, media_type,
+      |    MAX(CASE WHEN j = 0 THEN h END) AS h0, MAX(CASE WHEN j = 1 THEN h END) AS h1,
+      |    MAX(CASE WHEN j = 2 THEN h END) AS h2, MAX(CASE WHEN j = 3 THEN h END) AS h3
+      |  FROM bands GROUP BY 1, 2),
+      |cand AS (SELECT DISTINCT a.media_type AS media_type, a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b ON a.media_type = b.media_type AND a.j = b.j
+      |    AND a.h = b.h AND a.doc_id < b.doc_id),
+      |ham AS (SELECT c.media_type, c.id_a, c.id_b,
+      |    CAST(bit_count(xor(ha.h0, hb.h0)) + bit_count(xor(ha.h1, hb.h1))
+      |       + bit_count(xor(ha.h2, hb.h2)) + bit_count(xor(ha.h3, hb.h3)) AS BIGINT) AS hd
+      |  FROM cand c JOIN hash ha ON c.id_a = ha.doc_id JOIN hash hb ON c.id_b = hb.doc_id),
+      |items AS (SELECT media_type, COUNT(*) AS n_items FROM hash GROUP BY 1),
+      |pa AS (SELECT media_type, COUNT(*) AS n_cand_pairs,
+      |    SUM(CASE WHEN hd = 0 THEN 1 ELSE 0 END) AS n_exact_pairs,
+      |    SUM(CASE WHEN hd <= 6 THEN 1 ELSE 0 END) AS n_neardup_pairs,
+      |    MIN(hd) AS min_h, MAX(hd) AS max_h
+      |  FROM ham GROUP BY 1),
+      |di AS (SELECT media_type, COUNT(*) AS n_dup_items FROM (
+      |    SELECT DISTINCT media_type, id FROM (
+      |      SELECT media_type, id_a AS id FROM ham WHERE hd <= 6
+      |      UNION ALL SELECT media_type, id_b AS id FROM ham WHERE hd <= 6))
+      |  GROUP BY 1)
+      |SELECT i.media_type AS media_type, CAST(i.n_items AS BIGINT) AS n_items,
+      |  CAST(COALESCE(pa.n_cand_pairs, 0) AS BIGINT) AS n_cand_pairs,
+      |  CAST(COALESCE(pa.n_exact_pairs, 0) AS BIGINT) AS n_exact_pairs,
+      |  CAST(COALESCE(pa.n_neardup_pairs, 0) AS BIGINT) AS n_neardup_pairs,
+      |  CAST(COALESCE(di.n_dup_items, 0) AS BIGINT) AS n_dup_items,
+      |  CAST(COALESCE(pa.min_h, -1) AS BIGINT) AS min_hamming,
+      |  CAST(COALESCE(pa.max_h, -1) AS BIGINT) AS max_hamming
+      |FROM items i LEFT JOIN pa ON i.media_type = pa.media_type
+      |  LEFT JOIN di ON i.media_type = di.media_type
+      |ORDER BY i.media_type""".stripMargin
+
   /** Metadata-only stats (never touches payload bytes on a real layout). */
   def q52MultimodalMeta(spark: SparkSession, dir: String): DataFrame =
     mediaTable(spark, dir)

@@ -278,6 +278,7 @@ object Extras {
     "q64_stream_join"         -> (q64StreamJoin _),
     "q65_multimodal_resize"   -> ((s: SparkSession, d: String) => MultimodalOps.q65Resize(s, d)),
     "q66_frame_sample"        -> ((s: SparkSession, d: String) => MultimodalOps.q66FrameSample(s, d)),
+    "q140_phash_neardup"      -> ((s: SparkSession, d: String) => MultimodalOps.q140PhashNearDup(s, d)),
     "q73_stream_dedup"        -> (q73StreamDedup _),
     "q82_stream_left_join"    -> (q82StreamLeftJoin _),
     "q83_stream_full_join"    -> (q83StreamFullJoin _),
@@ -297,6 +298,7 @@ object Extras {
     "q64_stream_join"         -> q64Sql,
     "q65_multimodal_resize"   -> MultimodalOps.q65Sql,
     "q66_frame_sample"        -> MultimodalOps.q66Sql,
+    "q140_phash_neardup"      -> MultimodalOps.q140Sql,
     "q73_stream_dedup"        -> q73Sql,
     "q82_stream_left_join"    -> q82Sql,
     "q83_stream_full_join"    -> q83Sql,

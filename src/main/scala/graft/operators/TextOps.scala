@@ -1809,6 +1809,112 @@ object TextOps {
       |FROM b LEFT JOIN k ON b.source = k.source
       |ORDER BY b.source""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q141 — exact repeated-substring detection: the within-corpus
+  // substring dedup of Lee et al. 2022 ("Deduplicating Training Data
+  // Makes Language Models Better" — their ExactSubstr over a suffix
+  // array, re-expressed as the distributed k-gram formulation): flag
+  // every token position whose k-gram (k = 8 tokens) occurs more than
+  // once ANYWHERE in the corpus — another doc or another offset of the
+  // same doc — then merge overlapping flagged extents [pos, pos+k-1]
+  // into maximal duplicated spans per doc and report, per source, the
+  // span census and the duplicated-token fraction a substring-dedup
+  // pass would cut. This is the one dedup the doc-level family (q43–
+  // q46, q136) cannot see: two long docs sharing one boilerplate
+  // paragraph are no doc pair at all, but every token of the shared
+  // paragraph is training-data duplication.
+  //
+  // Scale posture: gram strings are hashed row-local to 64-bit hex
+  // BEFORE the explode ships anything (the shuffle carries (doc_id,
+  // pos, 16-char hash), never the k-token text); the duplicated-gram
+  // set comes out of one partial-agged count (map-side combine absorbs
+  // each doc's self-repeats); flagging is a semi join by gram hash —
+  // at 100 TB the dup-gram set is the SMALL side (duplication is the
+  // exception, not the rule) and Catalyst's broadcast threshold or the
+  // q125-style bloom regime prunes map-side, while at gate scale both
+  // sides share one hash exchange. Span merge is the q119
+  // gaps-and-islands window, partitioned by doc_id — per-doc state
+  // only, no global sort. The k-gram frame is cached once (harness-
+  // swept) because both the dup-set agg and the flag join consume it.
+  // ------------------------------------------------------------------
+  def q141SubstringDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 8
+    val toks = Tables.documents(spark, dir)
+      .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
+      .select(col("doc_id"), col("source"), col("toks"),
+        size(col("toks")).cast("long").as("nt"))
+    val grams = toks
+      .filter(col("nt") >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, CAST(nt AS INT) - $k), i -> " +
+        s"struct(i AS pos, substring(md5(concat_ws(' ', slice(toks, i + 1, $k))), 1, 16) AS h))"))
+        .as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.h").as("h"))
+      .cache().transform(graft.util.Checkpoints.track) // feeds dup-set agg + flag semi join
+    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("h"))
+    val flagged = grams.join(dup, Seq("h"), "leftsemi")
+    val isl = flagged
+      .withColumn("prev",
+        lag(col("pos"), 1).over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") - col("prev") > k, 1L).otherwise(0L))
+      .withColumn("grp", sum(col("brk")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val spans = isl.groupBy(col("doc_id"), col("grp"))
+      .agg((max(col("pos")) - min(col("pos")) + lit(k)).cast("long").as("span_len"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(sum(col("span_len")).as("dup_tokens"), count(lit(1)).as("n_spans"),
+        max(col("span_len")).as("max_span"))
+    toks.select(col("doc_id"), col("source"), col("nt"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dup_tokens").isNotNull, 1L).otherwise(0L)).as("n_docs_with_dup"),
+        sum(col("nt")).as("total_tokens"),
+        sum(coalesce(col("dup_tokens"), lit(0L))).as("dup_tokens"),
+        sum(coalesce(col("n_spans"), lit(0L))).as("n_spans"),
+        coalesce(max(col("max_span")), lit(0L)).as("max_span_len"))
+      .select(col("source"), col("n_docs"), col("n_docs_with_dup"),
+        col("total_tokens"), col("dup_tokens"), col("n_spans"), col("max_span_len"),
+        graft.weather.WeatherPipeline.roundSafe(
+          col("dup_tokens").cast("double") / col("total_tokens"), 6).as("dup_frac6"))
+      .orderBy(col("source"))
+  }
+
+  val q141Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |base AS (SELECT doc_id, source, len(t) AS nt FROM toks),
+      |grams AS (
+      |  SELECT doc_id, i AS pos,
+      |    substr(md5(array_to_string(t[CAST(i + 1 AS INT):CAST(i + 8 AS INT)], ' ')), 1, 16) AS h
+      |  FROM toks, UNNEST(range(len(t) - 7)) AS u(i)
+      |  WHERE len(t) >= 8),
+      |dup AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) > 1),
+      |fl AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup ON g.h = dup.h),
+      |pr AS (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM fl),
+      |isl AS (SELECT doc_id, pos,
+      |    SUM(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM pr),
+      |spans AS (SELECT doc_id, grp, MAX(pos) - MIN(pos) + 8 AS span_len FROM isl GROUP BY 1, 2),
+      |perdoc AS (SELECT doc_id, SUM(span_len) AS dup_tokens, COUNT(*) AS n_spans,
+      |    MAX(span_len) AS max_span FROM spans GROUP BY 1)
+      |SELECT b.source AS source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN p.dup_tokens IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_dup,
+      |  CAST(SUM(b.nt) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(COALESCE(p.dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+      |  CAST(SUM(COALESCE(p.n_spans, 0)) AS BIGINT) AS n_spans,
+      |  CAST(COALESCE(MAX(p.max_span), 0) AS BIGINT) AS max_span_len,
+      |  round(round((CAST(SUM(COALESCE(p.dup_tokens, 0)) AS DOUBLE)
+      |    / SUM(b.nt)) * 1e8) / 100) / 1e6 + 0.0 AS dup_frac6
+      |FROM base b LEFT JOIN perdoc p ON b.doc_id = p.doc_id
+      |GROUP BY b.source ORDER BY b.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_text_stats"     -> (q40TextStats _),
     "q41_lang_id"        -> (q41LangId _),
@@ -1840,6 +1946,7 @@ object TextOps {
     "q134_rrf_fusion"    -> (q134RrfFusion _),
     "q136_sorted_neighborhood" -> (q136SortedNeighborhood _),
     "q138_token_budget"  -> (q138TokenBudget _),
+    "q141_substring_dedup" -> (q141SubstringDedup _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1873,5 +1980,6 @@ object TextOps {
     "q134_rrf_fusion"    -> q134Sql,
     "q136_sorted_neighborhood" -> q136Sql,
     "q138_token_budget"  -> q138Sql,
+    "q141_substring_dedup" -> q141Sql,
   )
 }
