@@ -208,10 +208,24 @@ object MultimodalOps {
     * 129× per row after CollapseProject inlining — 286 s at sf0.1 vs
     * sub-second for the expression); the 4 × 16-bit LSH bands are plain
     * unsigned shifts off the returned long.
+    *
+    * Pair generation is GROUP-first, never item-pairs: identical full
+    * hashes collapse into one representative (exact-dup mass is the
+    * group-size census, O(N) — the first sf10 cut enumerated all pairs
+    * inside equivalence classes and produced 1.5M "exact pairs" per
+    * type), the band join runs over distinct hashes only, and band
+    * buckets holding more than `spark.graft.phash.bandCap` distinct
+    * hashes (default 1024) are pruned from candidate generation — the
+    * q44 df-cap: a bucket that hot is a degenerate band carrying no
+    * discrimination, and a true near-dup pair inside it is still
+    * reachable through its other three bands (PhashSpec pins the
+    * tradeoff both ways).
     */
   def phashReport(media: DataFrame): DataFrame = {
-    graft.functions.MediaExpressions.register(media.sparkSession)
-    val hashed = media
+    val spark = media.sparkSession
+    graft.functions.MediaExpressions.register(spark)
+    val cap = spark.conf.getOption("spark.graft.phash.bandCap").map(_.toInt).getOrElse(1024)
+    val items = media
       .withColumn("ah", graft.functions.MediaExpressions.ahash64(col("payload")))
       .filter(col("ah") =!= -1L) // sentinel: under 64 projected bytes
       .select(col("doc_id"), col("media_type"),
@@ -219,42 +233,61 @@ object MultimodalOps {
         shiftrightunsigned(col("ah"), 16).bitwiseAND(lit(65535L)).cast("int").as("h1"),
         shiftrightunsigned(col("ah"), 32).bitwiseAND(lit(65535L)).cast("int").as("h2"),
         shiftrightunsigned(col("ah"), 48).bitwiseAND(lit(65535L)).cast("int").as("h3"))
-      .cache().transform(graft.util.Checkpoints.track) // feeds band explode + both pair-side joins
-    val bands = hashed.select(col("doc_id"), col("media_type"),
+      .cache().transform(graft.util.Checkpoints.track) // feeds item census + hash groups
+    val hashes = items
+      .groupBy(col("media_type"), col("h0"), col("h1"), col("h2"), col("h3"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("rep_id"))
+      .cache().transform(graft.util.Checkpoints.track) // feeds bands + both pair sides + censuses
+    val bands = hashes.select(col("media_type"), col("rep_id"),
       posexplode(array(col("h0"), col("h1"), col("h2"), col("h3"))))
-      .toDF("doc_id", "media_type", "j", "h")
-    val cand = bands.as("a").join(bands.as("b"),
+      .toDF("media_type", "rep_id", "j", "h")
+    // prune bands that pair nothing (singletons) or everything (over cap)
+    val buckets = bands.groupBy(col("media_type"), col("j"), col("h"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > 1 && col("bsz") <= cap)
+      .select(col("media_type"), col("j"), col("h"))
+    val inBucket = bands.join(buckets, Seq("media_type", "j", "h"))
+    val cand = inBucket.as("a").join(inBucket.as("b"),
         col("a.media_type") === col("b.media_type") && col("a.j") === col("b.j") &&
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.rep_id") < col("b.rep_id"))
       .select(col("a.media_type").as("media_type"),
-        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        col("a.rep_id").as("id_a"), col("b.rep_id").as("id_b"))
       .distinct()
-    val hcols = hashed.select(col("doc_id"), col("h0"), col("h1"), col("h2"), col("h3"))
+    val hcols = hashes.select(col("rep_id"), col("cnt"),
+      col("h0"), col("h1"), col("h2"), col("h3"))
     val ham = cand
-      .join(hcols.as("ha"), col("id_a") === col("ha.doc_id"))
-      .join(hcols.as("hb"), col("id_b") === col("hb.doc_id"))
+      .join(hcols.as("ha"), col("id_a") === col("ha.rep_id"))
+      .join(hcols.as("hb"), col("id_b") === col("hb.rep_id"))
       .select(col("media_type"), col("id_a"), col("id_b"),
+        col("ha.cnt").as("cnt_a"), col("hb.cnt").as("cnt_b"),
         expr("""CAST(bit_count(ha.h0 ^ hb.h0) + bit_count(ha.h1 ^ hb.h1)
           | + bit_count(ha.h2 ^ hb.h2) + bit_count(ha.h3 ^ hb.h3) AS BIGINT)""".stripMargin)
           .as("hd"))
-      .cache().transform(graft.util.Checkpoints.track) // feeds pair aggregate + dup-item census
-    val perType = hashed.groupBy(col("media_type")).agg(count(lit(1)).as("n_items"))
+      .cache().transform(graft.util.Checkpoints.track) // feeds pair aggregate + near-item census
+    val perType = items.groupBy(col("media_type")).agg(count(lit(1)).as("n_items"))
+    val hashAgg = hashes.groupBy(col("media_type")).agg(
+      count(lit(1)).as("n_hashes"),
+      sum(col("cnt") - 1L).as("n_exact_dup_items"))
     val pairAgg = ham.groupBy(col("media_type")).agg(
       count(lit(1)).as("n_cand_pairs"),
-      sum(when(col("hd") === 0, 1L).otherwise(0L)).as("n_exact_pairs"),
       sum(when(col("hd") <= 6, 1L).otherwise(0L)).as("n_neardup_pairs"),
       min(col("hd")).as("min_h"), max(col("hd")).as("max_h"))
-    val dupItems = ham.filter(col("hd") <= 6)
-      .select(col("media_type"), explode(array(col("id_a"), col("id_b"))).as("id"))
-      .distinct().groupBy(col("media_type")).agg(count(lit(1)).as("n_dup_items"))
+    val nearItems = ham.filter(col("hd") <= 6)
+      .select(col("media_type"),
+        explode(array(struct(col("id_a").as("rep_id"), col("cnt_a").as("cnt")),
+          struct(col("id_b").as("rep_id"), col("cnt_b").as("cnt")))).as("s"))
+      .select(col("media_type"), col("s.rep_id").as("rep_id"), col("s.cnt").as("cnt"))
+      .distinct()
+      .groupBy(col("media_type")).agg(sum(col("cnt")).as("n_neardup_items"))
     perType
+      .join(broadcast(hashAgg), Seq("media_type"), "left")
       .join(broadcast(pairAgg), Seq("media_type"), "left")
-      .join(broadcast(dupItems), Seq("media_type"), "left")
-      .select(col("media_type"), col("n_items"),
+      .join(broadcast(nearItems), Seq("media_type"), "left")
+      .select(col("media_type"), col("n_items"), col("n_hashes"),
+        col("n_exact_dup_items"),
         coalesce(col("n_cand_pairs"), lit(0L)).as("n_cand_pairs"),
-        coalesce(col("n_exact_pairs"), lit(0L)).as("n_exact_pairs"),
         coalesce(col("n_neardup_pairs"), lit(0L)).as("n_neardup_pairs"),
-        coalesce(col("n_dup_items"), lit(0L)).as("n_dup_items"),
+        coalesce(col("n_neardup_items"), lit(0L)).as("n_neardup_items"),
         coalesce(col("min_h"), lit(-1L)).as("min_hamming"),
         coalesce(col("max_h"), lit(-1L)).as("max_hamming"))
       .orderBy(col("media_type"))
@@ -279,37 +312,50 @@ object MultimodalOps {
       |bands AS (SELECT doc_id, media_type, CAST(b // 16 AS INT) AS j,
       |    CAST(SUM(bit * (1::BIGINT << CAST(b % 16 AS INT))) AS INT) AS h
       |  FROM bits GROUP BY 1, 2, 3),
-      |hash AS (SELECT doc_id, media_type,
+      |hash0 AS (SELECT doc_id, media_type,
       |    MAX(CASE WHEN j = 0 THEN h END) AS h0, MAX(CASE WHEN j = 1 THEN h END) AS h1,
       |    MAX(CASE WHEN j = 2 THEN h END) AS h2, MAX(CASE WHEN j = 3 THEN h END) AS h3
       |  FROM bands GROUP BY 1, 2),
-      |cand AS (SELECT DISTINCT a.media_type AS media_type, a.doc_id AS id_a, b.doc_id AS id_b
-      |  FROM bands a JOIN bands b ON a.media_type = b.media_type AND a.j = b.j
-      |    AND a.h = b.h AND a.doc_id < b.doc_id),
-      |ham AS (SELECT c.media_type, c.id_a, c.id_b,
-      |    CAST(bit_count(xor(ha.h0, hb.h0)) + bit_count(xor(ha.h1, hb.h1))
-      |       + bit_count(xor(ha.h2, hb.h2)) + bit_count(xor(ha.h3, hb.h3)) AS BIGINT) AS hd
-      |  FROM cand c JOIN hash ha ON c.id_a = ha.doc_id JOIN hash hb ON c.id_b = hb.doc_id),
-      |items AS (SELECT media_type, COUNT(*) AS n_items FROM hash GROUP BY 1),
+      |hashes AS (SELECT media_type, h0, h1, h2, h3,
+      |    COUNT(*) AS cnt, MIN(doc_id) AS rep_id
+      |  FROM hash0 GROUP BY 1, 2, 3, 4, 5),
+      |hb AS (SELECT media_type, rep_id, u.j AS j,
+      |    CASE u.j WHEN 0 THEN h0 WHEN 1 THEN h1 WHEN 2 THEN h2 ELSE h3 END AS h
+      |  FROM hashes, UNNEST([0, 1, 2, 3]) AS u(j)),
+      |buckets AS (SELECT media_type, j, h FROM hb GROUP BY 1, 2, 3
+      |  HAVING COUNT(*) > 1 AND COUNT(*) <= 1024),
+      |ib AS (SELECT hb.media_type, hb.rep_id, hb.j, hb.h
+      |  FROM hb JOIN buckets USING (media_type, j, h)),
+      |cand AS (SELECT DISTINCT a.media_type AS media_type, a.rep_id AS id_a, b.rep_id AS id_b
+      |  FROM ib a JOIN ib b ON a.media_type = b.media_type AND a.j = b.j
+      |    AND a.h = b.h AND a.rep_id < b.rep_id),
+      |ham AS (SELECT c.media_type, c.id_a, c.id_b, ha.cnt AS cnt_a, hbb.cnt AS cnt_b,
+      |    CAST(bit_count(xor(ha.h0, hbb.h0)) + bit_count(xor(ha.h1, hbb.h1))
+      |       + bit_count(xor(ha.h2, hbb.h2)) + bit_count(xor(ha.h3, hbb.h3)) AS BIGINT) AS hd
+      |  FROM cand c JOIN hashes ha ON c.id_a = ha.rep_id JOIN hashes hbb ON c.id_b = hbb.rep_id),
+      |items AS (SELECT media_type, COUNT(*) AS n_items FROM hash0 GROUP BY 1),
+      |hs AS (SELECT media_type, COUNT(*) AS n_hashes, SUM(cnt - 1) AS n_exact_dup_items
+      |  FROM hashes GROUP BY 1),
       |pa AS (SELECT media_type, COUNT(*) AS n_cand_pairs,
-      |    SUM(CASE WHEN hd = 0 THEN 1 ELSE 0 END) AS n_exact_pairs,
       |    SUM(CASE WHEN hd <= 6 THEN 1 ELSE 0 END) AS n_neardup_pairs,
       |    MIN(hd) AS min_h, MAX(hd) AS max_h
       |  FROM ham GROUP BY 1),
-      |di AS (SELECT media_type, COUNT(*) AS n_dup_items FROM (
-      |    SELECT DISTINCT media_type, id FROM (
-      |      SELECT media_type, id_a AS id FROM ham WHERE hd <= 6
-      |      UNION ALL SELECT media_type, id_b AS id FROM ham WHERE hd <= 6))
+      |ni AS (SELECT media_type, SUM(cnt) AS n_neardup_items FROM (
+      |    SELECT DISTINCT media_type, rep_id, cnt FROM (
+      |      SELECT media_type, id_a AS rep_id, cnt_a AS cnt FROM ham WHERE hd <= 6
+      |      UNION ALL SELECT media_type, id_b AS rep_id, cnt_b AS cnt FROM ham WHERE hd <= 6))
       |  GROUP BY 1)
       |SELECT i.media_type AS media_type, CAST(i.n_items AS BIGINT) AS n_items,
+      |  CAST(hs.n_hashes AS BIGINT) AS n_hashes,
+      |  CAST(hs.n_exact_dup_items AS BIGINT) AS n_exact_dup_items,
       |  CAST(COALESCE(pa.n_cand_pairs, 0) AS BIGINT) AS n_cand_pairs,
-      |  CAST(COALESCE(pa.n_exact_pairs, 0) AS BIGINT) AS n_exact_pairs,
       |  CAST(COALESCE(pa.n_neardup_pairs, 0) AS BIGINT) AS n_neardup_pairs,
-      |  CAST(COALESCE(di.n_dup_items, 0) AS BIGINT) AS n_dup_items,
+      |  CAST(COALESCE(ni.n_neardup_items, 0) AS BIGINT) AS n_neardup_items,
       |  CAST(COALESCE(pa.min_h, -1) AS BIGINT) AS min_hamming,
       |  CAST(COALESCE(pa.max_h, -1) AS BIGINT) AS max_hamming
-      |FROM items i LEFT JOIN pa ON i.media_type = pa.media_type
-      |  LEFT JOIN di ON i.media_type = di.media_type
+      |FROM items i JOIN hs ON i.media_type = hs.media_type
+      |  LEFT JOIN pa ON i.media_type = pa.media_type
+      |  LEFT JOIN ni ON i.media_type = ni.media_type
       |ORDER BY i.media_type""".stripMargin
 
   /** Metadata-only stats (never touches payload bytes on a real layout). */

@@ -1844,12 +1844,30 @@ object TextOps {
       .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
       .select(col("doc_id"), col("source"), col("toks"),
         size(col("toks")).cast("long").as("nt"))
-    val grams = toks
-      .filter(col("nt") >= k)
+    // the token array is BOUND as a lambda variable (ts) instead of
+    // referenced from the outer projection: an outer `toks` reference
+    // inside the per-gram lambda gets the full split(trim(lower(text)))
+    // subtree substituted at every evaluation — one regex split PER GRAM,
+    // measured 370× (140 s) instead of ~linear at sf10. A lambda
+    // argument evaluates once per row.
+    //
+    // The upfront doc_id repartition decouples the expensive interpreted
+    // gram map from the SCAN split count (a compactly-written corpus can
+    // pack into a couple of 128 MB splits and starve the map of cores),
+    // and its partitioning is exactly what the island windows need — the
+    // cached frame keeps it, so the window pass plans NO exchange of its
+    // own: the shuffle is moved, not added.
+    val np = spark.conf.get("spark.sql.shuffle.partitions").toIntOption
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .repartition(np, col("doc_id"))
       .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, CAST(nt AS INT) - $k), i -> " +
-        s"struct(i AS pos, substring(md5(concat_ws(' ', slice(toks, i + 1, $k))), 1, 16) AS h))"))
-        .as("pg"))
+        s"""flatten(transform(array(split(trim(lower(text)), '\\\\s+')), ts ->
+           |  if(size(ts) >= $k,
+           |    transform(sequence(0, size(ts) - $k), i ->
+           |      struct(i AS pos, substring(md5(concat_ws(' ', slice(ts, i + 1, $k))), 1, 16) AS h)),
+           |    CAST(array() AS array<struct<pos:int,h:string>>))))""".stripMargin)).as("pg"))
       .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.h").as("h"))
       .cache().transform(graft.util.Checkpoints.track) // feeds dup-set agg + flag semi join
     val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))
