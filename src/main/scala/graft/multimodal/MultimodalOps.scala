@@ -222,6 +222,40 @@ object MultimodalOps {
     * tradeoff both ways).
     */
   def phashReport(media: DataFrame): DataFrame = {
+    val (items, hashes, ham) = phashFrames(media)
+    val perType = items.groupBy(col("media_type")).agg(count(lit(1)).as("n_items"))
+    val hashAgg = hashes.groupBy(col("media_type")).agg(
+      count(lit(1)).as("n_hashes"),
+      sum(col("cnt") - 1L).as("n_exact_dup_items"))
+    val pairAgg = ham.groupBy(col("media_type")).agg(
+      count(lit(1)).as("n_cand_pairs"),
+      sum(when(col("hd") <= 6, 1L).otherwise(0L)).as("n_neardup_pairs"),
+      min(col("hd")).as("min_h"), max(col("hd")).as("max_h"))
+    val nearItems = ham.filter(col("hd") <= 6)
+      .select(col("media_type"),
+        explode(array(struct(col("id_a").as("rep_id"), col("cnt_a").as("cnt")),
+          struct(col("id_b").as("rep_id"), col("cnt_b").as("cnt")))).as("s"))
+      .select(col("media_type"), col("s.rep_id").as("rep_id"), col("s.cnt").as("cnt"))
+      .distinct()
+      .groupBy(col("media_type")).agg(sum(col("cnt")).as("n_neardup_items"))
+    perType
+      .join(broadcast(hashAgg), Seq("media_type"), "left")
+      .join(broadcast(pairAgg), Seq("media_type"), "left")
+      .join(broadcast(nearItems), Seq("media_type"), "left")
+      .select(col("media_type"), col("n_items"), col("n_hashes"),
+        col("n_exact_dup_items"),
+        coalesce(col("n_cand_pairs"), lit(0L)).as("n_cand_pairs"),
+        coalesce(col("n_neardup_pairs"), lit(0L)).as("n_neardup_pairs"),
+        coalesce(col("n_neardup_items"), lit(0L)).as("n_neardup_items"),
+        coalesce(col("min_h"), lit(-1L)).as("min_hamming"),
+        coalesce(col("max_h"), lit(-1L)).as("max_hamming"))
+      .orderBy(col("media_type"))
+  }
+
+  /** Shared q140/q142 frames — (hashed items, distinct-hash groups,
+    * verified candidate-pair hammings), each cached and harness-swept.
+    */
+  private def phashFrames(media: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val spark = media.sparkSession
     graft.functions.MediaExpressions.register(spark)
     val cap = spark.conf.getOption("spark.graft.phash.bandCap").map(_.toInt).getOrElse(1024)
@@ -264,37 +298,48 @@ object MultimodalOps {
           | + bit_count(ha.h2 ^ hb.h2) + bit_count(ha.h3 ^ hb.h3) AS BIGINT)""".stripMargin)
           .as("hd"))
       .cache().transform(graft.util.Checkpoints.track) // feeds pair aggregate + near-item census
-    val perType = items.groupBy(col("media_type")).agg(count(lit(1)).as("n_items"))
-    val hashAgg = hashes.groupBy(col("media_type")).agg(
-      count(lit(1)).as("n_hashes"),
-      sum(col("cnt") - 1L).as("n_exact_dup_items"))
-    val pairAgg = ham.groupBy(col("media_type")).agg(
-      count(lit(1)).as("n_cand_pairs"),
-      sum(when(col("hd") <= 6, 1L).otherwise(0L)).as("n_neardup_pairs"),
-      min(col("hd")).as("min_h"), max(col("hd")).as("max_h"))
-    val nearItems = ham.filter(col("hd") <= 6)
-      .select(col("media_type"),
-        explode(array(struct(col("id_a").as("rep_id"), col("cnt_a").as("cnt")),
-          struct(col("id_b").as("rep_id"), col("cnt_b").as("cnt")))).as("s"))
-      .select(col("media_type"), col("s.rep_id").as("rep_id"), col("s.cnt").as("cnt"))
-      .distinct()
-      .groupBy(col("media_type")).agg(sum(col("cnt")).as("n_neardup_items"))
-    perType
-      .join(broadcast(hashAgg), Seq("media_type"), "left")
-      .join(broadcast(pairAgg), Seq("media_type"), "left")
-      .join(broadcast(nearItems), Seq("media_type"), "left")
-      .select(col("media_type"), col("n_items"), col("n_hashes"),
-        col("n_exact_dup_items"),
-        coalesce(col("n_cand_pairs"), lit(0L)).as("n_cand_pairs"),
-        coalesce(col("n_neardup_pairs"), lit(0L)).as("n_neardup_pairs"),
-        coalesce(col("n_neardup_items"), lit(0L)).as("n_neardup_items"),
-        coalesce(col("min_h"), lit(-1L)).as("min_hamming"),
-        coalesce(col("max_h"), lit(-1L)).as("max_hamming"))
+    (items, hashes, ham)
+  }
+
+  /** q142 — media dedup APPLY: turn q140's detections into a canonical
+    * keep-list, the q103 step for the multimodal side. Edges are (a)
+    * every item → its identical-hash group representative (exact mass,
+    * O(N) edges — never pairwise within a group) and (b) the verified
+    * near-dup representative pairs (hamming ≤ 6); connected components
+    * (GraphOps label propagation, O(log n) rounds) merge chains that
+    * single-link across groups; the kept set is the per-component
+    * minimum doc_id plus every item too short to fingerprint (q140's
+    * 64-byte floor — you cannot dedup what you cannot hash).
+    */
+  def q142MediaDedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val media = mediaTable(spark, dir)
+    val (items, hashes, ham) = phashFrames(media)
+    val exactE = items
+      .join(hashes.select(col("media_type"), col("h0"), col("h1"), col("h2"),
+        col("h3"), col("rep_id")), Seq("media_type", "h0", "h1", "h2", "h3"))
+      .filter(col("doc_id") =!= col("rep_id"))
+      .select(col("doc_id").as("doc_a"), col("rep_id").as("doc_b"))
+    val nearE = ham.filter(col("hd") <= 6)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val labels = graft.operators.GraphOps
+      .connectedComponents(exactE.unionByName(nearE).distinct())
+      .withColumnRenamed("id", "doc_id")
+    media.join(labels, Seq("doc_id"), "left")
+      .filter(col("label").isNull || col("label") === col("doc_id"))
+      .groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(length(col("payload")).cast("long")).as("kept_bytes"))
+      .join(media.groupBy(col("media_type")).agg(count(lit(1)).as("n_raw")), "media_type")
+      .select(col("media_type"), col("n_raw"), col("n_kept"),
+        (col("n_raw") - col("n_kept")).as("n_dropped"), col("kept_bytes"))
       .orderBy(col("media_type"))
   }
 
-  val q140Sql: String =
-    """WITH m AS (
+  /** Shared CTE chain for q140/q142 oracles: payload → aHash → groups →
+    * banded candidates → verified hammings.
+    */
+  private val phashSqlBody: String =
+    """m AS (
       |  SELECT doc_id,
       |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
       |    regexp_replace(text, '[^ -~]', '', 'g') AS s
@@ -332,7 +377,10 @@ object MultimodalOps {
       |ham AS (SELECT c.media_type, c.id_a, c.id_b, ha.cnt AS cnt_a, hbb.cnt AS cnt_b,
       |    CAST(bit_count(xor(ha.h0, hbb.h0)) + bit_count(xor(ha.h1, hbb.h1))
       |       + bit_count(xor(ha.h2, hbb.h2)) + bit_count(xor(ha.h3, hbb.h3)) AS BIGINT) AS hd
-      |  FROM cand c JOIN hashes ha ON c.id_a = ha.rep_id JOIN hashes hbb ON c.id_b = hbb.rep_id),
+      |  FROM cand c JOIN hashes ha ON c.id_a = ha.rep_id JOIN hashes hbb ON c.id_b = hbb.rep_id)""".stripMargin
+
+  val q140Sql: String =
+    s"""WITH $phashSqlBody,
       |items AS (SELECT media_type, COUNT(*) AS n_items FROM hash0 GROUP BY 1),
       |hs AS (SELECT media_type, COUNT(*) AS n_hashes, SUM(cnt - 1) AS n_exact_dup_items
       |  FROM hashes GROUP BY 1),
@@ -357,6 +405,40 @@ object MultimodalOps {
       |  LEFT JOIN pa ON i.media_type = pa.media_type
       |  LEFT JOIN ni ON i.media_type = ni.media_type
       |ORDER BY i.media_type""".stripMargin
+
+  val q142Sql: String =
+    s"""WITH RECURSIVE $phashSqlBody,
+      |exact_e AS (
+      |  SELECT h0.doc_id AS a, hs.rep_id AS b FROM hash0 h0
+      |  JOIN hashes hs ON h0.media_type = hs.media_type AND h0.h0 = hs.h0
+      |    AND h0.h1 = hs.h1 AND h0.h2 = hs.h2 AND h0.h3 = hs.h3
+      |  WHERE h0.doc_id <> hs.rep_id),
+      |near_e AS (SELECT id_a AS a, id_b AS b FROM ham WHERE hd <= 6),
+      |alle AS (SELECT a, b FROM exact_e UNION SELECT a, b FROM near_e),
+      |nodes AS (SELECT DISTINCT a AS n FROM alle UNION SELECT b FROM alle),
+      |e2 AS (SELECT a, b FROM alle UNION SELECT b AS a, a AS b FROM alle),
+      |reach AS (
+      |  SELECT n AS node, n AS mm FROM nodes
+      |  UNION
+      |  SELECT e.b AS node, r.mm FROM reach r JOIN e2 e ON e.a = r.node),
+      |comp AS (SELECT node, MIN(mm) AS label FROM reach GROUP BY node),
+      |media AS (
+      |  SELECT doc_id,
+      |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+      |    strlen(text) AS n_bytes
+      |  FROM documents),
+      |kept AS (
+      |  SELECT md.media_type, md.n_bytes FROM media md
+      |  LEFT JOIN comp ON md.doc_id = comp.node
+      |  WHERE comp.node IS NULL OR comp.label = md.doc_id),
+      |raw AS (SELECT media_type, COUNT(*) AS n_raw FROM media GROUP BY 1)
+      |SELECT k.media_type AS media_type, CAST(r.n_raw AS BIGINT) AS n_raw,
+      |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |  CAST(r.n_raw - COUNT(*) AS BIGINT) AS n_dropped,
+      |  CAST(SUM(k.n_bytes) AS BIGINT) AS kept_bytes
+      |FROM kept k JOIN raw r ON k.media_type = r.media_type
+      |GROUP BY k.media_type, r.n_raw
+      |ORDER BY k.media_type""".stripMargin
 
   /** Metadata-only stats (never touches payload bytes on a real layout). */
   def q52MultimodalMeta(spark: SparkSession, dir: String): DataFrame =

@@ -279,6 +279,7 @@ object Extras {
     "q65_multimodal_resize"   -> ((s: SparkSession, d: String) => MultimodalOps.q65Resize(s, d)),
     "q66_frame_sample"        -> ((s: SparkSession, d: String) => MultimodalOps.q66FrameSample(s, d)),
     "q140_phash_neardup"      -> ((s: SparkSession, d: String) => MultimodalOps.q140PhashNearDup(s, d)),
+    "q142_media_dedup_apply"  -> ((s: SparkSession, d: String) => MultimodalOps.q142MediaDedupApply(s, d)),
     "q73_stream_dedup"        -> (q73StreamDedup _),
     "q82_stream_left_join"    -> (q82StreamLeftJoin _),
     "q83_stream_full_join"    -> (q83StreamFullJoin _),
@@ -299,6 +300,7 @@ object Extras {
     "q65_multimodal_resize"   -> MultimodalOps.q65Sql,
     "q66_frame_sample"        -> MultimodalOps.q66Sql,
     "q140_phash_neardup"      -> MultimodalOps.q140Sql,
+    "q142_media_dedup_apply"  -> MultimodalOps.q142Sql,
     "q73_stream_dedup"        -> q73Sql,
     "q82_stream_left_join"    -> q82Sql,
     "q83_stream_full_join"    -> q83Sql,
