@@ -1933,6 +1933,105 @@ object TextOps {
       |FROM base b LEFT JOIN perdoc p ON b.doc_id = p.doc_id
       |GROUP BY b.source ORDER BY b.source""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q143 — BPE merge training (Sennrich et al. 2016, the tokenizer-
+  // training loop): five rounds of "count adjacent symbol pairs over
+  // the word-frequency dictionary, merge the most frequent pair
+  // everywhere". The output is the merge table itself — (round, pair,
+  // merged symbol, frequency) — the artifact a tokenizer ships.
+  //
+  // Representation: a word's symbol sequence is a -wrapped string
+  // ("␟c1␟␟c2␟…"); merging pair (a,b) is then literal
+  // replace("␟a␟␟b␟" → "␟ab␟") — left-to-right non-overlapping in BOTH
+  // engines, which IS greedy BPE merge order, and the per-symbol
+  // wrappers make cross-symbol false matches impossible (symbol "b"
+  // can never match inside symbol "ab"). No fold needed — important
+  // because DuckDB 1.0's list_reduce cannot carry a list accumulator.
+  //
+  // Scale posture: BPE trains on the word-frequency DICTIONARY, not
+  // the corpus — the one corpus-scale stage is the tokenize + count
+  // shuffle (map-side combined); all five rounds run over distinct
+  // words. The per-round argmax is a driver scalar (the watermark
+  // precedent), rebroadcast into the next round's replace. Pair
+  // extraction binds the symbol array as a lambda argument (the q141
+  // lesson — an outer reference would re-split per pair).
+  // ------------------------------------------------------------------
+  def q143BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val D = "\u001f" // unit separator: absent from any token
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("seq", concat(lit(D),
+        array_join(expr("filter(split(w, ''), c -> c <> '')"), D + D), lit(D)))
+      .select(col("cnt"), col("seq"))
+      .cache().transform(graft.util.Checkpoints.track) // round 0 of the loop below
+    var cur = vocab
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var exhausted = false // a vocab can run out of pairs before 5 rounds
+    for (r <- 1 to 5 if !exhausted) {
+      val pairs = cur
+        .select(col("cnt"), explode(expr(
+          s"""flatten(transform(array(filter(split(substring(seq, 2, length(seq) - 2), '$D$D'), s -> s <> '')), ss ->
+             |  if(size(ss) >= 2,
+             |    transform(sequence(0, size(ss) - 2), i ->
+             |      struct(element_at(ss, i + 1) AS a, element_at(ss, i + 2) AS b)),
+             |    CAST(array() AS array<struct<a:string,b:string>>))))""".stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("freq"))
+      val bestRows = pairs.orderBy(col("freq").desc, col("a"), col("b")).limit(1).collect()
+      if (bestRows.isEmpty) exhausted = true // oracle parity: its empty bN
+      else {                                 // empties every later round too
+        val best = bestRows(0)
+        val (a, b, freq) = (best.getString(0), best.getString(1), best.getLong(2))
+        merges += ((r, a, b, a + b, freq))
+        val next = cur.withColumn("seq",
+          expr(s"replace(seq, '$D${a.replace("'", "\\'")}$D$D${b.replace("'", "\\'")}$D', " +
+            s"'$D${(a + b).replace("'", "\\'")}$D')"))
+          .cache().transform(graft.util.Checkpoints.track)
+        cur = next
+      }
+    }
+    merges.toSeq.toDF("round", "sym_a", "sym_b", "merged", "freq")
+      .select(col("round").cast("long").as("round"), col("sym_a"), col("sym_b"),
+        col("merged"), col("freq"))
+      .orderBy(col("round"))
+  }
+
+  val q143Sql: String = {
+    val D = "\u001f" // unit separator: absent from any token
+    def pairsOf(src: String, n: Int): String =
+      s"""p$n AS (
+         |  SELECT syms[CAST(i + 1 AS INT)] AS a, syms[CAST(i + 2 AS INT)] AS b,
+         |    SUM(cnt) AS freq
+         |  FROM (SELECT cnt, string_split(substr(seq, 2, length(seq) - 2), '$D$D') AS syms
+         |        FROM $src), UNNEST(range(len(syms) - 1)) AS t(i)
+         |  GROUP BY 1, 2),
+         |b$n AS (SELECT a, b, freq FROM p$n ORDER BY freq DESC, a, b LIMIT 1)""".stripMargin
+    def mergeOf(src: String, n: Int): String =
+      s"""w$n AS (
+         |  SELECT cnt, replace(seq, '$D' || b$n.a || '$D$D' || b$n.b || '$D',
+         |    '$D' || b$n.a || b$n.b || '$D') AS seq
+         |  FROM $src, b$n)""".stripMargin
+    val rounds = (1 to 5).map { r =>
+      val src = if (r == 1) "w0" else s"w${r - 1}"
+      if (r < 5) pairsOf(src, r) + ",\n" + mergeOf(src, r)
+      else pairsOf(src, r)
+    }.mkString(",\n")
+    val selects = (1 to 5).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, a AS sym_a, b AS sym_b, a || b AS merged, CAST(freq AS BIGINT) AS freq FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w FROM documents),
+       |vocab AS (SELECT w, COUNT(*) AS cnt FROM toks WHERE w <> '' GROUP BY 1),
+       |w0 AS (SELECT cnt,
+       |  '$D' || array_to_string(string_split(w, ''), '$D$D') || '$D' AS seq FROM vocab),
+       |$rounds
+       |$selects
+       |ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_text_stats"     -> (q40TextStats _),
     "q41_lang_id"        -> (q41LangId _),
@@ -1965,6 +2064,7 @@ object TextOps {
     "q136_sorted_neighborhood" -> (q136SortedNeighborhood _),
     "q138_token_budget"  -> (q138TokenBudget _),
     "q141_substring_dedup" -> (q141SubstringDedup _),
+    "q143_bpe_merges"    -> (q143BpeMerges _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1999,5 +2099,6 @@ object TextOps {
     "q136_sorted_neighborhood" -> q136Sql,
     "q138_token_budget"  -> q138Sql,
     "q141_substring_dedup" -> q141Sql,
+    "q143_bpe_merges"    -> q143Sql,
   )
 }
