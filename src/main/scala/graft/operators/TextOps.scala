@@ -2032,6 +2032,72 @@ object TextOps {
        |ORDER BY round""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q144 — leakage-safe dataset split: q71's md5 train/val/test split,
+  // but keyed by the DEDUP-CLUSTER representative instead of the doc —
+  // with a per-doc split, two near-duplicate documents routinely land
+  // on opposite sides of the train/test boundary and the test set is
+  // contaminated by construction. The cluster labels are the q103
+  // components over the shared (memoized, bench-prewarmed) LSH verified
+  // pairs; singleton docs key by themselves. Same thresholds as q71
+  // ('cc'/'e6' ≈ 80/10/10), so the two queries differ ONLY in the
+  // hashing key — which is the point.
+  // ------------------------------------------------------------------
+
+  /** Per-doc assignments (doc_id, source, n_chars, ck, split) — split
+    * out so the spec can assert the structural guarantee (a verified
+    * pair NEVER spans splits) directly.
+    */
+  def leakageSafeAssignments(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = lshVerifiedPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val labels = graft.operators.GraphOps.connectedComponents(pairs)
+      .withColumnRenamed("id", "doc_id")
+    val h = substring(md5(col("ck").cast("string")), 1, 2)
+    docs.join(labels, Seq("doc_id"), "left")
+      .withColumn("ck", coalesce(col("label"), col("doc_id")))
+      .withColumn("split",
+        when(h < "cc", "train").when(h < "e6", "val").otherwise("test"))
+  }
+
+  def q144LeakageSafeSplit(spark: SparkSession, dir: String): DataFrame =
+    leakageSafeAssignments(spark, dir)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("ck")).as("n_clusters"))
+      .orderBy(col("split"))
+
+  val q144Sql: String = {
+    val pairsSelect = q45SqlBody
+    s"""WITH RECURSIVE pairs AS (
+       |$pairsSelect),
+       |nodes AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id FROM pairs UNION SELECT doc_b FROM pairs)),
+       |e2 AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS node, doc_id AS m FROM nodes
+       |  UNION
+       |  SELECT e.b AS node, r.m FROM reach r JOIN e2 e ON e.a = r.node),
+       |comp AS (SELECT node, MIN(m) AS label FROM reach GROUP BY node),
+       |keyed AS (
+       |  SELECT d.source, d.n_chars, COALESCE(comp.label, d.doc_id) AS ck
+       |  FROM documents d LEFT JOIN comp ON d.doc_id = comp.node),
+       |s AS (
+       |  SELECT *, CASE WHEN substring(md5(CAST(ck AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+       |                 WHEN substring(md5(CAST(ck AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+       |                 ELSE 'test' END AS split
+       |  FROM keyed)
+       |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+       |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       |  CAST(COUNT(DISTINCT ck) AS BIGINT) AS n_clusters
+       |FROM s GROUP BY split ORDER BY split""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_text_stats"     -> (q40TextStats _),
     "q41_lang_id"        -> (q41LangId _),
@@ -2065,6 +2131,7 @@ object TextOps {
     "q138_token_budget"  -> (q138TokenBudget _),
     "q141_substring_dedup" -> (q141SubstringDedup _),
     "q143_bpe_merges"    -> (q143BpeMerges _),
+    "q144_leakage_safe_split" -> (q144LeakageSafeSplit _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2100,5 +2167,6 @@ object TextOps {
     "q138_token_budget"  -> q138Sql,
     "q141_substring_dedup" -> q141Sql,
     "q143_bpe_merges"    -> q143Sql,
+    "q144_leakage_safe_split" -> q144Sql,
   )
 }
