@@ -1986,9 +1986,11 @@ object TextOps {
         val best = bestRows(0)
         val (a, b, freq) = (best.getString(0), best.getString(1), best.getLong(2))
         merges += ((r, a, b, a + b, freq))
+        // lit() args, not SQL literals: a symbol containing a quote or
+        // backslash must never be able to break the expression
         val next = cur.withColumn("seq",
-          expr(s"replace(seq, '$D${a.replace("'", "\\'")}$D$D${b.replace("'", "\\'")}$D', " +
-            s"'$D${(a + b).replace("'", "\\'")}$D')"))
+          org.apache.spark.sql.functions.replace(col("seq"),
+            lit(D + a + D + D + b + D), lit(D + a + b + D)))
           .cache().transform(graft.util.Checkpoints.track)
         cur = next
       }
