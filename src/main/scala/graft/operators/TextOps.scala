@@ -206,7 +206,7 @@ object TextOps {
 
   /** Unpersist + drop memoized frames (see [[graft.weather.WeatherQueries.clear]]). */
   def clear(): Unit = memo.synchronized {
-    memo.values.foreach(df => df.unpersist(blocking = false))
+    memo.values.foreach(graft.util.Checkpoints.release) // caches AND checkpoints
     memoAux.foreach(df => df.unpersist(blocking = false))
     memo.clear()
     memoAux.clear()
@@ -289,8 +289,27 @@ object TextOps {
     * this the one-time build lands on whichever consumer the suite's
     * string order runs first (q103), which is how r6 archived q103 at
     * 38.7 s while its own CC + join-back work measures ~7 s. */
-  def prewarmSharedArtifacts(spark: SparkSession, dir: String): Unit =
+  def prewarmSharedArtifacts(spark: SparkSession, dir: String): Unit = {
     lshVerifiedPairs(spark, dir).count()
+    dedupLabels(spark, dir).count()
+  }
+
+  /** Memoized dedup-cluster labels (id, label) over the shared verified
+    * pairs — q77/q103/q144/q145 all consume the SAME components, and the
+    * label-propagation rounds are their dominant per-query term at scale.
+    * [[GraphOps.connectedComponents]] returns a harness-SWEPT checkpoint
+    * (its lifecycle belongs to the query that built it), so the memo
+    * holds its own re-checkpoint, released via [[clear]] like every
+    * shared artifact.
+    */
+  private def dedupLabels(spark: SparkSession, dir: String): DataFrame =
+    memo.synchronized {
+      memo.getOrElseUpdate((spark, dir + "|cclabels"), {
+        GraphOps.connectedComponents(
+          lshVerifiedPairs(spark, dir).select(col("doc_a"), col("doc_b")))
+          .localCheckpoint(true)
+      })
+    }
 
   private def lshVerifiedPairsBuild(spark: SparkSession, dir: String): DataFrame = {
     val sh = docShingles(spark, dir)
@@ -573,8 +592,7 @@ object TextOps {
   // label propagation converges to).
   // ------------------------------------------------------------------
   def q77DedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = lshVerifiedPairs(spark, dir).select(col("doc_a"), col("doc_b"))
-    GraphOps.connectedComponents(pairs) // checkpointed → tiny plan, cheap reuse
+    dedupLabels(spark, dir) // shared memoized components
       .groupBy(col("label").as("canonical"))
       .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_member"))
       .orderBy(col("canonical"))
@@ -701,9 +719,7 @@ object TextOps {
   // ------------------------------------------------------------------
   def q103DedupApply(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val pairs = lshVerifiedPairs(spark, dir).select(col("doc_a"), col("doc_b"))
-    val labels = GraphOps.connectedComponents(pairs)
-      .withColumnRenamed("id", "doc_id")
+    val labels = dedupLabels(spark, dir).withColumnRenamed("id", "doc_id")
     val kept = docs.join(labels, Seq("doc_id"), "left")
       .filter(col("label").isNull || col("label") === col("doc_id"))
     kept.groupBy(col("source"))
@@ -2052,9 +2068,7 @@ object TextOps {
     */
   def leakageSafeAssignments(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val pairs = lshVerifiedPairs(spark, dir).select(col("doc_a"), col("doc_b"))
-    val labels = graft.operators.GraphOps.connectedComponents(pairs)
-      .withColumnRenamed("id", "doc_id")
+    val labels = dedupLabels(spark, dir).withColumnRenamed("id", "doc_id")
     val h = substring(md5(col("ck").cast("string")), 1, 2)
     docs.join(labels, Seq("doc_id"), "left")
       .withColumn("ck", coalesce(col("label"), col("doc_id")))
@@ -2100,6 +2114,164 @@ object TextOps {
        |FROM s GROUP BY split ORDER BY split""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q145 — the curation FUNNEL: the full preprocessing chain a training
+  // corpus actually goes through, composed from the suite's own stage
+  // semantics and reported as a per-source yield census:
+  //   raw → q72 quality gate → q72 exact dedup → q103 near-dup cluster
+  //   keep (min SURVIVING member per component) → q111-style
+  //   decontamination (drop any doc sharing a 5-gram with the held-out
+  //   eval partition, md5 prefix ≥ 'e6').
+  // Each stage reuses the exact expression conventions of its parent
+  // query, so the funnel is a composition proof: the stages interlock
+  // without re-deriving any semantics. Scale shape: the only new
+  // corpus-scale work beyond the parents is the decontamination semi
+  // join, which ships 16-hex gram HASHES (the q141 rule), probing the
+  // eval side — the small side by construction (≈10% of docs).
+  // ------------------------------------------------------------------
+  def q145CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pfx = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val all = Tables.documents(spark, dir)
+    val corpus = all.filter(pfx < "e6")
+    // ONE tokenize pass builds a SLIM per-doc frame (counts + content
+    // hash — no token arrays: caching array columns measured SLOWER
+    // than recompute, 71 s vs 55 s warm at sf10, while recomputing the
+    // tokenize for every census cost ~3 passes); every census and
+    // window below reads this cache, and only the gram probe re-touches
+    // text, once, via a semi join of the scan against the survivors
+    val np0 = spark.conf.get("spark.sql.shuffle.partitions").toIntOption
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    val slim = corpus
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+      .repartition(np0, col("doc_id")) // same parallelism rule as the gram pass
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).as("n_toks"),
+        length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).as("n_punct"),
+        col("n_chars"), md5(col("text")).as("th"))
+      .cache().transform(graft.util.Checkpoints.track)
+    val quality = slim.filter(col("n_toks") >= 5 &&
+      col("n_punct").cast("double") / col("n_chars") < 0.2)
+    val exact = quality
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("th")).orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1).drop("__rn")
+    val labels = dedupLabels(spark, dir).withColumnRenamed("id", "doc_id")
+    val near = exact.join(labels, Seq("doc_id"), "left")
+      .withColumn("ck", coalesce(col("label"), col("doc_id")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("ck")).orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1).drop("__rn", "label", "ck")
+      .cache().transform(graft.util.Checkpoints.track) // feeds gram probe + census + final
+    // the q141 parallelism rule again: repartition ahead of the
+    // expensive interpreted gram map so its task count never degrades to
+    // the scan split count (A/B at sf10: 137.8 s unrepartitioned vs
+    // 11.1 s at 32 tasks for the corpus gram pass alone)
+    def gramHashes(df: DataFrame) = df
+      .select(col("doc_id"), col("text"))
+      .repartition(np0, col("doc_id"))
+      .select(col("doc_id"), explode(expr(
+        s"""flatten(transform(array(filter(split(trim(text), '\\\\s+'), t -> t <> '')), ts ->
+           |  if(size(ts) >= $ContamGram,
+           |    transform(sequence(0, size(ts) - $ContamGram), i ->
+           |      substring(md5(concat_ws(' ', slice(ts, i + 1, $ContamGram))), 1, 16)),
+           |    CAST(array() AS array<string>))))""".stripMargin)).as("gh"))
+    val evalGrams = gramHashes(all.filter(pfx >= "e6"))
+      .select(col("gh")).distinct()
+    val contaminated = gramHashes(
+        all.join(near.select(col("doc_id")), Seq("doc_id"), "leftsemi"))
+      .join(evalGrams, Seq("gh"), "leftsemi")
+      .select(col("doc_id")).distinct()
+    val fin = near.join(contaminated, Seq("doc_id"), "left_anti")
+    def census(df: DataFrame, name: String) =
+      df.groupBy(col("source")).agg(count(lit(1)).as(name))
+    census(corpus, "n_raw")
+      .join(census(quality, "n_quality"), Seq("source"), "left")
+      .join(census(exact, "n_exact"), Seq("source"), "left")
+      .join(census(near, "n_near"), Seq("source"), "left")
+      .join(fin.groupBy(col("source")).agg(count(lit(1)).as("n_final"),
+        sum(col("n_toks").cast("long")).as("final_tokens")), Seq("source"), "left")
+      .select(col("source"), col("n_raw"),
+        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        coalesce(col("n_final"), lit(0L)).as("n_final"),
+        coalesce(col("final_tokens"), lit(0L)).as("final_tokens"),
+        graft.weather.WeatherPipeline.roundSafe(
+          coalesce(col("n_final"), lit(0L)).cast("double") / col("n_raw"), 6).as("yield6"))
+      .orderBy(col("source"))
+  }
+
+  val q145Sql: String = {
+    val pairsSelect = q45SqlBody
+    s"""WITH RECURSIVE pairs AS (
+       |$pairsSelect),
+       |nodes AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id FROM pairs UNION SELECT doc_b FROM pairs)),
+       |e2 AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS node, doc_id AS m FROM nodes
+       |  UNION
+       |  SELECT e.b AS node, r.m FROM reach r JOIN e2 e ON e.a = r.node),
+       |comp AS (SELECT node, MIN(m) AS label FROM reach GROUP BY node),
+       |corpus AS (
+       |  SELECT doc_id, source, text, n_chars,
+       |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_toks,
+       |    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
+       |  FROM documents
+       |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'),
+       |quality AS (
+       |  SELECT * FROM corpus
+       |  WHERE n_toks >= 5 AND CAST(n_punct AS DOUBLE)/n_chars < 0.2),
+       |exact AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |    FROM quality) WHERE rn = 1),
+       |near AS (
+       |  SELECT * FROM (
+       |    SELECT e.*, ROW_NUMBER() OVER (
+       |      PARTITION BY COALESCE(comp.label, e.doc_id) ORDER BY e.doc_id) AS rn2
+       |    FROM exact e LEFT JOIN comp ON e.doc_id = comp.node) WHERE rn2 = 1),
+       |evg AS (
+       |  SELECT DISTINCT substr(md5(array_to_string(
+       |    toks[i : i + ${ContamGram - 1}], ' ')), 1, 16) AS gh FROM (
+       |    SELECT regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+       |    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'e6'),
+       |    UNNEST(generate_series(1, len(toks) - ${ContamGram - 1})) AS u(i)
+       |  WHERE len(toks) >= $ContamGram),
+       |contam AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT n.doc_id, substr(md5(array_to_string(
+       |      toks[i : i + ${ContamGram - 1}], ' ')), 1, 16) AS gh FROM (
+       |      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM near) n,
+       |      UNNEST(generate_series(1, len(toks) - ${ContamGram - 1})) AS u(i)
+       |    WHERE len(toks) >= $ContamGram) g
+       |  WHERE gh IN (SELECT gh FROM evg)),
+       |fin AS (SELECT * FROM near WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+       |r AS (SELECT source, COUNT(*) AS n_raw FROM corpus GROUP BY 1),
+       |q AS (SELECT source, COUNT(*) AS n_quality FROM quality GROUP BY 1),
+       |x AS (SELECT source, COUNT(*) AS n_exact FROM exact GROUP BY 1),
+       |nn AS (SELECT source, COUNT(*) AS n_near FROM near GROUP BY 1),
+       |f AS (SELECT source, COUNT(*) AS n_final, SUM(n_toks) AS final_tokens
+       |  FROM fin GROUP BY 1)
+       |SELECT r.source AS source, CAST(r.n_raw AS BIGINT) AS n_raw,
+       |  CAST(COALESCE(q.n_quality, 0) AS BIGINT) AS n_quality,
+       |  CAST(COALESCE(x.n_exact, 0) AS BIGINT) AS n_exact,
+       |  CAST(COALESCE(nn.n_near, 0) AS BIGINT) AS n_near,
+       |  CAST(COALESCE(f.n_final, 0) AS BIGINT) AS n_final,
+       |  CAST(COALESCE(f.final_tokens, 0) AS BIGINT) AS final_tokens,
+       |  round(round((CAST(COALESCE(f.n_final, 0) AS DOUBLE) / r.n_raw) * 1e8) / 100) / 1e6
+       |    + 0.0 AS yield6
+       |FROM r LEFT JOIN q ON r.source = q.source
+       |  LEFT JOIN x ON r.source = x.source
+       |  LEFT JOIN nn ON r.source = nn.source
+       |  LEFT JOIN f ON r.source = f.source
+       |ORDER BY r.source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_text_stats"     -> (q40TextStats _),
     "q41_lang_id"        -> (q41LangId _),
@@ -2134,6 +2306,7 @@ object TextOps {
     "q141_substring_dedup" -> (q141SubstringDedup _),
     "q143_bpe_merges"    -> (q143BpeMerges _),
     "q144_leakage_safe_split" -> (q144LeakageSafeSplit _),
+    "q145_curation_funnel" -> (q145CurationFunnel _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2170,5 +2343,6 @@ object TextOps {
     "q141_substring_dedup" -> q141Sql,
     "q143_bpe_merges"    -> q143Sql,
     "q144_leakage_safe_split" -> q144Sql,
+    "q145_curation_funnel" -> q145Sql,
   )
 }
