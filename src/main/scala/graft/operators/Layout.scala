@@ -400,15 +400,17 @@ object Layout {
   // hash-compare an *approximate* operator exactly. Saturation rule:
   // under k distinct values the sketch IS the exact count.
   //
-  // The scale trap is the bottom-k: `row_number() OVER (PARTITION BY
-  // type ORDER BY h)` sorts EVERY distinct hash per type in one task.
-  // Same cure as q113/q129, keyed by the hash's own 4-hex prefix (a
-  // monotonic bucket of the sort key, 65 536 of them): per-(type,
-  // bucket) counts → cumulative over the constant-width bucket table →
-  // only buckets at or below the one holding the k-th value survive the
-  // broadcast filter, so the window sorts ~k + distinct/65 536 rows per
-  // type (15k rows at 1e9 distinct), never the full distinct set. The
-  // oracle keeps the naive window — same rows, driver-scale corpus.
+  // The scale shape is a TRUE partial aggregate ([[graft.functions
+  // .KmvSketch]], a TypedImperativeAggregate): each task keeps only the
+  // k smallest distinct hashes as a live object buffer, the exchange
+  // carries ONE serialized O(k) sketch per (task, type) — never the
+  // distinct set — and merge takes the k smallest of the union (min-k
+  // of a union == min-k of merged min-k sets). KmvSketchPlanSpec pins
+  // the shuffled-record bound; KmvSpec pins merge associativity and
+  // partition-count invariance. The exact n_distinct column rides its
+  // own count_distinct shuffle on purpose: it is the gate's exactness
+  // anchor, the very cost the sketch path exists to avoid. The oracle
+  // keeps the naive window — same rows, driver-scale corpus.
   // ------------------------------------------------------------------
   private val KmvK = 64L
 
@@ -416,28 +418,12 @@ object Layout {
     val ev = Tables.events(spark, dir)
       .filter(col("user_id").isNotNull)
       .select(col("event_type"), col("user_id"))
-    // the distinct-hash set feeds BOTH the bucket counts and the kept
-    // filter — materialize it once (harness-swept) instead of paying the
-    // events scan + distinct shuffle twice
-    val d = ev.select(col("event_type"),
-        md5(col("user_id").cast("string")).as("h")).distinct()
-      .withColumn("b", substring(col("h"), 1, 4))
-      .cache().transform(graft.util.Checkpoints.track)
-    val cum = d.groupBy(col("event_type"), col("b")).agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum(col("cnt")).over(
-        Window.partitionBy(col("event_type")).orderBy(col("b"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    // smallest bucket whose cumulative count reaches k (or the max
-    // bucket when the type has under k distinct values — keep all)
-    val bStar = cum.groupBy(col("event_type"))
-      .agg(coalesce(min(when(col("cum") >= KmvK, col("b"))), max(col("b"))).as("b_star"))
-    val kept = d.join(broadcast(bStar), "event_type")
-      .filter(col("b") <= col("b_star"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("event_type")).orderBy(col("h"))))
-      .filter(col("rn") <= KmvK)
-    val sk = kept.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("hk"))
+    val sk = ev.select(col("event_type"),
+        md5(col("user_id").cast("string")).as("h"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.KmvSketchAgg.kmv(spark, col("h"), KmvK.toInt).as("s"))
+      .select(col("event_type"),
+        col("s.n_kept").cast("long").as("n_kept"), col("s.hk").as("hk"))
     val exact = ev.groupBy(col("event_type")).agg(
       count(lit(1)).as("n_rows"),
       count_distinct(col("user_id")).as("n_distinct"))

@@ -40,6 +40,76 @@ class KmvSpec extends SparkSpec {
     }
   }
 
+  test("partial merge is associative and the sketch is partition-count invariant") {
+    import graft.functions.KmvSketch
+    import org.apache.spark.unsafe.types.UTF8String
+    val agg = KmvSketch(
+      org.apache.spark.sql.catalyst.expressions.Literal.create("x",
+        org.apache.spark.sql.types.StringType), 8)
+    val rng = new scala.util.Random(42)
+    val hs = Seq.fill(100)(UTF8String.fromString(f"${rng.nextLong().abs}%016x"))
+    def sk(xs: Seq[UTF8String]) = {
+      val b = agg.createAggregationBuffer()
+      xs.foreach { h => // same cap-insert path update() takes
+        agg.merge(b, { val t = agg.createAggregationBuffer(); t.add(h.clone()); t })
+      }
+      b
+    }
+    val (a, b, c) = (sk(hs.slice(0, 30)), sk(hs.slice(30, 71)), sk(hs.slice(71, 100)))
+    def copyOf(s: java.util.TreeSet[UTF8String]) = new java.util.TreeSet[UTF8String](s)
+    val left = agg.merge(agg.merge(copyOf(a), copyOf(b)), copyOf(c))
+    val right = agg.merge(copyOf(a), agg.merge(copyOf(b), copyOf(c)))
+    val whole = sk(hs)
+    assert(left.equals(right) && left.equals(whole))
+    // round-trip through the partial-exchange wire format
+    assert(agg.deserialize(agg.serialize(left)).equals(left))
+    // partition-count invariance end-to-end: 1, 7, 32 input partitions
+    // must produce byte-identical sketch rows
+    import spark.implicits._
+    val df = (1 to 5000).map(i => ("t" + i % 3, f"${(i * 2654435761L) % 100003}%032x")).toDF("g", "h")
+    val runs = Seq(1, 7, 32).map { p =>
+      df.repartition(p).groupBy($"g")
+        .agg(graft.functions.KmvSketchAgg.kmv(spark, $"h", 64).as("s"))
+        .select($"g", $"s.n_kept", $"s.hk").collect().map(_.toSeq).toSet
+    }
+    assert(runs(0) == runs(1) && runs(1) == runs(2))
+  }
+
+  test("plan pin: the sketch path shuffles O(tasks × groups) sketch rows, never the distinct set") {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, Sf)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
+    val skDf = ev.groupBy(col("event_type"))
+      .agg(graft.functions.KmvSketchAgg.kmv(spark, col("h"), 64).as("s"))
+    skDf.collect()
+    val plan = skDf.queryExecution.executedPlan
+    assert(plan.toString.contains("ObjectHashAggregate"),
+      "KMV must plan as an object-hash partial aggregate")
+    // AQE nests exchanges inside materialized query stages — descend
+    def collectShuffles(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        collectShuffles(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec =>
+        Seq(q.shuffle)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        collectShuffles(q.plan) // stages are leaves; descend via .plan
+      case other => other.children.flatMap(collectShuffles)
+    }
+    val shuffles = collectShuffles(plan)
+    assert(shuffles.nonEmpty)
+    val written = shuffles.map(_.metrics("shuffleRecordsWritten").value).sum
+    val nTasks = shuffles.map(_.numMappers).sum
+    val nTypes = ev.select(col("event_type")).distinct().count()
+    assert(written <= nTasks.toLong * nTypes,
+      s"sketch exchange carried $written rows; bound is tasks($nTasks) × groups($nTypes)")
+    // and the bound is far under the distinct set the old plan shuffled
+    val nDistinct = ev.distinct().count()
+    assert(written < nDistinct / 10,
+      s"sketch rows ($written) should be far under the distinct set ($nDistinct)")
+  }
+
   test("a type under k distinct users saturates to the exact count") {
     import spark.implicits._
     val dir = TempDirs.create("graft_kmv_small")

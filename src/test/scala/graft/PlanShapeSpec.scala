@@ -165,21 +165,26 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("q139's bottom-k window reads the shared distinct set once, pruned by a broadcast") {
+  test("q139's sketch path is a partial aggregate — the distinct set never shuffles") {
     withStaticPlan {
       spark.sharedState.cacheManager.clearCache() // same fresh-cache rule as the q138 pin
       val q = Layout.q139KmvDistinct(spark, Sf)
       q.collect()
       val plan = q.queryExecution.executedPlan.toString
-      // ONE distinct shuffle (the cached shared frame) — a second
-      // (event_type, h) exchange would mean the distinct set is being
-      // recomputed for the kept filter
+      // the sketch rides a TypedImperativeAggregate: partial + final
+      // ObjectHashAggregate around ONE exchange; a (event_type, h)
+      // hash-distinct exchange would mean the full distinct set is
+      // being materialized again (the pre-r9 shape)
+      assert(plan.contains("ObjectHashAggregate"),
+        s"the KMV sketch must plan as an object-hash partial aggregate in:\n$plan")
       val dist = distinctExchanges(plan, "hashpartitioning\\(event_type#\\d+, h#")
-      assert(dist === 1, s"the distinct-hash set must materialize once in:\n$plan")
+      assert(dist === 0, s"no distinct-hash set may shuffle in:\n$plan")
       assert(plan.contains("BroadcastHashJoin"),
-        s"the b_star bucket prune must be a broadcast join:\n$plan")
+        s"the sketch↔exact join must be a broadcast join:\n$plan")
       assert(!plan.contains("SinglePartition"),
         s"no stage may funnel into one task in:\n$plan")
+      // KmvSpec's plan pin additionally bounds the shuffled record count
+      // to tasks × groups — the O(partitions × k) guarantee
     }
   }
 }
