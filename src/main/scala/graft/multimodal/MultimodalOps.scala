@@ -258,7 +258,11 @@ object MultimodalOps {
   private def phashFrames(media: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val spark = media.sparkSession
     graft.functions.MediaExpressions.register(spark)
-    val cap = spark.conf.getOption("spark.graft.phash.bandCap").map(_.toInt).getOrElse(1024)
+    // the oracle SQL interpolates DefaultBandCap — overriding the conf is
+    // a perf escape hatch for degenerate corpora and diverges from the
+    // oracle by design; gate verification must run with the default
+    val cap = spark.conf.getOption("spark.graft.phash.bandCap")
+      .map(_.toInt).getOrElse(DefaultBandCap)
     val items = media
       .withColumn("ah", graft.functions.MediaExpressions.ahash64(col("payload")))
       .filter(col("ah") =!= -1L) // sentinel: under 64 projected bytes
@@ -287,11 +291,17 @@ object MultimodalOps {
       .select(col("a.media_type").as("media_type"),
         col("a.rep_id").as("id_a"), col("b.rep_id").as("id_b"))
       .distinct()
-    val hcols = hashes.select(col("rep_id"), col("cnt"),
+    // media_type in the keys: rep_ids are unique per (media_type, hash)
+    // group here because mediaTable derives media_type from doc_id, but
+    // phashReport is public — a caller's frame where one doc_id appears
+    // under two media types must not mis-join hash rows across modalities
+    val hcols = hashes.select(col("media_type").as("mt"), col("rep_id"), col("cnt"),
       col("h0"), col("h1"), col("h2"), col("h3"))
     val ham = cand
-      .join(hcols.as("ha"), col("id_a") === col("ha.rep_id"))
-      .join(hcols.as("hb"), col("id_b") === col("hb.rep_id"))
+      .join(hcols.as("ha"),
+        col("id_a") === col("ha.rep_id") && col("media_type") === col("ha.mt"))
+      .join(hcols.as("hb"),
+        col("id_b") === col("hb.rep_id") && col("media_type") === col("hb.mt"))
       .select(col("media_type"), col("id_a"), col("id_b"),
         col("ha.cnt").as("cnt_a"), col("hb.cnt").as("cnt_b"),
         expr("""CAST(bit_count(ha.h0 ^ hb.h0) + bit_count(ha.h1 ^ hb.h1)
@@ -306,7 +316,9 @@ object MultimodalOps {
     * every item → its identical-hash group representative (exact mass,
     * O(N) edges — never pairwise within a group) and (b) the verified
     * near-dup representative pairs (hamming ≤ 6); connected components
-    * (GraphOps label propagation, O(log n) rounds) merge chains that
+    * (GraphOps star contraction — O(log n) rounds regardless of
+    * diameter, where label propagation is O(diameter) and chained
+    * near-dup edges can stretch it) merge chains that
     * single-link across groups; the kept set is the per-component
     * minimum doc_id plus every item too short to fingerprint (q140's
     * 64-byte floor — you cannot dedup what you cannot hash).
@@ -322,7 +334,7 @@ object MultimodalOps {
     val nearE = ham.filter(col("hd") <= 6)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     val labels = graft.operators.GraphOps
-      .connectedComponents(exactE.unionByName(nearE).distinct())
+      .connectedComponentsStar(exactE.unionByName(nearE).distinct())
       .withColumnRenamed("id", "doc_id")
     media.join(labels, Seq("doc_id"), "left")
       .filter(col("label").isNull || col("label") === col("doc_id"))
@@ -334,6 +346,12 @@ object MultimodalOps {
         (col("n_raw") - col("n_kept")).as("n_dropped"), col("kept_bytes"))
       .orderBy(col("media_type"))
   }
+
+  /** Degenerate-bucket prune ceiling, shared by the Spark path and the
+    * oracle SQL (interpolated below) so the two can never silently
+    * diverge; `spark.graft.phash.bandCap` overrides the Spark side only.
+    */
+  private[graft] val DefaultBandCap = 1024
 
   /** Shared CTE chain for q140/q142 oracles: payload → aHash → groups →
     * banded candidates → verified hammings.
@@ -368,7 +386,7 @@ object MultimodalOps {
       |    CASE u.j WHEN 0 THEN h0 WHEN 1 THEN h1 WHEN 2 THEN h2 ELSE h3 END AS h
       |  FROM hashes, UNNEST([0, 1, 2, 3]) AS u(j)),
       |buckets AS (SELECT media_type, j, h FROM hb GROUP BY 1, 2, 3
-      |  HAVING COUNT(*) > 1 AND COUNT(*) <= 1024),
+      |  HAVING COUNT(*) > 1 AND COUNT(*) <= __BAND_CAP__),
       |ib AS (SELECT hb.media_type, hb.rep_id, hb.j, hb.h
       |  FROM hb JOIN buckets USING (media_type, j, h)),
       |cand AS (SELECT DISTINCT a.media_type AS media_type, a.rep_id AS id_a, b.rep_id AS id_b
@@ -377,7 +395,9 @@ object MultimodalOps {
       |ham AS (SELECT c.media_type, c.id_a, c.id_b, ha.cnt AS cnt_a, hbb.cnt AS cnt_b,
       |    CAST(bit_count(xor(ha.h0, hbb.h0)) + bit_count(xor(ha.h1, hbb.h1))
       |       + bit_count(xor(ha.h2, hbb.h2)) + bit_count(xor(ha.h3, hbb.h3)) AS BIGINT) AS hd
-      |  FROM cand c JOIN hashes ha ON c.id_a = ha.rep_id JOIN hashes hbb ON c.id_b = hbb.rep_id)""".stripMargin
+      |  FROM cand c JOIN hashes ha ON c.id_a = ha.rep_id AND c.media_type = ha.media_type
+      |    JOIN hashes hbb ON c.id_b = hbb.rep_id AND c.media_type = hbb.media_type)""".stripMargin
+      .replace("__BAND_CAP__", DefaultBandCap.toString)
 
   val q140Sql: String =
     s"""WITH $phashSqlBody,
