@@ -302,14 +302,31 @@ object TextOps {
     * holds its own re-checkpoint, released via [[clear]] like every
     * shared artifact.
     */
-  private def dedupLabels(spark: SparkSession, dir: String): DataFrame =
-    memo.synchronized {
-      memo.getOrElseUpdate((spark, dir + "|cclabels"), {
-        GraphOps.connectedComponents(
+  private def dedupLabels(spark: SparkSession, dir: String): DataFrame = {
+    val key = (spark, dir + "|cclabels")
+    memo.synchronized(memo.get(key)) match {
+      case Some(df) => df
+      case None =>
+        // build OUTSIDE the lock: localCheckpoint(true) runs every
+        // label-propagation round EAGERLY, and holding the memo lock for
+        // that long would block every other memoized artifact
+        // (docShingles, lshVerifiedPairs) in any concurrent caller.
+        // Double-checked put: a losing racer releases its duplicate.
+        val built = GraphOps.connectedComponents(
           lshVerifiedPairs(spark, dir).select(col("doc_a"), col("doc_b")))
           .localCheckpoint(true)
-      })
+        memo.synchronized {
+          memo.get(key) match {
+            case Some(winner) =>
+              graft.util.Checkpoints.release(built)
+              winner
+            case None =>
+              memo.put(key, built)
+              built
+          }
+        }
     }
+  }
 
   private def lshVerifiedPairsBuild(spark: SparkSession, dir: String): DataFrame = {
     val sh = docShingles(spark, dir)
@@ -1840,9 +1857,13 @@ object TextOps {
   // paragraph are no doc pair at all, but every token of the shared
   // paragraph is training-data duplication.
   //
-  // Scale posture: gram strings are hashed row-local to 64-bit hex
-  // BEFORE the explode ships anything (the shuffle carries (doc_id,
-  // pos, 16-char hash), never the k-token text); the duplicated-gram
+  // Scale posture: gram strings are hashed row-local to the FULL
+  // 128-bit md5 as 16 raw bytes (unhex — same width as a 16-hex
+  // truncation, but collision-free: a 64-bit key at ~1e13 grams
+  // yields millions of birthday-collision false-dup positions, which
+  // would breach the operator's exactness claim) BEFORE the explode
+  // ships anything (the shuffle carries (doc_id,
+  // pos, 16-byte hash), never the k-token text); the duplicated-gram
   // set comes out of one partial-agged count (map-side combine absorbs
   // each doc's self-repeats); flagging is a semi join by gram hash —
   // at 100 TB the dup-gram set is the SMALL side (duplication is the
@@ -1882,8 +1903,8 @@ object TextOps {
         s"""flatten(transform(array(split(trim(lower(text)), '\\\\s+')), ts ->
            |  if(size(ts) >= $k,
            |    transform(sequence(0, size(ts) - $k), i ->
-           |      struct(i AS pos, substring(md5(concat_ws(' ', slice(ts, i + 1, $k))), 1, 16) AS h)),
-           |    CAST(array() AS array<struct<pos:int,h:string>>))))""".stripMargin)).as("pg"))
+           |      struct(i AS pos, unhex(md5(concat_ws(' ', slice(ts, i + 1, $k)))) AS h)),
+           |    CAST(array() AS array<struct<pos:int,h:binary>>))))""".stripMargin)).as("pg"))
       .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.h").as("h"))
       .cache().transform(graft.util.Checkpoints.track) // feeds dup-set agg + flag semi join
     val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))
@@ -1925,7 +1946,7 @@ object TextOps {
       |base AS (SELECT doc_id, source, len(t) AS nt FROM toks),
       |grams AS (
       |  SELECT doc_id, i AS pos,
-      |    substr(md5(array_to_string(t[CAST(i + 1 AS INT):CAST(i + 8 AS INT)], ' ')), 1, 16) AS h
+      |    unhex(md5(array_to_string(t[CAST(i + 1 AS INT):CAST(i + 8 AS INT)], ' '))) AS h
       |  FROM toks, UNNEST(range(len(t) - 7)) AS u(i)
       |  WHERE len(t) >= 8),
       |dup AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) > 1),
@@ -2126,7 +2147,7 @@ object TextOps {
   // query, so the funnel is a composition proof: the stages interlock
   // without re-deriving any semantics. Scale shape: the only new
   // corpus-scale work beyond the parents is the decontamination semi
-  // join, which ships 16-hex gram HASHES (the q141 rule), probing the
+  // join, which ships 16-byte full-md5 gram HASHES (the q141 rule), probing the
   // eval side — the small side by construction (≈10% of docs).
   // ------------------------------------------------------------------
   def q145CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
@@ -2174,8 +2195,8 @@ object TextOps {
         s"""flatten(transform(array(filter(split(trim(text), '\\\\s+'), t -> t <> '')), ts ->
            |  if(size(ts) >= $ContamGram,
            |    transform(sequence(0, size(ts) - $ContamGram), i ->
-           |      substring(md5(concat_ws(' ', slice(ts, i + 1, $ContamGram))), 1, 16)),
-           |    CAST(array() AS array<string>))))""".stripMargin)).as("gh"))
+           |      unhex(md5(concat_ws(' ', slice(ts, i + 1, $ContamGram))))),
+           |    CAST(array() AS array<binary>))))""".stripMargin)).as("gh"))
     val evalGrams = gramHashes(all.filter(pfx >= "e6"))
       .select(col("gh")).distinct()
     val contaminated = gramHashes(
@@ -2236,16 +2257,16 @@ object TextOps {
        |      PARTITION BY COALESCE(comp.label, e.doc_id) ORDER BY e.doc_id) AS rn2
        |    FROM exact e LEFT JOIN comp ON e.doc_id = comp.node) WHERE rn2 = 1),
        |evg AS (
-       |  SELECT DISTINCT substr(md5(array_to_string(
-       |    toks[i : i + ${ContamGram - 1}], ' ')), 1, 16) AS gh FROM (
+       |  SELECT DISTINCT unhex(md5(array_to_string(
+       |    toks[i : i + ${ContamGram - 1}], ' '))) AS gh FROM (
        |    SELECT regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
        |    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'e6'),
        |    UNNEST(generate_series(1, len(toks) - ${ContamGram - 1})) AS u(i)
        |  WHERE len(toks) >= $ContamGram),
        |contam AS (
        |  SELECT DISTINCT doc_id FROM (
-       |    SELECT n.doc_id, substr(md5(array_to_string(
-       |      toks[i : i + ${ContamGram - 1}], ' ')), 1, 16) AS gh FROM (
+       |    SELECT n.doc_id, unhex(md5(array_to_string(
+       |      toks[i : i + ${ContamGram - 1}], ' '))) AS gh FROM (
        |      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM near) n,
        |      UNNEST(generate_series(1, len(toks) - ${ContamGram - 1})) AS u(i)
        |    WHERE len(toks) >= $ContamGram) g
