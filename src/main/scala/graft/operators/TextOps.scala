@@ -1993,8 +1993,28 @@ object TextOps {
   // extraction binds the symbol array as a lambda argument (the q141
   // lesson — an outer reference would re-split per pair).
   // ------------------------------------------------------------------
-  def q143BpeMerges(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** The BPE training loop, parameterized by round count so [[q143BpeMerges]]
+    * (5 rounds, the oracle gate) and [[graft.BpeDepth]] (the deep
+    * per-round cost-curve measurement) share ONE implementation.
+    *
+    * `audit = true` (the depth driver) additionally: (a) materializes
+    * each round's dictionary eagerly and unpersists its predecessor --
+    * a 5-round chain can lean on the harness sweep, a deep-merge regime
+    * cannot pile up round caches; (b) hands each round's wall seconds,
+    * merged pair and post-merge weighted symbol count to `onRound`, and
+    * asserts the structural invariant of greedy BPE that the weighted
+    * symbol count drops by EXACTLY the merged pair's frequency (each
+    * merge occurrence collapses two symbols into one). The companion
+    * invariant -- max-pair frequency monotone non-increasing, because
+    * any post-merge pair occurrence maps injectively to a pre-merge
+    * occurrence of an overlapping pair -- is checked by the caller over
+    * the returned merge table.
+    */
+  private[graft] def bpeTrain(
+      spark: SparkSession, dir: String, nRounds: Int, audit: Boolean = false,
+      onRound: (Int, String, String, Long, Double, Long) => Unit =
+        (_, _, _, _, _, _) => ())
+      : Seq[(Int, String, String, String, Long)] = {
     val D = "\u001f" // unit separator: absent from any token
     val vocab = Tables.documents(spark, dir)
       .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
@@ -2004,10 +2024,16 @@ object TextOps {
         array_join(expr("filter(split(w, ''), c -> c <> '')"), D + D), lit(D)))
       .select(col("cnt"), col("seq"))
       .cache().transform(graft.util.Checkpoints.track) // round 0 of the loop below
+    // weighted symbol count: each round must shrink it by exactly freq
+    def symCount(df: DataFrame): Long = df
+      .agg(sum(col("cnt") * size(split(col("seq"), D + D)).cast("long")).as("s"))
+      .collect()(0).getLong(0)
     var cur = vocab
+    var prevSyms = if (audit) symCount(vocab) else 0L
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
-    var exhausted = false // a vocab can run out of pairs before 5 rounds
-    for (r <- 1 to 5 if !exhausted) {
+    var exhausted = false // a vocab can run out of pairs before nRounds
+    for (r <- 1 to nRounds if !exhausted) {
+      val t0 = System.nanoTime()
       val pairs = cur
         .select(col("cnt"), explode(expr(
           s"""flatten(transform(array(filter(split(substring(seq, 2, length(seq) - 2), '$D$D'), s -> s <> '')), ss ->
@@ -2028,11 +2054,28 @@ object TextOps {
         val next = cur.withColumn("seq",
           org.apache.spark.sql.functions.replace(col("seq"),
             lit(D + a + D + D + b + D), lit(D + a + b + D)))
-          .cache().transform(graft.util.Checkpoints.track)
+          .cache()
+        if (audit) {
+          val syms = symCount(next) // materializes next's cache
+          require(prevSyms - syms == freq,
+            s"round $r: symbol count dropped ${prevSyms - syms}, merged freq is $freq")
+          prevSyms = syms
+          cur.unpersist(blocking = false) // bounded memory at depth
+          onRound(r, a, b, freq, (System.nanoTime() - t0) / 1e9, syms)
+        } else {
+          graft.util.Checkpoints.track(next) // harness-swept, as before
+          ()
+        }
         cur = next
       }
     }
-    merges.toSeq.toDF("round", "sym_a", "sym_b", "merged", "freq")
+    if (audit) cur.unpersist(blocking = false)
+    merges.toSeq
+  }
+
+  def q143BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeTrain(spark, dir, 5).toDF("round", "sym_a", "sym_b", "merged", "freq")
       .select(col("round").cast("long").as("round"), col("sym_a"), col("sym_b"),
         col("merged"), col("freq"))
       .orderBy(col("round"))
