@@ -34,6 +34,7 @@ import org.apache.spark.unsafe.types.UTF8String
 case class KmvSketch(
     child: Expression,
     k: Int,
+    full: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.TreeSet[UTF8String]]
@@ -41,16 +42,24 @@ case class KmvSketch(
 
   require(k > 0, "kmv k must be positive")
 
-  override def prettyName: String = "graft_kmv"
+  override def prettyName: String = if (full) "graft_kmv_full" else "graft_kmv"
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a string hash argument, got ${child.dataType.sql}")
 
-  override def dataType: DataType = StructType(Seq(
-    StructField("n_kept", IntegerType, nullable = false),
-    StructField("hk", StringType, nullable = true)))
+  /** `full = false`: the estimator pair (n_kept, k-th smallest hash).
+    * `full = true`: the ENTIRE kept set as a sorted array — the form a
+    * sketch TABLE stores so later queries can merge sketches without
+    * rescanning the source (min-k of a union == min-k over the union of
+    * kept sets, so "merge" is just re-sketching the exploded arrays).
+    */
+  override def dataType: DataType =
+    if (full) org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+    else StructType(Seq(
+      StructField("n_kept", IntegerType, nullable = false),
+      StructField("hk", StringType, nullable = true)))
 
   override def nullable: Boolean = false
 
@@ -92,7 +101,10 @@ case class KmvSketch(
   }
 
   override def eval(buf: java.util.TreeSet[UTF8String]): Any =
-    InternalRow(buf.size, if (buf.isEmpty) null else buf.last())
+    if (full)
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        buf.toArray(Array.empty[AnyRef]))
+    else InternalRow(buf.size, if (buf.isEmpty) null else buf.last())
 
   override def serialize(buf: java.util.TreeSet[UTF8String]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
@@ -134,6 +146,12 @@ case class KmvSketch(
 object KmvSketchAgg {
 
   private val FnName = "graft_kmv"
+  private val FnNameFull = "graft_kmv_full"
+
+  private def litK(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(s"kmv k must be an int literal, got $other")
+  }
 
   /** Register (idempotent per session) and return the sketch column:
     * `kmv(spark, $"h", 64)` → struct(n_kept, hk). The analyzer wraps the
@@ -142,12 +160,16 @@ object KmvSketchAgg {
     */
   def kmv(spark: SparkSession, hashCol: Column, k: Int): Column = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName,
-      exprs => KmvSketch(exprs.head, exprs(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
-        case e => throw new IllegalArgumentException(s"kmv k must be an int literal, got $e")
-      }),
-      "built-in")
+      FnName, exprs => KmvSketch(exprs.head, litK(exprs(1))), "built-in")
     call_function(FnName, hashCol, org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** [[kmv]] in storage form: the full kept set as a sorted array<string>,
+    * for sketch TABLES that later queries merge (see [[KmvSketch.dataType]]).
+    */
+  def kmvFull(spark: SparkSession, hashCol: Column, k: Int): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FnNameFull, exprs => KmvSketch(exprs.head, litK(exprs(1)), full = true), "built-in")
+    call_function(FnNameFull, hashCol, org.apache.spark.sql.functions.lit(k))
   }
 }

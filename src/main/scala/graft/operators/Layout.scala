@@ -471,6 +471,109 @@ object Layout {
       |    / CAST(n_distinct AS DOUBLE) AS rel_err
       |FROM j ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q146 — rolling 7-day distinct users from MERGED daily KMV sketches:
+  // the query that exercises the sketch's whole reason to exist. The
+  // raw feed is touched exactly once (the daily-sketch aggregation, a
+  // [[graft.functions.KmvSketch]] partial aggregate in storage form —
+  // the full kept set per (type, day)); every rolling window is then
+  // answered from the KB-sized sketch table by union-and-resketch
+  // (min-k of a union == min-k over the union of kept sets), never by
+  // rescanning events. At 100 TB this is the difference between one
+  // pass + tiny sketch algebra and a 7× fan-out re-scan per window —
+  // which is exactly what the exact-anchor columns (n_exact, rel_err)
+  // pay here so the gate can hash-verify the estimate cross-engine.
+  // Saturation rule: a window whose merged sketch holds < k hashes has
+  // ALL its distinct hashes, so the estimate IS exact there.
+  // ------------------------------------------------------------------
+  def q146KmvRolling(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        md5(col("user_id").cast("string")).as("h"))
+    // the ONLY corpus-scale pass: per-(type, day) sketch in storage form
+    val daily = ev.groupBy(col("event_type"), col("d"))
+      .agg(graft.functions.KmvSketchAgg.kmvFull(spark, col("h"), KmvK.toInt).as("ks"))
+      .cache().transform(graft.util.Checkpoints.track) // sketch table: days × types × ≤k hashes
+    // rolling merge over the sketch TABLE (tiny): 7-day union, re-sketch
+    val target = daily.select(col("event_type"), col("d"))
+    val merged = target.as("t")
+      .join(daily.as("s"),
+        col("t.event_type") === col("s.event_type") &&
+        col("s.d").between(date_sub(col("t.d"), 6), col("t.d")))
+      .select(col("t.event_type").as("event_type"), col("t.d").as("d"),
+        col("s.d").as("src_d"), explode(col("s.ks")).as("h"))
+    val sk = merged.groupBy(col("event_type"), col("d"))
+      .agg(count_distinct(col("src_d")).as("n_days"),
+        graft.functions.KmvSketchAgg.kmv(spark, col("h"), KmvK.toInt).as("s"))
+      .select(col("event_type"), col("d"), col("n_days"),
+        col("s.n_kept").cast("long").as("n_kept"), col("s.hk").as("hk"))
+    // exact anchor: the 7× fan-out re-scan the sketch path avoids
+    val dh = ev.distinct()
+    val exact = dh.select(col("event_type"), col("d")).distinct().as("t")
+      .join(dh.as("s"),
+        col("t.event_type") === col("s.event_type") &&
+        col("s.d").between(date_sub(col("t.d"), 6), col("t.d")))
+      .groupBy(col("t.event_type").as("event_type"), col("t.d").as("d"))
+      .agg(count_distinct(col("s.h")).as("n_exact"))
+    sk.join(exact, Seq("event_type", "d"))
+      .withColumn("kmv_estimate",
+        when(col("n_kept") < KmvK, col("n_kept").cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) /
+            (expr("CAST(conv(substring(hk, 1, 12), 16, 10) AS BIGINT)").cast("double")
+              / lit(281474976710656.0)))) // 16^12
+      .select(col("event_type"), col("d"), col("n_days"), col("n_exact"),
+        col("kmv_estimate"),
+        ((col("kmv_estimate") - col("n_exact").cast("double"))
+          / col("n_exact").cast("double")).as("rel_err"))
+      .orderBy(col("event_type"), col("d"))
+  }
+
+  val q146Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    md5(CAST(user_id AS VARCHAR)) AS h
+      |  FROM events WHERE user_id IS NOT NULL),
+      |dh AS (SELECT DISTINCT event_type, d, h FROM e),
+      |daily AS (
+      |  SELECT event_type, d, h FROM (
+      |    SELECT event_type, d, h, ROW_NUMBER() OVER (
+      |      PARTITION BY event_type, d ORDER BY h) AS rn FROM dh)
+      |  WHERE rn <= 64),
+      |win AS (
+      |  SELECT t.event_type, t.d, s.d AS src_d, s.h
+      |  FROM (SELECT DISTINCT event_type, d FROM daily) t
+      |    JOIN daily s ON s.event_type = t.event_type
+      |      AND s.d BETWEEN t.d - 6 AND t.d),
+      |nd AS (SELECT event_type, d, COUNT(DISTINCT src_d) AS n_days
+      |  FROM win GROUP BY 1, 2),
+      |wsk AS (
+      |  SELECT event_type, d, h, ROW_NUMBER() OVER (
+      |    PARTITION BY event_type, d ORDER BY h) AS rn
+      |  FROM (SELECT DISTINCT event_type, d, h FROM win)),
+      |sk AS (SELECT event_type, d, COUNT(*) AS n_kept, MAX(h) AS hk
+      |  FROM wsk WHERE rn <= 64 GROUP BY 1, 2),
+      |ex AS (
+      |  SELECT t.event_type, t.d, COUNT(DISTINCT s.h) AS n_exact
+      |  FROM (SELECT DISTINCT event_type, d FROM dh) t
+      |    JOIN dh s ON s.event_type = t.event_type
+      |      AND s.d BETWEEN t.d - 6 AND t.d
+      |  GROUP BY 1, 2)
+      |SELECT sk.event_type, sk.d, CAST(nd.n_days AS BIGINT) AS n_days,
+      |  CAST(ex.n_exact AS BIGINT) AS n_exact,
+      |  CASE WHEN sk.n_kept < 64 THEN CAST(sk.n_kept AS DOUBLE)
+      |    ELSE 63.0 /
+      |      (CAST(CAST(CAST(('0x' || substring(sk.hk, 1, 12)) AS UBIGINT)
+      |         AS BIGINT) AS DOUBLE) / 281474976710656.0) END AS kmv_estimate,
+      |  (CASE WHEN sk.n_kept < 64 THEN CAST(sk.n_kept AS DOUBLE)
+      |    ELSE 63.0 /
+      |      (CAST(CAST(CAST(('0x' || substring(sk.hk, 1, 12)) AS UBIGINT)
+      |         AS BIGINT) AS DOUBLE) / 281474976710656.0) END
+      |   - CAST(ex.n_exact AS DOUBLE)) / CAST(ex.n_exact AS DOUBLE) AS rel_err
+      |FROM sk JOIN nd ON sk.event_type = nd.event_type AND sk.d = nd.d
+      |  JOIN ex ON sk.event_type = ex.event_type AND sk.d = ex.d
+      |ORDER BY sk.event_type, sk.d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_zorder_layout" -> (q99ZorderLayout _),
     "q100_profile"      -> (q100Profile _),
@@ -479,6 +582,7 @@ object Layout {
     "q113_dense_ids"    -> (q113DenseIds _),
     "q118_correlation"  -> (q118Correlation _),
     "q139_kmv_distinct" -> (q139KmvDistinct _),
+    "q146_kmv_rolling"  -> (q146KmvRolling _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -489,5 +593,6 @@ object Layout {
     "q113_dense_ids"    -> q113Sql,
     "q118_correlation"  -> q118Sql,
     "q139_kmv_distinct" -> q139Sql,
+    "q146_kmv_rolling"  -> q146Sql,
   )
 }

@@ -2051,16 +2051,25 @@ object TextOps {
         merges += ((r, a, b, a + b, freq))
         // lit() args, not SQL literals: a symbol containing a quote or
         // backslash must never be able to break the expression
-        val next = cur.withColumn("seq",
+        val nextPlan = cur.withColumn("seq",
           org.apache.spark.sql.functions.replace(col("seq"),
             lit(D + a + D + D + b + D), lit(D + a + b + D)))
-          .cache()
+        // audit (depth) mode TRUNCATES lineage every round: a cached
+        // chain keeps the full replace tree in every subsequent logical
+        // plan, and Catalyst re-analyzes + canonicalizes that O(r) tree
+        // each round -- measured super-linear at sf10 (10.3 / 21.2 /
+        // 55.0 / 188.8 s at rounds 14-17) before this was a
+        // localCheckpoint. With truncation each round's plan is
+        // constant-size (LogicalRDD -> one replace) and per-round cost
+        // is dictionary-bound, which is what makes a deep-merge regime
+        // viable at all.
+        val next = if (audit) nextPlan.localCheckpoint(true) else nextPlan.cache()
         if (audit) {
-          val syms = symCount(next) // materializes next's cache
+          val syms = symCount(next) // reads the checkpointed rows
           require(prevSyms - syms == freq,
             s"round $r: symbol count dropped ${prevSyms - syms}, merged freq is $freq")
           prevSyms = syms
-          cur.unpersist(blocking = false) // bounded memory at depth
+          graft.util.Checkpoints.release(cur) // bounded memory at depth
           onRound(r, a, b, freq, (System.nanoTime() - t0) / 1e9, syms)
         } else {
           graft.util.Checkpoints.track(next) // harness-swept, as before
@@ -2069,7 +2078,7 @@ object TextOps {
         cur = next
       }
     }
-    if (audit) cur.unpersist(blocking = false)
+    if (audit) graft.util.Checkpoints.release(cur)
     merges.toSeq
   }
 

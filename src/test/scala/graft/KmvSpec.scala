@@ -110,6 +110,56 @@ class KmvSpec extends SparkSpec {
       s"sketch rows ($written) should be far under the distinct set ($nDistinct)")
   }
 
+  test("q146: merging daily sketches equals sketching the raw window directly") {
+    // the union property end-to-end: min-k over the union of per-day
+    // kept sets == min-k over the raw window — so a sketch TABLE can
+    // answer any rolling window without rescanning the source
+    val out = Layout.queries("q146_kmv_rolling")(spark, Sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("d").toString) ->
+        r.getAs[Double]("kmv_estimate")).toMap
+    assert(out.nonEmpty)
+    val ev = graft.sources.Tables.events(spark, Sf)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        md5(col("user_id").cast("string")).as("h")).distinct()
+    val direct = ev.select(col("event_type"), col("d")).distinct().as("t")
+      .join(ev.as("s"),
+        col("t.event_type") === col("s.event_type") &&
+        col("s.d").between(date_sub(col("t.d"), 6), col("t.d")))
+      .select(col("t.event_type").as("event_type"), col("t.d").as("d"), col("s.h").as("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"), col("d")).orderBy(col("h"))))
+      .filter(col("rn") <= 64)
+      .groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("hk"))
+      .collect()
+    assert(direct.nonEmpty)
+    direct.foreach { r =>
+      val key = (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("d").toString)
+      val nKept = r.getAs[Long]("n_kept")
+      val est =
+        if (nKept < 64) nKept.toDouble
+        else 63.0 / (java.lang.Long.parseLong(r.getAs[String]("hk").substring(0, 12), 16)
+          / 281474976710656.0)
+      assert(math.abs(out(key) - est) < 1e-9,
+        s"$key: merged-sketch estimate ${out(key)} != direct $est")
+    }
+  }
+
+  test("kmvFull output is the sorted distinct bottom-k set") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => ("g", f"${(i % 97) * 2654435761L}%032x")).toDF("g", "h")
+    val ks = df.groupBy($"g")
+      .agg(graft.functions.KmvSketchAgg.kmvFull(spark, $"h", 64).as("ks"))
+      .collect()(0).getSeq[String](1)
+    assert(ks.size == 64) // 97 distinct values, capped at k
+    assert(ks == ks.sorted && ks.distinct.size == ks.size)
+    val expected = (0 until 97).map(i => f"${i * 2654435761L}%032x").sorted.take(64)
+    assert(ks == expected)
+  }
+
   test("a type under k distinct users saturates to the exact count") {
     import spark.implicits._
     val dir = TempDirs.create("graft_kmv_small")
