@@ -2124,6 +2124,107 @@ object TextOps {
   }
 
   // ------------------------------------------------------------------
+  // q147 — BPE ENCODE (the apply half of q143, the q142-to-q140
+  // pairing): tokenize the corpus with the trained merge table and
+  // report per-source token economics — weighted symbol counts before
+  // and after the merges, vocabulary size, and the compression ratio a
+  // tokenizer buys. Training is [[bpeTrain]] (the SAME loop q143
+  // gates); encoding applies the merge list IN ORDER, which is exactly
+  // greedy BPE inference.
+  //
+  // Scale posture: the merge table is driver-sized (5 rows here, 30k in
+  // production) and rides into the plan as literal replace() chains —
+  // the corpus-scale work is ONE tokenize + (source, word) count
+  // shuffle (map-side combined, same stage q143 pays), after which the
+  // replaces run over the per-source word DICTIONARY, not the corpus:
+  // encoding cost is dictionary-bound exactly like training rounds.
+  // ------------------------------------------------------------------
+  def q147BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val D = "\u001f" // unit separator: absent from any token
+    val merges = bpeTrain(spark, dir, 5)
+    val dict = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("seq", concat(lit(D),
+        array_join(expr("filter(split(w, ''), c -> c <> '')"), D + D), lit(D)))
+    // the trained merges, applied in order as literal replaces (lit()
+    // args — a symbol containing a quote must never break the plan)
+    val encoded = merges.foldLeft(dict) { case (df, (_, a, b, _, _)) =>
+      df.withColumn("seq", org.apache.spark.sql.functions.replace(col("seq"),
+        lit(D + a + D + D + b + D), lit(D + a + b + D)))
+    }
+    encoded
+      .withColumn("syms_before",
+        size(expr("filter(split(w, ''), c -> c <> '')")).cast("long"))
+      .withColumn("syms_after",
+        size(split(substring(col("seq"), lit(2), length(col("seq")) - 2), D + D)).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("cnt")).as("total_words"),
+        sum(col("cnt") * col("syms_before")).as("tok_before"),
+        sum(col("cnt") * col("syms_after")).as("tok_after"))
+      .withColumn("compression",
+        col("tok_before").cast("double") / col("tok_after").cast("double"))
+      .select(col("source"), col("n_words"), col("total_words"),
+        col("tok_before"), col("tok_after"), col("compression"))
+      .orderBy(col("source"))
+  }
+
+  val q147Sql: String = {
+    val D = "\u001f"
+    def pairsOf(src: String, n: Int): String =
+      s"""p$n AS (
+         |  SELECT syms[CAST(i + 1 AS INT)] AS a, syms[CAST(i + 2 AS INT)] AS b,
+         |    SUM(cnt) AS freq
+         |  FROM (SELECT cnt, string_split(substr(seq, 2, length(seq) - 2), '$D$D') AS syms
+         |        FROM $src), UNNEST(range(len(syms) - 1)) AS t(i)
+         |  GROUP BY 1, 2),
+         |b$n AS (SELECT a, b, freq FROM p$n ORDER BY freq DESC, a, b LIMIT 1)""".stripMargin
+    def mergeOf(src: String, n: Int): String =
+      s"""w$n AS (
+         |  SELECT cnt, replace(seq, '$D' || b$n.a || '$D$D' || b$n.b || '$D',
+         |    '$D' || b$n.a || b$n.b || '$D') AS seq
+         |  FROM $src, b$n)""".stripMargin
+    def encOf(src: String, n: Int): String =
+      s"""e$n AS (
+         |  SELECT source, w, cnt, replace(seq, '$D' || b$n.a || '$D$D' || b$n.b || '$D',
+         |    '$D' || b$n.a || b$n.b || '$D') AS seq
+         |  FROM $src, b$n)""".stripMargin
+    val train = (1 to 5).map { r =>
+      val src = if (r == 1) "w0" else s"w${r - 1}"
+      if (r < 5) pairsOf(src, r) + ",\n" + mergeOf(src, r)
+      else pairsOf(src, r)
+    }.mkString(",\n")
+    val enc = (1 to 5).map { r =>
+      val src = if (r == 1) "e0" else s"e${r - 1}"
+      encOf(src, r)
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+       |  FROM documents),
+       |vocab AS (SELECT w, COUNT(*) AS cnt FROM toks WHERE w <> '' GROUP BY 1),
+       |w0 AS (SELECT cnt,
+       |  '$D' || array_to_string(string_split(w, ''), '$D$D') || '$D' AS seq FROM vocab),
+       |$train,
+       |e0 AS (SELECT source, w, COUNT(*) AS cnt,
+       |  '$D' || array_to_string(string_split(w, ''), '$D$D') || '$D' AS seq
+       |  FROM toks WHERE w <> '' GROUP BY 1, 2),
+       |$enc,
+       |agg AS (
+       |  SELECT source, COUNT(*) AS n_words, SUM(cnt) AS total_words,
+       |    SUM(cnt * len(string_split(w, ''))) AS tok_before,
+       |    SUM(cnt * len(string_split(substr(seq, 2, length(seq) - 2), '$D$D'))) AS tok_after
+       |  FROM e5 GROUP BY 1)
+       |SELECT source, CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(total_words AS BIGINT) AS total_words,
+       |  CAST(tok_before AS BIGINT) AS tok_before,
+       |  CAST(tok_after AS BIGINT) AS tok_after,
+       |  CAST(tok_before AS DOUBLE) / CAST(tok_after AS DOUBLE) AS compression
+       |FROM agg ORDER BY source""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // q144 — leakage-safe dataset split: q71's md5 train/val/test split,
   // but keyed by the DEDUP-CLUSTER representative instead of the doc —
   // with a per-doc split, two near-duplicate documents routinely land
@@ -2378,6 +2479,7 @@ object TextOps {
     "q138_token_budget"  -> (q138TokenBudget _),
     "q141_substring_dedup" -> (q141SubstringDedup _),
     "q143_bpe_merges"    -> (q143BpeMerges _),
+    "q147_bpe_encode"    -> (q147BpeEncode _),
     "q144_leakage_safe_split" -> (q144LeakageSafeSplit _),
     "q145_curation_funnel" -> (q145CurationFunnel _),
   )
@@ -2415,6 +2517,7 @@ object TextOps {
     "q138_token_budget"  -> q138Sql,
     "q141_substring_dedup" -> q141Sql,
     "q143_bpe_merges"    -> q143Sql,
+    "q147_bpe_encode"    -> q147Sql,
     "q144_leakage_safe_split" -> q144Sql,
     "q145_curation_funnel" -> q145Sql,
   )

@@ -47,6 +47,22 @@ class BpeSpec extends SparkSpec {
     assert(out(2) === ((3L, "a", "b", 1L)))
   }
 
+  test("q147 encode: global symbol reduction equals the sum of training merge frequencies") {
+    // each training round's freq counts the merge occurrences replaced
+    // over the whole word-frequency dictionary; encode replays the same
+    // replaces over the same multiset (split by source), so the total
+    // token reduction must equal the sum of the merge freqs EXACTLY
+    val merges = TextOps.q143BpeMerges(spark, Sf).collect()
+    val enc = TextOps.queries("q147_bpe_encode")(spark, Sf).collect()
+    val reduction = enc.map(r =>
+      r.getAs[Long]("tok_before") - r.getAs[Long]("tok_after")).sum
+    assert(reduction === merges.map(_.getAs[Long]("freq")).sum)
+    enc.foreach { r =>
+      assert(r.getAs[Long]("tok_after") <= r.getAs[Long]("tok_before"))
+      assert(r.getAs[Double]("compression") >= 1.0)
+    }
+  }
+
   test("gate-scale merge table is well-formed") {
     val rows = TextOps.q143BpeMerges(spark, Sf).collect()
     assert(rows.length === 5)
