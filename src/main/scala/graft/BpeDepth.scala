@@ -28,8 +28,33 @@ object BpeDepth {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.util.Checkpoints.arm()
+    // SPARK_GRAFT_BPE_LOCAL=1: the deep-merge tail — ONE Spark corpus
+    // pass collects the dictionary, all rounds run driver-local
+    // (identical pair-count + merge semantics; parity with the Spark
+    // rounds asserted below over a shared prefix)
+    val local = sys.env.get("SPARK_GRAFT_BPE_LOCAL").contains("1")
     val t0 = System.nanoTime()
-    val merges = graft.operators.TextOps.bpeTrain(spark, sfDir, nRounds,
+    val merges = if (local) {
+      val tDict = System.nanoTime()
+      val dict = graft.operators.TextOps.bpeDictionary(spark, sfDir)
+      println(s"""{"metric":"bpe_dict","rows":${dict.length},""" +
+        s""""secs":${f"${(System.nanoTime() - tDict) / 1e9}%.1f"}}""")
+      val out = graft.operators.TextOps.bpeTrainLocal(dict, nRounds,
+        onRound = (r, a, b, freq, secs, syms) =>
+          if (r <= 5 || r % 100 == 0)
+            println(s"""{"round":$r,"a":${q(a)},"b":${q(b)},"freq":$freq,""" +
+              s""""secs":${f"$secs%.4f"},"weighted_syms":$syms}"""))
+      // parity: the Spark rounds must produce the IDENTICAL merge table
+      // over a shared prefix (both engines, one semantics)
+      val prefix = math.min(nRounds, sys.env.getOrElse("SPARK_GRAFT_BPE_PARITY", "10").toInt)
+      if (prefix > 0) {
+        val sparkMerges = graft.operators.TextOps.bpeTrain(spark, sfDir, prefix, audit = true)
+        require(out.take(prefix) == sparkMerges,
+          s"driver-local merges diverge from Spark rounds:\n${out.take(prefix)}\nvs\n$sparkMerges")
+        println(s"""{"metric":"bpe_parity","rounds":$prefix,"equal":true}""")
+      }
+      out
+    } else graft.operators.TextOps.bpeTrain(spark, sfDir, nRounds,
       audit = true,
       onRound = (r, a, b, freq, secs, syms) =>
         println(s"""{"round":$r,"a":${q(a)},"b":${q(b)},"freq":$freq,""" +

@@ -2082,6 +2082,99 @@ object TextOps {
     merges.toSeq
   }
 
+  /** Driver-local BPE rounds over a collected dictionary — the deep-
+    * merge tail. The corpus-scale stage (tokenize + count) is ALWAYS
+    * Spark's; but the dictionary it produces is tiny (~60k words at
+    * sf10), and past a few hundred rounds the per-round Spark job
+    * overhead (~0.6 s, PLANS §r9) dominates a computation that touches
+    * kilobytes. This is the same loop — IDENTICAL pair-count semantics
+    * (every adjacent position, overlapping included) and merge
+    * semantics (left-to-right non-overlapping) — run in-process;
+    * BpeLocalSpec + BpeDepth assert merge-table parity with the Spark
+    * rounds on the shared prefix. Tie-break order is freq DESC, then
+    * (a, b) ascending by UTF-8 BYTES, matching Spark/DuckDB string
+    * ordering (Java String.compareTo is UTF-16 code-unit order, which
+    * diverges for supplementary characters).
+    */
+  private[graft] def bpeTrainLocal(
+      dict0: Array[(Long, Array[String])], nRounds: Int,
+      onRound: (Int, String, String, Long, Double, Long) => Unit =
+        (_, _, _, _, _, _) => ())
+      : Seq[(Int, String, String, String, Long)] = {
+    def utf8Lt(x: String, y: String): Boolean = {
+      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < a.length && i < b.length) {
+        val c = (a(i) & 0xff) - (b(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      a.length < b.length
+    }
+    var dict = dict0
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var exhausted = false
+    for (r <- 1 to nRounds if !exhausted) {
+      val t0 = System.nanoTime()
+      val counts = new java.util.HashMap[(String, String), Long]()
+      dict.foreach { case (cnt, syms) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          counts.merge((syms(i), syms(i + 1)), cnt, _ + _)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        counts.forEach { (k, v) =>
+          if (best == null || v > best._2 ||
+            (v == best._2 && (utf8Lt(k._1, best._1._1) ||
+              (k._1 == best._1._1 && utf8Lt(k._2, best._1._2))))) best = (k, v)
+        }
+        val ((a, b), freq) = best
+        merges += ((r, a, b, a + b, freq))
+        var syms = 0L
+        dict = dict.map { case (cnt, ss) =>
+          var has = false
+          var i = 0
+          while (!has && i + 1 < ss.length) { // cheap probe before allocating
+            if (ss(i) == a && ss(i + 1) == b) has = true
+            i += 1
+          }
+          val next = if (!has) ss else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var j = 0
+            while (j < ss.length) {
+              if (j + 1 < ss.length && ss(j) == a && ss(j + 1) == b) {
+                out += a + b; j += 2
+              } else { out += ss(j); j += 1 }
+            }
+            out.toArray
+          }
+          syms += cnt * next.length
+          (cnt, next)
+        }
+        onRound(r, a, b, freq, (System.nanoTime() - t0) / 1e9, syms)
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The Spark-side dictionary in collectable form: (cnt, symbol array),
+    * the input [[bpeTrainLocal]] takes over from. One corpus-scale
+    * tokenize + count shuffle — identical to [[bpeTrain]]'s round 0.
+    */
+  private[graft] def bpeDictionary(spark: SparkSession, dir: String): Array[(Long, Array[String])] =
+    Tables.documents(spark, dir)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), expr("filter(split(w, ''), c -> c <> '')").as("syms"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toArray))
+
   def q143BpeMerges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     bpeTrain(spark, dir, 5).toDF("round", "sym_a", "sym_b", "merged", "freq")
