@@ -574,6 +574,240 @@ object Layout {
       |  JOIN ex ON sk.event_type = ex.event_type AND sk.d = ex.d
       |ORDER BY sk.event_type, sk.d""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q148 — KMV SET ALGEBRA: pairwise union / intersection / Jaccard
+  // estimates between event types computed entirely from the per-type
+  // kept sets (the q146 sketch TABLE), never from the raw feed. The
+  // classic bottom-k estimator (Beyer et al. 2007; theta-sketch set
+  // operations): merge the two kept sets and take the bottom-k → the
+  // union sketch (union_est = (k−1)/u_k as in q139); the match fraction
+  // ρ = |{h ∈ merged : h ∈ kept_a ∧ h ∈ kept_b}| / |merged| estimates
+  // Jaccard (each merged hash is a uniform draw from A∪B, and it lands
+  // in both kept sets iff it belongs to A∩B, because kept sets are
+  // downward-closed: a hash below BOTH types' k-th minima is kept by
+  // both); inter_est = ρ · union_est. All estimator arithmetic is
+  // integer counts and IEEE divisions of exactly-representable values,
+  // so the approximate operator hash-verifies cross-engine, exactly as
+  // q139. Saturation: a merged sketch under k hashes means BOTH kept
+  // sets are complete, so every estimate degrades to EXACT.
+  //
+  // 100 TB shape: the corpus is touched once (the per-type kmvFull
+  // partial aggregate — one O(k) sketch per task on the wire, q139's
+  // plan pin); the pairwise algebra runs on a KB-sized frame. The exact
+  // n_inter/n_union columns are the gate's anchors and pay the
+  // self-join-on-user the sketch path exists to avoid.
+  // ------------------------------------------------------------------
+  def q148KmvAlgebra(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id"))
+    val dh = ev.select(col("event_type"),
+      md5(col("user_id").cast("string")).as("h"))
+    // the ONLY corpus-scale passes: per-type sketch + per-type exact anchor
+    val kept = dh.groupBy(col("event_type"))
+      .agg(graft.functions.KmvSketchAgg.kmvFull(spark, col("h"), KmvK.toInt).as("ks"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("n"))
+    val t = kept.join(exact, "event_type")
+    val pairs = t.as("a").join(t.as("b"), col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+        col("a.ks").as("ka"), col("b.ks").as("kb"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .withColumn("ku",
+        slice(array_sort(array_distinct(concat(col("ka"), col("kb")))), 1, KmvK.toInt))
+      .withColumn("n_kept", size(col("ku")).cast("long"))
+      .withColumn("uk", element_at(col("ku"), size(col("ku"))))
+      .withColumn("matches",
+        expr("CAST(size(filter(ku, h -> array_contains(ka, h) AND array_contains(kb, h))) AS BIGINT)"))
+    // exact anchor: pairwise distinct-user intersection via self-join
+    val du = ev.distinct()
+    val inter = du.as("x").join(du.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+        col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    pairs.join(inter, Seq("type_a", "type_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .withColumn("union_est",
+        when(col("n_kept") < KmvK, col("n_kept").cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) /
+            (expr("CAST(conv(substring(uk, 1, 12), 16, 10) AS BIGINT)").cast("double")
+              / lit(281474976710656.0)))) // 16^12
+      .withColumn("jaccard_est",
+        col("matches").cast("double") / col("n_kept").cast("double"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_inter"), col("n_union"), col("n_kept"), col("matches"),
+        col("union_est"),
+        (col("jaccard_est") * col("union_est")).as("inter_est"),
+        col("jaccard_est"),
+        (col("n_inter").cast("double") / col("n_union").cast("double"))
+          .as("jaccard_exact"),
+        ((col("union_est") - col("n_union").cast("double"))
+          / col("n_union").cast("double")).as("union_rel_err"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val q148Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL),
+      |dh AS (
+      |  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM e),
+      |kept AS (
+      |  SELECT event_type, h FROM (
+      |    SELECT event_type, h, ROW_NUMBER() OVER (
+      |      PARTITION BY event_type ORDER BY h) AS rn FROM dh)
+      |  WHERE rn <= 64),
+      |x AS (SELECT event_type, COUNT(DISTINCT user_id) AS n FROM e GROUP BY 1),
+      |pr AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    a.n AS n_a, b.n AS n_b
+      |  FROM x a JOIN x b ON a.event_type < b.event_type),
+      |uh AS (
+      |  SELECT p.type_a, p.type_b, k.h,
+      |    MAX(CASE WHEN k.event_type = p.type_a THEN 1 ELSE 0 END) AS in_a,
+      |    MAX(CASE WHEN k.event_type = p.type_b THEN 1 ELSE 0 END) AS in_b
+      |  FROM pr p JOIN kept k ON k.event_type IN (p.type_a, p.type_b)
+      |  GROUP BY 1, 2, 3),
+      |mk AS (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY type_a, type_b ORDER BY h) AS rn FROM uh),
+      |sk AS (
+      |  SELECT type_a, type_b, COUNT(*) AS n_kept, MAX(h) AS uk,
+      |    SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS matches
+      |  FROM mk WHERE rn <= 64 GROUP BY 1, 2),
+      |duv AS (SELECT DISTINCT event_type, user_id FROM e),
+      |ix AS (
+      |  SELECT u.event_type AS type_a, v.event_type AS type_b,
+      |    COUNT(*) AS n_inter
+      |  FROM duv u JOIN duv v
+      |    ON u.user_id = v.user_id AND u.event_type < v.event_type
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT p.type_a, p.type_b, p.n_a, p.n_b,
+      |    COALESCE(ix.n_inter, 0) AS n_inter,
+      |    p.n_a + p.n_b - COALESCE(ix.n_inter, 0) AS n_union,
+      |    sk.n_kept, sk.matches,
+      |    CASE WHEN sk.n_kept < 64 THEN CAST(sk.n_kept AS DOUBLE)
+      |      ELSE 63.0 /
+      |        (CAST(CAST(CAST(('0x' || substring(sk.uk, 1, 12)) AS UBIGINT)
+      |           AS BIGINT) AS DOUBLE) / 281474976710656.0) END AS union_est,
+      |    CAST(sk.matches AS DOUBLE) / CAST(sk.n_kept AS DOUBLE) AS jaccard_est
+      |  FROM pr p
+      |    JOIN sk ON sk.type_a = p.type_a AND sk.type_b = p.type_b
+      |    LEFT JOIN ix ON ix.type_a = p.type_a AND ix.type_b = p.type_b)
+      |SELECT type_a, type_b, CAST(n_a AS BIGINT) AS n_a,
+      |  CAST(n_b AS BIGINT) AS n_b, CAST(n_inter AS BIGINT) AS n_inter,
+      |  CAST(n_union AS BIGINT) AS n_union, CAST(n_kept AS BIGINT) AS n_kept,
+      |  CAST(matches AS BIGINT) AS matches, union_est,
+      |  jaccard_est * union_est AS inter_est, jaccard_est,
+      |  CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard_exact,
+      |  (union_est - CAST(n_union AS DOUBLE)) / CAST(n_union AS DOUBLE)
+      |    AS union_rel_err
+      |FROM j ORDER BY type_a, type_b""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q149 — PRIORITY SAMPLING (Duffield-Lund-Thorup 2007): per-source
+  // weighted sample-without-replacement of documents, weight = token
+  // count — the sampling primitive a training-data pipeline needs for
+  // weighted corpus mixing and for estimating any subset-sum (token
+  // budgets per filter) from a tiny sample. Each doc's priority is
+  // w/u with u a deterministic md5 uniform; the sample is the k largest
+  // priorities, τ the (k+1)-th, and Σ max(w_i, τ) over the sample is an
+  // unbiased estimator of Σ w (reported against the exact anchor).
+  //
+  // Cross-engine exactness BY CONSTRUCTION: priority =
+  // w · 2^48 / (h48+1) — the product is exact (w < 2^53-48 shifts the
+  // significand only) and the division is one correctly-rounded IEEE op,
+  // so both engines rank identical doubles; no ln/pow anywhere (the
+  // Efraimidis-Spirakis u^(1/w) key would put a transcendental in the
+  // rank predicate — same sample semantics, unverifiable hash). The
+  // estimator Σ max(w_i, τ) is evaluated as Σ_{w≥τ} w + τ·|{w<τ}| —
+  // an exact integer sum plus ONE product — so it is order-independent.
+  //
+  // 100 TB shape: [[graft.functions.PrioritySample]] is a bounded top-k
+  // TypedImperativeAggregate (the KmvSketch pattern): each task keeps
+  // k+1 candidates as a live object buffer and the exchange carries one
+  // O(k) sample per (task, source) — the window-rank formulation the
+  // oracle uses (full per-source sort) never executes on the Spark side.
+  // ------------------------------------------------------------------
+  private val PsK = 16
+
+  def q149PrioritySample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("w", size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("h48",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"))
+      .withColumn("priority",
+        col("w").cast("double") * lit(281474976710656.0) // 2^48, exact product
+          / (col("h48") + lit(1L)).cast("double"))
+    docs.groupBy(col("source"))
+      .agg(
+        graft.functions.PrioritySampleAgg.prioritySample(spark,
+          col("doc_id").cast("string"), col("w"), col("priority"), PsK + 1).as("top"),
+        count(lit(1)).as("n_docs"),
+        sum(col("w")).as("total_tokens"))
+      .withColumn("tau",
+        when(size(col("top")) > PsK,
+          element_at(col("top"), PsK + 1).getField("priority"))
+          .otherwise(lit(0.0)))
+      .withColumn("sample", slice(col("top"), 1, PsK))
+      .withColumn("sum_big",
+        expr("aggregate(filter(sample, s -> CAST(s.w AS DOUBLE) >= tau), CAST(0 AS BIGINT), (a, s) -> a + s.w)"))
+      .withColumn("n_small",
+        expr("size(filter(sample, s -> CAST(s.w AS DOUBLE) < tau))"))
+      .withColumn("est_total_tokens",
+        col("sum_big").cast("double") + col("tau") * col("n_small").cast("double"))
+      .select(col("source"), posexplode(col("sample")).as(Seq("pos", "s")),
+        col("n_docs"), col("total_tokens"), col("tau"), col("est_total_tokens"))
+      .select(col("source"), (col("pos") + 1).as("rnk"),
+        col("s.item").cast("long").as("doc_id"), col("s.w").as("n_tokens"),
+        col("n_docs"), col("total_tokens"), col("tau"), col("est_total_tokens"),
+        ((col("est_total_tokens") - col("total_tokens").cast("double"))
+          / col("total_tokens").cast("double")).as("rel_err"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
+  val q149Sql: String =
+    """WITH d AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS w,
+      |    CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+      |      AS UBIGINT) AS BIGINT) AS h48
+      |  FROM documents),
+      |p AS (
+      |  SELECT source, doc_id, w,
+      |    CAST(w AS DOUBLE) * 281474976710656.0 / CAST(h48 + 1 AS DOUBLE)
+      |      AS priority
+      |  FROM d),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY source ORDER BY priority DESC, CAST(doc_id AS VARCHAR)) AS rnk
+      |  FROM p),
+      |s AS (SELECT source, COUNT(*) AS n_docs, SUM(w) AS total_tokens
+      |  FROM p GROUP BY 1),
+      |t AS (SELECT source,
+      |    COALESCE(MAX(CASE WHEN rnk = 17 THEN priority END), 0.0) AS tau
+      |  FROM r GROUP BY 1),
+      |e AS (
+      |  SELECT r.source,
+      |    SUM(CASE WHEN CAST(r.w AS DOUBLE) >= t.tau THEN r.w ELSE 0 END)
+      |      AS sum_big,
+      |    SUM(CASE WHEN CAST(r.w AS DOUBLE) < t.tau THEN 1 ELSE 0 END)
+      |      AS n_small
+      |  FROM r JOIN t USING (source) WHERE r.rnk <= 16 GROUP BY 1)
+      |SELECT r.source, CAST(r.rnk AS INT) AS rnk, r.doc_id,
+      |  r.w AS n_tokens, CAST(s.n_docs AS BIGINT) AS n_docs,
+      |  CAST(s.total_tokens AS BIGINT) AS total_tokens, t.tau,
+      |  CAST(e.sum_big AS DOUBLE) + t.tau * CAST(e.n_small AS DOUBLE)
+      |    AS est_total_tokens,
+      |  (CAST(e.sum_big AS DOUBLE) + t.tau * CAST(e.n_small AS DOUBLE)
+      |    - CAST(s.total_tokens AS DOUBLE)) / CAST(s.total_tokens AS DOUBLE)
+      |    AS rel_err
+      |FROM r JOIN s USING (source) JOIN t USING (source) JOIN e USING (source)
+      |WHERE r.rnk <= 16
+      |ORDER BY source, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_zorder_layout" -> (q99ZorderLayout _),
     "q100_profile"      -> (q100Profile _),
@@ -583,6 +817,8 @@ object Layout {
     "q118_correlation"  -> (q118Correlation _),
     "q139_kmv_distinct" -> (q139KmvDistinct _),
     "q146_kmv_rolling"  -> (q146KmvRolling _),
+    "q148_kmv_algebra"  -> (q148KmvAlgebra _),
+    "q149_priority_sample" -> (q149PrioritySample _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -594,5 +830,7 @@ object Layout {
     "q118_correlation"  -> q118Sql,
     "q139_kmv_distinct" -> q139Sql,
     "q146_kmv_rolling"  -> q146Sql,
+    "q148_kmv_algebra"  -> q148Sql,
+    "q149_priority_sample" -> q149Sql,
   )
 }
