@@ -270,7 +270,71 @@ object Extras {
       |  user_id, event_type, value, props
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** q150 — STREAMING KMV distinct: per (hourly window, event_type)
+    * distinct-user estimate where the streaming state is one O(k)
+    * sketch per group ([[EventsStream.kmvWindowAgg]]) — the question
+    * streaming aggregation otherwise cannot answer at all (COUNT
+    * DISTINCT is unsupported because exact distinct state is unbounded).
+    * The exact anchor + estimator columns are joined on AFTER the
+    * stream from a batch pass, exactly like q139's anchors: the gate
+    * hash-verifies that the stream's merged-across-micro-batches sketch
+    * equals the batch bottom-k definition byte-for-byte.
+    */
+  def q150StreamKmv(spark: SparkSession, dir: String): DataFrame = {
+    val streamed = EventsStream.runKmvWindowOnce(spark, dir,
+      s"stream_kmv_${counter.incrementAndGet()}")
+    val exact = graft.sources.Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"),
+        col("event_type"))
+      .agg(count_distinct(col("user_id")).as("n_distinct"))
+    streamed.join(exact, Seq("window_start", "event_type"))
+      .withColumn("kmv_estimate",
+        when(col("n_kept") < 64, col("n_distinct").cast("double"))
+          .otherwise(lit(63.0) /
+            (expr("CAST(conv(substring(hk, 1, 12), 16, 10) AS BIGINT)").cast("double")
+              / lit(281474976710656.0)))) // 16^12
+      .select(col("window_start"), col("event_type"), col("n_kept"),
+        col("hk"), col("n_distinct"), col("kmv_estimate"),
+        ((col("kmv_estimate") - col("n_distinct").cast("double"))
+          / col("n_distinct").cast("double")).as("rel_err"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  val q150Sql: String =
+    """WITH e AS (
+      |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+      |    event_type, user_id, md5(CAST(user_id AS VARCHAR)) AS h
+      |  FROM events WHERE user_id IS NOT NULL),
+      |d AS (SELECT DISTINCT window_start, event_type, h FROM e),
+      |r AS (
+      |  SELECT window_start, event_type, h, ROW_NUMBER() OVER (
+      |    PARTITION BY window_start, event_type ORDER BY h) AS rn
+      |  FROM d),
+      |sk AS (
+      |  SELECT window_start, event_type, COUNT(*) AS n_kept, MAX(h) AS hk
+      |  FROM r WHERE rn <= 64 GROUP BY 1, 2),
+      |x AS (
+      |  SELECT window_start, event_type,
+      |    COUNT(DISTINCT user_id) AS n_distinct
+      |  FROM e GROUP BY 1, 2),
+      |j AS (
+      |  SELECT sk.window_start, sk.event_type,
+      |    CAST(sk.n_kept AS BIGINT) AS n_kept, sk.hk,
+      |    CAST(x.n_distinct AS BIGINT) AS n_distinct,
+      |    CASE WHEN sk.n_kept < 64 THEN CAST(x.n_distinct AS DOUBLE)
+      |      ELSE 63.0 /
+      |        (CAST(CAST(CAST(('0x' || substring(sk.hk, 1, 12)) AS UBIGINT)
+      |           AS BIGINT) AS DOUBLE) / 281474976710656.0) END AS kmv_estimate
+      |  FROM sk JOIN x
+      |    ON sk.window_start = x.window_start AND sk.event_type = x.event_type)
+      |SELECT window_start, event_type, n_kept, hk, n_distinct, kmv_estimate,
+      |  (kmv_estimate - CAST(n_distinct AS DOUBLE))
+      |    / CAST(n_distinct AS DOUBLE) AS rel_err
+      |FROM j ORDER BY window_start, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_stream_kmv"         -> (q150StreamKmv _),
     "q51_stream_window"       -> (q51StreamWindow _),
     "q52_multimodal_meta"     -> (q52MultimodalMeta _),
     "q53_multimodal_features" -> (q53MultimodalFeatures _),
@@ -292,6 +356,7 @@ object Extras {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q150_stream_kmv"         -> q150Sql,
     "q51_stream_window"       -> q51Sql,
     "q52_multimodal_meta"     -> MultimodalOps.q52Sql,
     "q53_multimodal_features" -> q53Sql,

@@ -84,6 +84,34 @@ object EventsStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming KMV distinct sketch per (hourly window, event_type): the
+    * cardinality question q51 CANNOT answer — streaming aggregation
+    * forbids COUNT(DISTINCT …) because exact distinct state grows with
+    * the key's user cardinality — answered with BOUNDED state instead:
+    * [[graft.functions.KmvSketch]] runs unchanged as the streaming
+    * aggregate, so each group's state row carries one serialized O(k)
+    * sketch (k = 64 hashes ≈ 2 KB) no matter how many distinct users the
+    * window sees, and late rows inside the watermark UPDATE their
+    * window's sketch exactly (cap-insert is idempotent + order-free, so
+    * micro-batch boundaries are invisible in the result —
+    * StreamingKmvSpec pins streamed ≡ batch at forced multi-batch
+    * ingestion). This is the streaming face of q139, and the state-scale
+    * companion to the q64 plateau measurement: state rows == live
+    * groups, state bytes == groups × O(k).
+    */
+  def kmvWindowAgg(spark: SparkSession, events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "168 hours")
+      .filter(col("user_id").isNotNull)
+      .withColumn("h", md5(col("user_id").cast("string")))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(graft.functions.KmvSketchAgg.kmv(spark, col("h"), 64).as("s"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("s.n_kept").cast("long").as("n_kept"), col("s.hk").as("hk"))
+
+  def runKmvWindowOnce(spark: SparkSession, dir: String, name: String = "stream_kmv"): DataFrame =
+    runToMemory(kmvWindowAgg(spark, readEvents(spark, dir)), OutputMode.Complete, name)
+
   /** SLIDING-window per-type aggregation (2h windows every 1h): each event
     * lands in exactly two overlapping windows — the semantics tumbling
     * can't express (a reading contributes to both "22:00–24:00" and
