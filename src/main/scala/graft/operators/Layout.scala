@@ -819,6 +819,7 @@ object Layout {
     "q146_kmv_rolling"  -> (q146KmvRolling _),
     "q148_kmv_algebra"  -> (q148KmvAlgebra _),
     "q149_priority_sample" -> (q149PrioritySample _),
+    "q151_kmv_maintain" -> (KmvTable.q151KmvMaintain _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -832,5 +833,6 @@ object Layout {
     "q146_kmv_rolling"  -> q146Sql,
     "q148_kmv_algebra"  -> q148Sql,
     "q149_priority_sample" -> q149Sql,
+    "q151_kmv_maintain" -> KmvTable.q151Sql,
   )
 }

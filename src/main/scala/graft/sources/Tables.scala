@@ -35,7 +35,16 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(s, d, "events")
+    normalizeEventsTs(load(s, d, "events"))
+  }
+
+  /** The ts-physical-type normalization [[events]] applies, factored so
+    * file-subset readers (incremental maintenance scanning only NEW part
+    * files, [[graft.operators.KmvTable]]) land on the identical
+    * canonical µs TimestampType. Caller must have set
+    * `spark.sql.legacy.parquet.nanosAsLong` before the read.
+    */
+  private[graft] def normalizeEventsTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
