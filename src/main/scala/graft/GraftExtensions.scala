@@ -32,6 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach(ext.injectFunction)
     // auto-rewrite naive planar radius joins into grid-cell equi-joins
     ext.injectOptimizerRule(_ => graft.plans.RadiusJoinRewrite)
+    // opt-in approximate mode: COUNT(DISTINCT e) -> KMV sketch estimate
+    // under spark.graft.approx.countDistinct=true (off by default)
+    ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
   }
 }
 

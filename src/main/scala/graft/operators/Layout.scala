@@ -808,6 +808,70 @@ object Layout {
       |WHERE r.rnk <= 16
       |ORDER BY source, rnk""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q152 — APPROXIMATE MODE as a session conf: the SAME SQL text runs
+  // twice, once exact and once under spark.graft.approx.countDistinct
+  // = true, where [[graft.plans.ApproxDistinctRewrite]] (a Catalyst
+  // optimizer rule injected by GraftExtensions) rewrites every
+  // COUNT(DISTINCT …) into the KMV sketch estimate — the
+  // conf-switchable accuracy-for-cost trade of BigQuery/Snowflake/
+  // Trino's APPROX_COUNT_DISTINCT, without touching the query text.
+  // The approximate run is materialized INSIDE the conf window (5
+  // grouped rows — watermark-scalar precedent) because the rule reads
+  // the conf at optimization time. The oracle reproduces the rewrite's
+  // math: round((k−1)/u_k) above saturation, the exact count below.
+  // ------------------------------------------------------------------
+  def q152ApproxRewrite(spark: SparkSession, dir: String): DataFrame = {
+    // sessions built without GraftExtensions (Verify/Bench mains) get the
+    // rule injected dynamically; re-adding is guarded, and the rule
+    // no-ops with the flag off, so extension-built sessions are unharmed
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.ApproxDistinctRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.ApproxDistinctRewrite
+    Tables.events(spark, dir).filter(col("user_id").isNotNull)
+      .createOrReplaceTempView("graft_q152_events")
+    val sql = """SELECT event_type, count(DISTINCT user_id) AS n
+                 FROM graft_q152_events GROUP BY event_type"""
+    val exact = spark.sql(sql).withColumnRenamed("n", "n_exact")
+    spark.conf.set("spark.graft.approx.countDistinct", "true")
+    val approxRows = try spark.sql(sql).collect().toSeq
+      finally spark.conf.unset("spark.graft.approx.countDistinct")
+    import spark.implicits._
+    val approx = approxRows.map(r => (r.getString(0), r.getLong(1)))
+      .toDF("event_type", "n_approx")
+    exact.join(approx, "event_type")
+      .select(col("event_type"), col("n_exact"), col("n_approx"),
+        ((col("n_approx").cast("double") - col("n_exact").cast("double"))
+          / col("n_exact").cast("double")).as("rel_err"))
+      .orderBy(col("event_type"))
+  }
+
+  val q152Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL),
+      |dh AS (
+      |  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM e),
+      |r AS (
+      |  SELECT event_type, h, ROW_NUMBER() OVER (
+      |    PARTITION BY event_type ORDER BY h) AS rn FROM dh),
+      |sk AS (
+      |  SELECT event_type, COUNT(*) AS n_kept, MAX(h) AS hk
+      |  FROM r WHERE rn <= 64 GROUP BY 1),
+      |x AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+      |  FROM e GROUP BY 1),
+      |j AS (
+      |  SELECT x.event_type, CAST(x.n_exact AS BIGINT) AS n_exact,
+      |    CAST(ROUND(CASE WHEN sk.n_kept < 64 THEN CAST(sk.n_kept AS DOUBLE)
+      |      ELSE 63.0 /
+      |        (CAST(CAST(CAST(('0x' || substring(sk.hk, 1, 12)) AS UBIGINT)
+      |           AS BIGINT) AS DOUBLE) / 281474976710656.0) END)
+      |      AS BIGINT) AS n_approx
+      |  FROM x JOIN sk ON x.event_type = sk.event_type)
+      |SELECT event_type, n_exact, n_approx,
+      |  (CAST(n_approx AS DOUBLE) - CAST(n_exact AS DOUBLE))
+      |    / CAST(n_exact AS DOUBLE) AS rel_err
+      |FROM j ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_zorder_layout" -> (q99ZorderLayout _),
     "q100_profile"      -> (q100Profile _),
@@ -820,6 +884,7 @@ object Layout {
     "q148_kmv_algebra"  -> (q148KmvAlgebra _),
     "q149_priority_sample" -> (q149PrioritySample _),
     "q151_kmv_maintain" -> (KmvTable.q151KmvMaintain _),
+    "q152_approx_rewrite" -> (q152ApproxRewrite _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -834,5 +899,6 @@ object Layout {
     "q148_kmv_algebra"  -> q148Sql,
     "q149_priority_sample" -> q149Sql,
     "q151_kmv_maintain" -> KmvTable.q151Sql,
+    "q152_approx_rewrite" -> q152Sql,
   )
 }
