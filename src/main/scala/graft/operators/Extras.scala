@@ -333,7 +333,89 @@ object Extras {
       |    / CAST(n_distinct AS DOUBLE) AS rel_err
       |FROM j ORDER BY window_start, event_type""".stripMargin
 
+  /** q153 — streaming priority sample ([[EventsStream
+    * .prioritySampleAgg]]): the stream's final top-k weighted sample +
+    * τ-threshold subset-sum estimate, post-processed exactly like q149
+    * (order-independent Σ_{w≥τ} w + τ·n_small) and joined with the
+    * batch exact anchor so the gate hash-verifies a STREAMING sampling
+    * operator end-to-end.
+    */
+  def q153StreamPsample(spark: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val streamed = EventsStream.runPrioritySampleOnce(spark, dir, k,
+      s"stream_psample_${counter.incrementAndGet()}")
+      .withColumn("tau",
+        when(size(col("top")) > k,
+          element_at(col("top"), k + 1).getField("priority"))
+          .otherwise(lit(0.0)))
+      .withColumn("sample", slice(col("top"), 1, k))
+      .withColumn("sum_big",
+        expr("aggregate(filter(sample, s -> CAST(s.w AS DOUBLE) >= tau), CAST(0 AS BIGINT), (a, s) -> a + s.w)"))
+      .withColumn("n_small",
+        expr("size(filter(sample, s -> CAST(s.w AS DOUBLE) < tau))"))
+      .withColumn("est_total_cents",
+        col("sum_big").cast("double") + col("tau") * col("n_small").cast("double"))
+    val exact = graft.sources.Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("value").cast("decimal(18,2)") * lit(100)).cast("long"))
+          .as("total_cents"))
+    streamed.join(exact, "event_type")
+      .select(col("event_type"), posexplode(col("sample")).as(Seq("pos", "s")),
+        col("n_events"), col("total_cents"), col("tau"), col("est_total_cents"))
+      .select(col("event_type"), (col("pos") + 1).as("rnk"),
+        col("s.item").cast("long").as("event_id"), col("s.w").as("w_cents"),
+        col("n_events"), col("total_cents"), col("tau"), col("est_total_cents"),
+        ((col("est_total_cents") - col("total_cents").cast("double"))
+          / col("total_cents").cast("double")).as("rel_err"))
+      .orderBy(col("event_type"), col("rnk"))
+  }
+
+  val q153Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS w,
+      |    CAST(CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 12))
+      |      AS UBIGINT) AS BIGINT) AS h48
+      |  FROM events),
+      |p AS (
+      |  SELECT event_type, event_id, w,
+      |    CAST(w AS DOUBLE) * 281474976710656.0 / CAST(h48 + 1 AS DOUBLE)
+      |      AS priority
+      |  FROM e),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY event_type
+      |    ORDER BY priority DESC, CAST(event_id AS VARCHAR)) AS rnk
+      |  FROM p),
+      |s AS (SELECT event_type, COUNT(*) AS n_events, SUM(w) AS total_cents
+      |  FROM p GROUP BY 1),
+      |t AS (SELECT event_type,
+      |    COALESCE(MAX(CASE WHEN rnk = 17 THEN priority END), 0.0) AS tau
+      |  FROM r GROUP BY 1),
+      |x AS (
+      |  SELECT r.event_type,
+      |    SUM(CASE WHEN CAST(r.w AS DOUBLE) >= t.tau THEN r.w ELSE 0 END)
+      |      AS sum_big,
+      |    SUM(CASE WHEN CAST(r.w AS DOUBLE) < t.tau THEN 1 ELSE 0 END)
+      |      AS n_small
+      |  FROM r JOIN t USING (event_type) WHERE r.rnk <= 16 GROUP BY 1)
+      |SELECT r.event_type, CAST(r.rnk AS INT) AS rnk, r.event_id,
+      |  r.w AS w_cents, CAST(s.n_events AS BIGINT) AS n_events,
+      |  CAST(s.total_cents AS BIGINT) AS total_cents, t.tau,
+      |  CAST(x.sum_big AS DOUBLE) + t.tau * CAST(x.n_small AS DOUBLE)
+      |    AS est_total_cents,
+      |  (CAST(x.sum_big AS DOUBLE) + t.tau * CAST(x.n_small AS DOUBLE)
+      |    - CAST(s.total_cents AS DOUBLE)) / CAST(s.total_cents AS DOUBLE)
+      |    AS rel_err
+      |FROM r
+      |  JOIN s USING (event_type) JOIN t USING (event_type)
+      |  JOIN x USING (event_type)
+      |WHERE r.rnk <= 16
+      |ORDER BY event_type, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_stream_psample"     -> (q153StreamPsample _),
     "q150_stream_kmv"         -> (q150StreamKmv _),
     "q51_stream_window"       -> (q51StreamWindow _),
     "q52_multimodal_meta"     -> (q52MultimodalMeta _),
@@ -356,6 +438,7 @@ object Extras {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q153_stream_psample"     -> q153Sql,
     "q150_stream_kmv"         -> q150Sql,
     "q51_stream_window"       -> q51Sql,
     "q52_multimodal_meta"     -> MultimodalOps.q52Sql,

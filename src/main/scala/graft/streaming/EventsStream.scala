@@ -112,6 +112,34 @@ object EventsStream {
   def runKmvWindowOnce(spark: SparkSession, dir: String, name: String = "stream_kmv"): DataFrame =
     runToMemory(kmvWindowAgg(spark, readEvents(spark, dir)), OutputMode.Complete, name)
 
+  /** Streaming PRIORITY SAMPLE per event_type: a running weighted
+    * top-k sample of the stream (weight = exact value cents) held as
+    * ONE O(k) state row per type — [[graft.functions.PrioritySample]]
+    * running unchanged as a streaming aggregate, the q150 pattern
+    * applied to q149's operator. A pipeline gets a continuously-fresh
+    * weighted sample (and, via τ, an any-time unbiased subset-sum
+    * estimate) of an unbounded stream with state that never grows.
+    * Priorities are the rational w·2^48/(h48+1) form, so the final
+    * sample is byte-deterministic and batch-verifiable (q153's oracle).
+    */
+  def prioritySampleAgg(spark: SparkSession, events: DataFrame, k: Int): DataFrame =
+    events
+      .withColumn("w",
+        (col("value").cast("decimal(18,2)") * lit(100)).cast("long")) // exact cents
+      .withColumn("h48",
+        expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"))
+      .withColumn("p",
+        col("w").cast("double") * lit(281474976710656.0) // 2^48, exact product
+          / (col("h48") + lit(1L)).cast("double"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.PrioritySampleAgg.prioritySample(spark,
+        col("event_id").cast("string"), col("w"), col("p"), k + 1).as("top"))
+
+  def runPrioritySampleOnce(spark: SparkSession, dir: String, k: Int,
+      name: String = "stream_psample"): DataFrame =
+    runToMemory(prioritySampleAgg(spark, readEvents(spark, dir), k),
+      OutputMode.Complete, name)
+
   /** SLIDING-window per-type aggregation (2h windows every 1h): each event
     * lands in exactly two overlapping windows — the semantics tumbling
     * can't express (a reading contributes to both "22:00–24:00" and

@@ -65,4 +65,46 @@ class StreamingKmvSpec extends SparkSpec {
       s"state must be one sketch row per (window, type) group: " +
         s"$stateRows vs ${batch.size} groups")
   }
+
+  test("q153: drip-fed streaming priority sample == batch window-rank") {
+    val s = spark
+    val base = TempDirs.create("graft_stream_ps")
+    val feedDir = s"$base/feed"
+    val raw = graft.sources.Tables.eventsRawNanos(s, Sf)
+      .withColumn("__t", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
+    for (i <- 1 to 4)
+      EventsStream.landFeedFile(
+        raw.filter(col("__t") === i).drop("__t"), feedDir, f"tranche$i%03d")
+    val feed = s.readStream.schema(EventsStream.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventsStream.prioritySampleAgg(s, feed, 16).writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+      .format("memory").queryName("stream_ps_spec")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4)
+    val streamed = s.table("stream_ps_spec").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("top"))
+          .map(x => (x.getString(0), x.getLong(1))).toList).toMap
+    val batch = graft.sources.Tables.events(s, Sf)
+      .withColumn("w", (col("value").cast("decimal(18,2)") * lit(100)).cast("long"))
+      .withColumn("h48",
+        expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"))
+      .withColumn("p", col("w").cast("double") * lit(281474976710656.0)
+        / (col("h48") + lit(1L)).cast("double"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+          .orderBy(col("p").desc, col("event_id").cast("string"))))
+      .filter(col("rnk") <= 17)
+      .orderBy(col("event_type"), col("rnk"))
+      .collect().groupBy(_.getAs[String]("event_type"))
+      .map { case (t, rs) =>
+        t -> rs.map(r => (r.getAs[Long]("event_id").toString, r.getAs[Long]("w"))).toList }
+    assert(streamed === batch,
+      "drip-fed streaming sample must equal the batch rank definition")
+  }
 }
