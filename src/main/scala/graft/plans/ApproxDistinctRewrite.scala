@@ -80,6 +80,28 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
               KmvSketch(hash, kk), Complete, isDistinct = false, filter,
               NamedExpression.newExprId)
             estimate(sketchAgg, kk)
+          case AggregateExpression(Count(es), _, true, filter, _)
+              if es.length > 1 && es.forall(_.deterministic) =>
+            // COUNT(DISTINCT a, b, …) counts distinct tuples over rows
+            // where EVERY argument is non-null — reproduce both: rows
+            // with any null hash to null (KmvSketch skips nulls), and
+            // the tuple is LENGTH-PREFIX framed ("<len>:<value>" per
+            // field), so distinct tuples can never collide the way a
+            // naive delimiter concat would ("a,b"+"c" vs "a"+"b,c").
+            // Pure Concat/Length/Cast nodes — codegen-able, unlike the
+            // RuntimeReplaceable StructsToJson (which cannot survive
+            // past the ReplaceExpressions batch this rule runs after)
+            val anyNull = es.map(IsNull(_): Expression).reduce(Or)
+            val framed = es.flatMap { e =>
+              val s = Cast(e, StringType)
+              Seq(Cast(Length(s), StringType), Literal(":"), s)
+            }
+            val hash = If(anyNull, Literal.create(null, StringType),
+              Md5(Cast(Concat(framed), org.apache.spark.sql.types.BinaryType)))
+            val sketchAgg = AggregateExpression(
+              KmvSketch(hash, kk), Complete, isDistinct = false, filter,
+              NamedExpression.newExprId)
+            estimate(sketchAgg, kk)
         }
     }
   }

@@ -106,6 +106,35 @@ class ApproxRewriteSpec extends SparkSpec {
     }
   }
 
+  test("multi-argument COUNT(DISTINCT a, b) rewrites with tuple semantics") {
+    withExtSession { s =>
+      view(s, Sf)
+      val sql =
+        """SELECT count(DISTINCT event_type, user_id) AS n,
+           count(DISTINCT user_id, event_type) AS n2
+           FROM approx_spec_events
+           WHERE event_type IN ('click', 'error', 'purchase')"""
+      val exact = s.sql(sql).collect().head
+      withFlag(s) {
+        val df = s.sql(sql)
+        assert(df.queryExecution.optimizedPlan.toString.contains("graft_kmv"))
+        val got = df.collect().head
+        // 3 types x 15 users = 45 tuples < k: saturation -> exact
+        assert(got.getLong(0) === exact.getLong(0))
+        assert(got.getLong(1) === exact.getLong(1))
+      }
+      // null-guard: rows with any null argument are excluded, as Count does
+      import s.implicits._
+      Seq(("a", Some(1)), ("a", None), (null, Some(2)), ("b", Some(1)))
+        .toDF("x", "y").createOrReplaceTempView("approx_null_probe")
+      val nsql = "SELECT count(DISTINCT x, y) AS n FROM approx_null_probe"
+      val nExact = s.sql(nsql).collect().head.getLong(0)
+      withFlag(s) {
+        assert(s.sql(nsql).collect().head.getLong(0) === nExact)
+      }
+    }
+  }
+
   test("q152 wrapper (extraOptimizations path on a plain session)") {
     val out = Layout.queries("q152_approx_rewrite")(spark, Sf01).collect()
     assert(out.nonEmpty)
