@@ -872,6 +872,92 @@ object Layout {
       |    / CAST(n_exact AS DOUBLE) AS rel_err
       |FROM j ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q154 — THRESHOLD SAMPLING (the map-only member of the sampling
+  // family): include a doc iff its priority w/u exceeds a per-source
+  // threshold τ = total_w / target — expected sample size
+  // Σ min(1, w/τ) ≈ target, inclusion probability min(1, w/τ), and
+  // Σ max(w, τ) over the sample is the Horvitz-Thompson unbiased
+  // estimate of Σ w (Duffield-Lund-Thorup's fixed-THRESHOLD variant of
+  // q149's fixed-k scheme). Where q149 needs a bounded top-k aggregate
+  // and q153 streaming state, this needs NOTHING: one slim per-source
+  // total (broadcast) and then a map-side FILTER — the cheapest shape
+  // a 100 TB corpus admits, at the cost of a random (expected, not
+  // exact) sample size. Inclusion predicate is exact integer/IEEE
+  // arithmetic: u = (h48+1)/2^48, include iff w > τ·u, evaluated as
+  // w·2^48 > τ·(h48+1) — one exact product and one correctly-rounded
+  // multiply per side, byte-deterministic cross-engine.
+  // ------------------------------------------------------------------
+  private val TsTarget = 24.0
+
+  def q154ThresholdSample(spark: SparkSession, dir: String): DataFrame = {
+    // slim (no text) and cached: the tokenize+hash pass feeds BOTH the
+    // totals aggregate and the filter branch — uncached it runs twice
+    // (measured 15.1 s -> see PLANS §r9; the frame is 4 slim columns)
+    val docs = Tables.documents(spark, dir)
+      .withColumn("w", size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("h48",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"))
+      .select(col("source"), col("doc_id"), col("w"), col("h48"))
+      .cache().transform(graft.util.Checkpoints.track)
+    val totals = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("total_tokens"))
+      .withColumn("tau", col("total_tokens").cast("double") / lit(TsTarget))
+    val sampled = docs.join(broadcast(totals), "source")
+      // include iff w/u > tau  <=>  w * 2^48 > tau * (h48+1)
+      .filter(col("w").cast("double") * lit(281474976710656.0)
+        > col("tau") * (col("h48") + lit(1L)).cast("double"))
+    val perSource = sampled.groupBy(col("source")).agg(
+      count(lit(1)).as("n_sampled"),
+      sum(when(col("w").cast("double") >= col("tau"), col("w")).otherwise(0L))
+        .as("sum_big"),
+      sum(when(col("w").cast("double") < col("tau"), 1L).otherwise(0L))
+        .as("n_small"))
+    sampled.select(col("source"), col("doc_id"), col("w").as("n_tokens"))
+      .join(perSource, "source").join(broadcast(totals), "source")
+      .withColumn("est_total_tokens",
+        col("sum_big").cast("double") + col("tau") * col("n_small").cast("double"))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("n_docs"), col("total_tokens"), col("tau"), col("n_sampled"),
+        col("est_total_tokens"),
+        ((col("est_total_tokens") - col("total_tokens").cast("double"))
+          / col("total_tokens").cast("double")).as("rel_err"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val q154Sql: String =
+    """WITH d AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS w,
+      |    CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+      |      AS UBIGINT) AS BIGINT) AS h48
+      |  FROM documents),
+      |t AS (
+      |  SELECT source, COUNT(*) AS n_docs, SUM(w) AS total_tokens,
+      |    CAST(SUM(w) AS DOUBLE) / 24.0 AS tau
+      |  FROM d GROUP BY 1),
+      |sm AS (
+      |  SELECT d.source, d.doc_id, d.w, t.n_docs, t.total_tokens, t.tau
+      |  FROM d JOIN t USING (source)
+      |  WHERE CAST(d.w AS DOUBLE) * 281474976710656.0
+      |        > t.tau * CAST(d.h48 + 1 AS DOUBLE)),
+      |ps AS (
+      |  SELECT source, COUNT(*) AS n_sampled,
+      |    SUM(CASE WHEN CAST(w AS DOUBLE) >= tau THEN w ELSE 0 END) AS sum_big,
+      |    SUM(CASE WHEN CAST(w AS DOUBLE) < tau THEN 1 ELSE 0 END) AS n_small
+      |  FROM sm GROUP BY 1)
+      |SELECT sm.source, sm.doc_id, sm.w AS n_tokens,
+      |  CAST(sm.n_docs AS BIGINT) AS n_docs,
+      |  CAST(sm.total_tokens AS BIGINT) AS total_tokens, sm.tau,
+      |  CAST(ps.n_sampled AS BIGINT) AS n_sampled,
+      |  CAST(ps.sum_big AS DOUBLE) + sm.tau * CAST(ps.n_small AS DOUBLE)
+      |    AS est_total_tokens,
+      |  (CAST(ps.sum_big AS DOUBLE) + sm.tau * CAST(ps.n_small AS DOUBLE)
+      |    - CAST(sm.total_tokens AS DOUBLE)) / CAST(sm.total_tokens AS DOUBLE)
+      |    AS rel_err
+      |FROM sm JOIN ps USING (source)
+      |ORDER BY sm.source, sm.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_zorder_layout" -> (q99ZorderLayout _),
     "q100_profile"      -> (q100Profile _),
@@ -885,6 +971,7 @@ object Layout {
     "q149_priority_sample" -> (q149PrioritySample _),
     "q151_kmv_maintain" -> (KmvTable.q151KmvMaintain _),
     "q152_approx_rewrite" -> (q152ApproxRewrite _),
+    "q154_threshold_sample" -> (q154ThresholdSample _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -900,5 +987,6 @@ object Layout {
     "q149_priority_sample" -> q149Sql,
     "q151_kmv_maintain" -> KmvTable.q151Sql,
     "q152_approx_rewrite" -> q152Sql,
+    "q154_threshold_sample" -> q154Sql,
   )
 }

@@ -165,6 +165,35 @@ class SketchAlgebraSpec extends SparkSpec {
     }
   }
 
+  test("q154: threshold sample == the naive inclusion predicate, estimator coherent") {
+    val out = Layout.queries("q154_threshold_sample")(spark, Sf01).collect()
+    assert(out.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, Sf01)
+      .withColumn("w", size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("h48",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"))
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("w"), r.getAs[Long]("h48")))
+    val totals = docs.groupBy(_._1).map { case (s, ds) => s -> ds.map(_._3).sum }
+    val expected = docs.filter { case (s, _, w, h48) =>
+      val tau = totals(s).toDouble / 24.0
+      w.toDouble * 281474976710656.0 > tau * (h48 + 1).toDouble
+    }.map(d => (d._1, d._2)).toSet
+    assert(out.map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"))).toSet
+      === expected, "sample must be exactly the inclusion-predicate set")
+    // per-source: estimator identity and sane expected size
+    out.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      val tau = rows.head.getAs[Double]("tau")
+      assert(rows.head.getAs[Long]("n_sampled") === rows.length.toLong)
+      val est = rows.map(r => math.max(r.getAs[Long]("n_tokens").toDouble, tau)).sum
+      assert(math.abs(est - rows.head.getAs[Double]("est_total_tokens"))
+        <= math.ulp(est) * 64)
+      // expected size 24 of 250 docs; 5x-sigma bounds
+      assert(rows.length >= 5 && rows.length <= 60, s"$src sampled ${rows.length}")
+      assert(math.abs(rows.head.getAs[Double]("rel_err")) < 0.8)
+    }
+  }
+
   test("q149: plan pin — object-hash partial aggregate, no per-source sort") {
     val docs = graft.sources.Tables.documents(spark, Sf)
       .withColumn("w", size(split(trim(col("text")), "\\s+")).cast("long"))
