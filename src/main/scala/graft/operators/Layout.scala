@@ -491,10 +491,12 @@ object Layout {
       .filter(col("user_id").isNotNull)
       .select(col("event_type"), to_date(col("ts")).as("d"),
         md5(col("user_id").cast("string")).as("h"))
-    // the ONLY corpus-scale pass: per-(type, day) sketch in storage form
-    val daily = ev.groupBy(col("event_type"), col("d"))
-      .agg(graft.functions.KmvSketchAgg.kmvFull(spark, col("h"), KmvK.toInt).as("ks"))
-      .cache().transform(graft.util.Checkpoints.track) // sketch table: days × types × ≤k hashes
+    // the daily sketch table is the q151 MAINTAINED artifact (durable,
+    // incremental, per-file consumed tracking): fresh JVMs load it
+    // instead of re-sketching the corpus, and an appended feed pays
+    // only the new files — the r9 refactor that makes the "one pass
+    // EVER" posture literal rather than per-session
+    val daily = KmvTable.maintain(spark, dir)
     // rolling merge over the sketch TABLE (tiny): 7-day union, re-sketch
     val target = daily.select(col("event_type"), col("d"))
     val merged = target.as("t")
