@@ -2539,6 +2539,89 @@ object TextOps {
        |ORDER BY r.source""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q155 — VOCABULARY GROWTH (Heaps' law) corpus profile: the corpus is
+  // split into 8 deterministic md5 buckets (a growth curve over
+  // reproducible prefixes), and for each prefix p = 1..8 the query
+  // reports cumulative docs, token occurrences, DISTINCT vocabulary,
+  // per-bucket NEW types, and the type/token ratio — the saturation
+  // curve that tells a training-data pipeline whether more corpus still
+  // buys new vocabulary (Heaps: V ~ K·N^β, β<1 ⇒ new-type yield decays).
+  //
+  // Scale shape: ONE corpus-scale shuffle — explode(tokens) →
+  // groupBy(token, bucket).count (map-side combinable) — and every
+  // later step is dictionary-sized: a token's FIRST bucket is
+  // min(bucket) over its 8 per-bucket rows, vocab_cum at p is a cumsum
+  // over the 8-row bucket census, occurrences likewise. The naive
+  // formulation (8 separate COUNT(DISTINCT) over growing prefixes)
+  // re-scans the corpus 8 times and shuffles the distinct set each
+  // time; the min-bucket trick pays one pass. Cross-engine: integer
+  // counts + one final double division.
+  // ------------------------------------------------------------------
+  def q155VocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("bucket",
+        expr("CAST(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 2), 16, 10) AS INT) div 32 + 1 AS INT)"))
+    // the one corpus-scale shuffle: per-(token, bucket) occurrence counts
+    val tb = docs
+      .select(col("bucket"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .cache().transform(graft.util.Checkpoints.track) // dictionary x 8
+    // per-bucket occurrence census + per-token first bucket (tiny)
+    val occ = tb.groupBy(col("bucket")).agg(sum(col("n")).as("occ"))
+    val firstSeen = tb.groupBy(col("tok")).agg(min(col("bucket")).as("b0"))
+      .groupBy(col("b0")).agg(count(lit(1)).as("new_types"))
+    val nd = docs.groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    nd.join(occ, "bucket")
+      .join(firstSeen.withColumnRenamed("b0", "bucket"), Seq("bucket"), "left")
+      .na.fill(0L, Seq("new_types"))
+      // 8-row frame: the single-partition window is the q102 top-slice shape
+      .withColumn("n_docs_cum", sum(col("n_docs")).over(w))
+      .withColumn("n_tokens_cum", sum(col("occ")).over(w))
+      .withColumn("vocab_cum", sum(col("new_types")).over(w))
+      .select(col("bucket"), col("n_docs_cum"), col("n_tokens_cum"),
+        col("new_types"), col("vocab_cum"),
+        (col("vocab_cum").cast("double") / col("n_tokens_cum").cast("double"))
+          .as("type_token_ratio"))
+      .orderBy(col("bucket"))
+  }
+
+  val q155Sql: String =
+    """WITH d AS (
+      |  SELECT CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+      |      AS UBIGINT) AS BIGINT) // 32 + 1 AS bucket,
+      |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |  FROM documents),
+      |tb AS (
+      |  SELECT bucket, t.tok, COUNT(*) AS n
+      |  FROM d, unnest(toks) AS t(tok) WHERE t.tok <> ''
+      |  GROUP BY 1, 2),
+      |occ AS (SELECT bucket, SUM(n) AS occ FROM tb GROUP BY 1),
+      |fs AS (
+      |  SELECT b0 AS bucket, COUNT(*) AS new_types FROM (
+      |    SELECT tok, MIN(bucket) AS b0 FROM tb GROUP BY 1) GROUP BY 1),
+      |nd AS (SELECT bucket, COUNT(*) AS n_docs FROM d GROUP BY 1),
+      |j AS (
+      |  SELECT nd.bucket, nd.n_docs, occ.occ,
+      |    COALESCE(fs.new_types, 0) AS new_types
+      |  FROM nd JOIN occ USING (bucket) LEFT JOIN fs USING (bucket))
+      |SELECT bucket,
+      |  CAST(SUM(n_docs) OVER wc AS BIGINT) AS n_docs_cum,
+      |  CAST(SUM(occ) OVER wc AS BIGINT) AS n_tokens_cum,
+      |  CAST(new_types AS BIGINT) AS new_types,
+      |  CAST(SUM(new_types) OVER wc AS BIGINT) AS vocab_cum,
+      |  CAST(SUM(new_types) OVER wc AS DOUBLE)
+      |    / CAST(SUM(occ) OVER wc AS DOUBLE) AS type_token_ratio
+      |FROM j
+      |WINDOW wc AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_text_stats"     -> (q40TextStats _),
     "q41_lang_id"        -> (q41LangId _),
@@ -2573,6 +2656,7 @@ object TextOps {
     "q141_substring_dedup" -> (q141SubstringDedup _),
     "q143_bpe_merges"    -> (q143BpeMerges _),
     "q147_bpe_encode"    -> (q147BpeEncode _),
+    "q155_vocab_growth"  -> (q155VocabGrowth _),
     "q144_leakage_safe_split" -> (q144LeakageSafeSplit _),
     "q145_curation_funnel" -> (q145CurationFunnel _),
   )
@@ -2611,6 +2695,7 @@ object TextOps {
     "q141_substring_dedup" -> q141Sql,
     "q143_bpe_merges"    -> q143Sql,
     "q147_bpe_encode"    -> q147Sql,
+    "q155_vocab_growth"  -> q155Sql,
     "q144_leakage_safe_split" -> q144Sql,
     "q145_curation_funnel" -> q145Sql,
   )
