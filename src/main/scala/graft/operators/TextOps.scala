@@ -2622,6 +2622,98 @@ object TextOps {
       |WINDOW wc AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY bucket""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q156 — EPOCH ASSEMBLY BY RATE SAMPLING: the sampling-family answer
+  // to q138's prefix-cut. Same √-temperature budgets (global budget =
+  // half the corpus, split ∝ floor(√tot_s)); but instead of cutting a
+  // deterministic hash-order prefix at exactly the budget, each doc is
+  // kept with per-source probability p_s = min(1, budget_s/tot_s) —
+  // E[kept tokens] = budget_s EXACTLY (token-unbiased: every token's
+  // inclusion probability is p_s), docs stay i.i.d.-sampled rather
+  // than hash-prefix-biased, and repeated epochs reroll by salting the
+  // hash. The trade measured in the output: fill_ratio fluctuates
+  // around 1 (binomial) where q138 pins it ≤ 1 tightly; the
+  // Horvitz-Thompson column estimates the source total from the kept
+  // tokens alone (kept·tot/budget — the estimator a profiler uses when
+  // only the sample survives).
+  //
+  // Scale + determinism: inclusion is h48·tot_s < budget_s·2^48
+  // evaluated in DECIMAL(38,0)/HUGEINT — EXACT integer arithmetic in
+  // both engines (the double form would round at ~2^53: budgets at
+  // 100 TB are ~1e13 tokens, ×2^48 ≫ 2^53) — one broadcast of the
+  // 20-row budget table and a map-side filter; no state, no sort, no
+  // window. The one corpus-scale pass is the tokenize.
+  // ------------------------------------------------------------------
+  def q156EpochSample(spark: SparkSession, dir: String): DataFrame = {
+    val t = withToks(Tables.documents(spark, dir))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("h48",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"))
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("h48"))
+      .cache().transform(graft.util.Checkpoints.track) // feeds budgets + filter
+    val srcs = t.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tot_tokens"))
+      .withColumn("weight", floor(sqrt(col("tot_tokens").cast("double"))).cast("long"))
+    val g = srcs.agg(expr("sum(tot_tokens) div 2").as("bg"), sum(col("weight")).as("sw"))
+    val budgets = srcs.crossJoin(broadcast(g))
+      .withColumn("budget_tokens",
+        expr("CAST((CAST(bg AS DECIMAL(38,0)) * weight) DIV sw AS BIGINT)"))
+      .select(col("source"), col("n_docs"), col("tot_tokens"),
+        col("weight"), col("budget_tokens"))
+    val kept = t.join(broadcast(budgets), "source")
+      .filter(col("budget_tokens") >= col("tot_tokens") ||
+        expr("CAST(h48 AS DECIMAL(38,0)) * tot_tokens < CAST(budget_tokens AS DECIMAL(38,0)) * 281474976710656"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_kept"), sum(col("n_tokens")).as("tokens_kept"))
+    budgets.join(kept, Seq("source"), "left")
+      .na.fill(0L, Seq("n_docs_kept", "tokens_kept"))
+      .select(col("source"), col("n_docs"), col("tot_tokens"), col("weight"),
+        col("budget_tokens"), col("n_docs_kept"), col("tokens_kept"),
+        (col("tokens_kept").cast("double") / col("budget_tokens").cast("double"))
+          .as("fill_ratio"),
+        (col("tokens_kept").cast("double") * col("tot_tokens").cast("double")
+          / least(col("budget_tokens"), col("tot_tokens")).cast("double"))
+          .as("ht_total_est"))
+      .orderBy(col("source"))
+  }
+
+  val q156Sql: String =
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |    CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+      |      AS UBIGINT) AS BIGINT) AS h48
+      |  FROM documents),
+      |s AS (
+      |  SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS tot_tokens,
+      |    CAST(FLOOR(SQRT(CAST(SUM(n_tokens) AS DOUBLE))) AS BIGINT) AS weight
+      |  FROM t GROUP BY 1),
+      |g AS (SELECT SUM(tot_tokens) // 2 AS bg, SUM(weight) AS sw FROM s),
+      |b AS (
+      |  SELECT source, n_docs, tot_tokens, weight,
+      |    CAST(CAST(bg AS HUGEINT) * weight // sw AS BIGINT) AS budget_tokens
+      |  FROM s, g),
+      |k AS (
+      |  SELECT t.source, COUNT(*) AS n_docs_kept, SUM(t.n_tokens) AS tokens_kept
+      |  FROM t JOIN b USING (source)
+      |  WHERE b.budget_tokens >= b.tot_tokens
+      |     OR CAST(t.h48 AS HUGEINT) * b.tot_tokens
+      |        < CAST(b.budget_tokens AS HUGEINT) * 281474976710656
+      |  GROUP BY 1)
+      |SELECT b.source, CAST(b.n_docs AS BIGINT) AS n_docs,
+      |  CAST(b.tot_tokens AS BIGINT) AS tot_tokens,
+      |  CAST(b.weight AS BIGINT) AS weight,
+      |  b.budget_tokens,
+      |  CAST(COALESCE(k.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+      |  CAST(COALESCE(k.tokens_kept, 0) AS BIGINT) AS tokens_kept,
+      |  CAST(COALESCE(k.tokens_kept, 0) AS DOUBLE)
+      |    / CAST(b.budget_tokens AS DOUBLE) AS fill_ratio,
+      |  CAST(COALESCE(k.tokens_kept, 0) AS DOUBLE)
+      |    * CAST(b.tot_tokens AS DOUBLE)
+      |    / CAST(LEAST(b.budget_tokens, b.tot_tokens) AS DOUBLE) AS ht_total_est
+      |FROM b LEFT JOIN k ON b.source = k.source
+      |ORDER BY b.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_text_stats"     -> (q40TextStats _),
     "q41_lang_id"        -> (q41LangId _),
@@ -2657,6 +2749,7 @@ object TextOps {
     "q143_bpe_merges"    -> (q143BpeMerges _),
     "q147_bpe_encode"    -> (q147BpeEncode _),
     "q155_vocab_growth"  -> (q155VocabGrowth _),
+    "q156_epoch_sample"  -> (q156EpochSample _),
     "q144_leakage_safe_split" -> (q144LeakageSafeSplit _),
     "q145_curation_funnel" -> (q145CurationFunnel _),
   )
@@ -2696,6 +2789,7 @@ object TextOps {
     "q143_bpe_merges"    -> q143Sql,
     "q147_bpe_encode"    -> q147Sql,
     "q155_vocab_growth"  -> q155Sql,
+    "q156_epoch_sample"  -> q156Sql,
     "q144_leakage_safe_split" -> q144Sql,
     "q145_curation_funnel" -> q145Sql,
   )

@@ -59,4 +59,44 @@ class TokenBudgetSpec extends SparkSpec {
     val b = TextOps.queries("q138_token_budget")(spark, Sf).collect().toSeq
     assert(a === b)
   }
+
+  test("q156 rate-sampling: same budgets as q138, naive predicate parity, calibrated") {
+    val sf01 = "/root/testdata/sf0.01"
+    val q138 = TextOps.queries("q138_token_budget")(spark, sf01).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("budget_tokens")).toMap
+    val out = TextOps.queries("q156_epoch_sample")(spark, sf01).collect()
+    assert(out.length === q138.size)
+    // naive recomputation of the inclusion set
+    val docs = graft.sources.Tables.documents(spark, sf01)
+      .withColumn("w", size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("h48",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"))
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("w"), r.getAs[Long]("h48")))
+    val tots = docs.groupBy(_._1).map { case (s, ds) => s -> ds.map(_._2).sum }
+    out.foreach { r =>
+      val src = r.getAs[String]("source")
+      // the two assembly strategies must share the identical budget table
+      assert(r.getAs[Long]("budget_tokens") === q138(src))
+      val b = BigInt(r.getAs[Long]("budget_tokens"))
+      val tot = BigInt(tots(src))
+      val naive = docs.filter(_._1 == src).filter { case (_, _, h48) =>
+        b >= tot || BigInt(h48) * tot < b * BigInt(281474976710656L) }
+      assert(r.getAs[Long]("n_docs_kept") === naive.length.toLong)
+      assert(r.getAs[Long]("tokens_kept") === naive.map(_._2).sum)
+      // E[tokens_kept] == budget: with ~250 docs/source the binomial
+      // spread is wide but fill must stay in a sane band
+      assert(r.getAs[Double]("fill_ratio") > 0.3 &&
+        r.getAs[Double]("fill_ratio") < 2.5, s"$src fill ${r.getAs[Double]("fill_ratio")}")
+      // HT identity: est == kept * tot / min(budget, tot)
+      val ht = r.getAs[Double]("ht_total_est")
+      val expect = r.getAs[Long]("tokens_kept").toDouble * tot.toDouble /
+        math.min(b.toDouble, tot.toDouble)
+      assert(ht === expect)
+    }
+    // global calibration: summed kept tokens near the summed budget
+    val keptSum = out.map(_.getAs[Long]("tokens_kept")).sum.toDouble
+    val budgetSum = out.map(_.getAs[Long]("budget_tokens")).sum.toDouble
+    assert(math.abs(keptSum / budgetSum - 1.0) < 0.25,
+      s"global fill ${keptSum / budgetSum}")
+  }
 }
