@@ -64,8 +64,34 @@ object GraftExtensions {
       Cast(Floor(Divide(lon, cell)), LongType))
   }
 
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
   /** (identifier, info, builder) triples for [[SparkSessionExtensions.injectFunction]]. */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    // the sketch/sampling aggregates for pure-SQL users (the Column-API
+    // paths register the same expressions as session temp functions)
+    (FunctionIdentifier("graft_kmv"),
+      info("graft_kmv", "graft_kmv(hash, k) - KMV distinct sketch: struct(n_kept, hk) from the k smallest distinct hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_kmv(hash, k)")
+        graft.functions.KmvSketch(args.head, litInt(args(1), "kmv k"))
+      }),
+    (FunctionIdentifier("graft_kmv_full"),
+      info("graft_kmv_full", "graft_kmv_full(hash, k) - KMV sketch in storage form: the sorted kept set as array<string>"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_kmv_full(hash, k)")
+        graft.functions.KmvSketch(args.head, litInt(args(1), "kmv k"), full = true)
+      }),
+    (FunctionIdentifier("graft_priority_sample"),
+      info("graft_priority_sample", "graft_priority_sample(item, weight, priority, k) - top-k-by-priority weighted sample as array<struct<item, w, priority>>"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, "graft_priority_sample(item, weight, priority, k)")
+        graft.functions.PrioritySample(args(0), args(1), args(2),
+          litInt(args(3), "priority-sample k"))
+      }),
     (FunctionIdentifier("graft_dot_product"),
       info("graft_dot_product", "graft_dot_product(a, b) - codegen dot product of two array<double>"),
       (args: Seq[Expression]) => {

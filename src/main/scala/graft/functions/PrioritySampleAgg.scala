@@ -87,9 +87,13 @@ case class PrioritySample(
       buf.add((p, if (owned) id else id.clone(), w)); ()
     } else {
       val last = buf.last()
-      // strictly better than the current k-th (Ord < 0) ⇒ admit, evict
-      if (Ord.compare((p, id, w), last) < 0) {
-        buf.add((p, if (owned) id else id.clone(), w))
+      // strictly better than the current k-th (Ord < 0) ⇒ admit, evict —
+      // but ONLY if add actually grew the set: a duplicate (same
+      // priority + item, e.g. a repeated key) returns false, and
+      // evicting then would silently shrink the sample below k (caught
+      // by the SQL-surface spec feeding repeated users)
+      if (Ord.compare((p, id, w), last) < 0 &&
+        buf.add((p, if (owned) id else id.clone(), w))) {
         buf.pollLast(); ()
       }
     }
@@ -118,7 +122,9 @@ case class PrioritySample(
     while (go && it.hasNext) {
       val e = it.next()
       if (buf.size < k) { buf.add(e); () }
-      else if (Ord.compare(e, buf.last()) < 0) { buf.add(e); buf.pollLast(); () }
+      else if (Ord.compare(e, buf.last()) < 0) {
+        if (buf.add(e)) { buf.pollLast(); () } // same duplicate guard as insert
+      }
       else go = false
     }
     buf

@@ -135,6 +135,26 @@ class ApproxRewriteSpec extends SparkSpec {
     }
   }
 
+  test("pure-SQL users get the sketch aggregates via spark.sql.extensions") {
+    withExtSession { s =>
+      view(s, Sf)
+      val r = s.sql(
+        """SELECT event_type,
+             graft_kmv(md5(CAST(user_id AS STRING)), 64) AS sk,
+             size(graft_kmv_full(md5(CAST(user_id AS STRING)), 8)) AS n_full,
+             size(graft_priority_sample(CAST(user_id AS STRING), CAST(1 AS BIGINT),
+               CAST(user_id AS DOUBLE), 5)) AS n_ps
+           FROM approx_spec_events GROUP BY 1 ORDER BY 1""").collect()
+      assert(r.nonEmpty)
+      r.foreach { row =>
+        // 15 distinct users/type at sf0.001
+        assert(row.getAs[org.apache.spark.sql.Row]("sk").getAs[Int]("n_kept") === 15)
+        assert(row.getAs[Int]("n_full") === 8)
+        assert(row.getAs[Int]("n_ps") === 5)
+      }
+    }
+  }
+
   test("q152 wrapper (extraOptimizations path on a plain session)") {
     val out = Layout.queries("q152_approx_rewrite")(spark, Sf01).collect()
     assert(out.nonEmpty)

@@ -150,6 +150,22 @@ class SketchAlgebraSpec extends SparkSpec {
     assert(agg.deserialize(agg.serialize(buf)).equals(buf))
   }
 
+  test("q149: repeated items never shrink the sample below k (duplicate eviction guard)") {
+    import spark.implicits._
+    // 20 distinct items, each repeated 5x with identical (priority, item,
+    // w): the buggy cap path admitted the duplicate as a no-op but still
+    // evicted the k-th element, shrinking the sample
+    val df = (1 to 100)
+      .map { i => val v = 1 + (i - 1) % 20; ("g", s"id$v", v.toLong, v.toDouble) }
+      .toDF("g", "id", "w", "p").repartition(7)
+    val top = df.groupBy($"g")
+      .agg(graft.functions.PrioritySampleAgg.prioritySample(
+        spark, $"id", $"w", $"p", 8).as("top"))
+      .select($"top").collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(top.length === 8, s"sample shrank to ${top.length}")
+    assert(top.map(_.getString(0)) === (20 to 13 by -1).map(v => s"id$v"))
+  }
+
   test("q149: saturated groups (n_docs <= k) are exact with tau = 0") {
     import spark.implicits._
     val dir = TempDirs.create("graft_psample")
