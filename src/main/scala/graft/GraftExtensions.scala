@@ -33,7 +33,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // auto-rewrite naive planar radius joins into grid-cell equi-joins
     ext.injectOptimizerRule(_ => graft.plans.RadiusJoinRewrite)
     // opt-in approximate mode: COUNT(DISTINCT e) -> KMV sketch estimate
-    // under spark.graft.approx.countDistinct=true (off by default)
+    // under spark.graft.approx.countDistinct=true (off by default).
+    // Injected at POST-HOC RESOLUTION (not just the optimizer): the
+    // streaming UnsupportedOperationChecker rejects distinct aggregates
+    // on the ANALYZED plan, so an optimizer-phase rewrite can never
+    // reach a streaming query — rewritten during analysis, a streaming
+    // COUNT(DISTINCT) becomes a legal bounded-state sketch aggregation
+    // (StreamApproxSpec). The optimizer injection stays for parity with
+    // the experimental.extraOptimizations path plain sessions use.
+    ext.injectPostHocResolutionRule(_ => graft.plans.ApproxDistinctRewrite)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
   }
 }
