@@ -960,6 +960,128 @@ object Layout {
       |FROM sm JOIN ps USING (source)
       |ORDER BY sm.source, sm.doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q157 — JOIN-SIZE ESTIMATION FROM SKETCHES (join synopses, Acharya
+  // et al. 1999; the CBO primitive behind "which join order"): estimate
+  // |A ⋈_user B| between event types WITHOUT running the join. The
+  // bottom-k kept set is a uniform sample of the DISTINCT key union, so
+  // with per-kept-key frequencies attached, Σ f_A·f_B over the matched
+  // kept keys, scaled by (union Ĥ/|K|), is an unbiased estimate of the
+  // true join size Σ_u f_A(u)·f_B(u). Saturated pairs are EXACT (the
+  // sample is the whole key union). Everything after the one
+  // per-(type, hash) count shuffle is KB-sized; the exact anchor pays
+  // the real key-join the estimator exists to avoid. Determinism: the
+  // product sum is exact integer arithmetic over ≤k terms; the scale
+  // factor is two IEEE ops in identical order cross-engine.
+  // ------------------------------------------------------------------
+  def q157JoinSizeEst(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
+    // the one corpus-scale shuffle: per-(type, key) frequencies
+    val freq = ev.groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("c"))
+      .cache().transform(graft.util.Checkpoints.track) // feeds kept-join + exact anchor
+    val kept = freq.groupBy(col("event_type"))
+      .agg(graft.functions.KmvSketchAgg.kmvFull(spark, col("h"), KmvK.toInt).as("ks"))
+    // frequencies for KEPT keys only (tiny: types x <= k rows)
+    val keptFreq = kept.select(col("event_type"), explode(col("ks")).as("h"))
+      .join(freq, Seq("event_type", "h"))
+      .groupBy(col("event_type"))
+      .agg(map_from_entries(collect_list(struct(col("h"), col("c")))).as("fm"),
+        sort_array(collect_list(col("h"))).as("ks"))
+    val pairs = keptFreq.as("a").join(keptFreq.as("b"),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+        col("a.ks").as("ka"), col("b.ks").as("kb"),
+        col("a.fm").as("fa"), col("b.fm").as("fb"))
+      .withColumn("ku",
+        slice(array_sort(array_distinct(concat(col("ka"), col("kb")))), 1, KmvK.toInt))
+      .withColumn("n_kept", size(col("ku")).cast("long"))
+      .withColumn("uk", element_at(col("ku"), size(col("ku"))))
+      .withColumn("matched",
+        expr("filter(ku, h -> array_contains(ka, h) AND array_contains(kb, h))"))
+      .withColumn("matches", size(col("matched")).cast("long"))
+      // exact integer product sum over the <= k matched keys
+      .withColumn("psum",
+        expr("aggregate(matched, CAST(0 AS BIGINT), (acc, h) -> acc + fa[h] * fb[h])"))
+      .withColumn("union_est",
+        when(col("n_kept") < KmvK, col("n_kept").cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) /
+            (expr("CAST(conv(substring(uk, 1, 12), 16, 10) AS BIGINT)").cast("double")
+              / lit(281474976710656.0)))) // 16^12
+      .withColumn("join_est",
+        col("union_est") / col("n_kept").cast("double") * col("psum").cast("double"))
+    // exact anchor: the real key join the estimator avoids
+    val exact = freq.as("x").join(freq.as("y"),
+        col("x.h") === col("y.h") && col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+      .agg(sum(col("x.c") * col("y.c")).as("n_join_exact"))
+    pairs.join(exact, Seq("type_a", "type_b"), "left")
+      .na.fill(0L, Seq("n_join_exact"))
+      .select(col("type_a"), col("type_b"), col("n_join_exact"),
+        col("n_kept"), col("matches"), col("psum"), col("union_est"),
+        col("join_est"),
+        ((col("join_est") - col("n_join_exact").cast("double"))
+          / col("n_join_exact").cast("double")).as("rel_err"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val q157Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+      |  FROM events WHERE user_id IS NOT NULL),
+      |f AS (SELECT event_type, h, COUNT(*) AS c FROM e GROUP BY 1, 2),
+      |kept AS (
+      |  SELECT event_type, h, c FROM (
+      |    SELECT f.event_type, f.h, f.c, ROW_NUMBER() OVER (
+      |      PARTITION BY f.event_type ORDER BY f.h) AS rn FROM f)
+      |  WHERE rn <= 64),
+      |pr AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b
+      |  FROM (SELECT DISTINCT event_type FROM f) a
+      |    JOIN (SELECT DISTINCT event_type FROM f) b
+      |    ON a.event_type < b.event_type),
+      |uh AS (
+      |  SELECT p.type_a, p.type_b, k.h,
+      |    MAX(CASE WHEN k.event_type = p.type_a THEN k.c END) AS ca,
+      |    MAX(CASE WHEN k.event_type = p.type_b THEN k.c END) AS cb
+      |  FROM pr p JOIN kept k ON k.event_type IN (p.type_a, p.type_b)
+      |  GROUP BY 1, 2, 3),
+      |mk AS (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY type_a, type_b ORDER BY h) AS rn FROM uh),
+      |sk AS (
+      |  SELECT type_a, type_b, COUNT(*) AS n_kept, MAX(h) AS uk,
+      |    SUM(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS matches,
+      |    COALESCE(SUM(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL
+      |      THEN ca * cb ELSE 0 END), 0) AS psum
+      |  FROM mk WHERE rn <= 64 GROUP BY 1, 2),
+      |ex AS (
+      |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+      |    SUM(x.c * y.c) AS n_join_exact
+      |  FROM f x JOIN f y ON x.h = y.h AND x.event_type < y.event_type
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT sk.type_a, sk.type_b,
+      |    COALESCE(ex.n_join_exact, 0) AS n_join_exact,
+      |    sk.n_kept, sk.matches, sk.psum,
+      |    CASE WHEN sk.n_kept < 64 THEN CAST(sk.n_kept AS DOUBLE)
+      |      ELSE 63.0 /
+      |        (CAST(CAST(CAST(('0x' || substring(sk.uk, 1, 12)) AS UBIGINT)
+      |           AS BIGINT) AS DOUBLE) / 281474976710656.0) END AS union_est
+      |  FROM sk LEFT JOIN ex
+      |    ON ex.type_a = sk.type_a AND ex.type_b = sk.type_b)
+      |SELECT type_a, type_b, CAST(n_join_exact AS BIGINT) AS n_join_exact,
+      |  CAST(n_kept AS BIGINT) AS n_kept, CAST(matches AS BIGINT) AS matches,
+      |  CAST(psum AS BIGINT) AS psum, union_est,
+      |  union_est / CAST(n_kept AS DOUBLE) * CAST(psum AS DOUBLE) AS join_est,
+      |  (union_est / CAST(n_kept AS DOUBLE) * CAST(psum AS DOUBLE)
+      |    - CAST(n_join_exact AS DOUBLE)) / CAST(n_join_exact AS DOUBLE)
+      |    AS rel_err
+      |FROM j ORDER BY type_a, type_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_zorder_layout" -> (q99ZorderLayout _),
     "q100_profile"      -> (q100Profile _),
@@ -974,6 +1096,7 @@ object Layout {
     "q151_kmv_maintain" -> (KmvTable.q151KmvMaintain _),
     "q152_approx_rewrite" -> (q152ApproxRewrite _),
     "q154_threshold_sample" -> (q154ThresholdSample _),
+    "q157_join_size_est" -> (q157JoinSizeEst _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -990,5 +1113,6 @@ object Layout {
     "q151_kmv_maintain" -> KmvTable.q151Sql,
     "q152_approx_rewrite" -> q152Sql,
     "q154_threshold_sample" -> q154Sql,
+    "q157_join_size_est" -> q157Sql,
   )
 }

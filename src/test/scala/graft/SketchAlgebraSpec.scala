@@ -75,6 +75,40 @@ class SketchAlgebraSpec extends SparkSpec {
     }
   }
 
+  test("q157: join-size estimate — saturated pairs exact, estimator coherent") {
+    // sf0.001: 15 users/type -> merged sketches unsaturated -> EXACT
+    Layout.queries("q157_join_size_est")(spark, Sf).collect().foreach { r =>
+      assert(r.getAs[Long]("n_kept") < 64L)
+      assert(math.abs(r.getAs[Double]("join_est")
+        - r.getAs[Long]("n_join_exact").toDouble) < 1e-6,
+        s"saturated pair must estimate exactly: ${r}")
+    }
+    // sf0.01: 150 users/type -> real estimator path; recompute psum
+    // and matches from the raw frequencies
+    val out = Layout.queries("q157_join_size_est")(spark, Sf01).collect()
+    assert(out.exists(_.getAs[Long]("n_kept") === 64L))
+    val freq = graft.sources.Tables.events(spark, Sf01)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
+      .groupBy("event_type", "h").count().collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(r => r.getString(1) -> r.getLong(2)).toMap }
+    out.foreach { r =>
+      val (ta, tb) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      val (fa, fb) = (freq(ta), freq(tb))
+      val keptA = fa.keySet.toSeq.sorted.take(64).toSet
+      val keptB = fb.keySet.toSeq.sorted.take(64).toSet
+      val merged = (keptA ++ keptB).toSeq.sorted.take(64)
+      val matched = merged.filter(h => keptA(h) && keptB(h))
+      assert(r.getAs[Long]("matches") === matched.length.toLong)
+      assert(r.getAs[Long]("psum") === matched.map(h => fa(h) * fb(h)).sum)
+      val exact = (fa.keySet intersect fb.keySet).toSeq.map(h => fa(h) * fb(h)).sum
+      assert(r.getAs[Long]("n_join_exact") === exact)
+      // k=64 sampling: generous 5-sigma-ish band on the relative error
+      assert(math.abs(r.getAs[Double]("rel_err")) < 0.8, s"($ta,$tb): ${r}")
+    }
+  }
+
   // ---- q149 ----------------------------------------------------------
 
   test("q149: bounded top-k aggregate reproduces the window-rank sample exactly") {
