@@ -28,15 +28,19 @@ object ApproxAb {
     val sql = """SELECT event_type, CAST(ts AS DATE) AS d,
                  count(DISTINCT user_id) AS n
                  FROM ab_events GROUP BY 1, 2"""
+    // min over reps, not the last rep: the recorded A/B number must be
+    // the steady-state cost, not whichever rep a GC/compile outlier hit
+    // (per-rep values stay on stderr for the distribution)
     def run(label: String): Double = {
-      var last = 0.0
+      var best = Double.MaxValue
       for (_ <- 1 to reps) {
         val t0 = System.nanoTime()
         val n = spark.sql(sql).collect().length
-        last = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[ab] $label%s $last%.1f s ($n groups)")
+        val sec = (System.nanoTime() - t0) / 1e9
+        best = math.min(best, sec)
+        System.err.println(f"[ab] $label%s $sec%.1f s ($n groups)")
       }
-      last
+      best
     }
     val exact = run("exact")
     spark.conf.set("spark.graft.approx.countDistinct", "true")

@@ -292,7 +292,7 @@ object Extras {
       .withColumn("kmv_estimate",
         when(col("n_kept") < 64, col("n_distinct").cast("double"))
           .otherwise(lit(63.0) /
-            (expr("CAST(conv(substring(hk, 1, 12), 16, 10) AS BIGINT)").cast("double")
+            (expr("GREATEST(CAST(conv(substring(hk, 1, 12), 16, 10) AS BIGINT), 1)").cast("double")
               / lit(281474976710656.0)))) // 16^12
       .select(col("window_start"), col("event_type"), col("n_kept"),
         col("hk"), col("n_distinct"), col("kmv_estimate"),
@@ -324,8 +324,8 @@ object Extras {
       |    CAST(x.n_distinct AS BIGINT) AS n_distinct,
       |    CASE WHEN sk.n_kept < 64 THEN CAST(x.n_distinct AS DOUBLE)
       |      ELSE 63.0 /
-      |        (CAST(CAST(CAST(('0x' || substring(sk.hk, 1, 12)) AS UBIGINT)
-      |           AS BIGINT) AS DOUBLE) / 281474976710656.0) END AS kmv_estimate
+      |        (CAST(GREATEST(CAST(CAST(('0x' || substring(sk.hk, 1, 12)) AS UBIGINT)
+      |           AS BIGINT), 1) AS DOUBLE) / 281474976710656.0) END AS kmv_estimate
       |  FROM sk JOIN x
       |    ON sk.window_start = x.window_start AND sk.event_type = x.event_type)
       |SELECT window_start, event_type, n_kept, hk, n_distinct, kmv_estimate,

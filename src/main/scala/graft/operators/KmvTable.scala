@@ -140,7 +140,7 @@ object KmvTable {
       .withColumn("kmv_estimate",
         when(col("n_kept") < K, col("n_distinct").cast("double"))
           .otherwise(lit((K - 1).toDouble) /
-            (expr("CAST(conv(substring(hk, 1, 12), 16, 10) AS BIGINT)").cast("double")
+            (expr("GREATEST(CAST(conv(substring(hk, 1, 12), 16, 10) AS BIGINT), 1)").cast("double")
               / lit(281474976710656.0)))) // 16^12
       .select(col("event_type"), col("d"), col("n_kept"), col("hk"),
         col("n_distinct"), col("kmv_estimate"),
@@ -170,8 +170,8 @@ object KmvTable {
       |    sk.hk, CAST(x.n_distinct AS BIGINT) AS n_distinct,
       |    CASE WHEN sk.n_kept < 64 THEN CAST(x.n_distinct AS DOUBLE)
       |      ELSE 63.0 /
-      |        (CAST(CAST(CAST(('0x' || substring(sk.hk, 1, 12)) AS UBIGINT)
-      |           AS BIGINT) AS DOUBLE) / 281474976710656.0) END AS kmv_estimate
+      |        (CAST(GREATEST(CAST(CAST(('0x' || substring(sk.hk, 1, 12)) AS UBIGINT)
+      |           AS BIGINT), 1) AS DOUBLE) / 281474976710656.0) END AS kmv_estimate
       |  FROM sk JOIN x ON sk.event_type = x.event_type AND sk.d = x.d)
       |SELECT event_type, d, n_kept, hk, n_distinct, kmv_estimate,
       |  (kmv_estimate - CAST(n_distinct AS DOUBLE))

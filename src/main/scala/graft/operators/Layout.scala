@@ -431,7 +431,7 @@ object Layout {
       .withColumn("kmv_estimate",
         when(col("n_kept") < KmvK, col("n_distinct").cast("double"))
           .otherwise(lit((KmvK - 1).toDouble) /
-            (expr("CAST(conv(substring(hk, 1, 12), 16, 10) AS BIGINT)").cast("double")
+            (expr("GREATEST(CAST(conv(substring(hk, 1, 12), 16, 10) AS BIGINT), 1)").cast("double")
               / lit(281474976710656.0)))) // 16^12
       .select(col("event_type"), col("n_rows"), col("n_distinct"),
         lit(KmvK).as("kmv_k"), col("kmv_estimate"),
@@ -461,8 +461,8 @@ object Layout {
       |  SELECT x.event_type, x.n_rows, x.n_distinct,
       |    CASE WHEN sk.n_kept < 64 THEN CAST(x.n_distinct AS DOUBLE)
       |      ELSE 63.0 /
-      |        (CAST(CAST(CAST(('0x' || substring(sk.hk, 1, 12)) AS UBIGINT)
-      |           AS BIGINT) AS DOUBLE) / 281474976710656.0) END AS kmv_estimate
+      |        (CAST(GREATEST(CAST(CAST(('0x' || substring(sk.hk, 1, 12)) AS UBIGINT)
+      |           AS BIGINT), 1) AS DOUBLE) / 281474976710656.0) END AS kmv_estimate
       |  FROM x JOIN sk ON x.event_type = sk.event_type)
       |SELECT event_type, CAST(n_rows AS BIGINT) AS n_rows,
       |  CAST(n_distinct AS BIGINT) AS n_distinct,
@@ -522,7 +522,7 @@ object Layout {
       .withColumn("kmv_estimate",
         when(col("n_kept") < KmvK, col("n_kept").cast("double"))
           .otherwise(lit((KmvK - 1).toDouble) /
-            (expr("CAST(conv(substring(hk, 1, 12), 16, 10) AS BIGINT)").cast("double")
+            (expr("GREATEST(CAST(conv(substring(hk, 1, 12), 16, 10) AS BIGINT), 1)").cast("double")
               / lit(281474976710656.0)))) // 16^12
       .select(col("event_type"), col("d"), col("n_days"), col("n_exact"),
         col("kmv_estimate"),
@@ -565,12 +565,12 @@ object Layout {
       |  CAST(ex.n_exact AS BIGINT) AS n_exact,
       |  CASE WHEN sk.n_kept < 64 THEN CAST(sk.n_kept AS DOUBLE)
       |    ELSE 63.0 /
-      |      (CAST(CAST(CAST(('0x' || substring(sk.hk, 1, 12)) AS UBIGINT)
-      |         AS BIGINT) AS DOUBLE) / 281474976710656.0) END AS kmv_estimate,
+      |      (CAST(GREATEST(CAST(CAST(('0x' || substring(sk.hk, 1, 12)) AS UBIGINT)
+      |         AS BIGINT), 1) AS DOUBLE) / 281474976710656.0) END AS kmv_estimate,
       |  (CASE WHEN sk.n_kept < 64 THEN CAST(sk.n_kept AS DOUBLE)
       |    ELSE 63.0 /
-      |      (CAST(CAST(CAST(('0x' || substring(sk.hk, 1, 12)) AS UBIGINT)
-      |         AS BIGINT) AS DOUBLE) / 281474976710656.0) END
+      |      (CAST(GREATEST(CAST(CAST(('0x' || substring(sk.hk, 1, 12)) AS UBIGINT)
+      |         AS BIGINT), 1) AS DOUBLE) / 281474976710656.0) END
       |   - CAST(ex.n_exact AS DOUBLE)) / CAST(ex.n_exact AS DOUBLE) AS rel_err
       |FROM sk JOIN nd ON sk.event_type = nd.event_type AND sk.d = nd.d
       |  JOIN ex ON sk.event_type = ex.event_type AND sk.d = ex.d
@@ -634,7 +634,7 @@ object Layout {
       .withColumn("union_est",
         when(col("n_kept") < KmvK, col("n_kept").cast("double"))
           .otherwise(lit((KmvK - 1).toDouble) /
-            (expr("CAST(conv(substring(uk, 1, 12), 16, 10) AS BIGINT)").cast("double")
+            (expr("GREATEST(CAST(conv(substring(uk, 1, 12), 16, 10) AS BIGINT), 1)").cast("double")
               / lit(281474976710656.0)))) // 16^12
       .withColumn("jaccard_est",
         col("matches").cast("double") / col("n_kept").cast("double"))
@@ -692,8 +692,8 @@ object Layout {
       |    sk.n_kept, sk.matches,
       |    CASE WHEN sk.n_kept < 64 THEN CAST(sk.n_kept AS DOUBLE)
       |      ELSE 63.0 /
-      |        (CAST(CAST(CAST(('0x' || substring(sk.uk, 1, 12)) AS UBIGINT)
-      |           AS BIGINT) AS DOUBLE) / 281474976710656.0) END AS union_est,
+      |        (CAST(GREATEST(CAST(CAST(('0x' || substring(sk.uk, 1, 12)) AS UBIGINT)
+      |           AS BIGINT), 1) AS DOUBLE) / 281474976710656.0) END AS union_est,
       |    CAST(sk.matches AS DOUBLE) / CAST(sk.n_kept AS DOUBLE) AS jaccard_est
       |  FROM pr p
       |    JOIN sk ON sk.type_a = p.type_a AND sk.type_b = p.type_b
@@ -865,8 +865,8 @@ object Layout {
       |  SELECT x.event_type, CAST(x.n_exact AS BIGINT) AS n_exact,
       |    CAST(ROUND(CASE WHEN sk.n_kept < 64 THEN CAST(sk.n_kept AS DOUBLE)
       |      ELSE 63.0 /
-      |        (CAST(CAST(CAST(('0x' || substring(sk.hk, 1, 12)) AS UBIGINT)
-      |           AS BIGINT) AS DOUBLE) / 281474976710656.0) END)
+      |        (CAST(GREATEST(CAST(CAST(('0x' || substring(sk.hk, 1, 12)) AS UBIGINT)
+      |           AS BIGINT), 1) AS DOUBLE) / 281474976710656.0) END)
       |      AS BIGINT) AS n_approx
       |  FROM x JOIN sk ON x.event_type = sk.event_type)
       |SELECT event_type, n_exact, n_approx,
@@ -1008,7 +1008,7 @@ object Layout {
       .withColumn("union_est",
         when(col("n_kept") < KmvK, col("n_kept").cast("double"))
           .otherwise(lit((KmvK - 1).toDouble) /
-            (expr("CAST(conv(substring(uk, 1, 12), 16, 10) AS BIGINT)").cast("double")
+            (expr("GREATEST(CAST(conv(substring(uk, 1, 12), 16, 10) AS BIGINT), 1)").cast("double")
               / lit(281474976710656.0)))) // 16^12
       .withColumn("join_est",
         col("union_est") / col("n_kept").cast("double") * col("psum").cast("double"))
@@ -1069,8 +1069,8 @@ object Layout {
       |    sk.n_kept, sk.matches, sk.psum,
       |    CASE WHEN sk.n_kept < 64 THEN CAST(sk.n_kept AS DOUBLE)
       |      ELSE 63.0 /
-      |        (CAST(CAST(CAST(('0x' || substring(sk.uk, 1, 12)) AS UBIGINT)
-      |           AS BIGINT) AS DOUBLE) / 281474976710656.0) END AS union_est
+      |        (CAST(GREATEST(CAST(CAST(('0x' || substring(sk.uk, 1, 12)) AS UBIGINT)
+      |           AS BIGINT), 1) AS DOUBLE) / 281474976710656.0) END AS union_est
       |  FROM sk LEFT JOIN ex
       |    ON ex.type_a = sk.type_a AND ex.type_b = sk.type_b)
       |SELECT type_a, type_b, CAST(n_join_exact AS BIGINT) AS n_join_exact,

@@ -308,11 +308,17 @@ object TextOps {
       case Some(df) => df
       case None =>
         // build OUTSIDE the lock: localCheckpoint(true) runs every
-        // label-propagation round EAGERLY, and holding the memo lock for
+        // contraction round EAGERLY, and holding the memo lock for
         // that long would block every other memoized artifact
         // (docShingles, lshVerifiedPairs) in any concurrent caller.
         // Double-checked put: a losing racer releases its duplicate.
-        val built = GraphOps.connectedComponents(
+        // Star contraction is the ONE production CC (r9 unified q142 on
+        // it; r10 unifies this memo too): the edge set shrinks as
+        // components contract instead of riding every round, with the
+        // same per-round shuffle shape. GraphOpsSpec pins output
+        // equality with the label-propagation variant (q77's declared
+        // operator) on chains/stars/cliques/blobs.
+        val built = GraphOps.connectedComponentsStar(
           lshVerifiedPairs(spark, dir).select(col("doc_a"), col("doc_b")))
           .localCheckpoint(true)
         memo.synchronized {

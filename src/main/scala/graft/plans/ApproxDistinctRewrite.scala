@@ -60,11 +60,29 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
     val hk = GetStructField(sketch, 1, Some("hk"))
     val prefix = Cast(Conv(Substring(hk, Literal(1), Literal(12)),
       Literal(16), Literal(10)), LongType)
-    val uk = Divide(Cast(prefix, DoubleType), Literal(281474976710656.0)) // 16^12
+    // a kept k-th hash whose 48-bit prefix is all zeros (p ~ 2^-48 per
+    // group) would make u_k = 0 and the estimate Infinity — clamp the
+    // prefix to 1, mirrored verbatim in every SQL oracle estimator
+    val guarded = Greatest(Seq(prefix, Literal(1L)))
+    val uk = Divide(Cast(guarded, DoubleType), Literal(281474976710656.0)) // 16^12
     val est = If(LessThan(nKept, Literal(kk, IntegerType)),
       Cast(nKept, DoubleType),
       Divide(Literal((kk - 1).toDouble), uk))
     Cast(Round(est, Literal(0)), LongType)
+  }
+
+  /** The sketch hashes the STRING form of the value, but exact
+    * COUNT(DISTINCT) unifies float/double values whose string forms
+    * differ (-0.0 vs 0.0, and NaN bit patterns) — normalize top-level
+    * floating inputs before hashing so the "exact below saturation"
+    * property holds for float group values too. (Floats NESTED inside
+    * struct/array arguments keep the string-form caveat.)
+    */
+  private def normalized(e: Expression): Expression = e.dataType match {
+    case org.apache.spark.sql.types.FloatType |
+         org.apache.spark.sql.types.DoubleType =>
+      org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero(e)
+    case _ => e
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -75,7 +93,8 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
         agg.transformExpressions {
           case AggregateExpression(Count(Seq(e)), _, true, filter, _)
               if e.deterministic =>
-            val hash = Md5(Cast(Cast(e, StringType), org.apache.spark.sql.types.BinaryType))
+            val hash = Md5(Cast(Cast(normalized(e), StringType),
+              org.apache.spark.sql.types.BinaryType))
             val sketchAgg = AggregateExpression(
               KmvSketch(hash, kk), Complete, isDistinct = false, filter,
               NamedExpression.newExprId)
@@ -93,7 +112,7 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
             // past the ReplaceExpressions batch this rule runs after)
             val anyNull = es.map(IsNull(_): Expression).reduce(Or)
             val framed = es.flatMap { e =>
-              val s = Cast(e, StringType)
+              val s = Cast(normalized(e), StringType)
               Seq(Cast(Length(s), StringType), Literal(":"), s)
             }
             val hash = If(anyNull, Literal.create(null, StringType),
