@@ -25,17 +25,32 @@ import graft.sources.Tables
   *     maintenance falls back to a full rebuild (the IVF corpus-stamp
   *     rule, `VectorOps.corpusStamp`, applied per-file so appends stay
   *     incremental).
-  *   - writes land sketches first, consumed-list second. A crash
-  *     between the two re-merges the same files on the next run — and
-  *     KMV union-resketch is IDEMPOTENT (re-adding hashes already in
-  *     the kept set changes nothing), so at-least-once maintenance is
-  *     exactly-once in effect. No transaction log needed.
+  *   - every maintenance writes a NEW generation dir (`gen-<n>/` with
+  *     `sketches/` partitioned by (event_type, d) and `consumed/`),
+  *     then commits it by creating `_COMMITTED` — a single atomic
+  *     create. Readers resolve the highest committed generation, so a
+  *     crash mid-write leaves an ignored partial dir and the PRIOR
+  *     generation intact (the r9 self-overwrite — reading the table
+  *     lazily from the very path being overwritten — is gone). The
+  *     prior generation is retained after commit; older ones are
+  *     swept.
+  *   - an append touches only the appended days: untouched (type, day)
+  *     partition dirs are COPIED byte-identical from the prior
+  *     generation (KB-scale), only touched partitions are re-sketched
+  *     and rewritten. Re-running after a crash re-merges the same
+  *     files — KMV union-resketch is IDEMPOTENT (re-adding hashes
+  *     already in the kept set changes nothing), so at-least-once
+  *     maintenance is exactly-once in effect. No transaction log.
+  *   - consumed-file membership is decided by ANTI-JOIN between the
+  *     current listing and the consumed parquet — the consumed history
+  *     is never collected to the driver; only the (append-scale) delta
+  *     of new file names is.
   *
   * The table lives under `spark.graft.kmv.tableDir` (default: a
   * per-corpus tmp path). [[filesScanned]] / [[fullRebuilds]] are the
   * spec observables (KmvMaintainSpec): a no-op maintenance must scan
-  * zero files; an append must scan only the appended files; a mutation
-  * must rebuild.
+  * zero files; an append must scan only the appended files and rewrite
+  * only the appended days' partitions; a mutation must rebuild.
   */
 object KmvTable {
 
@@ -65,35 +80,69 @@ object KmvTable {
       s.getModificationTime, s.getPath.toString)).sortBy(_.name)
   }
 
+  private val GenRe = "gen-(\\d+)".r
+
+  /** Highest generation number with a `_COMMITTED` marker, if any. */
+  private def latestCommitted(
+      fs: org.apache.hadoop.fs.FileSystem, root: String): Option[Long] = {
+    val rp = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(rp)) return None
+    fs.listStatus(rp).toSeq.collect {
+      case s if s.isDirectory => s.getPath.getName
+    }.collect { case GenRe(n)
+        if fs.exists(new org.apache.hadoop.fs.Path(s"$root/gen-$n/_COMMITTED")) =>
+      n.toLong
+    }.sorted.lastOption
+  }
+
+  /** Partitions this JVM's last maintenance REWROTE (vs copied forward
+    * from the prior generation) — spec observable for the touched-days
+    * posture. */
+  private[graft] val lastRewrittenPartitions =
+    new java.util.concurrent.atomic.AtomicReference[Set[String]](Set.empty)
+
   /** Bring the sketch table up to date with `dir`'s events feed and
     * return it: (event_type, d, ks sorted array<string> of ≤ k kept
-    * hashes). Scans only unconsumed part files; serialized per JVM (the
-    * table write is not concurrent-safe, and callers are the gate/bench
-    * harnesses). */
+    * hashes). Scans only unconsumed part files, rewrites only touched
+    * (type, day) partitions into a fresh committed generation;
+    * serialized per JVM (the table write is not concurrent-safe, and
+    * callers are the gate/bench harnesses). */
   def maintain(spark: SparkSession, dir: String): DataFrame = synchronized {
     val root = tableRoot(spark, dir)
-    val skPath = s"$root/sketches"
-    val cPath = s"$root/consumed"
-    val hp = new org.apache.hadoop.fs.Path(root)
-    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
     val parts = listParts(spark, dir)
-    val haveTable = fs.exists(new org.apache.hadoop.fs.Path(s"$skPath/_SUCCESS")) &&
-      fs.exists(new org.apache.hadoop.fs.Path(s"$cPath/_SUCCESS"))
-    val consumed: Set[(String, Long, Long)] =
-      if (haveTable)
-        spark.read.parquet(cPath).collect()
-          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
-      else Set.empty
-    val currentIds = parts.map(f => (f.name, f.len, f.mtime)).toSet
-    // mutation detector: every consumed identity must still be listed
-    val stale = !consumed.subsetOf(currentIds)
+    import spark.implicits._
+    val currentDf = parts.map(f => (f.name, f.len, f.mtime))
+      .toDF("name", "len", "mtime")
+    val curGen = latestCommitted(fs, root)
+    val genPath = (n: Long) => s"$root/gen-$n"
+    // mutation detector + delta, both by anti-join against the consumed
+    // parquet: the consumed HISTORY never lands on the driver — only the
+    // append-scale delta of new file names does
+    val (stale, newParts) = curGen match {
+      case None => (false, parts)
+      case Some(g) =>
+        val consumed = spark.read.parquet(s"${genPath(g)}/consumed")
+        val mutated = consumed
+          .join(currentDf, Seq("name", "len", "mtime"), "left_anti")
+          .limit(1).count() > 0
+        if (mutated) (true, parts)
+        else {
+          val newNames = currentDf
+            .join(consumed, Seq("name", "len", "mtime"), "left_anti")
+            .select(col("name")).as[String].collect().toSet
+          (false, parts.filter(f => newNames(f.name)))
+        }
+    }
     if (stale) fullRebuilds.incrementAndGet()
     val base: Option[DataFrame] =
-      if (haveTable && !stale) Some(spark.read.parquet(skPath)) else None
-    val newParts =
-      if (base.isDefined) parts.filterNot(f => consumed((f.name, f.len, f.mtime)))
-      else parts
-    if (newParts.isEmpty && base.isDefined) return base.get
+      if (curGen.isDefined && !stale)
+        Some(spark.read.parquet(s"${genPath(curGen.get)}/sketches"))
+      else None
+    def ordered(df: DataFrame): DataFrame =
+      df.select(col("event_type"), col("d"), col("ks"))
+    if (newParts.isEmpty && base.isDefined) return ordered(base.get)
     filesScanned.addAndGet(newParts.size)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val newDaily = Tables.normalizeEventsTs(
@@ -103,22 +152,67 @@ object KmvTable {
         md5(col("user_id").cast("string")).as("h"))
       .groupBy(col("event_type"), col("d"))
       .agg(graft.functions.KmvSketchAgg.kmvFull(spark, col("h"), K).as("ks"))
+    // touched (type, day) keys of THIS append — bounded by the append
+    // size (days × types), not the table; drives both the merge scope
+    // and the untouched-partition copy below
+    val touched: Set[(String, String)] = newDaily
+      .select(col("event_type"), col("d").cast("string")).distinct()
+      .as[(String, String)].collect().toSet
     val merged = base match {
       case None => newDaily
       case Some(b) =>
-        // union-and-resketch over the two KB-sized frames' kept sets
-        b.select(col("event_type"), col("d"), explode(col("ks")).as("h"))
+        // union-and-resketch over TOUCHED days only (two KB-sized kept
+        // sets); untouched days never enter the plan
+        val touchedKeys = touched.toSeq.toDF("event_type", "ds")
+          .select(col("event_type"), col("ds").cast("date").as("d"))
+        b.join(broadcast(touchedKeys), Seq("event_type", "d"), "left_semi")
+          .select(col("event_type"), col("d"), explode(col("ks")).as("h"))
           .unionByName(newDaily.select(col("event_type"), col("d"),
             explode(col("ks")).as("h")))
           .groupBy(col("event_type"), col("d"))
           .agg(graft.functions.KmvSketchAgg.kmvFull(spark, col("h"), K).as("ks"))
     }
-    // sketches first, consumed second: see the idempotency note above
-    merged.write.mode("overwrite").parquet(skPath)
-    import spark.implicits._
-    parts.map(f => (f.name, f.len, f.mtime)).toDF("name", "len", "mtime")
-      .coalesce(1).write.mode("overwrite").parquet(cPath)
-    spark.read.parquet(skPath)
+    // sweep uncommitted leftovers from a crashed run, then land the new
+    // generation: touched partitions written, untouched partitions
+    // COPIED byte-identical from the prior generation
+    val nextN = curGen.getOrElse(-1L) + 1
+    def sweepGens(pred: Long => Boolean): Unit = {
+      val rp = new org.apache.hadoop.fs.Path(root)
+      if (fs.exists(rp)) fs.listStatus(rp).toSeq.foreach { s =>
+        s.getPath.getName match {
+          case GenRe(n) if pred(n.toLong) => fs.delete(s.getPath, true)
+          case _ => ()
+        }
+      }
+    }
+    sweepGens(_ >= nextN)
+    val newSk = s"${genPath(nextN)}/sketches"
+    merged.write.mode("overwrite").partitionBy("event_type", "d").parquet(newSk)
+    lastRewrittenPartitions.set(touched.map { case (t, d) =>
+      s"event_type=$t/d=$d" })
+    if (base.isDefined && !stale) {
+      val prevSk = new org.apache.hadoop.fs.Path(
+        s"${genPath(curGen.get)}/sketches")
+      val touchedRel = lastRewrittenPartitions.get()
+      for {
+        et <- fs.listStatus(prevSk).toSeq
+        if et.isDirectory && et.getPath.getName.startsWith("event_type=")
+        dd <- fs.listStatus(et.getPath).toSeq
+        if dd.isDirectory && dd.getPath.getName.startsWith("d=")
+        rel = s"${et.getPath.getName}/${dd.getPath.getName}"
+        if !touchedRel(rel)
+      } org.apache.hadoop.fs.FileUtil.copy(fs, dd.getPath, fs,
+        new org.apache.hadoop.fs.Path(s"$newSk/$rel"), false, hconf)
+    }
+    currentDf.coalesce(1).write.mode("overwrite")
+      .parquet(s"${genPath(nextN)}/consumed")
+    // the COMMIT: one atomic create — readers switch generations here
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"${genPath(nextN)}/_COMMITTED"), false).close()
+    // retain exactly one prior generation (in-flight lazy readers of the
+    // previous table keep their files); sweep everything older
+    sweepGens(_ + 1 < nextN)
+    ordered(spark.read.parquet(newSk))
   }
 
   /** q151 — the maintained table as an oracled query: per (type, day)

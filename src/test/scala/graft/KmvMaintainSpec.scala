@@ -84,6 +84,55 @@ class KmvMaintainSpec extends SparkSpec {
     }
   }
 
+  test("append rewrites only appended days; untouched partitions byte-identical") {
+    import spark.implicits._
+    def ev(ids: Range, day: Int) = ids.map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"),
+        (i % 500).toLong, "click", 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = TempDirs.create("graft_kmv_gens")
+    val tbl = TempDirs.create("graft_kmv_gens_tbl")
+    spark.conf.set("spark.graft.kmv.tableDir", tbl)
+    try {
+      ev(1 to 800, 1).coalesce(1).write.parquet(s"$dir/events.parquet")
+      KmvTable.maintain(spark, dir).count() // gen-0
+      graft.streaming.EventsStream.landFeedFile(
+        ev(801 to 1600, 2), s"$dir/events.parquet", "append01")
+      KmvTable.maintain(spark, dir).count() // gen-1
+      // only the appended day's partition was re-sketched/rewritten
+      assert(KmvTable.lastRewrittenPartitions.get() ===
+        Set("event_type=click/d=2024-01-02"))
+      // the untouched day rode forward byte-identical (copied, not
+      // recomputed) — the IncrementalBronzeSpec assertion applied to
+      // the sketch table
+      def partBytes(gen: String): Seq[Seq[Byte]] = {
+        val d = new java.io.File(s"$tbl/$gen/sketches/event_type=click/d=2024-01-01")
+        assert(d.isDirectory, s"missing partition dir in $gen")
+        d.listFiles.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .map(f => java.nio.file.Files.readAllBytes(f.toPath).toSeq).toSeq
+      }
+      assert(partBytes("gen-1") === partBytes("gen-0"))
+      // commit protocol: both generations committed; the prior one is
+      // RETAINED (crash/laggy-reader safety)
+      assert(new java.io.File(s"$tbl/gen-0/_COMMITTED").exists)
+      assert(new java.io.File(s"$tbl/gen-1/_COMMITTED").exists)
+      // an uncommitted partial generation is invisible to readers and
+      // swept by the next maintenance write
+      new java.io.File(s"$tbl/gen-7/sketches").mkdirs()
+      val noop = KmvTable.maintain(spark, dir)
+      assert(noop.count() === 2) // still served from gen-1
+      graft.streaming.EventsStream.landFeedFile(
+        ev(1601 to 2000, 3), s"$dir/events.parquet", "append02")
+      KmvTable.maintain(spark, dir).count() // gen-2
+      assert(!new java.io.File(s"$tbl/gen-7").exists,
+        "uncommitted leftover must be swept")
+      assert(new java.io.File(s"$tbl/gen-2/_COMMITTED").exists)
+      assert(!new java.io.File(s"$tbl/gen-0").exists,
+        "generations older than the retained prior must be swept")
+      assert(new java.io.File(s"$tbl/gen-1").exists)
+    } finally spark.conf.unset("spark.graft.kmv.tableDir")
+  }
+
   test("corpus mutation forces a full rebuild, never a stale merge") {
     import spark.implicits._
     def ev(ids: Range, users: Int) = ids.map { i =>
