@@ -226,6 +226,19 @@ object KmvTable {
       .select(col("event_type"), col("d"),
         size(col("ks")).cast("long").as("n_kept"),
         element_at(col("ks"), size(col("ks"))).as("hk"))
+    if (!graft.operators.Layout.anchorsOn(spark)) {
+      // production shape: the maintained table IS the answer — no
+      // exact-anchor rescan of the feed (SketchAnchorsSpec pins that
+      // this plan never touches events.parquet when the table is fresh)
+      return t.withColumn("kmv_estimate",
+          when(col("n_kept") < K, col("n_kept").cast("double"))
+            .otherwise(lit((K - 1).toDouble) /
+              (expr("GREATEST(CAST(conv(substring(hk, 1, 12), 16, 10) AS BIGINT), 1)").cast("double")
+                / lit(281474976710656.0))))
+        .select(col("event_type"), col("d"), col("n_kept"), col("hk"),
+          col("kmv_estimate"))
+        .orderBy(col("event_type"), col("d"))
+    }
     val exact = Tables.events(spark, dir)
       .filter(col("user_id").isNotNull)
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))

@@ -414,6 +414,23 @@ object Layout {
   // ------------------------------------------------------------------
   private val KmvK = 64L
 
+  /** The gate's exact-anchor columns (count_distinct / self-join /
+    * key-join re-passes) exist so DuckDB can hash-verify the sketch
+    * estimates — they are ALSO the very cost the sketch layer exists to
+    * avoid at 100 TB. `spark.graft.sketch.anchors=false` switches
+    * q139/q146/q148/q151/q152/q157 to their PRODUCTION shape: the
+    * sketch path alone, no exact anchors, no rel_err columns (the
+    * saturation rule falls back to n_kept, which below saturation IS
+    * the exact count because the kept set is complete). The driver
+    * gate never sets the conf, so the anchored oracle queries are
+    * unchanged; RunOne rides the conf in as an arg for the side-by-side
+    * cost measurement (PLANS §r10), and SketchAnchorsSpec pins that the
+    * anchors-off rolling/maintenance/algebra queries never scan the
+    * events feed at all when the sketch table is fresh.
+    */
+  private[graft] def anchorsOn(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.sketch.anchors").forall(_.toBoolean)
+
   def q139KmvDistinct(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .filter(col("user_id").isNotNull)
@@ -424,6 +441,18 @@ object Layout {
       .agg(graft.functions.KmvSketchAgg.kmv(spark, col("h"), KmvK.toInt).as("s"))
       .select(col("event_type"),
         col("s.n_kept").cast("long").as("n_kept"), col("s.hk").as("hk"))
+    if (!anchorsOn(spark)) {
+      // production shape: ONE corpus pass (the sketch partial aggregate),
+      // estimate straight off the sketch — no count_distinct re-pass
+      return sk.withColumn("kmv_estimate",
+          when(col("n_kept") < KmvK, col("n_kept").cast("double"))
+            .otherwise(lit((KmvK - 1).toDouble) /
+              (expr("GREATEST(CAST(conv(substring(hk, 1, 12), 16, 10) AS BIGINT), 1)").cast("double")
+                / lit(281474976710656.0))))
+        .select(col("event_type"), col("n_kept"), lit(KmvK).as("kmv_k"),
+          col("kmv_estimate"))
+        .orderBy(col("event_type"))
+    }
     val exact = ev.groupBy(col("event_type")).agg(
       count(lit(1)).as("n_rows"),
       count_distinct(col("user_id")).as("n_distinct"))
@@ -510,6 +539,20 @@ object Layout {
         graft.functions.KmvSketchAgg.kmv(spark, col("h"), KmvK.toInt).as("s"))
       .select(col("event_type"), col("d"), col("n_days"),
         col("s.n_kept").cast("long").as("n_kept"), col("s.hk").as("hk"))
+    if (!anchorsOn(spark)) {
+      // production shape: every rolling window answered from the
+      // KB-sized maintained table — the events feed does not appear in
+      // this plan at all when the table is fresh (SketchAnchorsSpec
+      // pins the scan set)
+      return sk.withColumn("kmv_estimate",
+          when(col("n_kept") < KmvK, col("n_kept").cast("double"))
+            .otherwise(lit((KmvK - 1).toDouble) /
+              (expr("GREATEST(CAST(conv(substring(hk, 1, 12), 16, 10) AS BIGINT), 1)").cast("double")
+                / lit(281474976710656.0))))
+        .select(col("event_type"), col("d"), col("n_days"), col("n_kept"),
+          col("kmv_estimate"))
+        .orderBy(col("event_type"), col("d"))
+    }
     // exact anchor: the 7× fan-out re-scan the sketch path avoids
     val dh = ev.distinct()
     val exact = dh.select(col("event_type"), col("d")).distinct().as("t")
@@ -600,6 +643,40 @@ object Layout {
   // self-join-on-user the sketch path exists to avoid.
   // ------------------------------------------------------------------
   def q148KmvAlgebra(spark: SparkSession, dir: String): DataFrame = {
+    if (!anchorsOn(spark)) {
+      // production shape: per-type kept sets derived from the MAINTAINED
+      // daily table (min-k over the union of per-day kept sets == the
+      // type's true bottom-k, because every type-level bottom-k hash is
+      // in its day's bottom-k) — zero feed scans when the table is
+      // fresh, and the whole query is KB-sized sketch algebra
+      val kept = KmvTable.maintain(spark, dir)
+        .select(col("event_type"), explode(col("ks")).as("h"))
+        .groupBy(col("event_type"))
+        .agg(graft.functions.KmvSketchAgg.kmvFull(spark, col("h"), KmvK.toInt).as("ks"))
+      val pairs = kept.as("a").join(kept.as("b"),
+          col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+          col("a.ks").as("ka"), col("b.ks").as("kb"))
+        .withColumn("ku",
+          slice(array_sort(array_distinct(concat(col("ka"), col("kb")))), 1, KmvK.toInt))
+        .withColumn("n_kept", size(col("ku")).cast("long"))
+        .withColumn("uk", element_at(col("ku"), size(col("ku"))))
+        .withColumn("matches",
+          expr("CAST(size(filter(ku, h -> array_contains(ka, h) AND array_contains(kb, h))) AS BIGINT)"))
+      return pairs
+        .withColumn("union_est",
+          when(col("n_kept") < KmvK, col("n_kept").cast("double"))
+            .otherwise(lit((KmvK - 1).toDouble) /
+              (expr("GREATEST(CAST(conv(substring(uk, 1, 12), 16, 10) AS BIGINT), 1)").cast("double")
+                / lit(281474976710656.0))))
+        .withColumn("jaccard_est",
+          col("matches").cast("double") / col("n_kept").cast("double"))
+        .select(col("type_a"), col("type_b"), col("n_kept"), col("matches"),
+          col("union_est"),
+          (col("jaccard_est") * col("union_est")).as("inter_est"),
+          col("jaccard_est"))
+        .orderBy(col("type_a"), col("type_b"))
+    }
     val ev = Tables.events(spark, dir)
       .filter(col("user_id").isNotNull)
       .select(col("event_type"), col("user_id"))
@@ -834,6 +911,19 @@ object Layout {
       .createOrReplaceTempView("graft_q152_events")
     val sql = """SELECT event_type, count(DISTINCT user_id) AS n
                  FROM graft_q152_events GROUP BY event_type"""
+    if (!anchorsOn(spark)) {
+      // production shape: the approx mode ALONE — the exact
+      // COUNT(DISTINCT) run exists only as the gate's anchor.
+      // Materialized INSIDE the conf window (the rule reads the conf at
+      // optimization time, i.e. at the action), same as the anchored
+      // branch; grouped-rows scale.
+      spark.conf.set("spark.graft.approx.countDistinct", "true")
+      val rows = try spark.sql(sql).collect().toSeq
+        finally spark.conf.unset("spark.graft.approx.countDistinct")
+      import spark.implicits._
+      return rows.map(r => (r.getString(0), r.getLong(1)))
+        .toDF("event_type", "n_approx").orderBy(col("event_type"))
+    }
     val exact = spark.sql(sql).withColumnRenamed("n", "n_exact")
     spark.conf.set("spark.graft.approx.countDistinct", "true")
     val approxRows = try spark.sql(sql).collect().toSeq
@@ -1012,6 +1102,14 @@ object Layout {
               / lit(281474976710656.0)))) // 16^12
       .withColumn("join_est",
         col("union_est") / col("n_kept").cast("double") * col("psum").cast("double"))
+    if (!anchorsOn(spark)) {
+      // production shape: the synopsis alone — one corpus-scale count
+      // shuffle, then KB-sized estimation; the real key join (the
+      // anchor) never executes
+      return pairs.select(col("type_a"), col("type_b"), col("n_kept"),
+          col("matches"), col("psum"), col("union_est"), col("join_est"))
+        .orderBy(col("type_a"), col("type_b"))
+    }
     // exact anchor: the real key join the estimator avoids
     val exact = freq.as("x").join(freq.as("y"),
         col("x.h") === col("y.h") && col("x.event_type") < col("y.event_type"))

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.{KmvTable, Layout}
+
+/** `spark.graft.sketch.anchors=false` — the PRODUCTION shape of the
+  * sketch family (r9 verdict #1): the exact-anchor columns exist only
+  * so the DuckDB gate can hash-verify the estimates, and the anchors-off
+  * mode must (a) drop exactly those columns, (b) leave every sketch
+  * estimate IDENTICAL to the anchored run's (same kept sets → same
+  * estimator values), and (c) for the table-served queries
+  * (q146/q148/q151) never scan the events feed at all when the
+  * maintained sketch table is fresh — the "one pass EVER" posture as a
+  * plan pin, not prose.
+  */
+class SketchAnchorsSpec extends SparkSpec {
+
+  private val AnchorCols = Set("n_rows", "n_distinct", "n_exact", "rel_err",
+    "n_a", "n_b", "n_inter", "n_union", "jaccard_exact", "union_rel_err",
+    "n_join_exact", "n_exact")
+
+  private def anchorsOff[T](f: => T): T = {
+    spark.conf.set("spark.graft.sketch.anchors", "false")
+    try f finally spark.conf.unset("spark.graft.sketch.anchors")
+  }
+
+  private def withTableDir[T](f: => T): T = {
+    spark.conf.set("spark.graft.kmv.tableDir", TempDirs.create("graft_anch_tbl"))
+    try f finally spark.conf.unset("spark.graft.kmv.tableDir")
+  }
+
+  /** Every file-source root path in the OPTIMIZED logical plan — the
+    * physical plan is AQE-wrapped (AdaptiveSparkPlanExec has no
+    * children), which would make a collectLeaves-based pin vacuously
+    * pass; the logical relations are what the scan set actually is.
+    */
+  private def scanPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+
+  private def estMap(df: DataFrame, est: String, keys: String*) =
+    df.collect().map { r =>
+      keys.map(k => r.get(r.fieldIndex(k)).toString).mkString("|") ->
+        r.getDouble(r.fieldIndex(est))
+    }.toMap
+
+  test("q139/q152: anchors-off drops exact columns, estimates identical") {
+    val on = Layout.q139KmvDistinct(spark, Sf)
+    val off = anchorsOff(Layout.q139KmvDistinct(spark, Sf))
+    assert(off.columns.toSet.intersect(AnchorCols) === Set.empty)
+    assert(estMap(off, "kmv_estimate", "event_type") ===
+      estMap(on, "kmv_estimate", "event_type"))
+
+    val on152 = Layout.q152ApproxRewrite(spark, Sf).collect()
+      .map(r => r.getString(0) -> r.getLong(r.fieldIndex("n_approx"))).toMap
+    val off152 = anchorsOff(Layout.q152ApproxRewrite(spark, Sf)).collect()
+      .map(r => r.getString(0) -> r.getLong(r.fieldIndex("n_approx"))).toMap
+    assert(off152 === on152)
+  }
+
+  test("q146/q151/q148: fresh table => no events scan, estimates identical") {
+    withTableDir {
+      // prime the maintained table (this pass scans the feed — once)
+      KmvTable.maintain(spark, Sf).count()
+      val before = KmvTable.filesScanned.get()
+
+      val on146 = Layout.q146KmvRolling(spark, Sf)
+      val on151 = KmvTable.q151KmvMaintain(spark, Sf)
+      val on148 = Layout.q148KmvAlgebra(spark, Sf)
+      val (off146, off151, off148) = anchorsOff {
+        (Layout.q146KmvRolling(spark, Sf),
+         KmvTable.q151KmvMaintain(spark, Sf),
+         Layout.q148KmvAlgebra(spark, Sf))
+      }
+      assert(KmvTable.filesScanned.get() === before,
+        "maintenance against a fresh table must scan zero feed files")
+
+      // the plan pin: anchors-off table-served queries read ONLY the
+      // sketch table — the events feed appears nowhere in their scans
+      Seq("q146" -> off146, "q151" -> off151, "q148" -> off148).foreach {
+        case (name, df) =>
+          val feed = scanPaths(df).filter(_.contains("events.parquet"))
+          assert(feed.isEmpty, s"$name anchors-off plan scans the feed: $feed")
+          assert(df.columns.toSet.intersect(AnchorCols) === Set.empty)
+      }
+      // anchored runs DO scan the feed (the anchor is the cost)
+      assert(scanPaths(on146).exists(_.contains("events.parquet")))
+
+      // estimator parity: same kept sets, same values
+      assert(estMap(off146, "kmv_estimate", "event_type", "d") ===
+        estMap(on146, "kmv_estimate", "event_type", "d"))
+      assert(estMap(off151, "kmv_estimate", "event_type", "d") ===
+        estMap(on151, "kmv_estimate", "event_type", "d"))
+      assert(estMap(off148, "union_est", "type_a", "type_b") ===
+        estMap(on148, "union_est", "type_a", "type_b"))
+      assert(estMap(off148, "jaccard_est", "type_a", "type_b") ===
+        estMap(on148, "jaccard_est", "type_a", "type_b"))
+    }
+  }
+
+  test("q157: anchors-off drops the key join, join_est identical") {
+    val on = Layout.q157JoinSizeEst(spark, Sf)
+    val off = anchorsOff(Layout.q157JoinSizeEst(spark, Sf))
+    assert(off.columns.toSet.intersect(AnchorCols) === Set.empty)
+    assert(estMap(off, "join_est", "type_a", "type_b") ===
+      estMap(on, "join_est", "type_a", "type_b"))
+  }
+}
