@@ -43,6 +43,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the experimental.extraOptimizations path plain sessions use.
     ext.injectPostHocResolutionRule(_ => graft.plans.ApproxDistinctRewrite)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
+    // opt-in synopsis-driven broadcast: a join side whose registered
+    // sketch-estimated cardinality is under the threshold gets the
+    // BROADCAST hint (post-hoc resolution — SubqueryAlias names are
+    // erased before the optimizer phase). Off by default.
+    ext.injectPostHocResolutionRule(_ => graft.plans.SketchBroadcastHint)
   }
 }
 

@@ -1125,7 +1125,9 @@ object Layout {
       .orderBy(col("type_a"), col("type_b"))
   }
 
-  val q157Sql: String =
+  /** q157's CTE chain, shared with q158 (which ranks the same
+    * estimates into an order decision). */
+  private val q157Ctes: String =
     """WITH e AS (
       |  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h
       |  FROM events WHERE user_id IS NOT NULL),
@@ -1170,8 +1172,10 @@ object Layout {
       |        (CAST(GREATEST(CAST(CAST(('0x' || substring(sk.uk, 1, 12)) AS UBIGINT)
       |           AS BIGINT), 1) AS DOUBLE) / 281474976710656.0) END AS union_est
       |  FROM sk LEFT JOIN ex
-      |    ON ex.type_a = sk.type_a AND ex.type_b = sk.type_b)
-      |SELECT type_a, type_b, CAST(n_join_exact AS BIGINT) AS n_join_exact,
+      |    ON ex.type_a = sk.type_a AND ex.type_b = sk.type_b)""".stripMargin
+
+  val q157Sql: String = q157Ctes + "\n" +
+    """SELECT type_a, type_b, CAST(n_join_exact AS BIGINT) AS n_join_exact,
       |  CAST(n_kept AS BIGINT) AS n_kept, CAST(matches AS BIGINT) AS matches,
       |  CAST(psum AS BIGINT) AS psum, union_est,
       |  union_est / CAST(n_kept AS DOUBLE) * CAST(psum AS DOUBLE) AS join_est,
@@ -1179,6 +1183,60 @@ object Layout {
       |    - CAST(n_join_exact AS DOUBLE)) / CAST(n_join_exact AS DOUBLE)
       |    AS rel_err
       |FROM j ORDER BY type_a, type_b""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q158 — THE SYNOPSIS CONSUMED: the q157 join-size estimates turned
+  // into the decision a cost-based planner actually makes — WHICH JOIN
+  // RUNS FIRST. Every candidate pair is ranked by its sketch-estimated
+  // join size and, as the gate's anchor, by its true join size; the
+  // oracled claim is rank parity (order_agrees): the KB-sized synopsis
+  // picks the same schedule the exact sizes would, without executing
+  // any join. The rank windows run over the pairs frame (types², KB) —
+  // driver-scale planner work, exactly where a synopsis lives.
+  // SynopsisCboSpec extends the claim off-corpus: parity with Spark's
+  // ANALYZE-stats CBO order on a 3-table chain, superiority under
+  // frequency skew that NDV-uniform stats provably cannot see, and
+  // graft.plans.SketchBroadcastHint turning a registered synopsis
+  // estimate into an automatic BROADCAST hint.
+  // ------------------------------------------------------------------
+  def q158SynopsisOrder(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = q157JoinSizeEst(spark, dir)
+    val wEst = Window.orderBy(col("join_est").asc, col("type_a").asc,
+      col("type_b").asc)
+    if (!anchorsOn(spark)) {
+      // production shape: the schedule alone, from the synopsis alone
+      return base.withColumn("est_rank", row_number().over(wEst))
+        .select(col("type_a"), col("type_b"), col("join_est"),
+          col("est_rank"))
+        .orderBy(col("type_a"), col("type_b"))
+    }
+    val wExact = Window.orderBy(col("n_join_exact").asc, col("type_a").asc,
+      col("type_b").asc)
+    base.withColumn("est_rank", row_number().over(wEst))
+      .withColumn("exact_rank", row_number().over(wExact))
+      .select(col("type_a"), col("type_b"), col("join_est"),
+        col("n_join_exact"), col("est_rank"), col("exact_rank"),
+        (col("est_rank") === col("exact_rank")).as("order_agrees"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val q158Sql: String = q157Ctes + "\n" +
+    """, fin AS (
+      |  SELECT type_a, type_b,
+      |    union_est / CAST(n_kept AS DOUBLE) * CAST(psum AS DOUBLE)
+      |      AS join_est,
+      |    CAST(n_join_exact AS BIGINT) AS n_join_exact
+      |  FROM j)
+      |SELECT type_a, type_b, join_est, n_join_exact,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY join_est, type_a, type_b) AS INT)
+      |    AS est_rank,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY n_join_exact, type_a, type_b) AS INT)
+      |    AS exact_rank,
+      |  (ROW_NUMBER() OVER (ORDER BY join_est, type_a, type_b) =
+      |   ROW_NUMBER() OVER (ORDER BY n_join_exact, type_a, type_b))
+      |    AS order_agrees
+      |FROM fin ORDER BY type_a, type_b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_zorder_layout" -> (q99ZorderLayout _),
@@ -1195,6 +1253,7 @@ object Layout {
     "q152_approx_rewrite" -> (q152ApproxRewrite _),
     "q154_threshold_sample" -> (q154ThresholdSample _),
     "q157_join_size_est" -> (q157JoinSizeEst _),
+    "q158_synopsis_order" -> (q158SynopsisOrder _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1212,5 +1271,6 @@ object Layout {
     "q152_approx_rewrite" -> q152Sql,
     "q154_threshold_sample" -> q154Sql,
     "q157_join_size_est" -> q157Sql,
+    "q158_synopsis_order" -> q158Sql,
   )
 }

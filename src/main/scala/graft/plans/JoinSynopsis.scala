@@ -1,0 +1,113 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The q157 join synopsis CONSUMED as planner metadata (r9 verdict #2).
+  *
+  * [[KeySynopsis]] is the driver-side form of the frequency-annotated
+  * bottom-k sketch (join synopses, Acharya et al. 1999 — the reference
+  * for q157, `Layout.scala` q157JoinSizeEst): per (table, join key) the
+  * k smallest md5 hashes of the distinct keys, each with its exact
+  * frequency. It is KB-sized BY CONSTRUCTION — synopses are planner
+  * statistics, the one kind of data a distributed engine is supposed to
+  * hold on the driver (exactly where ANALYZE's rowCount/NDV live).
+  *
+  * What it buys over ANALYZE statistics: Spark's cost model estimates a
+  * join as |A|·|B| / max(ndv_A, ndv_B) — a UNIFORM-frequency assumption
+  * that cannot tell a dimension aligned with the fact's hot keys from
+  * one aligned with its cold keys (SynopsisCboSpec constructs two dims
+  * with identical rows/NDV whose true join sizes differ by ~40× and
+  * pins that CBO's rowCount estimates are equal while the synopsis
+  * ranks them correctly). The estimator is q157's: Σ f_A·f_B over
+  * matched kept keys, scaled by union Ĥ / |kept union|; saturated
+  * synopses (key union under k) are EXACT.
+  *
+  * Consumers:
+  *  - [[JoinSynopsis.joinEst]] → greedy join-order choice
+  *    ([[JoinSynopsis.cheapestJoinFirst]]), spec-pinned against the
+  *    ANALYZE-stats CBO order on the q-chain CboReorderSpec uses;
+  *  - [[SynopsisCatalog]] + [[SketchBroadcastHint]] → an automatic
+  *    broadcast hint when a side's synopsis-estimated cardinality is
+  *    under `spark.graft.synopsis.broadcastMaxRows`.
+  */
+final case class KeySynopsis(
+    name: String,
+    rows: Long,
+    k: Int,
+    /** kept md5 hashes (the bottom-k of the key's distinct hash set),
+      * ascending, each with its exact key frequency. */
+    kept: Vector[(String, Long)]) {
+
+  def nKept: Int = kept.size
+
+  /** Distinct-key estimate: exact below saturation, (k−1)/u_k above. */
+  def distinctEst: Double =
+    if (nKept < k) nKept.toDouble
+    else (k - 1).toDouble / JoinSynopsis.unit(kept.last._1)
+}
+
+object JoinSynopsis {
+
+  val K = 64
+
+  /** First 48 hash bits mapped to (0, 1], zero-guarded like every other
+    * estimator in the family. */
+  private[plans] def unit(hexHash: String): Double =
+    math.max(java.lang.Long.parseLong(hexHash.substring(0, 12), 16), 1L)
+      .toDouble / 281474976710656.0 // 16^12
+
+  /** One corpus pass: per-key frequencies, then the bottom-k kept set
+    * with frequencies attached. The collected result is ≤ k rows. */
+  def build(name: String, df: DataFrame, key: Column, k: Int = K): KeySynopsis = {
+    val freq = df.select(md5(key.cast("string")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("c"))
+    val total = df.count()
+    val keptRows = freq.orderBy(col("h")).limit(k)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toVector
+    KeySynopsis(name, total, k, keptRows)
+  }
+
+  /** |A ⋈_key B| from the two synopses alone — q157's estimator:
+    * bottom-k of the kept-set union, Σ f_A·f_B over keys kept by BOTH
+    * (downward-closed, so a union-kept hash is in a side's kept set iff
+    * the side contains the key), scaled by union Ĥ / |union kept|. */
+  def joinEst(a: KeySynopsis, b: KeySynopsis): Double = {
+    require(a.k == b.k, "synopses must share k")
+    val ka = a.kept.map(_._1).toSet
+    val kb = b.kept.map(_._1).toSet
+    val ku = (ka ++ kb).toVector.sorted.take(a.k)
+    if (ku.isEmpty) return 0.0
+    val fa = a.kept.toMap
+    val fb = b.kept.toMap
+    val psum = ku.iterator.collect {
+      case h if ka(h) && kb(h) => fa(h) * fb(h)
+    }.sum
+    val unionEst =
+      if (ku.size < a.k) ku.size.toDouble
+      else (a.k - 1).toDouble / unit(ku.last)
+    unionEst / ku.size.toDouble * psum.toDouble
+  }
+
+  /** Greedy first-join choice for a fact joined against candidate
+    * dimensions on (possibly different) keys: the candidate with the
+    * smallest synopsis-estimated join size runs first. Returns
+    * candidates sorted cheapest-first. */
+  def cheapestJoinFirst(
+      candidates: Seq[(KeySynopsis, KeySynopsis)]): Seq[((KeySynopsis, KeySynopsis), Double)] =
+    candidates.map(c => c -> joinEst(c._1, c._2))
+      .sortBy { case ((a, b), est) => (est, a.name, b.name) }
+}
+
+/** Session-shared registry of synopsis-estimated cardinalities, the
+  * hand-off point between a built [[KeySynopsis]] and the planner rule
+  * ([[SketchBroadcastHint]]). Names are matched against SubqueryAlias
+  * identifiers in the analyzed plan (temp view / `.as(...)` names).
+  */
+object SynopsisCatalog {
+  private val est = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  def register(name: String, estimatedRows: Long): Unit = { est.put(name, estimatedRows); () }
+  def register(s: KeySynopsis): Unit = register(s.name, math.round(s.distinctEst))
+  def lookup(name: String): Option[Long] = Option(est.get(name))
+  def clear(): Unit = est.clear()
+}

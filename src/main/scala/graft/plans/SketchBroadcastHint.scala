@@ -1,0 +1,73 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, HintInfo, Join, JoinHint, LogicalPlan, ResolvedHint, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** The join synopsis making an ACTUAL planning decision (r9 verdict
+  * #2's stretch goal): under
+  *
+  * {{{ spark.graft.synopsis.autoBroadcast = true }}}
+  *
+  * any join side whose [[SynopsisCatalog]]-registered sketch-estimated
+  * cardinality is at most `spark.graft.synopsis.broadcastMaxRows`
+  * (default 100000) gets a BROADCAST hint — the same decision Spark
+  * makes from `sizeInBytes` statistics, here driven by the KMV
+  * synopsis, so it fires even where file-size stats are useless
+  * (post-filter/post-aggregate subtrees, fresh temp views with no
+  * ANALYZE). Injected at post-hoc resolution: SubqueryAlias nodes (the
+  * names the catalog keys on) are still present in the analyzed plan —
+  * the optimizer erases them before any optimizer-phase rule could
+  * look. Spark's own EliminateResolvedHint then folds the injected
+  * hint into the Join as usual, so downstream planning is exactly the
+  * user-written-broadcast() path. Sides already hinted are left alone;
+  * when both sides qualify, the smaller estimate wins (broadcasting
+  * both would be wrong). Off by default — no query changes modes
+  * unless a session opts in (the q152 conf-switch convention).
+  */
+object SketchBroadcastHint extends Rule[LogicalPlan] {
+
+  private val Flag = "spark.graft.synopsis.autoBroadcast"
+  private val MaxRowsFlag = "spark.graft.synopsis.broadcastMaxRows"
+
+  private def enabled: Boolean =
+    conf.getConfString(Flag, "false").equalsIgnoreCase("true")
+  private def maxRows: Long = {
+    val v = conf.getConfString(MaxRowsFlag, "100000")
+    try v.toLong catch { case _: NumberFormatException => 100000L }
+  }
+
+  /** Registered estimate for a side: walk the alias chain outside-in —
+    * `FROM syn_dim d` analyzes to SubqueryAlias(d, SubqueryAlias(
+    * syn_dim, View(...))), and the synopsis may be keyed on either name
+    * (outermost match wins). Only alias/view wrappers are traversed:
+    * anything that can change cardinality (Filter, Aggregate, …) makes
+    * the registered table-level estimate inapplicable. Already-hinted
+    * sides are left alone. */
+  private def lookupAlias(p: LogicalPlan): Option[Long] = p match {
+    case a: SubqueryAlias =>
+      SynopsisCatalog.lookup(a.alias).orElse(lookupAlias(a.child))
+    case v: org.apache.spark.sql.catalyst.plans.logical.View =>
+      lookupAlias(v.child)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    val cap = maxRows
+    plan transformUp {
+      case j @ Join(l, r, _, _, JoinHint.NONE) =>
+        def estOf(side: LogicalPlan): Option[Long] =
+          lookupAlias(side).filter(_ <= cap)
+        (estOf(l), estOf(r)) match {
+          case (Some(le), Some(re)) =>
+            if (re <= le) j.copy(right = ResolvedHint(r, HintInfo(strategy = Some(BROADCAST))))
+            else j.copy(left = ResolvedHint(l, HintInfo(strategy = Some(BROADCAST))))
+          case (None, Some(_)) =>
+            j.copy(right = ResolvedHint(r, HintInfo(strategy = Some(BROADCAST))))
+          case (Some(_), None) =>
+            j.copy(left = ResolvedHint(l, HintInfo(strategy = Some(BROADCAST))))
+          case _ => j
+        }
+    }
+  }
+}
