@@ -98,6 +98,12 @@ object GraftExtensions {
         require(args.length == 2, "graft_kmv_full(hash, k)")
         graft.functions.KmvSketch(args.head, litInt(args(1), "kmv k"), full = true)
       }),
+    (FunctionIdentifier("graft_quantile_sketch"),
+      info("graft_quantile_sketch", "graft_quantile_sketch(hash, value, k) - bottom-k-by-hash uniform value sample as array<struct<h, v>> for quantile estimation"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_quantile_sketch(hash, value, k)")
+        graft.functions.QuantileSketch(args(0), args(1), litInt(args(2), "quantile-sketch k"))
+      }),
     (FunctionIdentifier("graft_priority_sample"),
       info("graft_priority_sample", "graft_priority_sample(item, weight, priority, k) - top-k-by-priority weighted sample as array<struct<item, w, priority>>"),
       (args: Seq[Expression]) => {

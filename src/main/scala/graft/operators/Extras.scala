@@ -414,9 +414,108 @@ object Extras {
       |WHERE r.rnk <= 16
       |ORDER BY event_type, rnk""".stripMargin
 
+  /** q160 — STREAMING QUANTILES from the bounded value sample
+    * ([[EventsStream.quantileWindowAgg]], k = 64): the stream's final
+    * per-(hourly window, type) kept samples post-processed exactly like
+    * the batch q159 — quantile = element at ⌈p·m⌉ of the kept values
+    * ordered (value, hash) — and joined with the batch exact anchor
+    * (the full per-group sort that streaming state could never hold).
+    * State is one O(k) row per group (QuantileSpec asserts rows ==
+    * groups); saturated groups are exact at every p.
+    */
+  def q160StreamQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val qsPs = Seq(0.25, 0.5, 0.75, 0.9)
+    val streamed = EventsStream.runQuantileWindowOnce(spark, dir,
+      s"stream_qsketch_${counter.incrementAndGet()}")
+      .select(col("window_start"), col("event_type"),
+        size(col("smp")).cast("long").as("n_kept"),
+        array_sort(expr("transform(smp, s -> struct(s.v AS v, s.h AS h))"))
+          .as("byv"))
+    val est = streamed.select(col("window_start"), col("event_type"),
+        col("n_kept"), explode(array(qsPs.map(lit): _*)).as("p"), col("byv"))
+      .withColumn("q_est",
+        element_at(col("byv"),
+          ceil(col("p") * col("n_kept").cast("double")).cast("int"))
+          .getField("v"))
+      .drop("byv")
+    val base = graft.sources.Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(date_trunc("hour", col("ts")).as("window_start"),
+        col("event_type"), md5(col("event_id").cast("string")).as("h"),
+        (col("value").cast("decimal(18,2)") * lit(100)).cast("long").as("v"))
+    import org.apache.spark.sql.expressions.Window
+    val wv = Window.partitionBy(col("window_start"), col("event_type"))
+      .orderBy(col("v"), col("h"))
+    val ranked = base.withColumn("vr", row_number().over(wv))
+    val targets = base.groupBy(col("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col("window_start"), col("event_type"), col("n_rows"),
+        explode(array(qsPs.map(lit): _*)).as("p"))
+      .withColumn("vr",
+        ceil(col("p") * col("n_rows").cast("double")).cast("int"))
+    val exact = ranked
+      .join(targets, Seq("window_start", "event_type", "vr"))
+      .select(col("window_start"), col("event_type"), col("p"),
+        col("n_rows"), col("v").as("q_exact"))
+    est.join(exact, Seq("window_start", "event_type", "p"))
+      .select(col("window_start"), col("event_type"), col("p"),
+        col("n_rows"), col("n_kept"), col("q_est"), col("q_exact"),
+        ((col("q_est") - col("q_exact")).cast("double")
+          / col("q_exact").cast("double")).as("rel_err"))
+      .orderBy(col("window_start"), col("event_type"), col("p"))
+  }
+
+  val q160Sql: String =
+    """WITH e AS (
+      |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+      |    event_type, md5(CAST(event_id AS VARCHAR)) AS h,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |r AS (
+      |  SELECT window_start, event_type, h, v, ROW_NUMBER() OVER (
+      |    PARTITION BY window_start, event_type ORDER BY h) AS rn FROM e),
+      |smp AS (SELECT window_start, event_type, h, v FROM r WHERE rn <= 64),
+      |sn AS (SELECT window_start, event_type, COUNT(*) AS n_kept
+      |  FROM smp GROUP BY 1, 2),
+      |sv AS (
+      |  SELECT window_start, event_type, v, ROW_NUMBER() OVER (
+      |    PARTITION BY window_start, event_type ORDER BY v, h) AS vr
+      |  FROM smp),
+      |ps AS (SELECT CAST(UNNEST([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS p),
+      |est AS (
+      |  SELECT sv.window_start, sv.event_type, ps.p, sn.n_kept,
+      |    sv.v AS q_est
+      |  FROM sv JOIN sn ON sv.window_start = sn.window_start
+      |    AND sv.event_type = sn.event_type
+      |    JOIN ps ON sv.vr =
+      |      CAST(CEIL(ps.p * CAST(sn.n_kept AS DOUBLE)) AS BIGINT)),
+      |xc AS (SELECT window_start, event_type, COUNT(*) AS n_rows
+      |  FROM e GROUP BY 1, 2),
+      |xr AS (
+      |  SELECT window_start, event_type, v, ROW_NUMBER() OVER (
+      |    PARTITION BY window_start, event_type ORDER BY v, h) AS vr
+      |  FROM e),
+      |ex AS (
+      |  SELECT xr.window_start, xr.event_type, ps.p, xc.n_rows,
+      |    xr.v AS q_exact
+      |  FROM xr JOIN xc ON xr.window_start = xc.window_start
+      |    AND xr.event_type = xc.event_type
+      |    JOIN ps ON xr.vr =
+      |      CAST(CEIL(ps.p * CAST(xc.n_rows AS DOUBLE)) AS BIGINT))
+      |SELECT est.window_start AS window_start, est.event_type AS event_type,
+      |  est.p AS p, CAST(ex.n_rows AS BIGINT) AS n_rows,
+      |  CAST(est.n_kept AS BIGINT) AS n_kept, est.q_est, ex.q_exact,
+      |  CAST(est.q_est - ex.q_exact AS DOUBLE) / CAST(ex.q_exact AS DOUBLE)
+      |    AS rel_err
+      |FROM est JOIN ex
+      |  ON est.window_start = ex.window_start
+      |  AND est.event_type = ex.event_type AND est.p = ex.p
+      |ORDER BY window_start, event_type, p""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_stream_psample"     -> (q153StreamPsample _),
     "q150_stream_kmv"         -> (q150StreamKmv _),
+    "q160_stream_quantile"    -> (q160StreamQuantile _),
     "q51_stream_window"       -> (q51StreamWindow _),
     "q52_multimodal_meta"     -> (q52MultimodalMeta _),
     "q53_multimodal_features" -> (q53MultimodalFeatures _),
@@ -440,6 +539,7 @@ object Extras {
   val oracleSql: Map[String, String] = Map(
     "q153_stream_psample"     -> q153Sql,
     "q150_stream_kmv"         -> q150Sql,
+    "q160_stream_quantile"    -> q160Sql,
     "q51_stream_window"       -> q51Sql,
     "q52_multimodal_meta"     -> MultimodalOps.q52Sql,
     "q53_multimodal_features" -> q53Sql,

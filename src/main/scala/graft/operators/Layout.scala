@@ -1238,6 +1238,116 @@ object Layout {
       |    AS order_agrees
       |FROM fin ORDER BY type_a, type_b""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q159 — QUANTILE SKETCH (the bounded-aggregate contract's quantile
+  // member, r9 verdict #3): per event type, the p ∈ {.25, .5, .75, .9}
+  // quantiles of the value (exact cents) estimated from a bottom-k-by-
+  // md5(event_id) UNIFORM row sample with values attached
+  // ([[graft.functions.QuantileSketch]], k = 256) — the KMV trick
+  // applied to rank estimation. The kept rows are a uniform without-
+  // replacement sample (equal Horvitz-Thompson weights), so the
+  // estimate is the kept values' empirical quantile: the value at
+  // position ⌈p·m⌉ ordered by (value, hash) — ELEMENT SELECTION, no
+  // float arithmetic, hence deterministic and hash-verifiable
+  // cross-engine, which t-digest/KLL (merge-order-dependent float
+  // centroids) can never be. Saturated groups (< k rows) are exact at
+  // every p. Rank error ~1/√k ≈ 6%. The exact anchor pays the full
+  // per-group sort (the oracle's window-rank formulation) that the
+  // O(k) sketch exists to avoid; the profiling pass (q100/q107) gets
+  // its bounded-memory quantiles from the same aggregate. Streaming
+  // form: q160 (one state row per group); table/merge forms inherit
+  // from the shared contract (QuantileSpec pins associativity and the
+  // exchange bound exactly as KmvSpec does for q139).
+  // ------------------------------------------------------------------
+  private val QsK = 256
+  private val QsPs = Seq(0.25, 0.5, 0.75, 0.9)
+
+  def q159QuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        md5(col("event_id").cast("string")).as("h"),
+        (col("value").cast("decimal(18,2)") * lit(100)).cast("long").as("v"))
+    val sk = base.groupBy(col("event_type"))
+      .agg(graft.functions.QuantileSketchAgg.qsketch(
+        spark, col("h"), col("v"), QsK).as("smp"))
+      .select(col("event_type"), size(col("smp")).cast("long").as("n_kept"),
+        // re-key the kept sample by (value, hash): quantile extraction
+        // is element selection in THIS order, both engines
+        array_sort(expr("transform(smp, s -> struct(s.v AS v, s.h AS h))"))
+          .as("byv"))
+    val est = sk.select(col("event_type"), col("n_kept"),
+        explode(array(QsPs.map(lit): _*)).as("p"), col("byv"))
+      .withColumn("q_est",
+        element_at(col("byv"),
+          ceil(col("p") * col("n_kept").cast("double")).cast("int"))
+          .getField("v"))
+      .drop("byv")
+    if (!anchorsOn(spark)) {
+      // production shape: one corpus pass (the bounded sketch partial
+      // aggregate), quantiles off the O(k) sample — no full sort
+      return est.select(col("event_type"), col("p"), col("n_kept"),
+          col("q_est"))
+        .orderBy(col("event_type"), col("p"))
+    }
+    // exact anchor: the full per-group (value, hash) sort + rank pick
+    import org.apache.spark.sql.expressions.Window
+    val wv = Window.partitionBy(col("event_type")).orderBy(col("v"), col("h"))
+    val ranked = base.withColumn("vr", row_number().over(wv))
+    val targets = base.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col("event_type"), col("n_rows"),
+        explode(array(QsPs.map(lit): _*)).as("p"))
+      .withColumn("vr",
+        ceil(col("p") * col("n_rows").cast("double")).cast("int"))
+    val exact = ranked.join(broadcast(targets), Seq("event_type", "vr"))
+      .select(col("event_type"), col("p"), col("n_rows"),
+        col("v").as("q_exact"))
+    est.join(exact, Seq("event_type", "p"))
+      .select(col("event_type"), col("p"), col("n_rows"), col("n_kept"),
+        col("q_est"), col("q_exact"),
+        ((col("q_est") - col("q_exact")).cast("double")
+          / col("q_exact").cast("double")).as("rel_err"))
+      .orderBy(col("event_type"), col("p"))
+  }
+
+  val q159Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, md5(CAST(event_id AS VARCHAR)) AS h,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |r AS (
+      |  SELECT event_type, h, v, ROW_NUMBER() OVER (
+      |    PARTITION BY event_type ORDER BY h) AS rn FROM e),
+      |smp AS (SELECT event_type, h, v FROM r WHERE rn <= 256),
+      |sn AS (SELECT event_type, COUNT(*) AS n_kept FROM smp GROUP BY 1),
+      |sv AS (
+      |  SELECT event_type, v, ROW_NUMBER() OVER (
+      |    PARTITION BY event_type ORDER BY v, h) AS vr FROM smp),
+      |ps AS (SELECT CAST(UNNEST([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS p),
+      |est AS (
+      |  SELECT sv.event_type, ps.p, sn.n_kept, sv.v AS q_est
+      |  FROM sv JOIN sn ON sv.event_type = sn.event_type
+      |    JOIN ps ON sv.vr =
+      |      CAST(CEIL(ps.p * CAST(sn.n_kept AS DOUBLE)) AS BIGINT)),
+      |xc AS (SELECT event_type, COUNT(*) AS n_rows FROM e GROUP BY 1),
+      |xr AS (
+      |  SELECT event_type, v, ROW_NUMBER() OVER (
+      |    PARTITION BY event_type ORDER BY v, h) AS vr FROM e),
+      |ex AS (
+      |  SELECT xr.event_type, ps.p, xc.n_rows, xr.v AS q_exact
+      |  FROM xr JOIN xc ON xr.event_type = xc.event_type
+      |    JOIN ps ON xr.vr =
+      |      CAST(CEIL(ps.p * CAST(xc.n_rows AS DOUBLE)) AS BIGINT))
+      |SELECT est.event_type AS event_type, est.p AS p,
+      |  CAST(ex.n_rows AS BIGINT) AS n_rows,
+      |  CAST(est.n_kept AS BIGINT) AS n_kept, est.q_est, ex.q_exact,
+      |  CAST(est.q_est - ex.q_exact AS DOUBLE) / CAST(ex.q_exact AS DOUBLE)
+      |    AS rel_err
+      |FROM est JOIN ex
+      |  ON est.event_type = ex.event_type AND est.p = ex.p
+      |ORDER BY event_type, p""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_zorder_layout" -> (q99ZorderLayout _),
     "q100_profile"      -> (q100Profile _),
@@ -1254,6 +1364,7 @@ object Layout {
     "q154_threshold_sample" -> (q154ThresholdSample _),
     "q157_join_size_est" -> (q157JoinSizeEst _),
     "q158_synopsis_order" -> (q158SynopsisOrder _),
+    "q159_quantile_sketch" -> (q159QuantileSketch _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1272,5 +1383,6 @@ object Layout {
     "q154_threshold_sample" -> q154Sql,
     "q157_join_size_est" -> q157Sql,
     "q158_synopsis_order" -> q158Sql,
+    "q159_quantile_sketch" -> q159Sql,
   )
 }

@@ -112,6 +112,35 @@ object EventsStream {
   def runKmvWindowOnce(spark: SparkSession, dir: String, name: String = "stream_kmv"): DataFrame =
     runToMemory(kmvWindowAgg(spark, readEvents(spark, dir)), OutputMode.Complete, name)
 
+  /** Streaming QUANTILE SKETCH per (hourly window, event_type):
+    * [[graft.functions.QuantileSketch]] running unchanged as a
+    * streaming aggregate — one O(k) state row per group holding a
+    * uniform bottom-k-by-md5(event_id) value sample, from which any
+    * quantile is answerable at any time (q160 post-processes the final
+    * samples exactly like the batch q159). The question is otherwise
+    * unanswerable in a stream: exact quantiles need the full value
+    * multiset in state. k = 64 — deliberately smaller than q159's
+    * batch 256 so the estimator (not just saturation) is exercised at
+    * gate scales.
+    */
+  def quantileWindowAgg(spark: SparkSession, events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "168 hours")
+      .filter(col("value").isNotNull)
+      .withColumn("h", md5(col("event_id").cast("string")))
+      .withColumn("v",
+        (col("value").cast("decimal(18,2)") * lit(100)).cast("long"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(graft.functions.QuantileSketchAgg.qsketch(
+        spark, col("h"), col("v"), 64).as("smp"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("smp"))
+
+  def runQuantileWindowOnce(spark: SparkSession, dir: String,
+      name: String = "stream_qsketch"): DataFrame =
+    runToMemory(quantileWindowAgg(spark, readEvents(spark, dir)),
+      OutputMode.Complete, name)
+
   /** Streaming PRIORITY SAMPLE per event_type: a running weighted
     * top-k sample of the stream (weight = exact value cents) held as
     * ONE O(k) state row per type — [[graft.functions.PrioritySample]]
