@@ -1348,6 +1348,141 @@ object Layout {
       |  ON est.event_type = ex.event_type AND est.p = ex.p
       |ORDER BY event_type, p""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q161 — ROLLING QUANTILES FROM A DAILY SAMPLE TABLE: the q146
+  // union-and-resketch pattern applied to the quantile member — the
+  // "table/merge forms fall out of the shared contract" claim as an
+  // oracled query rather than prose. The corpus is touched once (the
+  // per-(type, day) bottom-k-by-md5(event_id) value sample, k = 64);
+  // every 7-day rolling window is then answered from the KB-sized
+  // daily samples: row identities are globally unique, so per-day kept
+  // sets are disjoint and bottom-k of their union IS the window's true
+  // bottom-k sample — merge = re-sketching the exploded samples,
+  // exactly the q146 law with values riding along. Quantiles are
+  // element selection (⌈p·m⌉ by (value, hash)) from the merged sample;
+  // windows under k rows are exact. The exact anchor pays the 7×
+  // fan-out re-scan + full per-window sort the table path avoids.
+  // ------------------------------------------------------------------
+  private val QrK = 64
+  private val QrPs = Seq(0.5, 0.9)
+
+  def q161QuantileRolling(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        md5(col("event_id").cast("string")).as("h"),
+        (col("value").cast("decimal(18,2)") * lit(100)).cast("long").as("v"))
+    // the ONE corpus pass: the daily sample table
+    val daily = base.groupBy(col("event_type"), col("d"))
+      .agg(graft.functions.QuantileSketchAgg.qsketch(
+        spark, col("h"), col("v"), QrK).as("smp"))
+    // rolling merge over the TABLE (tiny): 7-day union, re-sample
+    val target = daily.select(col("event_type"), col("d"))
+    val merged = target.as("t")
+      .join(daily.as("s"),
+        col("t.event_type") === col("s.event_type") &&
+        col("s.d").between(date_sub(col("t.d"), 6), col("t.d")))
+      .select(col("t.event_type").as("event_type"), col("t.d").as("d"),
+        expr("inline(s.smp)"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(graft.functions.QuantileSketchAgg.qsketch(
+        spark, col("h"), col("v"), QrK).as("smp"))
+      .select(col("event_type"), col("d"),
+        size(col("smp")).cast("long").as("n_kept"),
+        array_sort(expr("transform(smp, s -> struct(s.v AS v, s.h AS h))"))
+          .as("byv"))
+    val est = merged.select(col("event_type"), col("d"), col("n_kept"),
+        explode(array(QrPs.map(lit): _*)).as("p"), col("byv"))
+      .withColumn("q_est",
+        element_at(col("byv"),
+          ceil(col("p") * col("n_kept").cast("double")).cast("int"))
+          .getField("v"))
+      .drop("byv")
+    if (!anchorsOn(spark)) {
+      return est.select(col("event_type"), col("d"), col("p"),
+          col("n_kept"), col("q_est"))
+        .orderBy(col("event_type"), col("d"), col("p"))
+    }
+    // exact anchor: the 7× fan-out window re-scan + full sort per window
+    val win = base.select(col("event_type"), col("d")).distinct().as("t")
+      .join(base.as("s"),
+        col("t.event_type") === col("s.event_type") &&
+        col("s.d").between(date_sub(col("t.d"), 6), col("t.d")))
+      .select(col("t.event_type").as("event_type"), col("t.d").as("d"),
+        col("s.h").as("h"), col("s.v").as("v"))
+    import org.apache.spark.sql.expressions.Window
+    val wv = Window.partitionBy(col("event_type"), col("d"))
+      .orderBy(col("v"), col("h"))
+    val ranked = win.withColumn("vr", row_number().over(wv))
+    val targets = win.groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col("event_type"), col("d"), col("n_rows"),
+        explode(array(QrPs.map(lit): _*)).as("p"))
+      .withColumn("vr",
+        ceil(col("p") * col("n_rows").cast("double")).cast("int"))
+    val exact = ranked.join(broadcast(targets), Seq("event_type", "d", "vr"))
+      .select(col("event_type"), col("d"), col("p"), col("n_rows"),
+        col("v").as("q_exact"))
+    est.join(exact, Seq("event_type", "d", "p"))
+      .select(col("event_type"), col("d"), col("p"), col("n_rows"),
+        col("n_kept"), col("q_est"), col("q_exact"),
+        ((col("q_est") - col("q_exact")).cast("double")
+          / col("q_exact").cast("double")).as("rel_err"))
+      .orderBy(col("event_type"), col("d"), col("p"))
+  }
+
+  val q161Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    md5(CAST(event_id AS VARCHAR)) AS h,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |dr AS (
+      |  SELECT event_type, d, h, v, ROW_NUMBER() OVER (
+      |    PARTITION BY event_type, d ORDER BY h) AS rn FROM e),
+      |daily AS (SELECT event_type, d, h, v FROM dr WHERE rn <= 64),
+      |tw AS (SELECT DISTINCT event_type, d FROM daily),
+      |uni AS (
+      |  SELECT t.event_type, t.d, s.h, s.v
+      |  FROM tw t JOIN daily s ON s.event_type = t.event_type
+      |    AND s.d BETWEEN t.d - 6 AND t.d),
+      |mr AS (
+      |  SELECT event_type, d, h, v, ROW_NUMBER() OVER (
+      |    PARTITION BY event_type, d ORDER BY h) AS rn FROM uni),
+      |smp AS (SELECT event_type, d, h, v FROM mr WHERE rn <= 64),
+      |sn AS (SELECT event_type, d, COUNT(*) AS n_kept FROM smp GROUP BY 1, 2),
+      |sv AS (
+      |  SELECT event_type, d, v, ROW_NUMBER() OVER (
+      |    PARTITION BY event_type, d ORDER BY v, h) AS vr FROM smp),
+      |ps AS (SELECT CAST(UNNEST([0.5, 0.9]) AS DOUBLE) AS p),
+      |est AS (
+      |  SELECT sv.event_type, sv.d, ps.p, sn.n_kept, sv.v AS q_est
+      |  FROM sv JOIN sn ON sv.event_type = sn.event_type AND sv.d = sn.d
+      |    JOIN ps ON sv.vr =
+      |      CAST(CEIL(ps.p * CAST(sn.n_kept AS DOUBLE)) AS BIGINT)),
+      |xw AS (
+      |  SELECT t.event_type, t.d, s.h, s.v
+      |  FROM (SELECT DISTINCT event_type, d FROM e) t
+      |    JOIN e s ON s.event_type = t.event_type
+      |    AND s.d BETWEEN t.d - 6 AND t.d),
+      |xc AS (SELECT event_type, d, COUNT(*) AS n_rows FROM xw GROUP BY 1, 2),
+      |xr AS (
+      |  SELECT event_type, d, v, ROW_NUMBER() OVER (
+      |    PARTITION BY event_type, d ORDER BY v, h) AS vr FROM xw),
+      |ex AS (
+      |  SELECT xr.event_type, xr.d, ps.p, xc.n_rows, xr.v AS q_exact
+      |  FROM xr JOIN xc ON xr.event_type = xc.event_type AND xr.d = xc.d
+      |    JOIN ps ON xr.vr =
+      |      CAST(CEIL(ps.p * CAST(xc.n_rows AS DOUBLE)) AS BIGINT))
+      |SELECT est.event_type AS event_type, est.d AS d, est.p AS p,
+      |  CAST(ex.n_rows AS BIGINT) AS n_rows,
+      |  CAST(est.n_kept AS BIGINT) AS n_kept, est.q_est, ex.q_exact,
+      |  CAST(est.q_est - ex.q_exact AS DOUBLE) / CAST(ex.q_exact AS DOUBLE)
+      |    AS rel_err
+      |FROM est JOIN ex ON est.event_type = ex.event_type
+      |  AND est.d = ex.d AND est.p = ex.p
+      |ORDER BY event_type, d, p""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_zorder_layout" -> (q99ZorderLayout _),
     "q100_profile"      -> (q100Profile _),
@@ -1365,6 +1500,7 @@ object Layout {
     "q157_join_size_est" -> (q157JoinSizeEst _),
     "q158_synopsis_order" -> (q158SynopsisOrder _),
     "q159_quantile_sketch" -> (q159QuantileSketch _),
+    "q161_quantile_rolling" -> (q161QuantileRolling _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1384,5 +1520,6 @@ object Layout {
     "q157_join_size_est" -> q157Sql,
     "q158_synopsis_order" -> q158Sql,
     "q159_quantile_sketch" -> q159Sql,
+    "q161_quantile_rolling" -> q161Sql,
   )
 }

@@ -51,6 +51,46 @@ class QuantileSpec extends SparkSpec {
     }
   }
 
+  test("q161: merging daily samples equals sampling the raw window directly") {
+    // the union law with values riding along: row identities are unique,
+    // so bottom-k of the union of per-day bottom-k samples == bottom-k
+    // of the raw 7-day window — a sample TABLE answers rolling quantile
+    // windows without rescanning the source (KmvSpec's q146 test, for
+    // the quantile member)
+    val out = Layout.queries("q161_quantile_rolling")(spark, Sf).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Date]("d").toString, r.getAs[Double]("p")) ->
+        r.getAs[Long]("q_est")).toMap
+    assert(out.nonEmpty)
+    val base = graft.sources.Tables.events(spark, Sf)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        md5(col("event_id").cast("string")).as("h"),
+        (col("value").cast("decimal(18,2)") * lit(100)).cast("long").as("v"))
+    val win = base.select(col("event_type"), col("d")).distinct().as("t")
+      .join(base.as("s"),
+        col("t.event_type") === col("s.event_type") &&
+        col("s.d").between(date_sub(col("t.d"), 6), col("t.d")))
+      .select(col("t.event_type").as("event_type"), col("t.d").as("d"),
+        col("s.h").as("h"), col("s.v").as("v"))
+    val wKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("d"))
+    val direct = win
+      .withColumn("rn", row_number().over(wKey.orderBy(col("h"))))
+      .filter(col("rn") <= 64)
+      .withColumn("vr", row_number().over(wKey.orderBy(col("v"), col("h"))))
+      .withColumn("m", count(lit(1)).over(wKey))
+      .collect().groupBy(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Date]("d").toString))
+    out.foreach { case ((t, d, p), got) =>
+      val rows = direct((t, d))
+      val m = rows.head.getAs[Long]("m")
+      val want = rows.find(_.getAs[Int]("vr") === math.ceil(p * m).toLong)
+        .map(_.getAs[Long]("v")).get
+      assert(got === want, s"($t, $d, $p): table-merged $got != direct $want")
+    }
+  }
+
   test("merge: associative, partition-invariant, duplicate-idempotent, wire-stable") {
     import graft.functions.QuantileSketch
     import org.apache.spark.unsafe.types.UTF8String
