@@ -112,4 +112,24 @@ class SketchAnchorsSpec extends SparkSpec {
     assert(estMap(off, "join_est", "type_a", "type_b") ===
       estMap(on, "join_est", "type_a", "type_b"))
   }
+
+  test("q159/q161: anchors-off drops the exact sorts, quantiles identical") {
+    def qMap(df: DataFrame, keys: String*) =
+      df.collect().map { r =>
+        keys.map(k => r.get(r.fieldIndex(k)).toString).mkString("|") ->
+          r.getLong(r.fieldIndex("q_est"))
+      }.toMap
+    val on159 = Layout.q159QuantileSketch(spark, Sf)
+    val off159 = anchorsOff(Layout.q159QuantileSketch(spark, Sf))
+    assert(off159.columns.toSet.intersect(AnchorCols) === Set.empty)
+    assert(!off159.columns.contains("q_exact"))
+    assert(qMap(off159, "event_type", "p") === qMap(on159, "event_type", "p"))
+
+    val on161 = Layout.q161QuantileRolling(spark, Sf)
+    val off161 = anchorsOff(Layout.q161QuantileRolling(spark, Sf))
+    assert(off161.columns.toSet.intersect(AnchorCols) === Set.empty)
+    assert(!off161.columns.contains("q_exact"))
+    assert(qMap(off161, "event_type", "d", "p") ===
+      qMap(on161, "event_type", "d", "p"))
+  }
 }
