@@ -290,10 +290,7 @@ object Extras {
       .agg(count_distinct(col("user_id")).as("n_distinct"))
     streamed.join(exact, Seq("window_start", "event_type"))
       .withColumn("kmv_estimate",
-        when(col("n_kept") < 64, col("n_distinct").cast("double"))
-          .otherwise(lit(63.0) /
-            (expr("GREATEST(CAST(conv(substring(hk, 1, 12), 16, 10) AS BIGINT), 1)").cast("double")
-              / lit(281474976710656.0)))) // 16^12
+        Layout.kmvEstimate(col("n_kept"), col("hk"), 64L, col("n_distinct").cast("double")))
       .select(col("window_start"), col("event_type"), col("n_kept"),
         col("hk"), col("n_distinct"), col("kmv_estimate"),
         ((col("kmv_estimate") - col("n_distinct").cast("double"))
@@ -427,17 +424,8 @@ object Extras {
     val qsPs = Seq(0.25, 0.5, 0.75, 0.9)
     val streamed = EventsStream.runQuantileWindowOnce(spark, dir,
       s"stream_qsketch_${counter.incrementAndGet()}")
-      .select(col("window_start"), col("event_type"),
-        size(col("smp")).cast("long").as("n_kept"),
-        array_sort(expr("transform(smp, s -> struct(s.v AS v, s.h AS h))"))
-          .as("byv"))
-    val est = streamed.select(col("window_start"), col("event_type"),
-        col("n_kept"), explode(array(qsPs.map(lit): _*)).as("p"), col("byv"))
-      .withColumn("q_est",
-        element_at(col("byv"),
-          ceil(col("p") * col("n_kept").cast("double")).cast("int"))
-          .getField("v"))
-      .drop("byv")
+    val est = Layout.sampleQuantiles(streamed,
+      Seq("window_start", "event_type"), qsPs)
     val base = graft.sources.Tables.events(spark, dir)
       .filter(col("value").isNotNull)
       .select(date_trunc("hour", col("ts")).as("window_start"),
@@ -461,7 +449,8 @@ object Extras {
       .select(col("window_start"), col("event_type"), col("p"),
         col("n_rows"), col("n_kept"), col("q_est"), col("q_exact"),
         ((col("q_est") - col("q_exact")).cast("double")
-          / col("q_exact").cast("double")).as("rel_err"))
+          / when(col("q_exact") === 0, lit(1L)).otherwise(col("q_exact"))
+              .cast("double")).as("rel_err"))
       .orderBy(col("window_start"), col("event_type"), col("p"))
   }
 
@@ -505,7 +494,8 @@ object Extras {
       |SELECT est.window_start AS window_start, est.event_type AS event_type,
       |  est.p AS p, CAST(ex.n_rows AS BIGINT) AS n_rows,
       |  CAST(est.n_kept AS BIGINT) AS n_kept, est.q_est, ex.q_exact,
-      |  CAST(est.q_est - ex.q_exact AS DOUBLE) / CAST(ex.q_exact AS DOUBLE)
+      |  CAST(est.q_est - ex.q_exact AS DOUBLE)
+      |    / CAST(CASE WHEN ex.q_exact = 0 THEN 1 ELSE ex.q_exact END AS DOUBLE)
       |    AS rel_err
       |FROM est JOIN ex
       |  ON est.window_start = ex.window_start

@@ -145,6 +145,10 @@ object KmvTable {
     if (newParts.isEmpty && base.isDefined) return ordered(base.get)
     filesScanned.addAndGet(newParts.size)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // cached: the touched-keys collect below and the generation write
+    // both consume this aggregate — uncached, every appended file would
+    // be scanned and re-sketched TWICE per maintenance. KB-scale kept
+    // sets; released after the write.
     val newDaily = Tables.normalizeEventsTs(
         spark.read.parquet(newParts.map(_.path): _*))
       .filter(col("user_id").isNotNull)
@@ -152,6 +156,7 @@ object KmvTable {
         md5(col("user_id").cast("string")).as("h"))
       .groupBy(col("event_type"), col("d"))
       .agg(graft.functions.KmvSketchAgg.kmvFull(spark, col("h"), K).as("ks"))
+      .cache()
     // touched (type, day) keys of THIS append — bounded by the append
     // size (days × types), not the table; drives both the merge scope
     // and the untouched-partition copy below
@@ -188,8 +193,16 @@ object KmvTable {
     sweepGens(_ >= nextN)
     val newSk = s"${genPath(nextN)}/sketches"
     merged.write.mode("overwrite").partitionBy("event_type", "d").parquet(newSk)
+    newDaily.unpersist()
+    // partition DIRECTORY names are Spark-escaped (space, '=', ':' …
+    // become %XX) — the touched set must use the same escaping or a
+    // rewritten partition of an escapable event_type would ALSO be
+    // copied from the prior generation, nesting stale data inside the
+    // fresh dir
+    def esc(v: String): String =
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
     lastRewrittenPartitions.set(touched.map { case (t, d) =>
-      s"event_type=$t/d=$d" })
+      s"event_type=${esc(t)}/d=${esc(d)}" })
     if (base.isDefined && !stale) {
       val prevSk = new org.apache.hadoop.fs.Path(
         s"${genPath(curGen.get)}/sketches")
@@ -231,10 +244,7 @@ object KmvTable {
       // exact-anchor rescan of the feed (SketchAnchorsSpec pins that
       // this plan never touches events.parquet when the table is fresh)
       return t.withColumn("kmv_estimate",
-          when(col("n_kept") < K, col("n_kept").cast("double"))
-            .otherwise(lit((K - 1).toDouble) /
-              (expr("GREATEST(CAST(conv(substring(hk, 1, 12), 16, 10) AS BIGINT), 1)").cast("double")
-                / lit(281474976710656.0))))
+          Layout.kmvEstimate(col("n_kept"), col("hk"), K, col("n_kept").cast("double")))
         .select(col("event_type"), col("d"), col("n_kept"), col("hk"),
           col("kmv_estimate"))
         .orderBy(col("event_type"), col("d"))
@@ -245,10 +255,7 @@ object KmvTable {
       .agg(count_distinct(col("user_id")).as("n_distinct"))
     t.join(exact, Seq("event_type", "d"))
       .withColumn("kmv_estimate",
-        when(col("n_kept") < K, col("n_distinct").cast("double"))
-          .otherwise(lit((K - 1).toDouble) /
-            (expr("GREATEST(CAST(conv(substring(hk, 1, 12), 16, 10) AS BIGINT), 1)").cast("double")
-              / lit(281474976710656.0)))) // 16^12
+        Layout.kmvEstimate(col("n_kept"), col("hk"), K, col("n_distinct").cast("double")))
       .select(col("event_type"), col("d"), col("n_kept"), col("hk"),
         col("n_distinct"), col("kmv_estimate"),
         ((col("kmv_estimate") - col("n_distinct").cast("double"))

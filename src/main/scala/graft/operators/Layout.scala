@@ -414,6 +414,22 @@ object Layout {
   // ------------------------------------------------------------------
   private val KmvK = 64L
 
+  /** THE KMV estimator, shared by every Scala call site (anchored and
+    * anchors-off branches of q139/q146/q148/q151/q157, q150): exact
+    * `saturated` below k kept hashes, else (k−1)/u_k with u_k the
+    * zero-guarded 48-bit prefix of the k-th smallest hash mapped to
+    * (0, 1]. One definition so a guard/tweak lands ONCE — this round's
+    * zero-prefix guard had to be hand-applied to eight copies. (The
+    * SQL oracles still repeat the formula per query by design: each
+    * oracle is a self-contained dialect text the driver runs verbatim.)
+    */
+  private[graft] def kmvEstimate(
+      nKept: Column, hk: Column, k: Long, saturated: Column): Column =
+    when(nKept < k, saturated)
+      .otherwise(lit((k - 1).toDouble) /
+        (greatest(conv(substring(hk, 1, 12), 16, 10).cast("long"), lit(1L))
+          .cast("double") / lit(281474976710656.0))) // 16^12
+
   /** The gate's exact-anchor columns (count_distinct / self-join /
     * key-join re-passes) exist so DuckDB can hash-verify the sketch
     * estimates — they are ALSO the very cost the sketch layer exists to
@@ -445,10 +461,7 @@ object Layout {
       // production shape: ONE corpus pass (the sketch partial aggregate),
       // estimate straight off the sketch — no count_distinct re-pass
       return sk.withColumn("kmv_estimate",
-          when(col("n_kept") < KmvK, col("n_kept").cast("double"))
-            .otherwise(lit((KmvK - 1).toDouble) /
-              (expr("GREATEST(CAST(conv(substring(hk, 1, 12), 16, 10) AS BIGINT), 1)").cast("double")
-                / lit(281474976710656.0))))
+          kmvEstimate(col("n_kept"), col("hk"), KmvK, col("n_kept").cast("double")))
         .select(col("event_type"), col("n_kept"), lit(KmvK).as("kmv_k"),
           col("kmv_estimate"))
         .orderBy(col("event_type"))
@@ -458,10 +471,7 @@ object Layout {
       count_distinct(col("user_id")).as("n_distinct"))
     exact.join(broadcast(sk), "event_type")
       .withColumn("kmv_estimate",
-        when(col("n_kept") < KmvK, col("n_distinct").cast("double"))
-          .otherwise(lit((KmvK - 1).toDouble) /
-            (expr("GREATEST(CAST(conv(substring(hk, 1, 12), 16, 10) AS BIGINT), 1)").cast("double")
-              / lit(281474976710656.0)))) // 16^12
+        kmvEstimate(col("n_kept"), col("hk"), KmvK, col("n_distinct").cast("double")))
       .select(col("event_type"), col("n_rows"), col("n_distinct"),
         lit(KmvK).as("kmv_k"), col("kmv_estimate"),
         ((col("kmv_estimate") - col("n_distinct").cast("double"))
@@ -545,10 +555,7 @@ object Layout {
       // this plan at all when the table is fresh (SketchAnchorsSpec
       // pins the scan set)
       return sk.withColumn("kmv_estimate",
-          when(col("n_kept") < KmvK, col("n_kept").cast("double"))
-            .otherwise(lit((KmvK - 1).toDouble) /
-              (expr("GREATEST(CAST(conv(substring(hk, 1, 12), 16, 10) AS BIGINT), 1)").cast("double")
-                / lit(281474976710656.0))))
+          kmvEstimate(col("n_kept"), col("hk"), KmvK, col("n_kept").cast("double")))
         .select(col("event_type"), col("d"), col("n_days"), col("n_kept"),
           col("kmv_estimate"))
         .orderBy(col("event_type"), col("d"))
@@ -563,10 +570,7 @@ object Layout {
       .agg(count_distinct(col("s.h")).as("n_exact"))
     sk.join(exact, Seq("event_type", "d"))
       .withColumn("kmv_estimate",
-        when(col("n_kept") < KmvK, col("n_kept").cast("double"))
-          .otherwise(lit((KmvK - 1).toDouble) /
-            (expr("GREATEST(CAST(conv(substring(hk, 1, 12), 16, 10) AS BIGINT), 1)").cast("double")
-              / lit(281474976710656.0)))) // 16^12
+        kmvEstimate(col("n_kept"), col("hk"), KmvK, col("n_kept").cast("double")))
       .select(col("event_type"), col("d"), col("n_days"), col("n_exact"),
         col("kmv_estimate"),
         ((col("kmv_estimate") - col("n_exact").cast("double"))
@@ -665,10 +669,7 @@ object Layout {
           expr("CAST(size(filter(ku, h -> array_contains(ka, h) AND array_contains(kb, h))) AS BIGINT)"))
       return pairs
         .withColumn("union_est",
-          when(col("n_kept") < KmvK, col("n_kept").cast("double"))
-            .otherwise(lit((KmvK - 1).toDouble) /
-              (expr("GREATEST(CAST(conv(substring(uk, 1, 12), 16, 10) AS BIGINT), 1)").cast("double")
-                / lit(281474976710656.0))))
+          kmvEstimate(col("n_kept"), col("uk"), KmvK, col("n_kept").cast("double")))
         .withColumn("jaccard_est",
           col("matches").cast("double") / col("n_kept").cast("double"))
         .select(col("type_a"), col("type_b"), col("n_kept"), col("matches"),
@@ -709,10 +710,7 @@ object Layout {
       .na.fill(0L, Seq("n_inter"))
       .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
       .withColumn("union_est",
-        when(col("n_kept") < KmvK, col("n_kept").cast("double"))
-          .otherwise(lit((KmvK - 1).toDouble) /
-            (expr("GREATEST(CAST(conv(substring(uk, 1, 12), 16, 10) AS BIGINT), 1)").cast("double")
-              / lit(281474976710656.0)))) // 16^12
+        kmvEstimate(col("n_kept"), col("uk"), KmvK, col("n_kept").cast("double")))
       .withColumn("jaccard_est",
         col("matches").cast("double") / col("n_kept").cast("double"))
       .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
@@ -1096,10 +1094,7 @@ object Layout {
       .withColumn("psum",
         expr("aggregate(matched, CAST(0 AS BIGINT), (acc, h) -> acc + fa[h] * fb[h])"))
       .withColumn("union_est",
-        when(col("n_kept") < KmvK, col("n_kept").cast("double"))
-          .otherwise(lit((KmvK - 1).toDouble) /
-            (expr("GREATEST(CAST(conv(substring(uk, 1, 12), 16, 10) AS BIGINT), 1)").cast("double")
-              / lit(281474976710656.0)))) // 16^12
+        kmvEstimate(col("n_kept"), col("uk"), KmvK, col("n_kept").cast("double")))
       .withColumn("join_est",
         col("union_est") / col("n_kept").cast("double") * col("psum").cast("double"))
     if (!anchorsOn(spark)) {
@@ -1262,6 +1257,29 @@ object Layout {
   private val QsK = 256
   private val QsPs = Seq(0.25, 0.5, 0.75, 0.9)
 
+  /** Quantile extraction from a kept-sample column `smp`
+    * (array<struct<h, v>>, the [[graft.functions.QuantileSketch]]
+    * storage form): per input row, one output row per p with `q_est` =
+    * the element at ⌈p·m⌉ of the kept values re-keyed (value, hash) —
+    * ELEMENT SELECTION, no float arithmetic on values. Shared by
+    * q159/q160/q161 so the rank rule (ceil position, (v, h) tie order)
+    * lives exactly once; the SQL oracles repeat it per query by design.
+    */
+  private[graft] def sampleQuantiles(
+      df: DataFrame, keys: Seq[String], ps: Seq[Double]): DataFrame = {
+    val kc = keys.map(col)
+    df.select(kc ++ Seq(size(col("smp")).cast("long").as("n_kept"),
+        array_sort(expr("transform(smp, s -> struct(s.v AS v, s.h AS h))"))
+          .as("byv")): _*)
+      .select(kc ++ Seq(col("n_kept"),
+        explode(array(ps.map(lit): _*)).as("p"), col("byv")): _*)
+      .withColumn("q_est",
+        element_at(col("byv"),
+          ceil(col("p") * col("n_kept").cast("double")).cast("int"))
+          .getField("v"))
+      .drop("byv")
+  }
+
   def q159QuantileSketch(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.events(spark, dir)
       .filter(col("value").isNotNull)
@@ -1271,18 +1289,7 @@ object Layout {
     val sk = base.groupBy(col("event_type"))
       .agg(graft.functions.QuantileSketchAgg.qsketch(
         spark, col("h"), col("v"), QsK).as("smp"))
-      .select(col("event_type"), size(col("smp")).cast("long").as("n_kept"),
-        // re-key the kept sample by (value, hash): quantile extraction
-        // is element selection in THIS order, both engines
-        array_sort(expr("transform(smp, s -> struct(s.v AS v, s.h AS h))"))
-          .as("byv"))
-    val est = sk.select(col("event_type"), col("n_kept"),
-        explode(array(QsPs.map(lit): _*)).as("p"), col("byv"))
-      .withColumn("q_est",
-        element_at(col("byv"),
-          ceil(col("p") * col("n_kept").cast("double")).cast("int"))
-          .getField("v"))
-      .drop("byv")
+    val est = sampleQuantiles(sk, Seq("event_type"), QsPs)
     if (!anchorsOn(spark)) {
       // production shape: one corpus pass (the bounded sketch partial
       // aggregate), quantiles off the O(k) sample — no full sort
@@ -1307,7 +1314,8 @@ object Layout {
       .select(col("event_type"), col("p"), col("n_rows"), col("n_kept"),
         col("q_est"), col("q_exact"),
         ((col("q_est") - col("q_exact")).cast("double")
-          / col("q_exact").cast("double")).as("rel_err"))
+          / when(col("q_exact") === 0, lit(1L)).otherwise(col("q_exact"))
+              .cast("double")).as("rel_err"))
       .orderBy(col("event_type"), col("p"))
   }
 
@@ -1342,7 +1350,8 @@ object Layout {
       |SELECT est.event_type AS event_type, est.p AS p,
       |  CAST(ex.n_rows AS BIGINT) AS n_rows,
       |  CAST(est.n_kept AS BIGINT) AS n_kept, est.q_est, ex.q_exact,
-      |  CAST(est.q_est - ex.q_exact AS DOUBLE) / CAST(ex.q_exact AS DOUBLE)
+      |  CAST(est.q_est - ex.q_exact AS DOUBLE)
+      |    / CAST(CASE WHEN ex.q_exact = 0 THEN 1 ELSE ex.q_exact END AS DOUBLE)
       |    AS rel_err
       |FROM est JOIN ex
       |  ON est.event_type = ex.event_type AND est.p = ex.p
@@ -1387,17 +1396,7 @@ object Layout {
       .groupBy(col("event_type"), col("d"))
       .agg(graft.functions.QuantileSketchAgg.qsketch(
         spark, col("h"), col("v"), QrK).as("smp"))
-      .select(col("event_type"), col("d"),
-        size(col("smp")).cast("long").as("n_kept"),
-        array_sort(expr("transform(smp, s -> struct(s.v AS v, s.h AS h))"))
-          .as("byv"))
-    val est = merged.select(col("event_type"), col("d"), col("n_kept"),
-        explode(array(QrPs.map(lit): _*)).as("p"), col("byv"))
-      .withColumn("q_est",
-        element_at(col("byv"),
-          ceil(col("p") * col("n_kept").cast("double")).cast("int"))
-          .getField("v"))
-      .drop("byv")
+    val est = sampleQuantiles(merged, Seq("event_type", "d"), QrPs)
     if (!anchorsOn(spark)) {
       return est.select(col("event_type"), col("d"), col("p"),
           col("n_kept"), col("q_est"))
@@ -1427,7 +1426,8 @@ object Layout {
       .select(col("event_type"), col("d"), col("p"), col("n_rows"),
         col("n_kept"), col("q_est"), col("q_exact"),
         ((col("q_est") - col("q_exact")).cast("double")
-          / col("q_exact").cast("double")).as("rel_err"))
+          / when(col("q_exact") === 0, lit(1L)).otherwise(col("q_exact"))
+              .cast("double")).as("rel_err"))
       .orderBy(col("event_type"), col("d"), col("p"))
   }
 
@@ -1477,7 +1477,8 @@ object Layout {
       |SELECT est.event_type AS event_type, est.d AS d, est.p AS p,
       |  CAST(ex.n_rows AS BIGINT) AS n_rows,
       |  CAST(est.n_kept AS BIGINT) AS n_kept, est.q_est, ex.q_exact,
-      |  CAST(est.q_est - ex.q_exact AS DOUBLE) / CAST(ex.q_exact AS DOUBLE)
+      |  CAST(est.q_est - ex.q_exact AS DOUBLE)
+      |    / CAST(CASE WHEN ex.q_exact = 0 THEN 1 ELSE ex.q_exact END AS DOUBLE)
       |    AS rel_err
       |FROM est JOIN ex ON est.event_type = ex.event_type
       |  AND est.d = ex.d AND est.p = ex.p

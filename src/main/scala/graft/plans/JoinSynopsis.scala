@@ -57,15 +57,21 @@ object JoinSynopsis {
     math.max(java.lang.Long.parseLong(hexHash.substring(0, 12), 16), 1L)
       .toDouble / 281474976710656.0 // 16^12
 
-  /** One corpus pass: per-key frequencies, then the bottom-k kept set
-    * with frequencies attached. The collected result is ≤ k rows. */
+  /** One corpus pass: per-key frequencies (cached — KB-to-MB keyed
+    * aggregate), then the bottom-k kept set with frequencies attached
+    * and the exact row count as Σc off the SAME aggregate — a second
+    * corpus scan for the count would double the cost of the artifact
+    * this exists to make cheap. The collected result is ≤ k rows. */
   def build(name: String, df: DataFrame, key: Column, k: Int = K): KeySynopsis = {
     val freq = df.select(md5(key.cast("string")).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("c"))
-    val total = df.count()
-    val keptRows = freq.orderBy(col("h")).limit(k)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toVector
-    KeySynopsis(name, total, k, keptRows)
+      .cache()
+    try {
+      val keptRows = freq.orderBy(col("h")).limit(k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toVector
+      val total = freq.agg(sum(col("c")).cast("long")).collect()(0).getLong(0)
+      KeySynopsis(name, total, k, keptRows)
+    } finally { freq.unpersist(); () }
   }
 
   /** |A ⋈_key B| from the two synopses alone — q157's estimator:
@@ -107,7 +113,11 @@ object JoinSynopsis {
 object SynopsisCatalog {
   private val est = new java.util.concurrent.ConcurrentHashMap[String, Long]()
   def register(name: String, estimatedRows: Long): Unit = { est.put(name, estimatedRows); () }
-  def register(s: KeySynopsis): Unit = register(s.name, math.round(s.distinctEst))
+  /** A broadcast decision needs ROW cardinality, not key NDV — a fact
+    * table with 10⁸ rows over 10³ distinct keys must never broadcast
+    * because its distinct estimate is small. `rows` comes off the same
+    * single build pass (Σ of the per-key frequencies). */
+  def register(s: KeySynopsis): Unit = register(s.name, s.rows)
   def lookup(name: String): Option[Long] = Option(est.get(name))
   def clear(): Unit = est.clear()
 }

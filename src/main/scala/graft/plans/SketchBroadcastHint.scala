@@ -51,11 +51,27 @@ object SketchBroadcastHint extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** A ResolvedHint anywhere down a side's alias/view chain means the
+    * user (or a previous run of this rule) already chose — and at
+    * post-hoc resolution Join.hint is ALWAYS JoinHint.NONE (hints are
+    * still ResolvedHint children; EliminateResolvedHint folds them
+    * only in the optimizer), so matching the join hint alone cannot
+    * see them. Without this, `broadcast(left).join(right)` with right
+    * registered under the cap would get BOTH sides hinted. */
+  private def alreadyHinted(p: LogicalPlan): Boolean = p match {
+    case _: ResolvedHint => true
+    case a: SubqueryAlias => alreadyHinted(a.child)
+    case v: org.apache.spark.sql.catalyst.plans.logical.View =>
+      alreadyHinted(v.child)
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     val cap = maxRows
     plan transformUp {
-      case j @ Join(l, r, _, _, JoinHint.NONE) =>
+      case j @ Join(l, r, _, _, JoinHint.NONE)
+          if !alreadyHinted(l) && !alreadyHinted(r) =>
         def estOf(side: LogicalPlan): Option[Long] =
           lookupAlias(side).filter(_ <= cap)
         (estOf(l), estOf(r)) match {

@@ -145,6 +145,20 @@ class SynopsisCboSpec extends SparkSpec {
         val on = planOf(s.sql(sql))
         assert(on.contains("BroadcastHashJoin"),
           s"synopsis-driven hint must broadcast the dim:\n$on")
+        // user precedence: an explicit hint on EITHER side means the
+        // user already chose — the rule must not add a second hint
+        // (at post-hoc resolution the join's own hint slot is always
+        // NONE; user hints are still ResolvedHint children)
+        val userHinted = s.sql(
+          "SELECT /*+ BROADCAST(f) */ f.k, f.v, d.name " +
+            "FROM syn_fact f JOIN syn_dim d ON f.k = d.k")
+        userHinted.collect()
+        val analyzed = userHinted.queryExecution.analyzed
+        val hints = analyzed.collect {
+          case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+        }
+        assert(hints.size === 1,
+          s"user hint present => rule must stand down, found ${hints.size} hints")
       } finally {
         s.conf.unset("spark.graft.synopsis.autoBroadcast")
         SynopsisCatalog.clear()
