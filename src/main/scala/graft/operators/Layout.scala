@@ -1484,6 +1484,96 @@ object Layout {
       |  AND est.d = ex.d AND est.p = ex.p
       |ORDER BY event_type, d, p""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q162 — SELF-JOIN SIZE / SECOND FREQUENCY MOMENT from the synopsis:
+  // F₂ = Σ_u f(u)² per event type — the skew statistic a cost-based
+  // planner uses for self-join and group-by costing (F₂/n² is the
+  // collision probability; uniform keys give F₂ = n²/D, skewed keys
+  // blow it up). Estimated from the SAME frequency-annotated bottom-k
+  // synopsis as q157: the kept keys are a uniform sample of the
+  // distinct keys, so F̂₂ = D̂/|K| · Σ_kept f² — and at saturation
+  // (D ≤ k) the sample is the key set and the estimate is EXACT
+  // (D̂ = |K| ⇒ scale 1). One corpus-scale count shuffle feeds the
+  // sketch, the exact anchor (Σ f², Σ f, |keys| off the same frame —
+  // no join executes anywhere), and the estimator; everything after is
+  // types × k rows. Determinism: integer Σ f² both engines, one
+  // division + one product in identical order.
+  // ------------------------------------------------------------------
+  def q162SelfJoinMoment(spark: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("c"))
+      .cache().transform(graft.util.Checkpoints.track)
+    val kept = freq.groupBy(col("event_type"))
+      .agg(graft.functions.KmvSketchAgg.kmvFull(spark, col("h"), KmvK.toInt).as("ks"))
+      .select(col("event_type"), size(col("ks")).cast("long").as("n_kept"),
+        element_at(col("ks"), size(col("ks"))).as("hk"), col("ks"))
+    val sk = kept
+      .select(col("event_type"), col("n_kept"), col("hk"),
+        explode(col("ks")).as("h"))
+      .join(freq, Seq("event_type", "h"))
+      .groupBy(col("event_type"), col("n_kept"), col("hk"))
+      .agg(sum(col("c") * col("c")).cast("long").as("sum_f2_kept"))
+      .withColumn("d_est",
+        kmvEstimate(col("n_kept"), col("hk"), KmvK, col("n_kept").cast("double")))
+      .withColumn("f2_est",
+        col("d_est") / col("n_kept").cast("double")
+          * col("sum_f2_kept").cast("double"))
+    if (!anchorsOn(spark)) {
+      return sk.select(col("event_type"), col("n_kept"), col("sum_f2_kept"),
+          col("d_est"), col("f2_est"))
+        .orderBy(col("event_type"))
+    }
+    val exact = freq.groupBy(col("event_type"))
+      .agg(sum(col("c")).cast("long").as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("c")).cast("long").as("f2_exact"))
+    sk.join(exact, "event_type")
+      .select(col("event_type"), col("n_rows"), col("n_distinct"),
+        col("n_kept"), col("sum_f2_kept"), col("d_est"), col("f2_est"),
+        col("f2_exact"),
+        ((col("f2_est") - col("f2_exact").cast("double"))
+          / col("f2_exact").cast("double")).as("rel_err"))
+      .orderBy(col("event_type"))
+  }
+
+  val q162Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+      |  FROM events WHERE user_id IS NOT NULL),
+      |f AS (SELECT event_type, h, COUNT(*) AS c FROM e GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, h, c, ROW_NUMBER() OVER (
+      |    PARTITION BY event_type ORDER BY h) AS rn FROM f),
+      |sk AS (
+      |  SELECT event_type, COUNT(*) AS n_kept, MAX(h) AS hk,
+      |    SUM(c * c) AS sum_f2_kept
+      |  FROM r WHERE rn <= 64 GROUP BY 1),
+      |x AS (
+      |  SELECT event_type, SUM(c) AS n_rows, COUNT(*) AS n_distinct,
+      |    SUM(c * c) AS f2_exact
+      |  FROM f GROUP BY 1),
+      |j AS (
+      |  SELECT sk.event_type, CAST(x.n_rows AS BIGINT) AS n_rows,
+      |    CAST(x.n_distinct AS BIGINT) AS n_distinct,
+      |    CAST(sk.n_kept AS BIGINT) AS n_kept,
+      |    CAST(sk.sum_f2_kept AS BIGINT) AS sum_f2_kept,
+      |    CASE WHEN sk.n_kept < 64 THEN CAST(sk.n_kept AS DOUBLE)
+      |      ELSE 63.0 /
+      |        (CAST(GREATEST(CAST(CAST(('0x' || substring(sk.hk, 1, 12)) AS UBIGINT)
+      |           AS BIGINT), 1) AS DOUBLE) / 281474976710656.0) END AS d_est,
+      |    CAST(x.f2_exact AS BIGINT) AS f2_exact
+      |  FROM sk JOIN x ON sk.event_type = x.event_type)
+      |SELECT event_type, n_rows, n_distinct, n_kept, sum_f2_kept, d_est,
+      |  d_est / CAST(n_kept AS DOUBLE) * CAST(sum_f2_kept AS DOUBLE)
+      |    AS f2_est,
+      |  f2_exact,
+      |  (d_est / CAST(n_kept AS DOUBLE) * CAST(sum_f2_kept AS DOUBLE)
+      |    - CAST(f2_exact AS DOUBLE)) / CAST(f2_exact AS DOUBLE) AS rel_err
+      |FROM j ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_zorder_layout" -> (q99ZorderLayout _),
     "q100_profile"      -> (q100Profile _),
@@ -1502,6 +1592,7 @@ object Layout {
     "q158_synopsis_order" -> (q158SynopsisOrder _),
     "q159_quantile_sketch" -> (q159QuantileSketch _),
     "q161_quantile_rolling" -> (q161QuantileRolling _),
+    "q162_selfjoin_moment" -> (q162SelfJoinMoment _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1522,5 +1613,6 @@ object Layout {
     "q158_synopsis_order" -> q158Sql,
     "q159_quantile_sketch" -> q159Sql,
     "q161_quantile_rolling" -> q161Sql,
+    "q162_selfjoin_moment" -> q162Sql,
   )
 }
