@@ -67,9 +67,14 @@ object Bench {
     // state-store/trigger debris can precede it) and each lane reports
     // its own total, so a regression in the stable batch lane is visible
     // at ±3% instead of drowning in trigger noise. "total" stays the
-    // driver-compatible sum of both.
-    def isStreaming(name: String): Boolean =
-      name.contains("stream") || name.startsWith("q87_")
+    // driver-compatible sum of both. Membership is the EXPLICIT registry
+    // (r10 ADVICE — name-substring classification would let a renamed
+    // query silently land in the wrong lane); the subset check makes a
+    // drifted registry fail the run, not the attribution.
+    require(SparkEntry.streamingQueries.subsetOf(SparkEntry.queries.keySet),
+      "streaming-lane registry names a query that is not declared: " +
+        (SparkEntry.streamingQueries -- SparkEntry.queries.keySet).mkString(", "))
+    def isStreaming(name: String): Boolean = SparkEntry.streamingQueries(name)
     val (streamLane, batchLane) = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => selected(name) }
       .partition { case (name, _) => isStreaming(name) }
@@ -96,14 +101,27 @@ object Bench {
         System.err.println(s"[bench] $name ${fmt(last)}")
         name -> last
       }.toMap
-    // the driver parses a ~2000-char tail window of stdout (BENCH_r05's
-    // archived tail is exactly 2000 chars): with 95 queries the full-name
-    // summary line is >2.5 KB, whose OPENING BRACE would fall outside the
-    // window — so the summary keys are the unambiguous qNN prefixes
-    // (~1.3 KB total) and the full names ride the stderr [bench] lines
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k.split("_")(0) + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    // ISOLATED re-runs for the kill-restart protocol queries (r10
+    // verdict #5): q93/q94/q98 carry the suite's widest noise band
+    // (q94 read 20.9 s one round, 31.6 the next, on untouched code).
+    // After the streaming lane each runs ONCE more, alone, post-sweep —
+    // so a swing is attributable from the bench artifact itself: an
+    // in-suite move with a flat isolated number is suite debris or
+    // machine noise, a moved isolated number is the query. Diagnostics
+    // only: NOT added to any lane total.
+    val isolated = Seq("q93_stream_recovery", "q94_stream_join_recovery",
+        "q98_stream_bronze_ingest")
+      .filter(n => selected(n) && SparkEntry.queries.contains(n))
+      .map { n =>
+        val fn = SparkEntry.queries(n)
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        graft.util.Harness.sweep(spark)
+        System.err.println(s"[bench] ${n}_isolated ${fmt(sec)}")
+        n.split("_")(0) -> sec
+      }
     // the one-time LSH-pairs artifact build is first-class in the JSON
     // (its own key + counted in the total) so cross-engine comparisons
     // include work the reference pays inside its queries — previously it
@@ -121,7 +139,20 @@ object Bench {
     graft.operators.TextOps.clear()
     graft.operators.VectorOps.clear()
     spark.catalog.clearCache()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"prewarm_lsh_pairs":${fmt(prewarmLsh)},"batch_total":${fmt(batchTotal)},"streaming_total":${fmt(streamTotal)},"sf":"$sfDir"}""")
+    // the driver parses a ~2000-char TAIL window of stdout: at 159
+    // queries even the qNN-prefix-keyed map is ~2.4 KB, pushing the
+    // line's FRONT — "metric" and the total — out of the window, which
+    // is why BENCH_r09/r10 landed as parsed:null (r10 verdict #1). The
+    // final stdout line is now totals-only (~300 chars, fits with 5×
+    // headroom); the full per-query map rides stderr like the
+    // incremental [bench] lines — one JSON line for tooling.
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k.split("_")(0) + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    System.err.println(s"[bench] queries $qs")
+    val iso = isolated.map { case (k, v) => s"\"$k\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"prewarm_lsh_pairs":${fmt(prewarmLsh)},"batch_total":${fmt(batchTotal)},"streaming_total":${fmt(streamTotal)},"isolated":$iso,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

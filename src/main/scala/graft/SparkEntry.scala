@@ -11,6 +11,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ WeatherQueries.queries ++ TextOps.queries ++ VectorOps.queries ++ Extras.queries ++ IngestOps.queries ++ Layout.queries
+  /** Queries whose cost is the micro-batch trigger/checkpoint protocol —
+    * the bench's streaming lane, by explicit membership (all declared in
+    * [[graft.operators.Extras.streamingQueries]], next to the map that
+    * registers them). */
+  def streamingQueries: Set[String] = Extras.streamingQueries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

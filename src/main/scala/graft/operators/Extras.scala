@@ -502,6 +502,23 @@ object Extras {
       |  AND est.event_type = ex.event_type AND est.p = ex.p
       |ORDER BY window_start, event_type, p""".stripMargin
 
+  /** The STREAMING lane, by explicit membership (r10 ADVICE): the bench
+    * used to classify lanes by name substring ("stream" / the q87
+    * prefix), which a future batch query named *_streaming or a renamed
+    * streaming query would silently defeat, skewing both lane totals.
+    * Every query whose cost is the micro-batch trigger/checkpoint
+    * protocol (not data volume) is listed here, next to the map that
+    * registers it; Bench asserts this set is a subset of the declared
+    * queries so a rename breaks the run loudly, not the attribution.
+    */
+  val streamingQueries: Set[String] = Set(
+    "q51_stream_window", "q54_stream_sessions", "q64_stream_join",
+    "q73_stream_dedup", "q82_stream_left_join", "q83_stream_full_join",
+    "q84_stream_sliding", "q87_session_windows", "q92_stream_enrich",
+    "q93_stream_recovery", "q94_stream_join_recovery",
+    "q98_stream_bronze_ingest", "q150_stream_kmv", "q153_stream_psample",
+    "q160_stream_quantile")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_stream_psample"     -> (q153StreamPsample _),
     "q150_stream_kmv"         -> (q150StreamKmv _),

@@ -1498,11 +1498,25 @@ object Layout {
   // no join executes anywhere), and the estimator; everything after is
   // types × k rows. Determinism: integer Σ f² both engines, one
   // division + one product in identical order.
+  //
+  // The hash is SALTED per group — md5(event_type || ':' || user_id),
+  // r10 verdict #6: with the unsalted md5(user_id), every type's
+  // bottom-k draws from the SAME hash assignment of the shared user
+  // universe, so the per-type D̂ errors are one correlated draw (PLANS
+  // r10 recorded sf10 rel_err dominated by a single shared 2.3σ draw
+  // across all five types); salting makes the per-type estimates
+  // independent at unchanged k. q157/q158 deliberately KEEP the shared
+  // unsalted hash — the matched-key join estimator requires
+  // COORDINATED sampling (kept-set intersections across types are the
+  // signal there, and salting would destroy them); q162's per-type F₂
+  // has no cross-type term, so it is free to decorrelate.
   // ------------------------------------------------------------------
   def q162SelfJoinMoment(spark: SparkSession, dir: String): DataFrame = {
     val freq = Tables.events(spark, dir)
       .filter(col("user_id").isNotNull)
-      .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
+      .select(col("event_type"),
+        md5(concat(col("event_type"), lit(":"),
+          col("user_id").cast("string"))).as("h"))
       .groupBy(col("event_type"), col("h"))
       .agg(count(lit(1)).as("c"))
       .cache().transform(graft.util.Checkpoints.track)
@@ -1541,7 +1555,8 @@ object Layout {
 
   val q162Sql: String =
     """WITH e AS (
-      |  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+      |  SELECT event_type,
+      |    md5(event_type || ':' || CAST(user_id AS VARCHAR)) AS h
       |  FROM events WHERE user_id IS NOT NULL),
       |f AS (SELECT event_type, h, COUNT(*) AS c FROM e GROUP BY 1, 2),
       |r AS (

@@ -86,13 +86,22 @@ object JoinSynopsis {
     if (ku.isEmpty) return 0.0
     val fa = a.kept.toMap
     val fb = b.kept.toMap
+    // Double, not Long (r10 verdict #4): at the 100 TB frequencies this
+    // synopsis targets (hot keys ~10⁹–10¹⁰) a single f_A·f_B product
+    // reaches 10²⁰ — past Long.MaxValue, so Long math wraps NEGATIVE and
+    // a silently wrong estimate would feed a broadcast decision. Double
+    // keeps every term finite with ~1e-16 relative error per op (the
+    // estimator multiplies by a Double scale factor anyway); the q157
+    // SQL estimators were already safe (DECIMAL/HUGEINT).
+    // JoinSynopsisOverflowSpec pins parity with BigInt-exact arithmetic
+    // at 10¹⁰ × 64 matched keys.
     val psum = ku.iterator.collect {
-      case h if ka(h) && kb(h) => fa(h) * fb(h)
+      case h if ka(h) && kb(h) => fa(h).toDouble * fb(h).toDouble
     }.sum
     val unionEst =
       if (ku.size < a.k) ku.size.toDouble
       else (a.k - 1).toDouble / unit(ku.last)
-    unionEst / ku.size.toDouble * psum.toDouble
+    unionEst / ku.size.toDouble * psum
   }
 
   /** Greedy first-join choice for a fact joined against candidate

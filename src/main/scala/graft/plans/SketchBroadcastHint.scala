@@ -26,6 +26,14 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object SketchBroadcastHint extends Rule[LogicalPlan] {
 
+  /** ADDRESSING CONTRACT (r10 verdict #8 / ADVICE): a synopsis is
+    * matched against the INNERMOST SubqueryAlias of a join side — the
+    * view/table-level name (`FROM syn_dim d` → `syn_dim`, never the
+    * throwaway `d`; a DataFrame-API side needs `.as("name")` directly
+    * on the relation, else it has no alias and can never match).
+    * Matching any alias level would let a synopsis registered under a
+    * short common alias attach a BROADCAST hint to an unrelated large
+    * relation that reuses it anywhere in the session. */
   private val Flag = "spark.graft.synopsis.autoBroadcast"
   private val MaxRowsFlag = "spark.graft.synopsis.broadcastMaxRows"
 
@@ -36,20 +44,24 @@ object SketchBroadcastHint extends Rule[LogicalPlan] {
     try v.toLong catch { case _: NumberFormatException => 100000L }
   }
 
-  /** Registered estimate for a side: walk the alias chain outside-in —
-    * `FROM syn_dim d` analyzes to SubqueryAlias(d, SubqueryAlias(
-    * syn_dim, View(...))), and the synopsis may be keyed on either name
-    * (outermost match wins). Only alias/view wrappers are traversed:
-    * anything that can change cardinality (Filter, Aggregate, …) makes
-    * the registered table-level estimate inapplicable. Already-hinted
-    * sides are left alone. */
-  private def lookupAlias(p: LogicalPlan): Option[Long] = p match {
-    case a: SubqueryAlias =>
-      SynopsisCatalog.lookup(a.alias).orElse(lookupAlias(a.child))
+  /** Registered estimate for a side, by the addressing contract above:
+    * only the INNERMOST alias of the chain — the one directly wrapping
+    * the relation, i.e. the view/table name — is consulted. `FROM
+    * syn_dim d` analyzes to SubqueryAlias(d, SubqueryAlias(syn_dim,
+    * …)); the lookup key is `syn_dim`, and a query-local rename like
+    * `d` can never hijack an estimate. Only alias/view wrappers are
+    * traversed: anything that can change cardinality (Filter,
+    * Aggregate, …) makes the registered table-level estimate
+    * inapplicable. Already-hinted sides are left alone. */
+  private def innermostAlias(p: LogicalPlan): Option[String] = p match {
+    case a: SubqueryAlias => innermostAlias(a.child).orElse(Some(a.alias))
     case v: org.apache.spark.sql.catalyst.plans.logical.View =>
-      lookupAlias(v.child)
+      innermostAlias(v.child)
     case _ => None
   }
+
+  private def lookupAlias(p: LogicalPlan): Option[Long] =
+    innermostAlias(p).flatMap(SynopsisCatalog.lookup)
 
   /** A ResolvedHint anywhere down a side's alias/view chain means the
     * user (or a previous run of this rule) already chose — and at

@@ -165,4 +165,39 @@ class SynopsisCboSpec extends SparkSpec {
       }
     }
   }
+
+  test("addressing contract: only the innermost (view-level) alias matches") {
+    withExtSession { s =>
+      import s.implicits._
+      SynopsisCatalog.clear()
+      (1L to 50000L).map(i => (i % 1000, i)).toDF("k", "v")
+        .createOrReplaceTempView("addr_fact")
+      (1L to 400L).map(i => (i, s"d$i")).toDF("k", "name")
+        .createOrReplaceTempView("addr_dim")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.graft.synopsis.autoBroadcast", "true")
+      val sql = "SELECT f.k, f.v, d.name FROM addr_fact f JOIN addr_dim d ON f.k = d.k"
+      def plan(): String = {
+        val df = s.sql(sql); df.collect(); df.queryExecution.executedPlan.toString
+      }
+      try {
+        // registered under the QUERY-LOCAL alias 'd': must NOT fire —
+        // a short rename anywhere in the session is not an address
+        // (the r10 ADVICE hijack scenario)
+        SynopsisCatalog.register("d", 400L)
+        assert(!plan().contains("BroadcastHashJoin"),
+          "outer-alias registration must not attach a hint")
+        SynopsisCatalog.clear()
+        // registered under the view-level name: fires through the
+        // rename, because the chain TERMINATES in addr_dim
+        SynopsisCatalog.register("addr_dim", 400L)
+        assert(plan().contains("BroadcastHashJoin"),
+          "view-level registration must match through the alias chain")
+      } finally {
+        s.conf.unset("spark.graft.synopsis.autoBroadcast")
+        SynopsisCatalog.clear()
+      }
+    }
+  }
 }
