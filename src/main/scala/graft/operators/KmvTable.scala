@@ -4,19 +4,27 @@ import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.sources.Tables
 
-/** Durable, INCREMENTALLY-maintained daily KMV sketch table — the
-  * profiler shape the q139/q146/q148 family's 100 TB posture keeps
+/** Durable, INCREMENTALLY-maintained daily sketch table — the profiler
+  * shape the q139/q146/q148/q161 family's 100 TB posture keeps
   * promising: the raw feed is an append-only pile of part files; per
-  * (event_type, day) the table stores the full kept set (`kmvFull`
-  * storage form), and maintenance scans ONLY part files it has not
-  * consumed yet, merging their sketches into the table by
-  * union-and-resketch (min-k of a union == min-k over the union of
-  * kept sets). A 100 TB feed thus pays one scan per file EVER; every
-  * downstream question (daily distinct, rolling windows via q146's
-  * algebra, pairwise overlap via q148's) runs off the KB-sized table.
+  * (event_type, day) the table stores BOTH bounded kept-sets the house
+  * aggregates produce from one scan —
+  *
+  *   - `ks`  (array<string>): the KMV kept set over md5(user_id)
+  *     (`kmvFull` storage form, distinct-count algebra — q146/q148/q151);
+  *   - `smp` (array<struct<h,v>>): the bottom-k-by-md5(event_id) value
+  *     sample (`QuantileSketch` storage form — rolling quantiles, q161).
+  *
+  * Both key on the same (event_type, d) partitions, so ONE maintenance
+  * scan of a new part file feeds both families (r10 verdict #7) — a
+  * 100 TB feed pays one scan per file EVER, and every downstream
+  * question (daily distinct, rolling windows via q146's algebra,
+  * pairwise overlap via q148's, rolling quantiles via q161's) runs off
+  * the KB-sized table.
   *
   * Consistency contract:
   *   - file identity = (name, length, mtime). A consumed file that is
@@ -25,31 +33,46 @@ import graft.sources.Tables
   *     maintenance falls back to a full rebuild (the IVF corpus-stamp
   *     rule, `VectorOps.corpusStamp`, applied per-file so appends stay
   *     incremental).
-  *   - every maintenance writes a NEW generation dir (`gen-<n>/` with
-  *     `sketches/` partitioned by (event_type, d) and `consumed/`),
-  *     then commits it by creating `_COMMITTED` — a single atomic
-  *     create. Readers resolve the highest committed generation, so a
-  *     crash mid-write leaves an ignored partial dir and the PRIOR
-  *     generation intact (the r9 self-overwrite — reading the table
-  *     lazily from the very path being overwritten — is gone). The
-  *     prior generation is retained after commit; older ones are
-  *     swept.
-  *   - an append touches only the appended days: untouched (type, day)
-  *     partition dirs are COPIED byte-identical from the prior
-  *     generation (KB-scale), only touched partitions are re-sketched
-  *     and rewritten. Re-running after a crash re-merges the same
-  *     files — KMV union-resketch is IDEMPOTENT (re-adding hashes
-  *     already in the kept set changes nothing), so at-least-once
-  *     maintenance is exactly-once in effect. No transaction log.
+  *   - every maintenance writes a NEW generation dir (`gen-<n>/`), then
+  *     commits it by creating `_COMMITTED` — a single atomic create.
+  *     Readers resolve the highest committed generation, so a crash
+  *     mid-write leaves an ignored partial dir and the PRIOR generation
+  *     intact.
+  *   - MANIFEST generations (r10 verdict #2): a generation holds ONLY
+  *     the partitions its maintenance actually rewrote, plus a
+  *     `manifest` mapping every live (event_type, d) partition to the
+  *     generation that OWNS its files. An append therefore WRITES only
+  *     the touched partitions — the untouched table is carried forward
+  *     by reference, not by the per-generation byte-copy that made
+  *     append cost O(table width) driver IO (r10 measured the copy at
+  *     no-op 0.5→1.7 s / append 2.1→7.0 s; this reverses it).
+  *     Partition data files carry `event_type`/`d` as ORDINARY columns
+  *     (the physical layout uses shadow partition columns `pet`/`pd`),
+  *     so a reader lists the manifest and reads the owned dirs directly
+  *     — no partition inference across generation roots.
+  *   - generations are swept by REFERENCE: a gen dir is deleted only
+  *     when neither the latest committed manifest nor the prior
+  *     committed one references it (the prior manifest keeps in-flight
+  *     lazy readers of the previous table alive — the one-prior
+  *     retention rule, refcount form). Uncommitted leftovers of crashed
+  *     runs are swept before the next write.
+  *   - re-running after a crash re-merges the same files — KMV /
+  *     bottom-k union-resketch is IDEMPOTENT (re-adding hashes already
+  *     in a kept set changes nothing), so at-least-once maintenance is
+  *     exactly-once in effect. No transaction log.
   *   - consumed-file membership is decided by ANTI-JOIN between the
   *     current listing and the consumed parquet — the consumed history
   *     is never collected to the driver; only the (append-scale) delta
   *     of new file names is.
+  *   - a PRE-MANIFEST layout (r10's per-generation full copies, or the
+  *     r9 flat `sketches/`+`consumed/` root) is detected by the missing
+  *     manifest and migrated by one full rebuild; the stale dirs are
+  *     deleted rather than lingering (r10 ADVICE).
   *
   * The table lives under `spark.graft.kmv.tableDir` (default: a
   * per-corpus tmp path). [[filesScanned]] / [[fullRebuilds]] are the
   * spec observables (KmvMaintainSpec): a no-op maintenance must scan
-  * zero files; an append must scan only the appended files and rewrite
+  * zero files; an append must scan only the appended files and WRITE
   * only the appended days' partitions; a mutation must rebuild.
   */
 object KmvTable {
@@ -60,6 +83,17 @@ object KmvTable {
   private[graft] val filesScanned = new AtomicLong
   /** Full rebuilds forced by corpus mutation (spec observable). */
   private[graft] val fullRebuilds = new AtomicLong
+
+  /** Table schema as returned by [[maintain]] (and used for the empty
+    * frame when a corpus has no rows yet — r10 ADVICE: an empty first
+    * maintenance must not die on parquet schema inference). */
+  private val tableSchema = StructType(Seq(
+    StructField("event_type", StringType),
+    StructField("d", DateType),
+    StructField("ks", ArrayType(StringType, containsNull = false)),
+    StructField("smp", ArrayType(StructType(Seq(
+      StructField("h", StringType, nullable = false),
+      StructField("v", LongType, nullable = false))), containsNull = false))))
 
   private def tableRoot(spark: SparkSession, dir: String): String =
     spark.conf.getOption("spark.graft.kmv.tableDir").getOrElse {
@@ -95,18 +129,73 @@ object KmvTable {
     }.sorted.lastOption
   }
 
-  /** Partitions this JVM's last maintenance REWROTE (vs copied forward
-    * from the prior generation) — spec observable for the touched-days
-    * posture. */
+  /** Partition-dir rel path in Spark's own escaping — the manifest key
+    * and the physical layout must agree, and partition DIRECTORY names
+    * are Spark-escaped (space, '=', ':' … become %XX): an unescaped
+    * manifest key for an escapable event_type would orphan the written
+    * partition (the r10 self-review lesson, manifest form). */
+  private def relPath(eventType: String, day: String): String = {
+    def esc(v: String): String =
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
+    s"pet=${esc(eventType)}/pd=${esc(day)}"
+  }
+
+  /** The manifest: one line per live partition, `gen<TAB>relPath`.
+    * Tiny (days × types lines) and written once per maintenance —
+    * driver-side text IO at planner-metadata scale. */
+  private def readManifest(
+      fs: org.apache.hadoop.fs.FileSystem, root: String,
+      gen: Long): Option[Map[String, Long]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/gen-$gen/manifest")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    try {
+      val txt = new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      Some(txt.split("\n").iterator.filter(_.nonEmpty).map { line =>
+        val i = line.indexOf('\t')
+        line.substring(i + 1) -> line.substring(0, i).toLong
+      }.toMap)
+    } finally in.close()
+  }
+
+  private def writeManifest(
+      fs: org.apache.hadoop.fs.FileSystem, root: String, gen: Long,
+      manifest: Map[String, Long]): Unit = {
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$root/gen-$gen/manifest"), false)
+    try out.write(manifest.toSeq.sortBy(_._1)
+      .map { case (rel, g) => s"$g\t$rel" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Read the live table a committed manifest describes. The data files
+    * carry event_type/d as ordinary columns, so a list of owned dirs
+    * reads directly — no cross-generation partition discovery. */
+  private def readTable(
+      spark: SparkSession, root: String,
+      manifest: Map[String, Long]): DataFrame =
+    if (manifest.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
+    else {
+      val dirs = manifest.toSeq.sortBy(_._1)
+        .map { case (rel, g) => s"$root/gen-$g/parts/$rel" }
+      spark.read.schema(tableSchema).parquet(dirs: _*)
+        .select(col("event_type"), col("d"), col("ks"), col("smp"))
+    }
+
+  /** Partitions this JVM's last maintenance REWROTE (spec observable
+    * for the touched-days posture; manifest-escaped rel paths). */
   private[graft] val lastRewrittenPartitions =
     new java.util.concurrent.atomic.AtomicReference[Set[String]](Set.empty)
 
   /** Bring the sketch table up to date with `dir`'s events feed and
-    * return it: (event_type, d, ks sorted array<string> of ≤ k kept
-    * hashes). Scans only unconsumed part files, rewrites only touched
-    * (type, day) partitions into a fresh committed generation;
-    * serialized per JVM (the table write is not concurrent-safe, and
-    * callers are the gate/bench harnesses). */
+    * return it: (event_type, d, ks, smp). Scans only unconsumed part
+    * files, WRITES only touched (type, day) partitions into a fresh
+    * committed generation (untouched partitions ride forward by
+    * manifest reference); serialized per JVM (the table write is not
+    * concurrent-safe, and callers are the gate/bench harnesses). */
   def maintain(spark: SparkSession, dir: String): DataFrame = synchronized {
     val root = tableRoot(spark, dir)
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -115,8 +204,23 @@ object KmvTable {
     import spark.implicits._
     val currentDf = parts.map(f => (f.name, f.len, f.mtime))
       .toDF("name", "len", "mtime")
-    val curGen = latestCommitted(fs, root)
+    val committedGen = latestCommitted(fs, root)
     val genPath = (n: Long) => s"$root/gen-$n"
+    // legacy layouts (r9 flat dirs, r10 manifest-less full-copy gens)
+    // cannot be carried forward: their files lack the event_type/d data
+    // columns this layout reads. One-shot migrate: drop everything and
+    // rebuild fresh (r10 ADVICE — no stale dirs left lingering).
+    val priorManifest = committedGen.flatMap(g => readManifest(fs, root, g))
+    val legacy = committedGen.isDefined && priorManifest.isEmpty
+    if (legacy) {
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      ()
+    }
+    Seq("sketches", "consumed").foreach { d => // r9 flat layout
+      val p = new org.apache.hadoop.fs.Path(s"$root/$d")
+      if (fs.exists(p)) { fs.delete(p, true); () }
+    }
+    val curGen = if (legacy) None else committedGen
     // mutation detector + delta, both by anti-join against the consumed
     // parquet: the consumed HISTORY never lands on the driver — only the
     // append-scale delta of new file names does
@@ -136,50 +240,71 @@ object KmvTable {
         }
     }
     if (stale) fullRebuilds.incrementAndGet()
+    val baseManifest: Map[String, Long] =
+      if (curGen.isDefined && !stale) priorManifest.get else Map.empty
     val base: Option[DataFrame] =
-      if (curGen.isDefined && !stale)
-        Some(spark.read.parquet(s"${genPath(curGen.get)}/sketches"))
+      if (curGen.isDefined && !stale) Some(readTable(spark, root, baseManifest))
       else None
-    def ordered(df: DataFrame): DataFrame =
-      df.select(col("event_type"), col("d"), col("ks"))
-    if (newParts.isEmpty && base.isDefined) return ordered(base.get)
+    if (newParts.isEmpty && base.isDefined) return base.get
     filesScanned.addAndGet(newParts.size)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // cached: the touched-keys collect below and the generation write
-    // both consume this aggregate — uncached, every appended file would
-    // be scanned and re-sketched TWICE per maintenance. KB-scale kept
-    // sets; released after the write.
-    val newDaily = Tables.normalizeEventsTs(
+    // ONE scan of the new files feeds BOTH kept-set families: the KMV
+    // distinct sketch over md5(user_id) and the quantile value sample
+    // over md5(event_id) (both aggregates skip null inputs, so the
+    // per-family filters ride in as null-guards). Cached: the
+    // touched-keys collect and the generation write both consume this
+    // aggregate. KB-scale kept sets; released after the write.
+    val raw = Tables.normalizeEventsTs(
         spark.read.parquet(newParts.map(_.path): _*))
-      .filter(col("user_id").isNotNull)
+    val newDaily = raw
       .select(col("event_type"), to_date(col("ts")).as("d"),
-        md5(col("user_id").cast("string")).as("h"))
+        when(col("user_id").isNotNull,
+          md5(col("user_id").cast("string"))).as("hu"),
+        when(col("value").isNotNull,
+          md5(col("event_id").cast("string"))).as("he"),
+        when(col("value").isNotNull,
+          (col("value").cast("decimal(18,2)") * lit(100)).cast("long")).as("v"))
       .groupBy(col("event_type"), col("d"))
-      .agg(graft.functions.KmvSketchAgg.kmvFull(spark, col("h"), K).as("ks"))
+      .agg(graft.functions.KmvSketchAgg.kmvFull(spark, col("hu"), K).as("ks"),
+        graft.functions.QuantileSketchAgg.qsketch(
+          spark, col("he"), col("v"), K).as("smp"))
       .cache()
     // touched (type, day) keys of THIS append — bounded by the append
-    // size (days × types), not the table; drives both the merge scope
-    // and the untouched-partition copy below
+    // size (days × types), not the table; drives the merge scope, the
+    // partition write, and the manifest delta
     val touched: Set[(String, String)] = newDaily
       .select(col("event_type"), col("d").cast("string")).distinct()
       .as[(String, String)].collect().toSet
     val merged = base match {
       case None => newDaily
       case Some(b) =>
-        // union-and-resketch over TOUCHED days only (two KB-sized kept
-        // sets); untouched days never enter the plan
+        // union-and-resketch over TOUCHED days only (KB-sized kept
+        // sets); untouched days never enter the plan. ks and smp merge
+        // through their own aggregates (explode/inline → re-sketch: the
+        // bottom-k-of-union law holds for both), re-joined full-outer
+        // because a partition may have rows in one family only.
         val touchedKeys = touched.toSeq.toDF("event_type", "ds")
           .select(col("event_type"), col("ds").cast("date").as("d"))
-        b.join(broadcast(touchedKeys), Seq("event_type", "d"), "left_semi")
-          .select(col("event_type"), col("d"), explode(col("ks")).as("h"))
-          .unionByName(newDaily.select(col("event_type"), col("d"),
-            explode(col("ks")).as("h")))
+        val pre = b.join(broadcast(touchedKeys), Seq("event_type", "d"), "left_semi")
+          .unionByName(newDaily)
+        val mergedKs = pre
+          .select(col("event_type"), col("d"), explode(col("ks")).as("hu"))
           .groupBy(col("event_type"), col("d"))
-          .agg(graft.functions.KmvSketchAgg.kmvFull(spark, col("h"), K).as("ks"))
+          .agg(graft.functions.KmvSketchAgg.kmvFull(spark, col("hu"), K).as("ks"))
+        val mergedSmp = pre
+          .select(col("event_type"), col("d"), expr("inline(smp)"))
+          .groupBy(col("event_type"), col("d"))
+          .agg(graft.functions.QuantileSketchAgg.qsketch(
+            spark, col("h"), col("v"), K).as("smp"))
+        mergedKs.join(mergedSmp, Seq("event_type", "d"), "full_outer")
+          .select(col("event_type"), col("d"),
+            coalesce(col("ks"), array().cast("array<string>")).as("ks"),
+            coalesce(col("smp"),
+              array().cast("array<struct<h:string,v:bigint>>")).as("smp"))
     }
     // sweep uncommitted leftovers from a crashed run, then land the new
-    // generation: touched partitions written, untouched partitions
-    // COPIED byte-identical from the prior generation
+    // generation: ONLY touched partitions written (shadow partition
+    // columns pet/pd keep event_type/d as data columns in the files)
     val nextN = curGen.getOrElse(-1L) + 1
     def sweepGens(pred: Long => Boolean): Unit = {
       val rp = new org.apache.hadoop.fs.Path(root)
@@ -191,42 +316,51 @@ object KmvTable {
       }
     }
     sweepGens(_ >= nextN)
-    val newSk = s"${genPath(nextN)}/sketches"
-    merged.write.mode("overwrite").partitionBy("event_type", "d").parquet(newSk)
+    val touchedRel = touched.map { case (t, d) => relPath(t, d) }
+    lastRewrittenPartitions.set(touchedRel)
+    if (touched.nonEmpty)
+      merged
+        .withColumn("pet", col("event_type"))
+        .withColumn("pd", col("d").cast("string"))
+        .write.mode("overwrite").partitionBy("pet", "pd")
+        .parquet(s"${genPath(nextN)}/parts")
     newDaily.unpersist()
-    // partition DIRECTORY names are Spark-escaped (space, '=', ':' …
-    // become %XX) — the touched set must use the same escaping or a
-    // rewritten partition of an escapable event_type would ALSO be
-    // copied from the prior generation, nesting stale data inside the
-    // fresh dir
-    def esc(v: String): String =
-      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
-    lastRewrittenPartitions.set(touched.map { case (t, d) =>
-      s"event_type=${esc(t)}/d=${esc(d)}" })
-    if (base.isDefined && !stale) {
-      val prevSk = new org.apache.hadoop.fs.Path(
-        s"${genPath(curGen.get)}/sketches")
-      val touchedRel = lastRewrittenPartitions.get()
-      for {
-        et <- fs.listStatus(prevSk).toSeq
-        if et.isDirectory && et.getPath.getName.startsWith("event_type=")
-        dd <- fs.listStatus(et.getPath).toSeq
-        if dd.isDirectory && dd.getPath.getName.startsWith("d=")
-        rel = s"${et.getPath.getName}/${dd.getPath.getName}"
-        if !touchedRel(rel)
-      } org.apache.hadoop.fs.FileUtil.copy(fs, dd.getPath, fs,
-        new org.apache.hadoop.fs.Path(s"$newSk/$rel"), false, hconf)
-    }
+    // the new manifest: untouched partitions keep their owning
+    // generation; touched ones are owned here. (A full rebuild has an
+    // empty baseManifest, so the manifest is exactly the touched set.)
+    val manifest = (baseManifest -- touchedRel) ++
+      touchedRel.iterator.map(_ -> nextN)
     currentDf.coalesce(1).write.mode("overwrite")
       .parquet(s"${genPath(nextN)}/consumed")
+    writeManifest(fs, root, nextN, manifest)
     // the COMMIT: one atomic create — readers switch generations here
     fs.create(new org.apache.hadoop.fs.Path(
       s"${genPath(nextN)}/_COMMITTED"), false).close()
-    // retain exactly one prior generation (in-flight lazy readers of the
-    // previous table keep their files); sweep everything older
-    sweepGens(_ + 1 < nextN)
-    ordered(spark.read.parquet(newSk))
+    // sweep by REFERENCE: keep generations owning live partitions in
+    // the new manifest or the prior committed one (in-flight lazy
+    // readers of the previous table), plus the two gen dirs themselves
+    val live = manifest.values.toSet ++ baseManifest.values ++
+      curGen.toSet + nextN
+    sweepGens(n => !live.contains(n))
+    readTable(spark, root, manifest)
   }
+
+  /** The distinct-count view of the table — exactly the pre-r11
+    * contract (event_type, d, ks), restricted to partitions with at
+    * least one kept hash: the combined scan keeps a (type, day) row
+    * whenever ANY event lands there, but the q146/q148/q151 algebra is
+    * defined over days that have ≥1 non-null user (their oracles build
+    * the daily table from a user_id IS NOT NULL frame). */
+  def kmvView(spark: SparkSession, dir: String): DataFrame =
+    maintain(spark, dir).filter(size(col("ks")) > 0)
+      .select(col("event_type"), col("d"), col("ks"))
+
+  /** The quantile-sample view (event_type, d, smp) — the durable form
+    * of q161's daily sample table (r10 verdict #7), same restriction
+    * for days with ≥1 non-null value. */
+  def quantileView(spark: SparkSession, dir: String): DataFrame =
+    maintain(spark, dir).filter(size(col("smp")) > 0)
+      .select(col("event_type"), col("d"), col("smp"))
 
   /** q151 — the maintained table as an oracled query: per (type, day)
     * sketch columns + estimate, with exact anchors from the raw feed
@@ -235,7 +369,7 @@ object KmvTable {
     * saturation rule are q139's.
     */
   def q151KmvMaintain(spark: SparkSession, dir: String): DataFrame = {
-    val t = maintain(spark, dir)
+    val t = kmvView(spark, dir)
       .select(col("event_type"), col("d"),
         size(col("ks")).cast("long").as("n_kept"),
         element_at(col("ks"), size(col("ks"))).as("hk"))

@@ -535,7 +535,7 @@ object Layout {
     // instead of re-sketching the corpus, and an appended feed pays
     // only the new files — the r9 refactor that makes the "one pass
     // EVER" posture literal rather than per-session
-    val daily = KmvTable.maintain(spark, dir)
+    val daily = KmvTable.kmvView(spark, dir)
     // rolling merge over the sketch TABLE (tiny): 7-day union, re-sketch
     val target = daily.select(col("event_type"), col("d"))
     val merged = target.as("t")
@@ -653,7 +653,7 @@ object Layout {
       // type's true bottom-k, because every type-level bottom-k hash is
       // in its day's bottom-k) — zero feed scans when the table is
       // fresh, and the whole query is KB-sized sketch algebra
-      val kept = KmvTable.maintain(spark, dir)
+      val kept = KmvTable.kmvView(spark, dir)
         .select(col("event_type"), explode(col("ks")).as("h"))
         .groupBy(col("event_type"))
         .agg(graft.functions.KmvSketchAgg.kmvFull(spark, col("h"), KmvK.toInt).as("ks"))
@@ -1376,15 +1376,16 @@ object Layout {
   private val QrPs = Seq(0.5, 0.9)
 
   def q161QuantileRolling(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.events(spark, dir)
-      .filter(col("value").isNotNull)
-      .select(col("event_type"), to_date(col("ts")).as("d"),
-        md5(col("event_id").cast("string")).as("h"),
-        (col("value").cast("decimal(18,2)") * lit(100)).cast("long").as("v"))
-    // the ONE corpus pass: the daily sample table
-    val daily = base.groupBy(col("event_type"), col("d"))
-      .agg(graft.functions.QuantileSketchAgg.qsketch(
-        spark, col("h"), col("v"), QrK).as("smp"))
+    // the ONE corpus pass lives in the MAINTAINED table (r10 verdict
+    // #7): the per-(type, day) bottom-k-by-md5(event_id) value sample
+    // is the `smp` column of [[KmvTable]] — produced by the same
+    // maintenance scan that builds the KMV kept sets (one scan per
+    // feed file EVER, shared by both sketch families), durable across
+    // JVMs, and appends pay only the new files. This query builds no
+    // daily sample of its own in either mode; the identical aggregate
+    // definition makes table-served and in-query daily samples
+    // byte-equal, so the oracle is unchanged.
+    val daily = KmvTable.quantileView(spark, dir)
     // rolling merge over the TABLE (tiny): 7-day union, re-sample
     val target = daily.select(col("event_type"), col("d"))
     val merged = target.as("t")
@@ -1398,11 +1399,20 @@ object Layout {
         spark, col("h"), col("v"), QrK).as("smp"))
     val est = sampleQuantiles(merged, Seq("event_type", "d"), QrPs)
     if (!anchorsOn(spark)) {
+      // production shape: whole query served from the maintained
+      // table — no events scan at all when the table is fresh
+      // (SketchAnchorsSpec pins the scan set)
       return est.select(col("event_type"), col("d"), col("p"),
           col("n_kept"), col("q_est"))
         .orderBy(col("event_type"), col("d"), col("p"))
     }
-    // exact anchor: the 7× fan-out window re-scan + full sort per window
+    // exact anchor: the 7× fan-out window re-scan + full sort per
+    // window — the only place this query touches the feed
+    val base = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        md5(col("event_id").cast("string")).as("h"),
+        (col("value").cast("decimal(18,2)") * lit(100)).cast("long").as("v"))
     val win = base.select(col("event_type"), col("d")).distinct().as("t")
       .join(base.as("s"),
         col("t.event_type") === col("s.event_type") &&

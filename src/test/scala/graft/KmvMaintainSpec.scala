@@ -3,28 +3,48 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.operators.KmvTable
 
-/** q151 incremental sketch-table maintenance: fresh build must equal
-  * the daily bottom-k definition; a no-op maintenance must scan ZERO
-  * files; an append must scan ONLY the appended file and land on the
-  * byte-identical table a from-scratch build produces (the union-
-  * resketch law, this time across maintenance runs); a corpus MUTATION
-  * must be detected and force a full rebuild rather than serving a
-  * stale merge.
+/** q151/q161 incremental sketch-table maintenance, manifest-generation
+  * form (r10 verdict #2): fresh build must equal the daily bottom-k
+  * definitions (BOTH columns — the KMV kept set and the quantile value
+  * sample, from one scan); a no-op maintenance must scan ZERO files; an
+  * append must scan ONLY the appended file, WRITE only the touched
+  * partitions (the untouched table rides forward by manifest reference,
+  * not by copy), and land on the same table a from-scratch build
+  * produces; generations are swept by reference, never while a live
+  * manifest points into them; a crash mid-maintenance (uncommitted
+  * generation) is invisible to readers and swept by the next write; a
+  * corpus MUTATION forces a full rebuild; legacy pre-manifest layouts
+  * are migrated, not left lingering; an empty first corpus commits
+  * cleanly instead of dying on schema inference.
   */
 class KmvMaintainSpec extends SparkSpec {
 
-  private def withTableDir[T](f: => T): T = {
-    spark.conf.set("spark.graft.kmv.tableDir", TempDirs.create("graft_kmv_tbl"))
-    try f finally spark.conf.unset("spark.graft.kmv.tableDir")
+  private def withTableDir[T](f: String => T): T = {
+    val dir = TempDirs.create("graft_kmv_tbl")
+    spark.conf.set("spark.graft.kmv.tableDir", dir)
+    try f(dir) finally spark.conf.unset("spark.graft.kmv.tableDir")
   }
 
-  private def tableRows(df: org.apache.spark.sql.DataFrame) =
+  private def ksRows(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => (r.getString(0), r.getDate(1).toString) ->
       r.getSeq[String](2).toList).toMap
 
-  test("fresh build equals the daily bottom-k definition (gate data)") {
-    withTableDir {
-      val t = tableRows(KmvTable.maintain(spark, Sf))
+  private def smpRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+      r.getSeq[org.apache.spark.sql.Row](2)
+        .map(s => (s.getString(0), s.getLong(1))).toList).toMap
+
+  private def ev(ids: Range, day: Int) = {
+    import spark.implicits._
+    ids.map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"),
+        (i % 500).toLong, "click", i / 100.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  test("fresh build equals the daily bottom-k definitions (gate data, both columns)") {
+    withTableDir { _ =>
+      val t = ksRows(KmvTable.kmvView(spark, Sf))
       val naive = graft.sources.Tables.events(spark, Sf)
         .filter(col("user_id").isNotNull)
         .select(col("event_type"), to_date(col("ts")).as("d"),
@@ -39,10 +59,28 @@ class KmvMaintainSpec extends SparkSpec {
         .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
           r.getSeq[String](2).toList).toMap
       assert(t === naive)
+      // the quantile sample column, same one-scan maintenance pass:
+      // bottom-64-by-md5(event_id) with cent values attached
+      val q = smpRows(KmvTable.quantileView(spark, Sf))
+      val naiveQ = graft.sources.Tables.events(spark, Sf)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), to_date(col("ts")).as("d"),
+          md5(col("event_id").cast("string")).as("h"),
+          (col("value").cast("decimal(18,2)") * lit(100)).cast("long").as("v"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("event_type"), col("d")).orderBy(col("h"))))
+        .filter(col("rn") <= 64)
+        .groupBy(col("event_type"), col("d"))
+        .agg(sort_array(collect_list(struct(col("h"), col("v")))).as("smp"))
+        .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+          r.getSeq[org.apache.spark.sql.Row](2)
+            .map(s => (s.getString(0), s.getLong(1))).toList).toMap
+      assert(q === naiveQ)
       // and the oracled query over the same table is well-formed
-      val q = KmvTable.q151KmvMaintain(spark, Sf).collect()
-      assert(q.length === t.size)
-      q.foreach { r =>
+      val qq = KmvTable.q151KmvMaintain(spark, Sf).collect()
+      assert(qq.length === t.size)
+      qq.foreach { r =>
         if (r.getAs[Long]("n_kept") < 64)
           assert(r.getAs[Double]("kmv_estimate") ===
             r.getAs[Long]("n_distinct").toDouble) // saturation rule
@@ -51,23 +89,20 @@ class KmvMaintainSpec extends SparkSpec {
   }
 
   test("append scans only the new file and matches a from-scratch build") {
-    import spark.implicits._
-    def ev(ids: Range, day: Int) = ids.map { i =>
-      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"),
-        (i % 500).toLong, "click", 1.0)
-    }.toDF("event_id", "ts", "user_id", "event_type", "value")
-
     // corpus A: two days in one part file
     val full = TempDirs.create("graft_kmv_corpA")
     ev(1 to 800, 1).union(ev(801 to 1600, 2))
       .coalesce(1).write.parquet(s"$full/events.parquet")
-    val fromScratch = withTableDir { tableRows(KmvTable.maintain(spark, full)) }
+    val (fromScratch, fromScratchQ) = withTableDir { _ =>
+      (ksRows(KmvTable.kmvView(spark, full)),
+       smpRows(KmvTable.quantileView(spark, full)))
+    }
 
     // corpus B: same rows, landed as two files with a maintenance run
     // between — the incremental path must converge to the same table
     val incr = TempDirs.create("graft_kmv_corpB")
     ev(1 to 800, 1).coalesce(1).write.parquet(s"$incr/events.parquet")
-    withTableDir {
+    withTableDir { _ =>
       KmvTable.maintain(spark, incr)
       val before = KmvTable.filesScanned.get()
       // no-op maintenance: zero files scanned
@@ -76,24 +111,19 @@ class KmvMaintainSpec extends SparkSpec {
       // append day 2 as a second part file
       graft.streaming.EventsStream.landFeedFile(
         ev(801 to 1600, 2), s"$incr/events.parquet", "append01")
-      val t2 = tableRows(KmvTable.maintain(spark, incr))
+      val t2 = ksRows(KmvTable.kmvView(spark, incr))
       assert(KmvTable.filesScanned.get() === before + 1,
         "append must scan exactly the one new file")
       assert(t2 === fromScratch,
         "incremental merge must converge to the from-scratch table")
+      assert(smpRows(KmvTable.quantileView(spark, incr)) === fromScratchQ,
+        "quantile samples must converge too (same maintenance pass)")
     }
   }
 
-  test("append rewrites only appended days; untouched partitions byte-identical") {
-    import spark.implicits._
-    def ev(ids: Range, day: Int) = ids.map { i =>
-      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"),
-        (i % 500).toLong, "click", 1.0)
-    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+  test("append writes only touched partitions; untouched ride by manifest reference") {
     val dir = TempDirs.create("graft_kmv_gens")
-    val tbl = TempDirs.create("graft_kmv_gens_tbl")
-    spark.conf.set("spark.graft.kmv.tableDir", tbl)
-    try {
+    withTableDir { tbl =>
       ev(1 to 800, 1).coalesce(1).write.parquet(s"$dir/events.parquet")
       KmvTable.maintain(spark, dir).count() // gen-0
       graft.streaming.EventsStream.landFeedFile(
@@ -101,57 +131,130 @@ class KmvMaintainSpec extends SparkSpec {
       KmvTable.maintain(spark, dir).count() // gen-1
       // only the appended day's partition was re-sketched/rewritten
       assert(KmvTable.lastRewrittenPartitions.get() ===
-        Set("event_type=click/d=2024-01-02"))
-      // the untouched day rode forward byte-identical (copied, not
-      // recomputed) — the IncrementalBronzeSpec assertion applied to
-      // the sketch table
-      def partBytes(gen: String): Seq[Seq[Byte]] = {
-        val d = new java.io.File(s"$tbl/$gen/sketches/event_type=click/d=2024-01-01")
-        assert(d.isDirectory, s"missing partition dir in $gen")
-        d.listFiles.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-          .map(f => java.nio.file.Files.readAllBytes(f.toPath).toSeq).toSeq
+        Set("pet=click/pd=2024-01-02"))
+      // the new generation PHYSICALLY contains only the touched
+      // partition — the r10 byte-copy of the untouched table forward
+      // is gone (this is the verdict's file-count pin)
+      def partDirs(gen: String): Set[String] = {
+        val parts = new java.io.File(s"$tbl/$gen/parts")
+        assert(parts.isDirectory, s"missing parts dir in $gen")
+        (for {
+          pet <- parts.listFiles.toSeq if pet.isDirectory
+          pd <- pet.listFiles.toSeq if pd.isDirectory
+        } yield s"${pet.getName}/${pd.getName}").toSet
       }
-      assert(partBytes("gen-1") === partBytes("gen-0"))
-      // commit protocol: both generations committed; the prior one is
-      // RETAINED (crash/laggy-reader safety)
+      assert(partDirs("gen-0") === Set("pet=click/pd=2024-01-01"))
+      assert(partDirs("gen-1") === Set("pet=click/pd=2024-01-02"),
+        "append generation must hold ONLY the appended day")
+      // the manifest maps the untouched day to its ORIGINAL owning
+      // generation — readers still see the full table
+      val manifest = scala.io.Source.fromFile(s"$tbl/gen-1/manifest")
+        .getLines().map { l => val Array(g, rel) = l.split("\t", 2); rel -> g.toLong }
+        .toMap
+      assert(manifest === Map(
+        "pet=click/pd=2024-01-01" -> 0L, "pet=click/pd=2024-01-02" -> 1L))
+      assert(KmvTable.maintain(spark, dir).count() === 2)
+      // commit protocol: both generations committed; gen-0 is ALIVE
+      // (it owns a live partition), not merely retained
       assert(new java.io.File(s"$tbl/gen-0/_COMMITTED").exists)
       assert(new java.io.File(s"$tbl/gen-1/_COMMITTED").exists)
       // an uncommitted partial generation is invisible to readers and
-      // swept by the next maintenance write
-      new java.io.File(s"$tbl/gen-7/sketches").mkdirs()
+      // swept by the next maintenance write (crash mid-maintain shape)
+      new java.io.File(s"$tbl/gen-7/parts").mkdirs()
       val noop = KmvTable.maintain(spark, dir)
-      assert(noop.count() === 2) // still served from gen-1
+      assert(noop.count() === 2) // still served from the gen-1 manifest
       graft.streaming.EventsStream.landFeedFile(
         ev(1601 to 2000, 3), s"$dir/events.parquet", "append02")
       KmvTable.maintain(spark, dir).count() // gen-2
       assert(!new java.io.File(s"$tbl/gen-7").exists,
         "uncommitted leftover must be swept")
       assert(new java.io.File(s"$tbl/gen-2/_COMMITTED").exists)
-      assert(!new java.io.File(s"$tbl/gen-0").exists,
-        "generations older than the retained prior must be swept")
+      // REFERENCE sweep: gen-0 and gen-1 both still own live
+      // partitions (days 1 and 2) — neither may be deleted
+      assert(new java.io.File(s"$tbl/gen-0").exists,
+        "a generation owning live partitions must survive the sweep")
       assert(new java.io.File(s"$tbl/gen-1").exists)
-    } finally spark.conf.unset("spark.graft.kmv.tableDir")
+      assert(ksRows(KmvTable.kmvView(spark, dir)).keySet ===
+        Set(("click", "2024-01-01"), ("click", "2024-01-02"),
+          ("click", "2024-01-03")))
+    }
   }
 
   test("corpus mutation forces a full rebuild, never a stale merge") {
     import spark.implicits._
-    def ev(ids: Range, users: Int) = ids.map { i =>
+    def mev(ids: Range, users: Int) = ids.map { i =>
       (i.toLong, java.sql.Timestamp.valueOf("2024-02-01 08:00:00"),
         (i % users).toLong, "view", 1.0)
     }.toDF("event_id", "ts", "user_id", "event_type", "value")
     val dir = TempDirs.create("graft_kmv_mut")
-    ev(1 to 300, 100).coalesce(1).write.parquet(s"$dir/events.parquet")
-    withTableDir {
+    mev(1 to 300, 100).coalesce(1).write.parquet(s"$dir/events.parquet")
+    withTableDir { tbl =>
       KmvTable.maintain(spark, dir)
       val rebuildsBefore = KmvTable.fullRebuilds.get()
       // REGENERATE the corpus in place: same path, different contents
-      ev(1 to 300, 37).coalesce(1).write.mode("overwrite")
+      mev(1 to 300, 37).coalesce(1).write.mode("overwrite")
         .parquet(s"$dir/events.parquet")
-      val t = tableRows(KmvTable.maintain(spark, dir))
+      val t = ksRows(KmvTable.kmvView(spark, dir))
       assert(KmvTable.fullRebuilds.get() === rebuildsBefore + 1,
         "mutated corpus must trip the per-file identity check")
       // table reflects ONLY the new corpus: 37 distinct users
       assert(t(("view", "2024-02-01")).size === 37)
+      // after one more maintenance the pre-mutation generation (now
+      // unreferenced by both live manifests) is swept
+      graft.streaming.EventsStream.landFeedFile(
+        mev(301 to 400, 37), s"$dir/events.parquet", "postmut")
+      KmvTable.maintain(spark, dir).count()
+      assert(!new java.io.File(s"$tbl/gen-0").exists,
+        "an unreferenced stale generation must eventually be swept")
+    }
+  }
+
+  test("legacy pre-manifest layout is migrated by rebuild, stale dirs deleted") {
+    val dir = TempDirs.create("graft_kmv_legacy")
+    ev(1 to 500, 1).coalesce(1).write.parquet(s"$dir/events.parquet")
+    withTableDir { tbl =>
+      // fabricate the r9 flat layout AND an r10 manifest-less committed
+      // generation
+      import spark.implicits._
+      Seq(("x", "2020-01-01")).toDF("a", "b")
+        .write.parquet(s"$tbl/sketches")
+      Seq(("x", "2020-01-01")).toDF("a", "b")
+        .write.parquet(s"$tbl/gen-0/sketches")
+      Seq(("f", 1L, 2L)).toDF("name", "len", "mtime")
+        .write.parquet(s"$tbl/gen-0/consumed")
+      new java.io.File(s"$tbl/gen-0/_COMMITTED").createNewFile()
+      val t = ksRows(KmvTable.kmvView(spark, dir))
+      assert(t.keySet === Set(("click", "2024-01-01")),
+        "legacy layout must be rebuilt from the corpus")
+      assert(!new java.io.File(s"$tbl/sketches").exists,
+        "r9 flat dirs must be deleted, not left lingering")
+      assert(!new java.io.File(s"$tbl/gen-0/sketches").exists,
+        "manifest-less generations must be deleted")
+      assert(new java.io.File(s"$tbl/gen-0/manifest").exists,
+        "the migrated table is a fresh manifest generation")
+    }
+  }
+
+  test("empty first corpus commits cleanly and appends recover") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_kmv_empty")
+    // a real parquet file with ZERO rows (schema in the footer only)
+    ev(1 to 1, 1).filter(lit(false))
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    withTableDir { tbl =>
+      val t0 = KmvTable.maintain(spark, dir)
+      assert(t0.count() === 0, "empty corpus => empty typed table")
+      assert(new java.io.File(s"$tbl/gen-0/_COMMITTED").exists,
+        "the empty maintenance must still commit (files are consumed)")
+      val before = KmvTable.filesScanned.get()
+      KmvTable.maintain(spark, dir)
+      assert(KmvTable.filesScanned.get() === before,
+        "empty file must be consumed, not rescanned forever")
+      // a later append builds the real table incrementally
+      graft.streaming.EventsStream.landFeedFile(
+        ev(1 to 300, 2), s"$dir/events.parquet", "append01")
+      assert(ksRows(KmvTable.kmvView(spark, dir)).keySet ===
+        Set(("click", "2024-01-02")))
     }
   }
 }

@@ -65,7 +65,7 @@ class SketchAnchorsSpec extends SparkSpec {
     assert(off152 === on152)
   }
 
-  test("q146/q151/q148: fresh table => no events scan, estimates identical") {
+  test("q146/q151/q148/q161: fresh table => no events scan, estimates identical") {
     withTableDir {
       // prime the maintained table (this pass scans the feed — once)
       KmvTable.maintain(spark, Sf).count()
@@ -74,17 +74,21 @@ class SketchAnchorsSpec extends SparkSpec {
       val on146 = Layout.q146KmvRolling(spark, Sf)
       val on151 = KmvTable.q151KmvMaintain(spark, Sf)
       val on148 = Layout.q148KmvAlgebra(spark, Sf)
-      val (off146, off151, off148) = anchorsOff {
+      val (off146, off151, off148, off161) = anchorsOff {
         (Layout.q146KmvRolling(spark, Sf),
          KmvTable.q151KmvMaintain(spark, Sf),
-         Layout.q148KmvAlgebra(spark, Sf))
+         Layout.q148KmvAlgebra(spark, Sf),
+         Layout.q161QuantileRolling(spark, Sf))
       }
       assert(KmvTable.filesScanned.get() === before,
         "maintenance against a fresh table must scan zero feed files")
 
       // the plan pin: anchors-off table-served queries read ONLY the
       // sketch table — the events feed appears nowhere in their scans
-      Seq("q146" -> off146, "q151" -> off151, "q148" -> off148).foreach {
+      // (q161 joined the set in r11: its daily sample now lives in the
+      // maintained table's smp column, same one-scan maintenance pass)
+      Seq("q146" -> off146, "q151" -> off151, "q148" -> off148,
+          "q161" -> off161).foreach {
         case (name, df) =>
           val feed = scanPaths(df).filter(_.contains("events.parquet"))
           assert(feed.isEmpty, s"$name anchors-off plan scans the feed: $feed")
