@@ -29,7 +29,12 @@ import org.apache.spark.sql.functions._
   *    ANALYZE-stats CBO order on the q-chain CboReorderSpec uses;
   *  - [[SynopsisCatalog]] + [[SketchBroadcastHint]] → an automatic
   *    broadcast hint when a side's synopsis-estimated cardinality is
-  *    under `spark.graft.synopsis.broadcastMaxRows`.
+  *    under `spark.graft.synopsis.broadcastMaxRows`;
+  *  - [[SynopsisStats]] → the synopsis written as CATALOG statistics
+  *    (rowCount / sizeInBytes / key NDV, with a calibrated form that
+  *    encodes frequency skew), so Spark's OWN join-reorder and
+  *    broadcast planning consume the estimates with no graft rule in
+  *    the loop (SynopsisStatsSpec).
   */
 final case class KeySynopsis(
     name: String,
@@ -37,7 +42,16 @@ final case class KeySynopsis(
     k: Int,
     /** kept md5 hashes (the bottom-k of the key's distinct hash set),
       * ascending, each with its exact key frequency. */
-    kept: Vector[(String, Long)]) {
+    kept: Vector[(String, Long)],
+    /** Key-domain bounds in external-string form (what ANALYZE stores
+      * in `CatalogColumnStat.min/max`), off the same single build pass.
+      * Catalyst's join estimation REQUIRES numeric-key bounds: absent
+      * min/max become a NullValueInterval whose intersection test
+      * returns false, collapsing every join estimate to 0 — so a
+      * synopsis that wants to feed [[SynopsisStats]] must carry them.
+      * None for empty inputs. */
+    keyMin: Option[String] = None,
+    keyMax: Option[String] = None) {
 
   def nKept: Int = kept.size
 
@@ -59,18 +73,24 @@ object JoinSynopsis {
 
   /** One corpus pass: per-key frequencies (cached — KB-to-MB keyed
     * aggregate), then the bottom-k kept set with frequencies attached
-    * and the exact row count as Σc off the SAME aggregate — a second
-    * corpus scan for the count would double the cost of the artifact
-    * this exists to make cheap. The collected result is ≤ k rows. */
+    * and the exact row count as Σc plus the key-domain min/max — ALL
+    * off the SAME aggregate; a second corpus scan for any of them
+    * would double the cost of the artifact this exists to make cheap.
+    * The collected result is ≤ k + 1 rows. */
   def build(name: String, df: DataFrame, key: Column, k: Int = K): KeySynopsis = {
-    val freq = df.select(md5(key.cast("string")).as("h"))
-      .groupBy(col("h")).agg(count(lit(1)).as("c"))
+    val freq = df.select(md5(key.cast("string")).as("h"), key.as("kv"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("c"), min(col("kv")).as("mn"), max(col("kv")).as("mx"))
       .cache()
     try {
       val keptRows = freq.orderBy(col("h")).limit(k)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toVector
-      val total = freq.agg(sum(col("c")).cast("long")).collect()(0).getLong(0)
-      KeySynopsis(name, total, k, keptRows)
+      val tot = freq
+        .agg(coalesce(sum(col("c")), lit(0L)).cast("long"),
+          min(col("mn")).cast("string"), max(col("mx")).cast("string"))
+        .collect()(0)
+      KeySynopsis(name, tot.getLong(0), k, keptRows,
+        Option(tot.getString(1)), Option(tot.getString(2)))
     } finally { freq.unpersist(); () }
   }
 

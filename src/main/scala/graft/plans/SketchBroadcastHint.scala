@@ -23,6 +23,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * when both sides qualify, the smaller estimate wins (broadcasting
   * both would be wrong). Off by default — no query changes modes
   * unless a session opts in (the q152 conf-switch convention).
+  *
+  * For SAVED tables prefer [[SynopsisStats]]: it writes the synopsis
+  * into catalog statistics, so Spark's own threshold planning makes
+  * the same decision with no rule in the loop (and CBO reorder gets
+  * the estimates too). This hint remains the route for temp views and
+  * ad-hoc subqueries, which have no catalog entry to carry statistics.
   */
 object SketchBroadcastHint extends Rule[LogicalPlan] {
 

@@ -1,0 +1,105 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics}
+
+/** [[KeySynopsis]] fed into CATALYST'S OWN statistics (r10 verdict #3):
+  * instead of special-casing one planning decision per rule (the
+  * [[SketchBroadcastHint]] route), the synopsis is written where
+  * ANALYZE would have written — the table's `CatalogStatistics`
+  * (rowCount, sizeInBytes, per-column NDV) — so Spark's OWN machinery
+  * consumes it everywhere statistics flow: `CostBasedJoinReorder`
+  * (CBO on), `JoinEstimation`, and size-threshold broadcast planning
+  * (CBO on or off — `LogicalRelation.computeStats` prefers catalog
+  * stats over file sizes in both modes). No table scan ever runs; the
+  * numbers come from the KB-sized synopsis built in one pass.
+  *
+  * Two tiers:
+  *
+  *  - [[injectFromSynopsis]] — the ANALYZE-equivalent: exact row count
+  *    (Σ of kept-key frequencies comes off the synopsis build pass)
+  *    plus the bottom-k NDV estimate per join key. This alone
+  *    activates CBO reorder/estimation on tables ANALYZE never
+  *    touched.
+  *  - [[injectCalibrated]] — the part ANALYZE statistics CANNOT
+  *    express: Spark's join estimator is uniform-frequency
+  *    (|A⋈B| = rows_A·rows_B / max(ndv_A, ndv_B)), so two dimensions
+  *    with identical (rows, ndv) are indistinguishable to it no matter
+  *    how exact the stats (SynopsisCboSpec pins the blindness with
+  *    ANALYZE-exact statistics). The frequency-annotated synopsis
+  *    knows the true join size ([[JoinSynopsis.joinEst]] — exact at
+  *    saturation); calibration collapses it into an EFFECTIVE
+  *    cardinality for the dimension,
+  *
+  *      rows_eff = joinEst · max(ndv_F, ndv_D) / rows_F,
+  *
+  *    chosen so Spark's own uniform formula reproduces the synopsis
+  *    estimate exactly. The planner then reorders/broadcasts from
+  *    frequency-skew information through an interface that only
+  *    carries per-relation numbers. (Effective stats are per
+  *    fact-dimension pair — the star-join shape q158 ranks; a
+  *    dimension reused against several facts takes the last
+  *    calibration written.)
+  *
+  * SynopsisStatsSpec is the executed-plan proof: a 3-table chain
+  * reorders under injected stats alone (CBO on, ANALYZE never run)
+  * matching the true-size order in the skew case NDV statistics
+  * provably cannot rank, the first executed join is
+  * [[JoinSynopsis.cheapestJoinFirst]]'s rank-1 choice (q158's ranking
+  * machinery, re-asserted through the plan), and an injected
+  * sizeInBytes flips a sort-merge join to broadcast with no hint rule
+  * involved — subsuming [[SketchBroadcastHint]]'s special case at the
+  * statistics tier.
+  */
+object SynopsisStats {
+
+  /** Join-key column statistic off one synopsis: NDV is the bottom-k
+    * estimate; min/max are the key-domain bounds the build pass carried
+    * (REQUIRED for numeric keys — Catalyst turns absent bounds into a
+    * NullValueInterval whose intersection test fails, collapsing every
+    * join estimate to 0); nullCount 0 (synopses are built over the
+    * key's non-null frame) and fixed 8-byte width (the key families
+    * this engine sketches are int64/hashed) — exactly the fields
+    * `JoinEstimation` needs to fire, nothing speculative. */
+  private def keyStat(syn: KeySynopsis): CatalogColumnStat = CatalogColumnStat(
+    distinctCount = Some(BigInt(math.max(1L, math.round(syn.distinctEst)))),
+    min = syn.keyMin, max = syn.keyMax,
+    nullCount = Some(BigInt(0)),
+    avgLen = Some(8L), maxLen = Some(8L))
+
+  /** Write `rows` + per-key-column synopsis statistics as `table`'s
+    * catalog statistics — exactly what ANALYZE TABLE … COMPUTE
+    * STATISTICS FOR COLUMNS would persist, except no scan runs.
+    * `avgRowBytes` sizes the sizeInBytes statistic (broadcast
+    * thresholds compare against it). */
+  def inject(spark: SparkSession, table: String, rows: Long,
+      keyCols: Map[String, KeySynopsis], avgRowBytes: Long = 32L): Unit = {
+    val stats = CatalogStatistics(
+      sizeInBytes = BigInt(math.max(1L, rows * avgRowBytes)),
+      rowCount = Some(BigInt(math.max(0L, rows))),
+      colStats = keyCols.map { case (c, s) => c -> keyStat(s) })
+    spark.sessionState.catalog.alterTableStats(
+      TableIdentifier(table), Some(stats))
+    spark.sessionState.catalog.refreshTable(TableIdentifier(table))
+  }
+
+  /** ANALYZE-equivalent injection from one synopsis: exact rows, key
+    * NDV + bounds from the bottom-k build pass. */
+  def injectFromSynopsis(spark: SparkSession, table: String,
+      syn: KeySynopsis, keyColumn: String, avgRowBytes: Long = 32L): Unit =
+    inject(spark, table, syn.rows, Map(keyColumn -> syn), avgRowBytes)
+
+  /** Frequency-skew calibration for a dimension joined against a fact
+    * (see object doc): the dimension's injected cardinality is scaled
+    * so Spark's uniform join formula yields [[JoinSynopsis.joinEst]]
+    * for this (fact, dim) pair. Key NDV and bounds stay the honest
+    * synopsis values — only the row count carries the skew signal. */
+  def injectCalibrated(spark: SparkSession, dimTable: String,
+      dimSyn: KeySynopsis, keyColumn: String, factSyn: KeySynopsis): Unit = {
+    val est = JoinSynopsis.joinEst(factSyn, dimSyn)
+    val maxNdv = math.max(factSyn.distinctEst, dimSyn.distinctEst)
+    val effRows = math.max(1L, math.round(est * maxNdv / factSyn.rows.toDouble))
+    inject(spark, dimTable, effRows, Map(keyColumn -> dimSyn))
+  }
+}

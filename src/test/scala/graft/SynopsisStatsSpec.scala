@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.functions._
+
+import graft.plans.{JoinSynopsis, SynopsisStats}
+
+/** r10 verdict #3 — the synopsis feeding CATALYST's own statistics,
+  * proven on executed plans: (a) a 3-table join chain reorders under
+  * injected synopsis statistics alone (CBO on, ANALYZE never run),
+  * matching the true-size order in a frequency-skew case where
+  * exact NDV statistics are provably blind (two dims with identical
+  * rows and key NDV, ~40× apart in true join size); the first executed
+  * join is exactly [[JoinSynopsis.cheapestJoinFirst]]'s rank-1 choice —
+  * q158's ranking machinery re-asserted through the plan, not a
+  * ranking table. (b) An injected sizeInBytes flips a sort-merge join
+  * to a broadcast join through Spark's own threshold planning — no
+  * hint, no rule, CBO off — subsuming SketchBroadcastHint's special
+  * case at the statistics tier.
+  */
+class SynopsisStatsSpec extends SparkSpec {
+
+  private def leafOrder(p: LogicalPlan): Seq[String] = p.collect {
+    case j: Join => j
+  }.headOption.map(_.collectLeaves().map(_.toString.take(60)).toSeq)
+    .getOrElse(Seq.empty)
+
+  test("3-table chain reorders under injected synopsis stats alone (skew, no ANALYZE)") {
+    import spark.implicits._
+    // fact: two join keys with IDENTICAL hot-key-0 marginals (key 0
+    // carries half the rows; 1..59 cold). ka and kb are assigned
+    // independently so the dims chain through the fact only.
+    val fact = (1 to 8000).map { i =>
+      val ka = if (i <= 4000) 0L else (i % 59 + 1).toLong
+      val kb = if (i <= 4000) 0L else ((i * 7) % 59 + 1).toLong
+      (ka, kb, i.toLong)
+    }.toDF("ka", "kb", "payload")
+    // two dims with IDENTICAL (rows=600, ndv=60): A's heavy key is the
+    // fact's HOT key (joined via ka), B's heavy key is a COLD one
+    // (joined via kb) — indistinguishable to any per-relation NDV
+    // statistic, ~40× apart in true join size
+    val dimA = ((1 to 541).map(_ => 0L) ++ (1L to 59L)).map(k => (k, "a"))
+      .toDF("k", "tag")
+    val dimB = ((1 to 541).map(_ => 1L) ++ (2L to 60L)).map(k => (k, "b"))
+      .toDF("k", "tag")
+    val trueA = fact.join(dimA, col("ka") === dimA("k")).count()
+    val trueB = fact.join(dimB, col("kb") === dimB("k")).count()
+    assert(trueA > trueB * 20, s"skew fixture degenerate: $trueA vs $trueB")
+
+    val names = Seq("syn3_fact", "syn3_a", "syn3_b")
+    names.foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    try {
+      fact.write.mode("overwrite").saveAsTable("syn3_fact")
+      dimA.write.mode("overwrite").saveAsTable("syn3_a")
+      dimB.write.mode("overwrite").saveAsTable("syn3_b")
+      // NO ANALYZE anywhere: every statistic below comes off synopses
+      val sFka = JoinSynopsis.build("syn3_fact", spark.table("syn3_fact"), col("ka"))
+      val sFkb = JoinSynopsis.build("syn3_fact", spark.table("syn3_fact"), col("kb"))
+      val sA = JoinSynopsis.build("syn3_a", spark.table("syn3_a"), col("k"))
+      val sB = JoinSynopsis.build("syn3_b", spark.table("syn3_b"), col("k"))
+      // the blindness premise, stated on the synopses themselves: the
+      // dims agree on every per-relation statistic a planner could read
+      assert(sA.rows === sB.rows)
+      assert(math.round(sA.distinctEst) === math.round(sB.distinctEst))
+      // ... and q158's machinery ranks the cold-aligned pair first
+      val ranked = JoinSynopsis.cheapestJoinFirst(Seq((sFka, sA), (sFkb, sB)))
+      assert(ranked.head._1._2.name === "syn3_b")
+
+      SynopsisStats.inject(spark, "syn3_fact", sFka.rows,
+        Map("ka" -> sFka, "kb" -> sFkb))
+      SynopsisStats.injectCalibrated(spark, "syn3_a", sA, "k", sFka)
+      SynopsisStats.injectCalibrated(spark, "syn3_b", sB, "k", sFkb)
+
+      val keys = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+      val sql =
+        """SELECT f.payload, a.tag AS tag_a, b.tag AS tag_b
+          |FROM syn3_fact f
+          |JOIN syn3_a a ON f.ka = a.k
+          |JOIN syn3_b b ON f.kb = b.k""".stripMargin
+      val dfOff = spark.sql(sql)
+      val rowsOff = dfOff.orderBy(col("payload"), col("tag_a"), col("tag_b"))
+        .collect().toSeq
+      keys.foreach(k => spark.conf.set(k, "true"))
+      try {
+        // Spark's own estimate of the single cold join must reproduce
+        // the synopsis joinEst (saturated => exact): the calibration
+        // identity, checked through plan stats, not our arithmetic
+        val est = spark.sql(
+            "SELECT * FROM syn3_fact f JOIN syn3_b b ON f.kb = b.k")
+          .queryExecution.optimizedPlan.stats.rowCount
+        assert(est.isDefined, "injected stats must give the join a rowCount")
+        val rel = math.abs(est.get.toDouble - trueB.toDouble) / trueB.toDouble
+        assert(rel < 0.05,
+          s"calibrated uniform estimate must land on joinEst (=true, saturated): $est vs $trueB")
+
+        // the executed-plan claim: Spark's OWN reorder schedules the
+        // cold-aligned dim first — the SQL says otherwise
+        val df = spark.sql(sql)
+        val order = leafOrder(df.queryExecution.optimizedPlan)
+        val posA = order.indexWhere(_.contains("syn3_a"))
+        val posB = order.indexWhere(_.contains("syn3_b"))
+        assert(posA >= 0 && posB >= 0, s"missing leaves: $order")
+        assert(posB < posA,
+          s"injected synopsis stats must schedule the cold-aligned join first: $order")
+        // and the reorder must not change the result
+        val rowsOn = df.orderBy(col("payload"), col("tag_a"), col("tag_b"))
+          .collect().toSeq
+        assert(rowsOn === rowsOff)
+      } finally keys.foreach(spark.conf.unset)
+    } finally names.foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+  }
+
+  test("injected sizeInBytes drives Spark's own broadcast planning (no hint, CBO off)") {
+    import spark.implicits._
+    val names = Seq("synbc_fact", "synbc_dim")
+    names.foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    try {
+      (1L to 50000L).map(i => (i % 300, i)).toDF("k", "v")
+        .write.mode("overwrite").saveAsTable("synbc_fact")
+      // few rows but a FAT incompressible payload: the dimension's file
+      // size exceeds the broadcast threshold even though its row count
+      // is tiny — the exact situation where file-size statistics
+      // mis-plan and the synopsis knows better
+      (1L to 300L).map(i => (i, Seq.fill(8)(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(s"p$i".getBytes).map("%02x".format(_)).mkString)
+        .mkString))
+        .toDF("k", "pad")
+        .write.mode("overwrite").saveAsTable("synbc_dim")
+      val confs = Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      confs.foreach(c => spark.conf.set(c, "4096"))
+      val sql = "SELECT f.k, f.v, d.pad FROM synbc_fact f JOIN synbc_dim d ON f.k = d.k"
+      def planOf(): String = {
+        val df = spark.sql(sql); df.collect()
+        df.queryExecution.executedPlan.toString
+      }
+      try {
+        // file-size stats: over the threshold => sort-merge
+        val fileSize = spark.table("synbc_dim")
+          .queryExecution.optimizedPlan.stats.sizeInBytes
+        assert(fileSize > 4096,
+          s"fixture must exceed the threshold by file size, got $fileSize")
+        assert(!planOf().contains("BroadcastHashJoin"),
+          "without injected stats the dim must sort-merge")
+        // synopsis stats: 300 rows × 8B key => well under the
+        // threshold; Spark's own planner broadcasts — no hint rule
+        // 8 B/row: the dim is two narrow columns by STATISTICS (the
+        // pad's bulk is irrelevant to the join estimate); what matters
+        // is that the SYNOPSIS size, not the file size, drives the plan
+        val syn = JoinSynopsis.build("synbc_dim", spark.table("synbc_dim"), col("k"))
+        SynopsisStats.injectFromSynopsis(spark, "synbc_dim", syn, "k", avgRowBytes = 8)
+        val injSize = spark.table("synbc_dim")
+          .queryExecution.optimizedPlan.stats.sizeInBytes
+        assert(injSize < 4096, s"injected sizeInBytes must be small, got $injSize")
+        assert(planOf().contains("BroadcastHashJoin"),
+          "catalog-stats route must broadcast the dim with no hint involved")
+      } finally confs.foreach(spark.conf.unset)
+    } finally names.foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+  }
+}
