@@ -74,6 +74,15 @@ object Bench {
     require(SparkEntry.streamingQueries.subsetOf(SparkEntry.queries.keySet),
       "streaming-lane registry names a query that is not declared: " +
         (SparkEntry.streamingQueries -- SparkEntry.queries.keySet).mkString(", "))
+    // inverse tripwire (self-review r11): a NEW streaming query added to
+    // the declared map but not to the registry would silently land in
+    // the batch lane — the old name heuristic stays on as a loud check
+    // in that direction (registry remains the single source of truth)
+    val smellsStreaming = SparkEntry.queries.keySet
+      .filter(n => n.contains("stream") || n.startsWith("q87_"))
+    require((smellsStreaming -- SparkEntry.streamingQueries).isEmpty,
+      "query named like streaming but missing from the lane registry: " +
+        (smellsStreaming -- SparkEntry.streamingQueries).mkString(", "))
     def isStreaming(name: String): Boolean = SparkEntry.streamingQueries(name)
     val (streamLane, batchLane) = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => selected(name) }

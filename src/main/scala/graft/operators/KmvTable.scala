@@ -221,21 +221,27 @@ object KmvTable {
       if (fs.exists(p)) { fs.delete(p, true); () }
     }
     val curGen = if (legacy) None else committedGen
-    // mutation detector + delta, both by anti-join against the consumed
-    // parquet: the consumed HISTORY never lands on the driver — only the
-    // append-scale delta of new file names does
+    // mutation detector + append delta in ONE pass against the consumed
+    // parquet (this is the no-op hot path — it runs on every
+    // maintenance): full-outer on file identity, keep only the anomaly
+    // rows. A consumed row with no current match means MUTATION; a
+    // current row with no consumed match is the append delta. The
+    // happy-path driver set is exactly the append delta; only a
+    // mutated corpus (the full-rebuild path) surfaces its removed-file
+    // names — the consumed HISTORY itself never lands on the driver.
     val (stale, newParts) = curGen match {
       case None => (false, parts)
       case Some(g) =>
         val consumed = spark.read.parquet(s"${genPath(g)}/consumed")
-        val mutated = consumed
-          .join(currentDf, Seq("name", "len", "mtime"), "left_anti")
-          .limit(1).count() > 0
-        if (mutated) (true, parts)
+        val anomalies = consumed.withColumn("c", lit(1))
+          .join(currentDf.withColumn("n", lit(1)),
+            Seq("name", "len", "mtime"), "full_outer")
+          .filter(col("c").isNull || col("n").isNull)
+          .select(col("name"), col("c").isNull.as("isNew"))
+          .as[(String, Boolean)].collect()
+        if (anomalies.exists(!_._2)) (true, parts)
         else {
-          val newNames = currentDf
-            .join(consumed, Seq("name", "len", "mtime"), "left_anti")
-            .select(col("name")).as[String].collect().toSet
+          val newNames = anomalies.iterator.map(_._1).toSet
           (false, parts.filter(f => newNames(f.name)))
         }
     }
@@ -275,18 +281,30 @@ object KmvTable {
     val touched: Set[(String, String)] = newDaily
       .select(col("event_type"), col("d").cast("string")).distinct()
       .as[(String, String)].collect().toSet
+    val touchedRel = touched.map { case (t, d) => relPath(t, d) }
     val merged = base match {
       case None => newDaily
-      case Some(b) =>
+      case Some(_) =>
         // union-and-resketch over TOUCHED days only (KB-sized kept
-        // sets); untouched days never enter the plan. ks and smp merge
-        // through their own aggregates (explode/inline → re-sketch: the
-        // bottom-k-of-union law holds for both), re-joined full-outer
-        // because a partition may have rows in one family only.
-        val touchedKeys = touched.toSeq.toDF("event_type", "ds")
-          .select(col("event_type"), col("ds").cast("date").as("d"))
-        val pre = b.join(broadcast(touchedKeys), Seq("event_type", "d"), "left_semi")
-          .unionByName(newDaily)
+        // sets): the prior table's touched partitions are resolved
+        // STRAIGHT FROM THE MANIFEST, so the merge lists O(touched)
+        // dirs — the read-side analogue of the touched-only write (the
+        // earlier shape semi-joined against the full table, listing
+        // every partition of every generation to discard all but the
+        // appended days). ks and smp merge through their own
+        // aggregates (explode/inline → re-sketch: the
+        // bottom-k-of-union law holds for both), re-joined on the
+        // touched key frame because a partition may have rows in one
+        // family only — or neither.
+        val touchedOwned = touchedRel.filter(baseManifest.contains).toSeq.sorted
+        val bTouched =
+          if (touchedOwned.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
+          else spark.read.schema(tableSchema).parquet(touchedOwned.map(rel =>
+              s"$root/gen-${baseManifest(rel)}/parts/$rel"): _*)
+            .select(col("event_type"), col("d"), col("ks"), col("smp"))
+        val pre = bTouched.unionByName(newDaily)
         val mergedKs = pre
           .select(col("event_type"), col("d"), explode(col("ks")).as("hu"))
           .groupBy(col("event_type"), col("d"))
@@ -296,7 +314,16 @@ object KmvTable {
           .groupBy(col("event_type"), col("d"))
           .agg(graft.functions.QuantileSketchAgg.qsketch(
             spark, col("h"), col("v"), K).as("smp"))
-        mergedKs.join(mergedSmp, Seq("event_type", "d"), "full_outer")
+        // anchor the merge on the full TOUCHED key set, not on the
+        // aggregates: explode/inline ELIMINATE a group whose arrays are
+        // both empty (a day whose only events carry null user AND null
+        // value), but that partition is already promised to this
+        // generation by the manifest — dropping the row here would
+        // commit a manifest entry pointing at a dir that was never
+        // written, wedging every later read (self-review r11)
+        pre.select(col("event_type"), col("d")).distinct()
+          .join(mergedKs, Seq("event_type", "d"), "left")
+          .join(mergedSmp, Seq("event_type", "d"), "left")
           .select(col("event_type"), col("d"),
             coalesce(col("ks"), array().cast("array<string>")).as("ks"),
             coalesce(col("smp"),
@@ -316,7 +343,6 @@ object KmvTable {
       }
     }
     sweepGens(_ >= nextN)
-    val touchedRel = touched.map { case (t, d) => relPath(t, d) }
     lastRewrittenPartitions.set(touchedRel)
     if (touched.nonEmpty)
       merged
@@ -337,9 +363,15 @@ object KmvTable {
     fs.create(new org.apache.hadoop.fs.Path(
       s"${genPath(nextN)}/_COMMITTED"), false).close()
     // sweep by REFERENCE: keep generations owning live partitions in
-    // the new manifest or the prior committed one (in-flight lazy
-    // readers of the previous table), plus the two gen dirs themselves
-    val live = manifest.values.toSet ++ baseManifest.values ++
+    // the new manifest or the PRIOR COMMITTED one (in-flight lazy
+    // readers of the previous table), plus the two gen dirs
+    // themselves. priorManifest, not baseManifest: on a stale rebuild
+    // baseManifest is forced empty, but the last committed manifest's
+    // references are exactly what an in-flight reader still needs
+    // (self-review r11).
+    val live = manifest.values.toSet ++
+      (if (legacy) Set.empty[Long]
+       else priorManifest.map(_.values.toSet).getOrElse(Set.empty[Long])) ++
       curGen.toSet + nextN
     sweepGens(n => !live.contains(n))
     readTable(spark, root, manifest)

@@ -61,8 +61,13 @@ object SketchBroadcastHint extends Rule[LogicalPlan] {
     * inapplicable. Already-hinted sides are left alone. */
   private def innermostAlias(p: LogicalPlan): Option[String] = p match {
     case a: SubqueryAlias => innermostAlias(a.child).orElse(Some(a.alias))
-    case v: org.apache.spark.sql.catalyst.plans.logical.View =>
-      innermostAlias(v.child)
+    // a View is a DEFINITION BOUNDARY, not an alias wrapper: the name
+    // the user addresses is the SubqueryAlias wrapping the View, and
+    // recursing into the view body would resolve to whatever base
+    // table the definition happens to read — a synopsis registered
+    // under the view name would silently stop matching, and one
+    // registered under the base table would wrongly attach to every
+    // view over it (self-review r11)
     case _ => None
   }
 

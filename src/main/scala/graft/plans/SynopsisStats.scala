@@ -74,9 +74,16 @@ object SynopsisStats {
     * `avgRowBytes` sizes the sizeInBytes statistic (broadcast
     * thresholds compare against it). */
   def inject(spark: SparkSession, table: String, rows: Long,
-      keyCols: Map[String, KeySynopsis], avgRowBytes: Long = 32L): Unit = {
+      keyCols: Map[String, KeySynopsis], avgRowBytes: Long = 32L,
+      physicalRows: Option[Long] = None): Unit = {
+    // sizeInBytes feeds BROADCAST planning and must stay the table's
+    // physical cardinality; rowCount feeds JOIN-ORDER cost and may be
+    // the calibrated effective cardinality. Conflating them (the
+    // pre-fix shape) let a hot-aligned calibration inflate a KB dim to
+    // hundreds of MB and block a correct broadcast (self-review r11).
     val stats = CatalogStatistics(
-      sizeInBytes = BigInt(math.max(1L, rows * avgRowBytes)),
+      sizeInBytes =
+        BigInt(math.max(1L, physicalRows.getOrElse(rows) * avgRowBytes)),
       rowCount = Some(BigInt(math.max(0L, rows))),
       colStats = keyCols.map { case (c, s) => c -> keyStat(s) })
     spark.sessionState.catalog.alterTableStats(
@@ -100,6 +107,8 @@ object SynopsisStats {
     val est = JoinSynopsis.joinEst(factSyn, dimSyn)
     val maxNdv = math.max(factSyn.distinctEst, dimSyn.distinctEst)
     val effRows = math.max(1L, math.round(est * maxNdv / factSyn.rows.toDouble))
-    inject(spark, dimTable, effRows, Map(keyColumn -> dimSyn))
+    // calibrated rowCount, HONEST sizeInBytes (see inject)
+    inject(spark, dimTable, effRows, Map(keyColumn -> dimSyn),
+      physicalRows = Some(dimSyn.rows))
   }
 }

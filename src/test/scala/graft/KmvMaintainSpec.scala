@@ -180,6 +180,57 @@ class KmvMaintainSpec extends SparkSpec {
     }
   }
 
+  test("append whose new day is all-null in both families still commits readably") {
+    // self-review r11: explode/inline ELIMINATE a group whose kept
+    // arrays are both empty, but the manifest had already promised the
+    // partition to the new generation — the merge must anchor on the
+    // touched key set or the table wedges on a committed reference to
+    // a dir that was never written
+    import spark.implicits._
+    val dir = TempDirs.create("graft_kmv_nulls")
+    withTableDir { _ =>
+      ev(1 to 300, 1).coalesce(1).write.parquet(s"$dir/events.parquet")
+      KmvTable.maintain(spark, dir).count() // gen-0
+      val nulls = Seq((9001L, java.sql.Timestamp.valueOf("2024-01-05 10:00:00")))
+        .toDF("event_id", "ts")
+        .select(col("event_id"), col("ts"),
+          lit(null).cast("bigint").as("user_id"),
+          lit("click").as("event_type"),
+          lit(null).cast("double").as("value"))
+      graft.streaming.EventsStream.landFeedFile(
+        nulls, s"$dir/events.parquet", "nulls01")
+      val t = KmvTable.maintain(spark, dir)
+      assert(t.count() === 2, "the all-null day must land as an empty-sketch row")
+      assert(KmvTable.kmvView(spark, dir).count() === 1)
+      assert(KmvTable.quantileView(spark, dir).count() === 1)
+      assert(KmvTable.maintain(spark, dir).count() === 2,
+        "subsequent maintenance must read the committed table")
+    }
+  }
+
+  test("stale rebuild keeps generations the last committed manifest references") {
+    // self-review r11: on a mutation-forced rebuild the sweep must key
+    // on the PRIOR COMMITTED manifest (what an in-flight lazy reader of
+    // the previous table still reads), not the emptied base manifest
+    val dir = TempDirs.create("graft_kmv_stale")
+    withTableDir { tbl =>
+      ev(1 to 300, 1).coalesce(1).write.parquet(s"$dir/events.parquet")
+      KmvTable.maintain(spark, dir).count() // gen-0 owns day 1
+      graft.streaming.EventsStream.landFeedFile(
+        ev(301 to 600, 2), s"$dir/events.parquet", "a1")
+      val reader = KmvTable.maintain(spark, dir) // gen-1; manifest {d1→0, d2→1}
+      // mutate in place => full rebuild into gen-2
+      ev(1 to 100, 3).coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/events.parquet")
+      KmvTable.maintain(spark, dir).count()
+      assert(new java.io.File(s"$tbl/gen-0").exists,
+        "a generation referenced by the prior committed manifest must survive")
+      assert(new java.io.File(s"$tbl/gen-1").exists)
+      // the in-flight lazy reader of the prior table still completes
+      assert(reader.count() === 2)
+    }
+  }
+
   test("corpus mutation forces a full rebuild, never a stale merge") {
     import spark.implicits._
     def mev(ids: Range, users: Int) = ids.map { i =>

@@ -106,6 +106,16 @@ class SketchAnchorsSpec extends SparkSpec {
         estMap(on148, "union_est", "type_a", "type_b"))
       assert(estMap(off148, "jaccard_est", "type_a", "type_b") ===
         estMap(on148, "jaccard_est", "type_a", "type_b"))
+      // q161 parity in the fresh-table regime too (the table-served
+      // daily sample must feed both modes identically)
+      val on161 = Layout.q161QuantileRolling(spark, Sf)
+      def q161Map(df: DataFrame) = df.collect().map { r =>
+        (r.getString(r.fieldIndex("event_type")),
+          r.get(r.fieldIndex("d")).toString,
+          r.getDouble(r.fieldIndex("p"))) ->
+          r.getLong(r.fieldIndex("q_est"))
+      }.toMap
+      assert(q161Map(off161) === q161Map(on161))
     }
   }
 

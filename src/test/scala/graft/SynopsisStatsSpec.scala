@@ -70,6 +70,12 @@ class SynopsisStatsSpec extends SparkSpec {
         Map("ka" -> sFka, "kb" -> sFkb))
       SynopsisStats.injectCalibrated(spark, "syn3_a", sA, "k", sFka)
       SynopsisStats.injectCalibrated(spark, "syn3_b", sB, "k", sFkb)
+      // calibration carries the skew in rowCount ONLY: sizeInBytes (the
+      // broadcast input) must stay the honest physical cardinality even
+      // for the hot-aligned dim whose effective rows are inflated
+      assert(spark.table("syn3_a").queryExecution.optimizedPlan
+        .stats.sizeInBytes === BigInt(sA.rows * 32),
+        "calibration must not corrupt the physical size statistic")
 
       val keys = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
       val sql =
