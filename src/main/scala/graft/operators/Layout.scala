@@ -1195,7 +1195,6 @@ object Layout {
   // estimate into an automatic BROADCAST hint.
   // ------------------------------------------------------------------
   def q158SynopsisOrder(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = q157JoinSizeEst(spark, dir)
     val wEst = Window.orderBy(col("join_est").asc, col("type_a").asc,
       col("type_b").asc)
@@ -1280,9 +1279,37 @@ object Layout {
       .drop("byv")
   }
 
+  /** The exact-anchor twin of [[sampleQuantiles]]: full per-group
+    * (value, hash) sort + rank pick over a frame with `(keys..., h, v)`
+    * columns — quantile at ⌈p·n⌉ by (v, h), the one rank rule all of
+    * q159/q161/q163 share (kept in ONE place so the ceil position,
+    * tie order, and int cast cannot drift between anchors; the SQL
+    * oracles repeat it by design). Returns `(keys..., p, n_rows,
+    * q_exact)`. This is the corpus-scale cost the sample path avoids —
+    * only anchored gate queries ever call it. */
+  private[graft] def exactQuantiles(
+      df: DataFrame, keys: Seq[String], ps: Seq[Double]): DataFrame = {
+    val kc = keys.map(col)
+    val wv = Window.partitionBy(kc: _*).orderBy(col("v"), col("h"))
+    val ranked = df.withColumn("vr", row_number().over(wv))
+    val targets = df.groupBy(kc: _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .select(kc ++ Seq(col("n_rows"),
+        explode(array(ps.map(lit): _*)).as("p")): _*)
+      .withColumn("vr",
+        ceil(col("p") * col("n_rows").cast("double")).cast("int"))
+    ranked.join(broadcast(targets), keys :+ "vr")
+      .select(kc ++ Seq(col("p"), col("n_rows"), col("v").as("q_exact")): _*)
+  }
+
   def q159QuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    // event_id is the row identity the sample hashes on: a NULL id has
+    // no hash, the sketch aggregate skips it, so the frame excludes it
+    // EXPLICITLY — otherwise DuckDB's NULLS-LAST rank would keep such
+    // rows in the oracle's bottom-64 while Spark's kept set never sees
+    // them (self-review r11; fixture-neutral, semantics pinned)
     val base = Tables.events(spark, dir)
-      .filter(col("value").isNotNull)
+      .filter(col("value").isNotNull && col("event_id").isNotNull)
       .select(col("event_type"),
         md5(col("event_id").cast("string")).as("h"),
         (col("value").cast("decimal(18,2)") * lit(100)).cast("long").as("v"))
@@ -1298,18 +1325,7 @@ object Layout {
         .orderBy(col("event_type"), col("p"))
     }
     // exact anchor: the full per-group (value, hash) sort + rank pick
-    import org.apache.spark.sql.expressions.Window
-    val wv = Window.partitionBy(col("event_type")).orderBy(col("v"), col("h"))
-    val ranked = base.withColumn("vr", row_number().over(wv))
-    val targets = base.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_rows"))
-      .select(col("event_type"), col("n_rows"),
-        explode(array(QsPs.map(lit): _*)).as("p"))
-      .withColumn("vr",
-        ceil(col("p") * col("n_rows").cast("double")).cast("int"))
-    val exact = ranked.join(broadcast(targets), Seq("event_type", "vr"))
-      .select(col("event_type"), col("p"), col("n_rows"),
-        col("v").as("q_exact"))
+    val exact = exactQuantiles(base, Seq("event_type"), QsPs)
     est.join(exact, Seq("event_type", "p"))
       .select(col("event_type"), col("p"), col("n_rows"), col("n_kept"),
         col("q_est"), col("q_exact"),
@@ -1323,7 +1339,7 @@ object Layout {
     """WITH e AS (
       |  SELECT event_type, md5(CAST(event_id AS VARCHAR)) AS h,
       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
-      |  FROM events WHERE value IS NOT NULL),
+      |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
       |r AS (
       |  SELECT event_type, h, v, ROW_NUMBER() OVER (
       |    PARTITION BY event_type ORDER BY h) AS rn FROM e),
@@ -1407,9 +1423,11 @@ object Layout {
         .orderBy(col("event_type"), col("d"), col("p"))
     }
     // exact anchor: the 7× fan-out window re-scan + full sort per
-    // window — the only place this query touches the feed
+    // window — the only place this query touches the feed (NULL
+    // event_id excluded: no row identity, no sample membership — the
+    // q159 guard, same reason)
     val base = Tables.events(spark, dir)
-      .filter(col("value").isNotNull)
+      .filter(col("value").isNotNull && col("event_id").isNotNull)
       .select(col("event_type"), to_date(col("ts")).as("d"),
         md5(col("event_id").cast("string")).as("h"),
         (col("value").cast("decimal(18,2)") * lit(100)).cast("long").as("v"))
@@ -1419,19 +1437,7 @@ object Layout {
         col("s.d").between(date_sub(col("t.d"), 6), col("t.d")))
       .select(col("t.event_type").as("event_type"), col("t.d").as("d"),
         col("s.h").as("h"), col("s.v").as("v"))
-    import org.apache.spark.sql.expressions.Window
-    val wv = Window.partitionBy(col("event_type"), col("d"))
-      .orderBy(col("v"), col("h"))
-    val ranked = win.withColumn("vr", row_number().over(wv))
-    val targets = win.groupBy(col("event_type"), col("d"))
-      .agg(count(lit(1)).as("n_rows"))
-      .select(col("event_type"), col("d"), col("n_rows"),
-        explode(array(QrPs.map(lit): _*)).as("p"))
-      .withColumn("vr",
-        ceil(col("p") * col("n_rows").cast("double")).cast("int"))
-    val exact = ranked.join(broadcast(targets), Seq("event_type", "d", "vr"))
-      .select(col("event_type"), col("d"), col("p"), col("n_rows"),
-        col("v").as("q_exact"))
+    val exact = exactQuantiles(win, Seq("event_type", "d"), QrPs)
     est.join(exact, Seq("event_type", "d", "p"))
       .select(col("event_type"), col("d"), col("p"), col("n_rows"),
         col("n_kept"), col("q_est"), col("q_exact"),
@@ -1446,7 +1452,7 @@ object Layout {
       |  SELECT event_type, CAST(ts AS DATE) AS d,
       |    md5(CAST(event_id AS VARCHAR)) AS h,
       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
-      |  FROM events WHERE value IS NOT NULL),
+      |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
       |dr AS (
       |  SELECT event_type, d, h, v, ROW_NUMBER() OVER (
       |    PARTITION BY event_type, d ORDER BY h) AS rn FROM e),
@@ -1599,6 +1605,226 @@ object Layout {
       |    - CAST(f2_exact AS DOUBLE)) / CAST(f2_exact AS DOUBLE) AS rel_err
       |FROM j ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q163 — QUANTILE DRIFT FROM THE MAINTAINED TABLE: the distribution-
+  // monitoring operator a training-data pipeline runs continuously —
+  // per event type, how far did the value distribution move between
+  // the first and second half of the corpus days? (q112's snapshot
+  // drift asked this about row counts; q163 asks it about the
+  // distribution's shape.) Served ENTIRELY from the durable table's
+  // daily quantile samples: per period, merging the daily kept sets
+  // and re-taking bottom-k IS the period's true bottom-k sample (the
+  // q161 disjointness law — row identities are unique, so per-day
+  // kept sets are disjoint), and each period quantile is element
+  // selection at ⌈p·m⌉ by (value, hash). shift = q_p2 − q_p1 in exact
+  // integer cents — hash-verifiable drift. The period split is
+  // data-derived but deterministic: midpoint = min_day + ⌊span/2⌋,
+  // integer date arithmetic in both engines; types with a single day
+  // are excluded (no second period to drift into). The exact anchor
+  // pays the full per-(type, period) sort off the feed that the table
+  // path avoids — anchors-off, this query never scans events at all
+  // (SketchAnchorsSpec).
+  // ------------------------------------------------------------------
+  private val QdPs = Seq(0.25, 0.5, 0.75)
+
+  def q163QuantileDrift(spark: SparkSession, dir: String): DataFrame = {
+    val daily = KmvTable.quantileView(spark, dir)
+    val bounds = daily.groupBy(col("event_type"))
+      .agg(min(col("d")).as("mn"), max(col("d")).as("mx"),
+        count(lit(1)).as("n_days"))
+      .filter(col("n_days") >= 2)
+      .withColumn("mid",
+        expr("date_add(mn, cast(datediff(mx, mn) div 2 as int))"))
+      .select(col("event_type"), col("mid"))
+    val pd = daily.join(broadcast(bounds), "event_type")
+      .withColumn("per", when(col("d") <= col("mid"), lit(1)).otherwise(lit(2)))
+    val merged = pd.select(col("event_type"), col("per"), expr("inline(smp)"))
+      .groupBy(col("event_type"), col("per"))
+      .agg(graft.functions.QuantileSketchAgg.qsketch(
+        spark, col("h"), col("v"), QrK).as("smp"))
+    val est = sampleQuantiles(merged, Seq("event_type", "per"), QdPs)
+    val wide = est.groupBy(col("event_type"), col("p"))
+      .agg(max(when(col("per") === 1, col("n_kept"))).as("n_p1"),
+        max(when(col("per") === 2, col("n_kept"))).as("n_p2"),
+        max(when(col("per") === 1, col("q_est"))).as("q_p1"),
+        max(when(col("per") === 2, col("q_est"))).as("q_p2"))
+      .withColumn("shift_est", col("q_p2") - col("q_p1"))
+    if (!anchorsOn(spark)) {
+      // production shape: whole query from the KB-sized table
+      return wide.select(col("event_type"), col("p"), col("n_p1"),
+          col("n_p2"), col("q_p1"), col("q_p2"), col("shift_est"))
+        .orderBy(col("event_type"), col("p"))
+    }
+    // exact anchor: the full per-(type, period) sort off the feed
+    // (NULL event_id excluded — the q159 guard, same reason)
+    val base = Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("event_id").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        md5(col("event_id").cast("string")).as("h"),
+        (col("value").cast("decimal(18,2)") * lit(100)).cast("long").as("v"))
+    val xpd = base.join(broadcast(bounds), "event_type")
+      .withColumn("per", when(col("d") <= col("mid"), lit(1)).otherwise(lit(2)))
+      .select(col("event_type"), col("per"), col("h"), col("v"))
+    val exact = exactQuantiles(xpd, Seq("event_type", "per"), QdPs)
+    val xwide = exact.groupBy(col("event_type"), col("p"))
+      .agg(max(when(col("per") === 1, col("q_exact"))).as("x_p1"),
+        max(when(col("per") === 2, col("q_exact"))).as("x_p2"))
+      .withColumn("shift_exact", col("x_p2") - col("x_p1"))
+    wide.join(xwide, Seq("event_type", "p"))
+      .select(col("event_type"), col("p"), col("n_p1"), col("n_p2"),
+        col("q_p1"), col("q_p2"), col("shift_est"),
+        col("x_p1"), col("x_p2"), col("shift_exact"),
+        (col("shift_est") - col("shift_exact")).as("shift_err"))
+      .orderBy(col("event_type"), col("p"))
+  }
+
+  val q163Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    md5(CAST(event_id AS VARCHAR)) AS h,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+      |dr AS (
+      |  SELECT event_type, d, h, v, ROW_NUMBER() OVER (
+      |    PARTITION BY event_type, d ORDER BY h) AS rn FROM e),
+      |daily AS (SELECT event_type, d, h, v FROM dr WHERE rn <= 64),
+      |bmid AS (
+      |  SELECT event_type, mn + CAST((mx - mn) // 2 AS INTEGER) AS mid FROM (
+      |    SELECT event_type, MIN(d) AS mn, MAX(d) AS mx
+      |    FROM (SELECT DISTINCT event_type, d FROM e)
+      |    GROUP BY 1 HAVING COUNT(*) >= 2)),
+      |pd AS (
+      |  SELECT daily.event_type,
+      |    CASE WHEN daily.d <= b.mid THEN 1 ELSE 2 END AS per,
+      |    daily.h, daily.v
+      |  FROM daily JOIN bmid b ON daily.event_type = b.event_type),
+      |mr AS (
+      |  SELECT event_type, per, h, v, ROW_NUMBER() OVER (
+      |    PARTITION BY event_type, per ORDER BY h) AS rn FROM pd),
+      |smp AS (SELECT event_type, per, h, v FROM mr WHERE rn <= 64),
+      |sn AS (SELECT event_type, per, COUNT(*) AS n_kept FROM smp GROUP BY 1, 2),
+      |sv AS (
+      |  SELECT event_type, per, v, ROW_NUMBER() OVER (
+      |    PARTITION BY event_type, per ORDER BY v, h) AS vr FROM smp),
+      |ps AS (SELECT CAST(UNNEST([0.25, 0.5, 0.75]) AS DOUBLE) AS p),
+      |est AS (
+      |  SELECT sv.event_type, sv.per, ps.p, sn.n_kept, sv.v AS q_est
+      |  FROM sv JOIN sn ON sv.event_type = sn.event_type AND sv.per = sn.per
+      |    JOIN ps ON sv.vr =
+      |      CAST(CEIL(ps.p * CAST(sn.n_kept AS DOUBLE)) AS BIGINT)),
+      |wide AS (
+      |  SELECT event_type, p,
+      |    CAST(MAX(CASE WHEN per = 1 THEN n_kept END) AS BIGINT) AS n_p1,
+      |    CAST(MAX(CASE WHEN per = 2 THEN n_kept END) AS BIGINT) AS n_p2,
+      |    MAX(CASE WHEN per = 1 THEN q_est END) AS q_p1,
+      |    MAX(CASE WHEN per = 2 THEN q_est END) AS q_p2
+      |  FROM est GROUP BY 1, 2),
+      |xpd AS (
+      |  SELECT e.event_type, CASE WHEN e.d <= b.mid THEN 1 ELSE 2 END AS per,
+      |    e.h, e.v
+      |  FROM e JOIN bmid b ON e.event_type = b.event_type),
+      |xc AS (SELECT event_type, per, COUNT(*) AS n_rows FROM xpd GROUP BY 1, 2),
+      |xr AS (
+      |  SELECT event_type, per, v, ROW_NUMBER() OVER (
+      |    PARTITION BY event_type, per ORDER BY v, h) AS vr FROM xpd),
+      |ex AS (
+      |  SELECT xr.event_type, xr.per, ps.p, xr.v
+      |  FROM xr JOIN xc ON xr.event_type = xc.event_type AND xr.per = xc.per
+      |    JOIN ps ON xr.vr =
+      |      CAST(CEIL(ps.p * CAST(xc.n_rows AS DOUBLE)) AS BIGINT)),
+      |xwide AS (
+      |  SELECT event_type, p,
+      |    MAX(CASE WHEN per = 1 THEN v END) AS x_p1,
+      |    MAX(CASE WHEN per = 2 THEN v END) AS x_p2
+      |  FROM ex GROUP BY 1, 2)
+      |SELECT w.event_type AS event_type, w.p AS p, w.n_p1, w.n_p2,
+      |  w.q_p1, w.q_p2, w.q_p2 - w.q_p1 AS shift_est,
+      |  x.x_p1, x.x_p2, x.x_p2 - x.x_p1 AS shift_exact,
+      |  (w.q_p2 - w.q_p1) - (x.x_p2 - x.x_p1) AS shift_err
+      |FROM wide w JOIN xwide x
+      |  ON w.event_type = x.event_type AND w.p = x.p
+      |ORDER BY event_type, p""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q164 — RANGE-PREDICATE SELECTIVITY FROM THE SAMPLE: the estimator
+  // behind plans/ValueSynopsis's histogram (whole-bin mass = sample
+  // fraction), surfaced as an oracled query off the maintained table.
+  // Per event type: merge the daily kept sets to the corpus bottom-64
+  // row sample (the q163 disjointness law), count sample rows with
+  // value in [10.00, 50.00] (exact integers), and estimate the
+  // predicate's selectivity as n_in / n_kept — one IEEE division, the
+  // only non-integer op, deterministic in both engines. The exact
+  // anchor pays the full per-type feed scan the sample exists to
+  // avoid; anchors-off this query reads ONLY the sketch table
+  // (SketchAnchorsSpec). At 100 TB this is the planner-input path:
+  // what a range filter will keep, answered from KB of samples.
+  // ------------------------------------------------------------------
+  private val RsLo = 1000L // cents: value >= 10.00
+  private val RsHi = 5000L // cents: value <= 50.00
+
+  def q164RangeSelectivity(spark: SparkSession, dir: String): DataFrame = {
+    val daily = KmvTable.quantileView(spark, dir)
+    val merged = daily.select(col("event_type"), expr("inline(smp)"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.QuantileSketchAgg.qsketch(
+        spark, col("h"), col("v"), QrK).as("smp"))
+    val est = merged.select(col("event_type"),
+        size(col("smp")).cast("long").as("n_kept"),
+        expr(s"cast(size(filter(smp, s -> s.v >= ${RsLo}L AND s.v <= ${RsHi}L)) as bigint)")
+          .as("n_in"))
+      .withColumn("est_sel",
+        col("n_in").cast("double") / col("n_kept").cast("double"))
+    if (!anchorsOn(spark)) {
+      // production shape: whole answer from the KB-sized sample table
+      return est.select(col("event_type"), col("n_kept"), col("n_in"),
+          col("est_sel"))
+        .orderBy(col("event_type"))
+    }
+    // exact anchor: the full feed scan per type (NULL event_id
+    // excluded so the exact frame matches the sample's population —
+    // the q159 guard)
+    val base = Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("event_id").isNotNull)
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * lit(100)).cast("long").as("v"))
+    val ex = base.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("v").between(RsLo, RsHi), 1)).as("x_in"))
+      .withColumn("x_sel",
+        col("x_in").cast("double") / col("n_rows").cast("double"))
+    est.join(ex, "event_type")
+      .withColumn("sel_err", col("est_sel") - col("x_sel"))
+      .select(col("event_type"), col("n_kept"), col("n_in"), col("est_sel"),
+        col("n_rows"), col("x_in"), col("x_sel"), col("sel_err"))
+      .orderBy(col("event_type"))
+  }
+
+  val q164Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, md5(CAST(event_id AS VARCHAR)) AS h,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+      |r AS (
+      |  SELECT event_type, h, v, ROW_NUMBER() OVER (
+      |    PARTITION BY event_type ORDER BY h) AS rn FROM e),
+      |smp AS (SELECT event_type, h, v FROM r WHERE rn <= 64),
+      |s AS (
+      |  SELECT event_type, COUNT(*) AS n_kept,
+      |    COUNT(CASE WHEN v BETWEEN 1000 AND 5000 THEN 1 END) AS n_in
+      |  FROM smp GROUP BY 1),
+      |x AS (
+      |  SELECT event_type, COUNT(*) AS n_rows,
+      |    COUNT(CASE WHEN v BETWEEN 1000 AND 5000 THEN 1 END) AS x_in
+      |  FROM e GROUP BY 1)
+      |SELECT s.event_type AS event_type, s.n_kept, s.n_in,
+      |  CAST(s.n_in AS DOUBLE) / CAST(s.n_kept AS DOUBLE) AS est_sel,
+      |  x.n_rows, x.x_in,
+      |  CAST(x.x_in AS DOUBLE) / CAST(x.n_rows AS DOUBLE) AS x_sel,
+      |  CAST(s.n_in AS DOUBLE) / CAST(s.n_kept AS DOUBLE)
+      |    - CAST(x.x_in AS DOUBLE) / CAST(x.n_rows AS DOUBLE) AS sel_err
+      |FROM s JOIN x ON s.event_type = x.event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_zorder_layout" -> (q99ZorderLayout _),
     "q100_profile"      -> (q100Profile _),
@@ -1618,6 +1844,8 @@ object Layout {
     "q159_quantile_sketch" -> (q159QuantileSketch _),
     "q161_quantile_rolling" -> (q161QuantileRolling _),
     "q162_selfjoin_moment" -> (q162SelfJoinMoment _),
+    "q163_quantile_drift" -> (q163QuantileDrift _),
+    "q164_range_selectivity" -> (q164RangeSelectivity _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1639,5 +1867,7 @@ object Layout {
     "q159_quantile_sketch" -> q159Sql,
     "q161_quantile_rolling" -> q161Sql,
     "q162_selfjoin_moment" -> q162Sql,
+    "q163_quantile_drift" -> q163Sql,
+    "q164_range_selectivity" -> q164Sql,
   )
 }

@@ -68,14 +68,35 @@ object SynopsisStats {
     nullCount = Some(BigInt(0)),
     avgLen = Some(8L), maxLen = Some(8L))
 
+  /** Value-column statistic off one [[ValueSynopsis]]: NDV from the
+    * value-KMV, true min/max/nullCount from the build pass, and the
+    * equi-height HISTOGRAM sliced from the uniform row sample — the
+    * statistic Catalyst's FilterEstimation needs before a range
+    * predicate on a skewed column estimates anywhere near reality
+    * (uniform [min,max] interpolation otherwise; SynopsisHistogramSpec
+    * pins the >10x gap through executed-plan rowCounts). */
+  def valueStat(vs: ValueSynopsis, numBins: Int = 32): CatalogColumnStat =
+    CatalogColumnStat(
+      distinctCount = Some(BigInt(math.max(1L, math.round(vs.ndvEst)))),
+      min = vs.vMin.map(_.toString), max = vs.vMax.map(_.toString),
+      nullCount = Some(BigInt(vs.nullCount)),
+      avgLen = Some(8L), maxLen = Some(8L),
+      histogram = vs.histogram(numBins))
+
   /** Write `rows` + per-key-column synopsis statistics as `table`'s
     * catalog statistics — exactly what ANALYZE TABLE … COMPUTE
     * STATISTICS FOR COLUMNS would persist, except no scan runs.
     * `avgRowBytes` sizes the sizeInBytes statistic (broadcast
-    * thresholds compare against it). */
+    * thresholds compare against it). `extraCols` carries non-key
+    * column statistics ([[valueStat]] histograms) into the same
+    * catalog write — `rows` must then be the PHYSICAL row count
+    * (non-null + null: Catalyst reads each column's null fraction as
+    * nullCount/rowCount, so a non-null-only row count overstates
+    * it). */
   def inject(spark: SparkSession, table: String, rows: Long,
       keyCols: Map[String, KeySynopsis], avgRowBytes: Long = 32L,
-      physicalRows: Option[Long] = None): Unit = {
+      physicalRows: Option[Long] = None,
+      extraCols: Map[String, CatalogColumnStat] = Map.empty): Unit = {
     // sizeInBytes feeds BROADCAST planning and must stay the table's
     // physical cardinality; rowCount feeds JOIN-ORDER cost and may be
     // the calibrated effective cardinality. Conflating them (the
@@ -85,7 +106,7 @@ object SynopsisStats {
       sizeInBytes =
         BigInt(math.max(1L, physicalRows.getOrElse(rows) * avgRowBytes)),
       rowCount = Some(BigInt(math.max(0L, rows))),
-      colStats = keyCols.map { case (c, s) => c -> keyStat(s) })
+      colStats = keyCols.map { case (c, s) => c -> keyStat(s) } ++ extraCols)
     spark.sessionState.catalog.alterTableStats(
       TableIdentifier(table), Some(stats))
     spark.sessionState.catalog.refreshTable(TableIdentifier(table))

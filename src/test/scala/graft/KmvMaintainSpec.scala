@@ -231,6 +231,27 @@ class KmvMaintainSpec extends SparkSpec {
     }
   }
 
+  test("family views prune the other family's column at the parquet scan") {
+    // the table stores BOTH kept-set families; a ks-only consumer
+    // (q146/q148/q151) must not pay the smp bytes and vice versa —
+    // at 100 TB-table dimensions the unpruned read doubles the IO of
+    // every downstream sketch query
+    withTableDir { _ =>
+      KmvTable.maintain(spark, Sf).count()
+      def readCols(df: org.apache.spark.sql.DataFrame): Set[String] =
+        df.queryExecution.sparkPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.requiredSchema.fieldNames.toSet
+        }.flatten.toSet
+      val kmvCols = readCols(KmvTable.kmvView(spark, Sf))
+      assert(kmvCols.contains("ks") && !kmvCols.contains("smp"),
+        s"kmvView must prune smp at the scan, read: $kmvCols")
+      val qCols = readCols(KmvTable.quantileView(spark, Sf))
+      assert(qCols.contains("smp") && !qCols.contains("ks"),
+        s"quantileView must prune ks at the scan, read: $qCols")
+    }
+  }
+
   test("corpus mutation forces a full rebuild, never a stale merge") {
     import spark.implicits._
     def mev(ids: Range, users: Int) = ids.map { i =>

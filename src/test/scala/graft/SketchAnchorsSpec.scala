@@ -74,21 +74,23 @@ class SketchAnchorsSpec extends SparkSpec {
       val on146 = Layout.q146KmvRolling(spark, Sf)
       val on151 = KmvTable.q151KmvMaintain(spark, Sf)
       val on148 = Layout.q148KmvAlgebra(spark, Sf)
-      val (off146, off151, off148, off161) = anchorsOff {
+      val (off146, off151, off148, off161, off163, off164) = anchorsOff {
         (Layout.q146KmvRolling(spark, Sf),
          KmvTable.q151KmvMaintain(spark, Sf),
          Layout.q148KmvAlgebra(spark, Sf),
-         Layout.q161QuantileRolling(spark, Sf))
+         Layout.q161QuantileRolling(spark, Sf),
+         Layout.q163QuantileDrift(spark, Sf),
+         Layout.q164RangeSelectivity(spark, Sf))
       }
       assert(KmvTable.filesScanned.get() === before,
         "maintenance against a fresh table must scan zero feed files")
 
       // the plan pin: anchors-off table-served queries read ONLY the
       // sketch table — the events feed appears nowhere in their scans
-      // (q161 joined the set in r11: its daily sample now lives in the
-      // maintained table's smp column, same one-scan maintenance pass)
+      // (q161/q163 joined the set in r11: their daily samples now live
+      // in the maintained table's smp column, same one-scan pass)
       Seq("q146" -> off146, "q151" -> off151, "q148" -> off148,
-          "q161" -> off161).foreach {
+          "q161" -> off161, "q163" -> off163, "q164" -> off164).foreach {
         case (name, df) =>
           val feed = scanPaths(df).filter(_.contains("events.parquet"))
           assert(feed.isEmpty, s"$name anchors-off plan scans the feed: $feed")
@@ -106,8 +108,8 @@ class SketchAnchorsSpec extends SparkSpec {
         estMap(on148, "union_est", "type_a", "type_b"))
       assert(estMap(off148, "jaccard_est", "type_a", "type_b") ===
         estMap(on148, "jaccard_est", "type_a", "type_b"))
-      // q161 parity in the fresh-table regime too (the table-served
-      // daily sample must feed both modes identically)
+      // q161/q163 parity in the fresh-table regime too (the table-
+      // served daily samples must feed both modes identically)
       val on161 = Layout.q161QuantileRolling(spark, Sf)
       def q161Map(df: DataFrame) = df.collect().map { r =>
         (r.getString(r.fieldIndex("event_type")),
@@ -116,6 +118,19 @@ class SketchAnchorsSpec extends SparkSpec {
           r.getLong(r.fieldIndex("q_est"))
       }.toMap
       assert(q161Map(off161) === q161Map(on161))
+      val on163 = Layout.q163QuantileDrift(spark, Sf)
+      def q163Map(df: DataFrame) = df.collect().map { r =>
+        (r.getString(r.fieldIndex("event_type")),
+          r.getDouble(r.fieldIndex("p"))) ->
+          r.getLong(r.fieldIndex("shift_est"))
+      }.toMap
+      assert(q163Map(off163) === q163Map(on163))
+      val on164 = Layout.q164RangeSelectivity(spark, Sf)
+      def q164Map(df: DataFrame) = df.collect().map { r =>
+        r.getString(r.fieldIndex("event_type")) ->
+          (r.getLong(r.fieldIndex("n_kept")), r.getLong(r.fieldIndex("n_in")))
+      }.toMap
+      assert(q164Map(off164) === q164Map(on164))
     }
   }
 
