@@ -426,8 +426,12 @@ object Extras {
       s"stream_qsketch_${counter.incrementAndGet()}")
     val est = Layout.sampleQuantiles(streamed,
       Seq("window_start", "event_type"), qsPs)
+    // NULL event_id excluded: no row identity, no sample membership —
+    // the Layout q159 guard (DuckDB's NULLS-LAST rank would otherwise
+    // keep such rows in the oracle's bottom-64 while the streaming
+    // sketch aggregate skips them)
     val base = graft.sources.Tables.events(spark, dir)
-      .filter(col("value").isNotNull)
+      .filter(col("value").isNotNull && col("event_id").isNotNull)
       .select(date_trunc("hour", col("ts")).as("window_start"),
         col("event_type"), md5(col("event_id").cast("string")).as("h"),
         (col("value").cast("decimal(18,2)") * lit(100)).cast("long").as("v"))
@@ -459,7 +463,7 @@ object Extras {
       |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
       |    event_type, md5(CAST(event_id AS VARCHAR)) AS h,
       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
-      |  FROM events WHERE value IS NOT NULL),
+      |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
       |r AS (
       |  SELECT window_start, event_type, h, v, ROW_NUMBER() OVER (
       |    PARTITION BY window_start, event_type ORDER BY h) AS rn FROM e),

@@ -17,7 +17,11 @@ import graft.sources.Tables
   *   - `ks`  (array<string>): the KMV kept set over md5(user_id)
   *     (`kmvFull` storage form, distinct-count algebra — q146/q148/q151);
   *   - `smp` (array<struct<h,v>>): the bottom-k-by-md5(event_id) value
-  *     sample (`QuantileSketch` storage form — rolling quantiles, q161).
+  *     sample (`QuantileSketch` storage form — rolling quantiles, q161);
+  *   - the STATISTICS BUNDLE (r11): `kv` the value-KMV kept set (column
+  *     NDV), `n` the population row count, `vmin`/`vmax` the exact value
+  *     bounds — everything [[graft.plans.ValueSynopsis.fromTable]] needs
+  *     to stand in for ANALYZE (q165, [[statsView]]).
   *
   * Both key on the same (event_type, d) partitions, so ONE maintenance
   * scan of a new part file feeds both families (r10 verdict #7) — a
@@ -77,11 +81,19 @@ import graft.sources.Tables
   */
 object KmvTable {
 
-  private val K = 64
+  private[graft] val K = 64
+
+  /** Generation format marker file. Bumped when the table schema gains
+    * columns: a committed generation WITHOUT the current marker is
+    * treated as a legacy layout (one migrating rebuild, stale dirs
+    * deleted) — reading an old generation through the new schema would
+    * silently null-fill the missing statistics columns instead. */
+  private val FormatMarker = "format-2"
 
   /** Part files scanned by maintenance in this JVM (spec observable). */
   private[graft] val filesScanned = new AtomicLong
-  /** Full rebuilds forced by corpus mutation (spec observable). */
+  /** Full rebuilds forced by corpus mutation or by a legacy layout /
+    * format-marker migration (spec observable). */
   private[graft] val fullRebuilds = new AtomicLong
 
   /** Table schema as returned by [[maintain]] (and used for the empty
@@ -93,7 +105,20 @@ object KmvTable {
     StructField("ks", ArrayType(StringType, containsNull = false)),
     StructField("smp", ArrayType(StructType(Seq(
       StructField("h", StringType, nullable = false),
-      StructField("v", LongType, nullable = false))), containsNull = false))))
+      StructField("v", LongType, nullable = false))), containsNull = false)),
+    // the per-partition STATISTICS BUNDLE (r11): everything a planner
+    // statistic needs, off the SAME single scan — `kv` the value-KMV
+    // kept set (column NDV algebra, as `ks` is for users), `n` the
+    // population row count (value AND event_id non-null — the sample's
+    // population, so sample fractions scale to rows), `vmin`/`vmax`
+    // the exact value bounds (histogram endpoints; Catalyst requires
+    // colStat [min, max] coverage). n adds across disjoint daily row
+    // sets; kv union-resketches; bounds take min/max — all mergeable,
+    // so appends stay O(touched).
+    StructField("kv", ArrayType(StringType, containsNull = false)),
+    StructField("n", LongType),
+    StructField("vmin", LongType),
+    StructField("vmax", LongType)))
 
   private def tableRoot(spark: SparkSession, dir: String): String =
     spark.conf.getOption("spark.graft.kmv.tableDir").getOrElse {
@@ -182,7 +207,8 @@ object KmvTable {
       val dirs = manifest.toSeq.sortBy(_._1)
         .map { case (rel, g) => s"$root/gen-$g/parts/$rel" }
       spark.read.schema(tableSchema).parquet(dirs: _*)
-        .select(col("event_type"), col("d"), col("ks"), col("smp"))
+        .select(col("event_type"), col("d"), col("ks"), col("smp"),
+          col("kv"), col("n"), col("vmin"), col("vmax"))
     }
 
   /** Partitions this JVM's last maintenance REWROTE (spec observable
@@ -211,7 +237,9 @@ object KmvTable {
     // columns this layout reads. One-shot migrate: drop everything and
     // rebuild fresh (r10 ADVICE — no stale dirs left lingering).
     val priorManifest = committedGen.flatMap(g => readManifest(fs, root, g))
-    val legacy = committedGen.isDefined && priorManifest.isEmpty
+    val fmtOk = committedGen.exists(g => fs.exists(
+      new org.apache.hadoop.fs.Path(s"${genPath(g)}/$FormatMarker")))
+    val legacy = committedGen.isDefined && (priorManifest.isEmpty || !fmtOk)
     if (legacy) {
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
       ()
@@ -245,7 +273,7 @@ object KmvTable {
           (false, parts.filter(f => newNames(f.name)))
         }
     }
-    if (stale) fullRebuilds.incrementAndGet()
+    if (stale || legacy) fullRebuilds.incrementAndGet()
     val baseManifest: Map[String, Long] =
       if (curGen.isDefined && !stale) priorManifest.get else Map.empty
     val base: Option[DataFrame] =
@@ -273,7 +301,14 @@ object KmvTable {
       .groupBy(col("event_type"), col("d"))
       .agg(graft.functions.KmvSketchAgg.kmvFull(spark, col("hu"), K).as("ks"),
         graft.functions.QuantileSketchAgg.qsketch(
-          spark, col("he"), col("v"), K).as("smp"))
+          spark, col("he"), col("v"), K).as("smp"),
+        // the statistics bundle, same scan: population = he non-null
+        // (value AND event_id both present — the sample's population)
+        graft.functions.KmvSketchAgg.kmvFull(spark,
+          when(col("he").isNotNull, md5(col("v").cast("string"))), K).as("kv"),
+        count(col("he")).as("n"),
+        min(when(col("he").isNotNull, col("v"))).as("vmin"),
+        max(when(col("he").isNotNull, col("v"))).as("vmax"))
       .cache()
     // touched (type, day) keys of THIS append — bounded by the append
     // size (days × types), not the table; drives the merge scope, the
@@ -303,7 +338,8 @@ object KmvTable {
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
           else spark.read.schema(tableSchema).parquet(touchedOwned.map(rel =>
               s"$root/gen-${baseManifest(rel)}/parts/$rel"): _*)
-            .select(col("event_type"), col("d"), col("ks"), col("smp"))
+            .select(col("event_type"), col("d"), col("ks"), col("smp"),
+              col("kv"), col("n"), col("vmin"), col("vmax"))
         val pre = bTouched.unionByName(newDaily)
         val mergedKs = pre
           .select(col("event_type"), col("d"), explode(col("ks")).as("hu"))
@@ -314,6 +350,19 @@ object KmvTable {
           .groupBy(col("event_type"), col("d"))
           .agg(graft.functions.QuantileSketchAgg.qsketch(
             spark, col("h"), col("v"), K).as("smp"))
+        // value-KMV merges like ks (the same hash can recur across
+        // files — kmvFull dedups); counts ADD (daily row sets are
+        // disjoint), bounds take min/max. The scalar aggregate never
+        // explodes, so it keeps every touched group and needs no
+        // empty-group repair.
+        val mergedKv = pre
+          .select(col("event_type"), col("d"), explode(col("kv")).as("hv"))
+          .groupBy(col("event_type"), col("d"))
+          .agg(graft.functions.KmvSketchAgg.kmvFull(spark, col("hv"), K).as("kv"))
+        val mergedStat = pre
+          .groupBy(col("event_type"), col("d"))
+          .agg(sum(col("n")).as("n"),
+            min(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"))
         // anchor the merge on the full TOUCHED key set, not on the
         // aggregates: explode/inline ELIMINATE a group whose arrays are
         // both empty (a day whose only events carry null user AND null
@@ -324,10 +373,15 @@ object KmvTable {
         pre.select(col("event_type"), col("d")).distinct()
           .join(mergedKs, Seq("event_type", "d"), "left")
           .join(mergedSmp, Seq("event_type", "d"), "left")
+          .join(mergedKv, Seq("event_type", "d"), "left")
+          .join(mergedStat, Seq("event_type", "d"), "left")
           .select(col("event_type"), col("d"),
             coalesce(col("ks"), array().cast("array<string>")).as("ks"),
             coalesce(col("smp"),
-              array().cast("array<struct<h:string,v:bigint>>")).as("smp"))
+              array().cast("array<struct<h:string,v:bigint>>")).as("smp"),
+            coalesce(col("kv"), array().cast("array<string>")).as("kv"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            col("vmin"), col("vmax"))
     }
     // sweep uncommitted leftovers from a crashed run, then land the new
     // generation: ONLY touched partitions written (shadow partition
@@ -359,7 +413,10 @@ object KmvTable {
     currentDf.coalesce(1).write.mode("overwrite")
       .parquet(s"${genPath(nextN)}/consumed")
     writeManifest(fs, root, nextN, manifest)
-    // the COMMIT: one atomic create — readers switch generations here
+    // schema-format stamp, then the COMMIT: one atomic create —
+    // readers switch generations here
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"${genPath(nextN)}/$FormatMarker"), false).close()
     fs.create(new org.apache.hadoop.fs.Path(
       s"${genPath(nextN)}/_COMMITTED"), false).close()
     // sweep by REFERENCE: keep generations owning live partitions in
@@ -393,6 +450,19 @@ object KmvTable {
   def quantileView(spark: SparkSession, dir: String): DataFrame =
     maintain(spark, dir).filter(size(col("smp")) > 0)
       .select(col("event_type"), col("d"), col("smp"))
+
+  /** The per-partition statistics view (event_type, d, n, vmin, vmax,
+    * kv): population row count, exact value bounds, and the value-KMV
+    * kept set — the planner-statistics tier of the table (r11).
+    * [[graft.plans.ValueSynopsis.fromTable]] merges it per type into a
+    * feed-free column synopsis (rows, NDV, min/max, histogram) — an
+    * ANALYZE whose corpus scan already happened, shared with the
+    * sketch maintenance. Restricted to partitions with population > 0
+    * (all-null days carry no value statistics). */
+  def statsView(spark: SparkSession, dir: String): DataFrame =
+    maintain(spark, dir).filter(col("n") > 0)
+      .select(col("event_type"), col("d"), col("n"),
+        col("vmin"), col("vmax"), col("kv"))
 
   /** q151 — the maintained table as an oracled query: per (type, day)
     * sketch columns + estimate, with exact anchors from the raw feed
@@ -457,4 +527,87 @@ object KmvTable {
       |  (kmv_estimate - CAST(n_distinct AS DOUBLE))
       |    / CAST(n_distinct AS DOUBLE) AS rel_err
       |FROM j ORDER BY event_type, d""".stripMargin
+
+  /** q165 — PER-TYPE COLUMN STATISTICS from the table's bundle: the
+    * ANALYZE surface (rows, min/max, NDV estimate) as an oracled query.
+    * Everything left of the anchors comes from [[statsView]] — counts
+    * SUM across the disjoint daily row sets, bounds take min/max, the
+    * per-day value-KMV kept sets union-resketch to the corpus bottom-64
+    * (any corpus bottom-64 hash is in its day's bottom-64, so the union
+    * contains it — the KMV union law). rows/vmin/vmax are EXACT by
+    * construction; only the NDV is an estimate (q139's estimator over
+    * md5(value)). Anchored, the feed-exact columns ride along
+    * (x_rows/x_min/x_max/n_distinct_v), so the gate hash proves the
+    * merged table equals the feed — DuckDB computes BOTH sides from the
+    * feed, Spark computes the left side from the table. Anchors-off the
+    * whole answer is KB of table reads (SketchAnchorsSpec pins the plan
+    * feed-free): the 100 TB ANALYZE that never rescans the corpus. */
+  def q165TableStats(spark: SparkSession, dir: String): DataFrame = {
+    val sv = statsView(spark, dir)
+    val agg = sv.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_pop"),
+        min(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"))
+    val kvm = sv.select(col("event_type"), explode(col("kv")).as("h"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.KmvSketchAgg.kmvFull(spark, col("h"), K).as("kv"))
+      .select(col("event_type"), size(col("kv")).cast("long").as("n_kept_v"),
+        element_at(col("kv"), size(col("kv"))).as("hk_v"))
+    val t = agg.join(kvm, Seq("event_type"))
+    if (!Layout.anchorsOn(spark)) {
+      // production shape: the statistics ARE the table — no feed scan
+      return t.withColumn("ndv_est", Layout.kmvEstimate(
+          col("n_kept_v"), col("hk_v"), K, col("n_kept_v").cast("double")))
+        .select(col("event_type"), col("n_pop"), col("vmin"), col("vmax"),
+          col("n_kept_v"), col("hk_v"), col("ndv_est"))
+        .orderBy(col("event_type"))
+    }
+    val exact = Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("event_id").isNotNull)
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * lit(100)).cast("long").as("v"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("x_rows"), min(col("v")).as("x_min"),
+        max(col("v")).as("x_max"), count_distinct(col("v")).as("n_distinct_v"))
+    t.join(exact, Seq("event_type"))
+      .withColumn("ndv_est", Layout.kmvEstimate(
+        col("n_kept_v"), col("hk_v"), K, col("n_distinct_v").cast("double")))
+      .withColumn("rel_err", (col("ndv_est") - col("n_distinct_v").cast("double"))
+        / col("n_distinct_v").cast("double"))
+      .select(col("event_type"), col("n_pop"), col("vmin"), col("vmax"),
+        col("n_kept_v"), col("hk_v"), col("ndv_est"), col("x_rows"),
+        col("x_min"), col("x_max"), col("n_distinct_v"), col("rel_err"))
+      .orderBy(col("event_type"))
+  }
+
+  val q165Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+      |t AS (
+      |  SELECT event_type, COUNT(*) AS n_pop, MIN(v) AS vmin, MAX(v) AS vmax,
+      |    COUNT(DISTINCT v) AS n_distinct_v
+      |  FROM e GROUP BY 1),
+      |dh AS (SELECT DISTINCT event_type, md5(CAST(v AS VARCHAR)) AS h FROM e),
+      |r AS (
+      |  SELECT event_type, h, ROW_NUMBER() OVER (
+      |    PARTITION BY event_type ORDER BY h) AS rn FROM dh),
+      |sk AS (
+      |  SELECT event_type, COUNT(*) AS n_kept_v, MAX(h) AS hk_v
+      |  FROM r WHERE rn <= 64 GROUP BY 1),
+      |j AS (
+      |  SELECT t.event_type AS event_type,
+      |    CAST(t.n_pop AS BIGINT) AS n_pop, t.vmin, t.vmax,
+      |    CAST(sk.n_kept_v AS BIGINT) AS n_kept_v, sk.hk_v,
+      |    CASE WHEN sk.n_kept_v < 64 THEN CAST(t.n_distinct_v AS DOUBLE)
+      |      ELSE 63.0 /
+      |        (CAST(GREATEST(CAST(CAST(('0x' || substring(sk.hk_v, 1, 12)) AS UBIGINT)
+      |           AS BIGINT), 1) AS DOUBLE) / 281474976710656.0) END AS ndv_est,
+      |    CAST(t.n_pop AS BIGINT) AS x_rows, t.vmin AS x_min, t.vmax AS x_max,
+      |    CAST(t.n_distinct_v AS BIGINT) AS n_distinct_v
+      |  FROM t JOIN sk ON t.event_type = sk.event_type)
+      |SELECT event_type, n_pop, vmin, vmax, n_kept_v, hk_v, ndv_est,
+      |  x_rows, x_min, x_max, n_distinct_v,
+      |  (ndv_est - CAST(n_distinct_v AS DOUBLE))
+      |    / CAST(n_distinct_v AS DOUBLE) AS rel_err
+      |FROM j ORDER BY event_type""".stripMargin
 }

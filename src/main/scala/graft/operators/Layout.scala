@@ -1270,6 +1270,11 @@ object Layout {
     df.select(kc ++ Seq(size(col("smp")).cast("long").as("n_kept"),
         array_sort(expr("transform(smp, s -> struct(s.v AS v, s.h AS h))"))
           .as("byv")): _*)
+      // structural guard: an empty kept set has no quantiles, and
+      // element_at(byv, ceil(p·0)=0) is an unconditional runtime error
+      // in Spark — callers exclude empty groups by population
+      // definition, but the rank pick must be total anyway
+      .filter(col("n_kept") > 0)
       .select(kc ++ Seq(col("n_kept"),
         explode(array(ps.map(lit): _*)).as("p"), col("byv")): _*)
       .withColumn("q_est",
@@ -1846,6 +1851,7 @@ object Layout {
     "q162_selfjoin_moment" -> (q162SelfJoinMoment _),
     "q163_quantile_drift" -> (q163QuantileDrift _),
     "q164_range_selectivity" -> (q164RangeSelectivity _),
+    "q165_table_stats"  -> (KmvTable.q165TableStats _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1869,5 +1875,6 @@ object Layout {
     "q162_selfjoin_moment" -> q162Sql,
     "q163_quantile_drift" -> q163Sql,
     "q164_range_selectivity" -> q164Sql,
+    "q165_table_stats"  -> KmvTable.q165Sql,
   )
 }

@@ -122,4 +122,52 @@ object ValueSynopsis {
       if (row.isNullAt(row.fieldIndex("mx"))) None
       else Some(row.getLong(row.fieldIndex("mx"))))
   }
+
+  /** Per-type value synopses served ENTIRELY from the maintained sketch
+    * table ([[graft.operators.KmvTable.statsView]] + the sample view) —
+    * an ANALYZE whose corpus scan already happened: the maintenance
+    * pass that keeps the sketch table fresh is the only scan the
+    * statistics ever cost. Merging is exact synopsis algebra, KB-scale
+    * on the driver (synopses are planner metadata): the corpus sample
+    * is bottom-k of the union of daily kept sets (row identities are
+    * unique, so daily sets are disjoint — the q161/q163 law); the
+    * value-KMV union dedups (the same value recurs across days) and
+    * re-takes bottom-k; counts add; bounds take min/max. The result for
+    * each type EQUALS [[build]] run over that type's population frame
+    * with the table's k (ValueSynopsisTableSpec pins the equality
+    * field-by-field, histogram included). nullCount is 0 by
+    * construction — the table's population already excludes null
+    * value/event_id rows; inject over a population, not the raw feed. */
+  def fromTable(spark: SparkSession, dir: String): Map[String, ValueSynopsis] = {
+    import org.apache.spark.sql.Row
+    val k = graft.operators.KmvTable.K
+    val rows = graft.operators.KmvTable.maintain(spark, dir)
+      .select(col("event_type"), col("smp"), col("kv"), col("n"),
+        col("vmin"), col("vmax"))
+      .collect()
+    rows.groupBy(_.getString(0)).flatMap { case (t, rs) =>
+      val n = rs.map(_.getLong(3)).sum
+      if (n == 0L) None
+      else {
+        // dedup before bottom-k: a row identity REPLAYED on two days
+        // sits in both days' kept sets, and the sketch aggregate the
+        // equality pin compares against is idempotent on duplicates
+        // (TreeMap REPLACE) — an undeduped union would spend two of the
+        // k slots on one row and displace the true k-th element
+        val smp = rs.flatMap(_.getSeq[Row](1)
+            .map(r => r.getString(0) -> r.getLong(1)))
+          .distinct.sortBy(_._1).take(k)
+        val kv = rs.flatMap(_.getSeq[String](2)).distinct.sorted.take(k)
+        Some(t -> ValueSynopsis(
+          name = t, rows = n, nullCount = 0L, k = k,
+          sample = smp.sortBy { case (h, v) => (v, h) }.toVector,
+          ndvEst = if (kv.size < k) kv.size.toDouble
+                   else (k - 1).toDouble / JoinSynopsis.unit(kv.last),
+          vMin = rs.collect { case r if !r.isNullAt(4) => r.getLong(4) }
+            .reduceOption(_ min _),
+          vMax = rs.collect { case r if !r.isNullAt(5) => r.getLong(5) }
+            .reduceOption(_ max _)))
+      }
+    }
+  }
 }

@@ -126,7 +126,12 @@ object EventsStream {
   def quantileWindowAgg(spark: SparkSession, events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "168 hours")
-      .filter(col("value").isNotNull)
+      // event_id is the sample's row identity: a NULL id has no hash,
+      // the sketch aggregate would skip it, and a (window, type) group
+      // with ONLY such rows would emit an empty sample — the same
+      // population rule as batch q159 (and q160's exact side), applied
+      // at the source so no empty-smp group can reach the rank pick
+      .filter(col("value").isNotNull && col("event_id").isNotNull)
       .withColumn("h", md5(col("event_id").cast("string")))
       .withColumn("v",
         (col("value").cast("decimal(18,2)") * lit(100)).cast("long"))

@@ -34,6 +34,12 @@ class KmvMaintainSpec extends SparkSpec {
       r.getSeq[org.apache.spark.sql.Row](2)
         .map(s => (s.getString(0), s.getLong(1))).toList).toMap
 
+  /** statsView rows: (type, day) -> (n, vmin, vmax, kv). */
+  private def statRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+      ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getSeq[String](5).toList))).toMap
+
   private def ev(ids: Range, day: Int) = {
     import spark.implicits._
     ids.map { i =>
@@ -93,9 +99,10 @@ class KmvMaintainSpec extends SparkSpec {
     val full = TempDirs.create("graft_kmv_corpA")
     ev(1 to 800, 1).union(ev(801 to 1600, 2))
       .coalesce(1).write.parquet(s"$full/events.parquet")
-    val (fromScratch, fromScratchQ) = withTableDir { _ =>
+    val (fromScratch, fromScratchQ, fromScratchS) = withTableDir { _ =>
       (ksRows(KmvTable.kmvView(spark, full)),
-       smpRows(KmvTable.quantileView(spark, full)))
+       smpRows(KmvTable.quantileView(spark, full)),
+       statRows(KmvTable.statsView(spark, full)))
     }
 
     // corpus B: same rows, landed as two files with a maintenance run
@@ -118,6 +125,20 @@ class KmvMaintainSpec extends SparkSpec {
         "incremental merge must converge to the from-scratch table")
       assert(smpRows(KmvTable.quantileView(spark, incr)) === fromScratchQ,
         "quantile samples must converge too (same maintenance pass)")
+      // the statistics bundle merges exactly: counts add across the
+      // disjoint daily row sets, bounds take min/max, the value-KMV
+      // union-resketches — incremental == from-scratch, field by field
+      val s = statRows(KmvTable.statsView(spark, incr))
+      assert(s === fromScratchS,
+        "stats bundle must converge too (n / vmin / vmax / kv)")
+      // and the counts are the population truth, not an estimate
+      s.foreach { case ((_, day), (n, vmin, vmax, _)) =>
+        val ids = if (day.endsWith("01")) (1 to 800) else (801 to 1600)
+        assert(n === ids.size.toLong)
+        // value = i/100.0 dollars => exactly i cents
+        assert(vmin === ids.head.toLong && vmax === ids.last.toLong,
+          s"cents bounds for $day: got ($vmin, $vmax)")
+      }
     }
   }
 
@@ -244,11 +265,17 @@ class KmvMaintainSpec extends SparkSpec {
             f.requiredSchema.fieldNames.toSet
         }.flatten.toSet
       val kmvCols = readCols(KmvTable.kmvView(spark, Sf))
-      assert(kmvCols.contains("ks") && !kmvCols.contains("smp"),
-        s"kmvView must prune smp at the scan, read: $kmvCols")
+      assert(kmvCols.contains("ks") &&
+        Seq("smp", "kv", "n", "vmin", "vmax").forall(!kmvCols.contains(_)),
+        s"kmvView must prune every other family at the scan, read: $kmvCols")
       val qCols = readCols(KmvTable.quantileView(spark, Sf))
-      assert(qCols.contains("smp") && !qCols.contains("ks"),
-        s"quantileView must prune ks at the scan, read: $qCols")
+      assert(qCols.contains("smp") &&
+        Seq("ks", "kv", "n", "vmin", "vmax").forall(!qCols.contains(_)),
+        s"quantileView must prune every other family at the scan, read: $qCols")
+      val sCols = readCols(KmvTable.statsView(spark, Sf))
+      assert(Seq("n", "vmin", "vmax", "kv").forall(sCols.contains) &&
+        !sCols.contains("ks") && !sCols.contains("smp"),
+        s"statsView must prune the kept-set families, read: $sCols")
     }
   }
 
@@ -304,6 +331,31 @@ class KmvMaintainSpec extends SparkSpec {
         "manifest-less generations must be deleted")
       assert(new java.io.File(s"$tbl/gen-0/manifest").exists,
         "the migrated table is a fresh manifest generation")
+    }
+  }
+
+  test("pre-format-2 generations force one migrating rebuild") {
+    // a committed manifest generation WITHOUT the current format marker
+    // is an older table schema: reading it through the new schema would
+    // silently null-fill the statistics columns — the marker routes it
+    // through the legacy path (one full rebuild) instead
+    val dir = TempDirs.create("graft_kmv_fmt")
+    ev(1 to 500, 1).coalesce(1).write.parquet(s"$dir/events.parquet")
+    withTableDir { tbl =>
+      val t0 = statRows(KmvTable.statsView(spark, dir))
+      // simulate the pre-bundle layout: drop the format markers
+      new java.io.File(tbl).listFiles().filter(_.getName.startsWith("gen-"))
+        .foreach { g => new java.io.File(g, "format-2").delete(); () }
+      val rebuilds = KmvTable.fullRebuilds.get()
+      val t1 = statRows(KmvTable.statsView(spark, dir))
+      assert(KmvTable.fullRebuilds.get() === rebuilds + 1,
+        "missing format marker must force exactly one rebuild")
+      assert(t1 === t0, "the migrated table must be identical")
+      // and the rebuild re-stamped the marker: the next maintenance is
+      // a no-op again
+      val before = KmvTable.filesScanned.get()
+      KmvTable.maintain(spark, dir)
+      assert(KmvTable.filesScanned.get() === before)
     }
   }
 

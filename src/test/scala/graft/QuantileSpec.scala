@@ -198,7 +198,7 @@ class QuantileSpec extends SparkSpec {
         r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("smp"))
           .map(x => (x.getString(0), x.getLong(1))).toList).toMap
     val batch = graft.sources.Tables.events(s, Sf)
-      .filter(col("value").isNotNull)
+      .filter(col("value").isNotNull && col("event_id").isNotNull)
       .select(date_trunc("hour", col("ts")).as("w"), col("event_type"),
         md5(col("event_id").cast("string")).as("h"),
         (col("value").cast("decimal(18,2)") * lit(100)).cast("long").as("v"))
@@ -217,5 +217,24 @@ class QuantileSpec extends SparkSpec {
       .map(_.numRowsTotal).max
     assert(stateRows === batch.size.toLong,
       s"state must be one sample row per group: $stateRows vs ${batch.size}")
+  }
+
+  test("an empty kept set yields no quantile rows, not an index-0 error") {
+    // element_at(byv, ceil(p·0) = 0) is an unconditional runtime error
+    // in Spark — the rank pick must be total even though every caller
+    // excludes empty groups by population definition (the self-review
+    // catch: a streamed (window, type) group whose only rows carried a
+    // NULL event_id used to reach it with an empty sample)
+    import spark.implicits._
+    val df = Seq(
+      ("a", Seq(("0abc", 100L), ("1def", 200L))),
+      ("b", Seq.empty[(String, Long)])
+    ).toDF("g", "smp")
+      .withColumn("smp", expr("transform(smp, s -> struct(s._1 AS h, s._2 AS v))"))
+    val out = graft.operators.Layout.sampleQuantiles(df, Seq("g"), Seq(0.5, 0.9))
+      .collect()
+    assert(out.map(_.getString(0)).toSet === Set("a"),
+      "the empty group must drop out instead of erroring")
+    assert(out.length === 2)
   }
 }

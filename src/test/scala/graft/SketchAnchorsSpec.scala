@@ -74,13 +74,14 @@ class SketchAnchorsSpec extends SparkSpec {
       val on146 = Layout.q146KmvRolling(spark, Sf)
       val on151 = KmvTable.q151KmvMaintain(spark, Sf)
       val on148 = Layout.q148KmvAlgebra(spark, Sf)
-      val (off146, off151, off148, off161, off163, off164) = anchorsOff {
+      val (off146, off151, off148, off161, off163, off164, off165) = anchorsOff {
         (Layout.q146KmvRolling(spark, Sf),
          KmvTable.q151KmvMaintain(spark, Sf),
          Layout.q148KmvAlgebra(spark, Sf),
          Layout.q161QuantileRolling(spark, Sf),
          Layout.q163QuantileDrift(spark, Sf),
-         Layout.q164RangeSelectivity(spark, Sf))
+         Layout.q164RangeSelectivity(spark, Sf),
+         KmvTable.q165TableStats(spark, Sf))
       }
       assert(KmvTable.filesScanned.get() === before,
         "maintenance against a fresh table must scan zero feed files")
@@ -90,7 +91,8 @@ class SketchAnchorsSpec extends SparkSpec {
       // (q161/q163 joined the set in r11: their daily samples now live
       // in the maintained table's smp column, same one-scan pass)
       Seq("q146" -> off146, "q151" -> off151, "q148" -> off148,
-          "q161" -> off161, "q163" -> off163, "q164" -> off164).foreach {
+          "q161" -> off161, "q163" -> off163, "q164" -> off164,
+          "q165" -> off165).foreach {
         case (name, df) =>
           val feed = scanPaths(df).filter(_.contains("events.parquet"))
           assert(feed.isEmpty, s"$name anchors-off plan scans the feed: $feed")
@@ -131,6 +133,25 @@ class SketchAnchorsSpec extends SparkSpec {
           (r.getLong(r.fieldIndex("n_kept")), r.getLong(r.fieldIndex("n_in")))
       }.toMap
       assert(q164Map(off164) === q164Map(on164))
+      // q165: the table-merged statistics (exact by construction) and
+      // the NDV estimate agree across modes — and against the anchored
+      // run's FEED-exact columns (x_rows/x_min/x_max == table's values)
+      val on165 = KmvTable.q165TableStats(spark, Sf)
+      def q165Map(df: DataFrame) = df.collect().map { r =>
+        r.getString(r.fieldIndex("event_type")) ->
+          ((r.getLong(r.fieldIndex("n_pop")), r.getLong(r.fieldIndex("vmin")),
+            r.getLong(r.fieldIndex("vmax")),
+            r.getDouble(r.fieldIndex("ndv_est"))))
+      }.toMap
+      assert(q165Map(off165) === q165Map(on165))
+      on165.collect().foreach { r =>
+        assert(r.getLong(r.fieldIndex("n_pop")) ===
+          r.getLong(r.fieldIndex("x_rows")))
+        assert(r.getLong(r.fieldIndex("vmin")) ===
+          r.getLong(r.fieldIndex("x_min")))
+        assert(r.getLong(r.fieldIndex("vmax")) ===
+          r.getLong(r.fieldIndex("x_max")))
+      }
     }
   }
 
