@@ -60,6 +60,21 @@ object Bench {
       prewarmLsh = (System.nanoTime() - tw) / 1e9
       System.err.println(s"[bench] prewarm_lsh_pairs ${fmt(prewarmLsh)}")
     }
+    // pre-maintain the shared sketch table the same way: a cold or
+    // PRIOR-FORMAT table (a /tmp survivor of an earlier round's layout)
+    // would otherwise pay its full build/migrating-rebuild inside the
+    // first table query's timed rep (q146 by string order) — priced as
+    // its own key and in the total, steady state for the per-query rows
+    var prewarmKmv = 0.0
+    if (Seq("q146_kmv_rolling", "q148_kmv_algebra", "q151_kmv_maintain",
+        "q161_quantile_rolling", "q163_quantile_drift",
+        "q164_range_selectivity", "q165_table_stats",
+        "q166_key_stats").exists(selected)) {
+      val tw = System.nanoTime()
+      graft.operators.KmvTable.maintain(spark, sfDir).count()
+      prewarmKmv = (System.nanoTime() - tw) / 1e9
+      System.err.println(s"[bench] prewarm_kmv_table ${fmt(prewarmKmv)}")
+    }
     // LANE SPLIT (r9 verdict #4): the streaming family's micro-batch
     // trigger/commit protocol carries a ±20-30 s in-suite noise band that
     // made every round-over-round total an attribution essay. Batch and
@@ -136,7 +151,8 @@ object Bench {
     // include work the reference pays inside its queries — previously it
     // rode only the stderr attribution line and totals excluded it
     val total =
-      (if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0) + prewarmLsh
+      (if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0) +
+        prewarmLsh + prewarmKmv
     // per-lane totals (prewarm is a batch-lane artifact build)
     val streamTotal = results.collect {
       case (n, v) if isStreaming(n) && v >= 0 => v }.sum
@@ -161,7 +177,7 @@ object Bench {
     System.err.println(s"[bench] queries $qs")
     val iso = isolated.map { case (k, v) => s"\"$k\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"prewarm_lsh_pairs":${fmt(prewarmLsh)},"batch_total":${fmt(batchTotal)},"streaming_total":${fmt(streamTotal)},"isolated":$iso,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"prewarm_lsh_pairs":${fmt(prewarmLsh)},"prewarm_kmv_table":${fmt(prewarmKmv)},"batch_total":${fmt(batchTotal)},"streaming_total":${fmt(streamTotal)},"isolated":$iso,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

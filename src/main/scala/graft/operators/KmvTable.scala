@@ -14,14 +14,19 @@ import graft.sources.Tables
   * (event_type, day) the table stores BOTH bounded kept-sets the house
   * aggregates produce from one scan —
   *
-  *   - `ks`  (array<string>): the KMV kept set over md5(user_id)
-  *     (`kmvFull` storage form, distinct-count algebra — q146/q148/q151);
+  *   - `ksf` (array<struct<h,c>>): the KMV kept set over md5(user_id)
+  *     WITH exact per-hash occurrence counts (`KmvFreqSketch` storage
+  *     form, format-3) — [[kmvView]] projects the hashes for the
+  *     distinct-count algebra (q146/q148/q151), [[keyStatsView]] serves
+  *     the full join synopsis ([[graft.plans.JoinSynopsis.fromTable]],
+  *     q166);
   *   - `smp` (array<struct<h,v>>): the bottom-k-by-md5(event_id) value
   *     sample (`QuantileSketch` storage form — rolling quantiles, q161);
-  *   - the STATISTICS BUNDLE (r11): `kv` the value-KMV kept set (column
-  *     NDV), `n` the population row count, `vmin`/`vmax` the exact value
-  *     bounds — everything [[graft.plans.ValueSynopsis.fromTable]] needs
-  *     to stand in for ANALYZE (q165, [[statsView]]).
+  *   - the STATISTICS BUNDLES (r11): value tier `kv`/`n`/`vmin`/`vmax`
+  *     (column NDV, population, bounds — [[graft.plans.ValueSynopsis
+  *     .fromTable]], q165, [[statsView]]) and key tier `nu`/`umin`/
+  *     `umax` (key population and domain bounds — q166) — everything a
+  *     planner statistic needs, standing in for ANALYZE.
   *
   * Both key on the same (event_type, d) partitions, so ONE maintenance
   * scan of a new part file feeds both families (r10 verdict #7) — a
@@ -87,8 +92,11 @@ object KmvTable {
     * columns: a committed generation WITHOUT the current marker is
     * treated as a legacy layout (one migrating rebuild, stale dirs
     * deleted) — reading an old generation through the new schema would
-    * silently null-fill the missing statistics columns instead. */
-  private val FormatMarker = "format-2"
+    * silently null-fill the missing statistics columns instead.
+    * format-2 added the value-tier bundle (kv/n/vmin/vmax); format-3
+    * turned `ks` into the frequency-carrying `ksf` and added the
+    * key-tier bundle (nu/umin/umax). */
+  private[graft] val FormatMarker = "format-3"
 
   /** Part files scanned by maintenance in this JVM (spec observable). */
   private[graft] val filesScanned = new AtomicLong
@@ -102,7 +110,16 @@ object KmvTable {
   private val tableSchema = StructType(Seq(
     StructField("event_type", StringType),
     StructField("d", DateType),
-    StructField("ks", ArrayType(StringType, containsNull = false)),
+    // the KMV kept set over md5(user_id) WITH per-hash exact daily
+    // occurrence counts (format-3: [[graft.functions.KmvFreqSketch]]) —
+    // hash-only consumers ([[kmvView]]) project `h` back out; the
+    // counts make the per-type merge a full join synopsis
+    // ([[graft.plans.KeySynopsis]]): counts ADD across partials by
+    // downward-closure, so the merged bottom-k carries exact corpus
+    // frequencies
+    StructField("ksf", ArrayType(StructType(Seq(
+      StructField("h", StringType, nullable = false),
+      StructField("c", LongType, nullable = false))), containsNull = false)),
     StructField("smp", ArrayType(StructType(Seq(
       StructField("h", StringType, nullable = false),
       StructField("v", LongType, nullable = false))), containsNull = false)),
@@ -118,7 +135,16 @@ object KmvTable {
     StructField("kv", ArrayType(StringType, containsNull = false)),
     StructField("n", LongType),
     StructField("vmin", LongType),
-    StructField("vmax", LongType)))
+    StructField("vmax", LongType),
+    // the KEY-tier bundle (format-3): `nu` rows with a non-null
+    // user_id (the key population — Σ over days = KeySynopsis.rows)
+    // and the exact key-domain bounds Catalyst requires before a join
+    // estimate can fire (absent min/max ⇒ NullValueInterval ⇒ every
+    // estimate zero). Mergeable like the value tier: counts add,
+    // bounds min/max.
+    StructField("nu", LongType),
+    StructField("umin", LongType),
+    StructField("umax", LongType)))
 
   private def tableRoot(spark: SparkSession, dir: String): String =
     spark.conf.getOption("spark.graft.kmv.tableDir").getOrElse {
@@ -207,8 +233,9 @@ object KmvTable {
       val dirs = manifest.toSeq.sortBy(_._1)
         .map { case (rel, g) => s"$root/gen-$g/parts/$rel" }
       spark.read.schema(tableSchema).parquet(dirs: _*)
-        .select(col("event_type"), col("d"), col("ks"), col("smp"),
-          col("kv"), col("n"), col("vmin"), col("vmax"))
+        .select(col("event_type"), col("d"), col("ksf"), col("smp"),
+          col("kv"), col("n"), col("vmin"), col("vmax"),
+          col("nu"), col("umin"), col("umax"))
     }
 
   /** Partitions this JVM's last maintenance REWROTE (spec observable
@@ -217,7 +244,10 @@ object KmvTable {
     new java.util.concurrent.atomic.AtomicReference[Set[String]](Set.empty)
 
   /** Bring the sketch table up to date with `dir`'s events feed and
-    * return it: (event_type, d, ks, smp). Scans only unconsumed part
+    * return it — the full format-3 row: (event_type, d, ksf, smp, kv,
+    * n, vmin, vmax, nu, umin, umax); use the family views
+    * ([[kmvView]]/[[quantileView]]/[[statsView]]/[[keyStatsView]]) for
+    * pruned projections. Scans only unconsumed part
     * files, WRITES only touched (type, day) partitions into a fresh
     * committed generation (untouched partitions ride forward by
     * manifest reference); serialized per JVM (the table write is not
@@ -297,9 +327,11 @@ object KmvTable {
         when(col("value").isNotNull,
           md5(col("event_id").cast("string"))).as("he"),
         when(col("value").isNotNull,
-          (col("value").cast("decimal(18,2)") * lit(100)).cast("long")).as("v"))
+          (col("value").cast("decimal(18,2)") * lit(100)).cast("long")).as("v"),
+        col("user_id").as("u"))
       .groupBy(col("event_type"), col("d"))
-      .agg(graft.functions.KmvSketchAgg.kmvFull(spark, col("hu"), K).as("ks"),
+      .agg(graft.functions.KmvFreqAgg.kmvFreq(
+          spark, col("hu"), lit(1L), K).as("ksf"),
         graft.functions.QuantileSketchAgg.qsketch(
           spark, col("he"), col("v"), K).as("smp"),
         // the statistics bundle, same scan: population = he non-null
@@ -308,7 +340,11 @@ object KmvTable {
           when(col("he").isNotNull, md5(col("v").cast("string"))), K).as("kv"),
         count(col("he")).as("n"),
         min(when(col("he").isNotNull, col("v"))).as("vmin"),
-        max(when(col("he").isNotNull, col("v"))).as("vmax"))
+        max(when(col("he").isNotNull, col("v"))).as("vmax"),
+        // key-tier bundle: the user population and key-domain bounds
+        count(col("u")).as("nu"),
+        min(col("u")).as("umin"),
+        max(col("u")).as("umax"))
       .cache()
     // touched (type, day) keys of THIS append — bounded by the append
     // size (days × types), not the table; drives the merge scope, the
@@ -338,13 +374,19 @@ object KmvTable {
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
           else spark.read.schema(tableSchema).parquet(touchedOwned.map(rel =>
               s"$root/gen-${baseManifest(rel)}/parts/$rel"): _*)
-            .select(col("event_type"), col("d"), col("ks"), col("smp"),
-              col("kv"), col("n"), col("vmin"), col("vmax"))
+            .select(col("event_type"), col("d"), col("ksf"), col("smp"),
+              col("kv"), col("n"), col("vmin"), col("vmax"),
+              col("nu"), col("umin"), col("umax"))
         val pre = bTouched.unionByName(newDaily)
-        val mergedKs = pre
-          .select(col("event_type"), col("d"), explode(col("ks")).as("hu"))
+        // frequency-KMV partials merge through the SAME aggregate with
+        // the stored count as the weight: counts ADD per hash, and a
+        // merged-bottom-k hash was kept by every partial it occurred in
+        // (downward-closure), so the merged counts stay exact
+        val mergedKsf = pre
+          .select(col("event_type"), col("d"), expr("inline(ksf)"))
           .groupBy(col("event_type"), col("d"))
-          .agg(graft.functions.KmvSketchAgg.kmvFull(spark, col("hu"), K).as("ks"))
+          .agg(graft.functions.KmvFreqAgg.kmvFreq(
+            spark, col("h"), col("c"), K).as("ksf"))
         val mergedSmp = pre
           .select(col("event_type"), col("d"), expr("inline(smp)"))
           .groupBy(col("event_type"), col("d"))
@@ -362,7 +404,9 @@ object KmvTable {
         val mergedStat = pre
           .groupBy(col("event_type"), col("d"))
           .agg(sum(col("n")).as("n"),
-            min(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"))
+            min(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"),
+            sum(col("nu")).as("nu"),
+            min(col("umin")).as("umin"), max(col("umax")).as("umax"))
         // anchor the merge on the full TOUCHED key set, not on the
         // aggregates: explode/inline ELIMINATE a group whose arrays are
         // both empty (a day whose only events carry null user AND null
@@ -371,17 +415,20 @@ object KmvTable {
         // commit a manifest entry pointing at a dir that was never
         // written, wedging every later read (self-review r11)
         pre.select(col("event_type"), col("d")).distinct()
-          .join(mergedKs, Seq("event_type", "d"), "left")
+          .join(mergedKsf, Seq("event_type", "d"), "left")
           .join(mergedSmp, Seq("event_type", "d"), "left")
           .join(mergedKv, Seq("event_type", "d"), "left")
           .join(mergedStat, Seq("event_type", "d"), "left")
           .select(col("event_type"), col("d"),
-            coalesce(col("ks"), array().cast("array<string>")).as("ks"),
+            coalesce(col("ksf"),
+              array().cast("array<struct<h:string,c:bigint>>")).as("ksf"),
             coalesce(col("smp"),
               array().cast("array<struct<h:string,v:bigint>>")).as("smp"),
             coalesce(col("kv"), array().cast("array<string>")).as("kv"),
             coalesce(col("n"), lit(0L)).as("n"),
-            col("vmin"), col("vmax"))
+            col("vmin"), col("vmax"),
+            coalesce(col("nu"), lit(0L)).as("nu"),
+            col("umin"), col("umax"))
     }
     // sweep uncommitted leftovers from a crashed run, then land the new
     // generation: ONLY touched partitions written (shadow partition
@@ -439,10 +486,14 @@ object KmvTable {
     * least one kept hash: the combined scan keeps a (type, day) row
     * whenever ANY event lands there, but the q146/q148/q151 algebra is
     * defined over days that have ≥1 non-null user (their oracles build
-    * the daily table from a user_id IS NOT NULL frame). */
+    * the daily table from a user_id IS NOT NULL frame). Since format-3
+    * the physical column is the frequency-carrying `ksf`; this view
+    * projects the hashes back out, so every hash-algebra consumer
+    * (q146/q148/q151) is untouched by the format change. */
   def kmvView(spark: SparkSession, dir: String): DataFrame =
-    maintain(spark, dir).filter(size(col("ks")) > 0)
-      .select(col("event_type"), col("d"), col("ks"))
+    maintain(spark, dir).filter(size(col("ksf")) > 0)
+      .select(col("event_type"), col("d"),
+        expr("transform(ksf, x -> x.h)").as("ks"))
 
   /** The quantile-sample view (event_type, d, smp) — the durable form
     * of q161's daily sample table (r10 verdict #7), same restriction
@@ -463,6 +514,18 @@ object KmvTable {
     maintain(spark, dir).filter(col("n") > 0)
       .select(col("event_type"), col("d"), col("n"),
         col("vmin"), col("vmax"), col("kv"))
+
+  /** The KEY-tier statistics view (event_type, d, nu, umin, umax, ksf):
+    * key population, exact key-domain bounds, and the frequency-
+    * carrying kept set — everything [[graft.plans.JoinSynopsis
+    * .fromTable]] needs to merge a per-type [[graft.plans.KeySynopsis]]
+    * (the q157 join-size estimator's input, and [[graft.plans
+    * .SynopsisStats]]'s) with no feed scan. Restricted to partitions
+    * with ≥1 non-null user (all-null days carry no key statistics). */
+  def keyStatsView(spark: SparkSession, dir: String): DataFrame =
+    maintain(spark, dir).filter(col("nu") > 0)
+      .select(col("event_type"), col("d"), col("nu"),
+        col("umin"), col("umax"), col("ksf"))
 
   /** q151 — the maintained table as an oracled query: per (type, day)
     * sketch columns + estimate, with exact anchors from the raw feed
@@ -609,5 +672,92 @@ object KmvTable {
       |  x_rows, x_min, x_max, n_distinct_v,
       |  (ndv_est - CAST(n_distinct_v AS DOUBLE))
       |    / CAST(n_distinct_v AS DOUBLE) AS rel_err
+      |FROM j ORDER BY event_type""".stripMargin
+
+  /** q166 — PER-TYPE KEY STATISTICS from the table's key-tier bundle:
+    * the join-synopsis surface ([[graft.plans.KeySynopsis]]) as an
+    * oracled query. The per-day frequency-KMV kept sets merge to the
+    * corpus bottom-64 WITH EXACT summed frequencies (the
+    * [[graft.functions.KmvFreqSketch]] downward-closure law), so the
+    * row carries the key population (Σ nu, exact), the key-domain
+    * bounds (exact — what Catalyst requires before any join estimate
+    * fires), the kept-set shape (n_kept_u, hk_u), the summed kept
+    * frequencies (f_kept_sum — integer-exact; the Σ f_A·f_B join-size
+    * numerator this collapses to when the OTHER side's key is unique,
+    * every f_B = 1 — the classic fact-to-dimension estimate), and the
+    * KMV NDV estimate. Anchored, the feed-exact columns ride along so the
+    * gate hash proves table == feed; anchors-off the whole ANALYZE is
+    * KB of table reads (SketchAnchorsSpec). */
+  def q166KeyStats(spark: SparkSession, dir: String): DataFrame = {
+    val sv = keyStatsView(spark, dir)
+    val agg = sv.groupBy(col("event_type"))
+      .agg(sum(col("nu")).as("n_keys"),
+        min(col("umin")).as("umin"), max(col("umax")).as("umax"))
+    val merged = sv.select(col("event_type"), expr("inline(ksf)"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.KmvFreqAgg.kmvFreq(
+        spark, col("h"), col("c"), K).as("ksf"))
+      .select(col("event_type"),
+        size(col("ksf")).cast("long").as("n_kept_u"),
+        element_at(col("ksf"), size(col("ksf"))).getField("h").as("hk_u"),
+        expr("aggregate(ksf, 0L, (a, x) -> a + x.c)").as("f_kept_sum"))
+    val t = agg.join(merged, Seq("event_type"))
+    if (!Layout.anchorsOn(spark)) {
+      // production shape: the key statistics ARE the table
+      return t.withColumn("ndv_est", Layout.kmvEstimate(
+          col("n_kept_u"), col("hk_u"), K, col("n_kept_u").cast("double")))
+        .select(col("event_type"), col("n_keys"), col("umin"), col("umax"),
+          col("n_kept_u"), col("hk_u"), col("f_kept_sum"), col("ndv_est"))
+        .orderBy(col("event_type"))
+    }
+    val exact = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("x_keys"), min(col("user_id")).as("x_umin"),
+        max(col("user_id")).as("x_umax"),
+        count_distinct(col("user_id")).as("n_distinct_u"))
+    t.join(exact, Seq("event_type"))
+      .withColumn("ndv_est", Layout.kmvEstimate(
+        col("n_kept_u"), col("hk_u"), K, col("n_distinct_u").cast("double")))
+      .withColumn("rel_err", (col("ndv_est") - col("n_distinct_u").cast("double"))
+        / col("n_distinct_u").cast("double"))
+      .select(col("event_type"), col("n_keys"), col("umin"), col("umax"),
+        col("n_kept_u"), col("hk_u"), col("f_kept_sum"), col("ndv_est"),
+        col("x_keys"), col("x_umin"), col("x_umax"), col("n_distinct_u"),
+        col("rel_err"))
+      .orderBy(col("event_type"))
+  }
+
+  val q166Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, user_id, md5(CAST(user_id AS VARCHAR)) AS h
+      |  FROM events WHERE user_id IS NOT NULL),
+      |t AS (
+      |  SELECT event_type, COUNT(*) AS n_keys, MIN(user_id) AS umin,
+      |    MAX(user_id) AS umax, COUNT(DISTINCT user_id) AS n_distinct_u
+      |  FROM e GROUP BY 1),
+      |f AS (SELECT event_type, h, COUNT(*) AS c FROM e GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, h, c, ROW_NUMBER() OVER (
+      |    PARTITION BY event_type ORDER BY h) AS rn FROM f),
+      |sk AS (
+      |  SELECT event_type, COUNT(*) AS n_kept_u, MAX(h) AS hk_u,
+      |    CAST(SUM(c) AS BIGINT) AS f_kept_sum
+      |  FROM r WHERE rn <= 64 GROUP BY 1),
+      |j AS (
+      |  SELECT t.event_type AS event_type,
+      |    CAST(t.n_keys AS BIGINT) AS n_keys, t.umin, t.umax,
+      |    CAST(sk.n_kept_u AS BIGINT) AS n_kept_u, sk.hk_u, sk.f_kept_sum,
+      |    CASE WHEN sk.n_kept_u < 64 THEN CAST(t.n_distinct_u AS DOUBLE)
+      |      ELSE 63.0 /
+      |        (CAST(GREATEST(CAST(CAST(('0x' || substring(sk.hk_u, 1, 12)) AS UBIGINT)
+      |           AS BIGINT), 1) AS DOUBLE) / 281474976710656.0) END AS ndv_est,
+      |    CAST(t.n_keys AS BIGINT) AS x_keys, t.umin AS x_umin,
+      |    t.umax AS x_umax, CAST(t.n_distinct_u AS BIGINT) AS n_distinct_u
+      |  FROM t JOIN sk ON t.event_type = sk.event_type)
+      |SELECT event_type, n_keys, umin, umax, n_kept_u, hk_u, f_kept_sum,
+      |  ndv_est, x_keys, x_umin, x_umax, n_distinct_u,
+      |  (ndv_est - CAST(n_distinct_u AS DOUBLE))
+      |    / CAST(n_distinct_u AS DOUBLE) AS rel_err
       |FROM j ORDER BY event_type""".stripMargin
 }

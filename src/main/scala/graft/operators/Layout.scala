@@ -1852,6 +1852,7 @@ object Layout {
     "q163_quantile_drift" -> (q163QuantileDrift _),
     "q164_range_selectivity" -> (q164RangeSelectivity _),
     "q165_table_stats"  -> (KmvTable.q165TableStats _),
+    "q166_key_stats"    -> (KmvTable.q166KeyStats _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1876,5 +1877,6 @@ object Layout {
     "q163_quantile_drift" -> q163Sql,
     "q164_range_selectivity" -> q164Sql,
     "q165_table_stats"  -> KmvTable.q165Sql,
+    "q166_key_stats"    -> KmvTable.q166Sql,
   )
 }

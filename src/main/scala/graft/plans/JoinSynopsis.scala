@@ -94,6 +94,46 @@ object JoinSynopsis {
     } finally { freq.unpersist(); () }
   }
 
+  /** Per-type KEY synopses over md5(user_id) served ENTIRELY from the
+    * maintained sketch table ([[graft.operators.KmvTable.keyStatsView]])
+    * — the join-synopsis ANALYZE whose corpus scan already happened.
+    * Merging is exact, not approximate: a corpus-bottom-k hash is in
+    * the bottom-k of EVERY day it occurs on (fewer than k corpus
+    * hashes below it bounds every day's count below it), so its summed
+    * daily counts are its exact corpus frequency; hashes whose counts
+    * could be partial are exactly those outside the corpus bottom-k,
+    * and the bottom-k cut discards them. rows = Σ daily key
+    * populations; key bounds merge by min/max. The result per type
+    * EQUALS [[build]] over that type's user_id-non-null frame with the
+    * table's k (JoinSynopsisTableSpec pins it field by field, and that
+    * [[joinEst]] over table-served synopses equals joinEst over
+    * feed-built ones). Population contract as everywhere in the
+    * family: the caller of [[build]] filters null keys; the table
+    * already does. */
+  def fromTable(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : Map[String, KeySynopsis] = {
+    import org.apache.spark.sql.Row
+    val k = graft.operators.KmvTable.K
+    val rows = graft.operators.KmvTable.keyStatsView(spark, dir).collect()
+    rows.groupBy(_.getString(0)).flatMap { case (t, rs) =>
+      val n = rs.map(_.getLong(2)).sum
+      if (n == 0L) None
+      else {
+        val freq = scala.collection.mutable.HashMap.empty[String, Long]
+        rs.foreach(_.getSeq[Row](5).foreach { p =>
+          val h = p.getString(0)
+          freq.update(h, freq.getOrElse(h, 0L) + p.getLong(1))
+        })
+        val kept = freq.toVector.sortBy(_._1).take(k)
+        Some(t -> KeySynopsis(t, n, k, kept,
+          keyMin = rs.collect { case r if !r.isNullAt(3) => r.getLong(3) }
+            .reduceOption(_ min _).map(_.toString),
+          keyMax = rs.collect { case r if !r.isNullAt(4) => r.getLong(4) }
+            .reduceOption(_ max _).map(_.toString)))
+      }
+    }
+  }
+
   /** |A ⋈_key B| from the two synopses alone — q157's estimator:
     * bottom-k of the kept-set union, Σ f_A·f_B over keys kept by BOTH
     * (downward-closed, so a union-kept hash is in a side's kept set iff

@@ -40,6 +40,13 @@ class KmvMaintainSpec extends SparkSpec {
       ((r.getLong(2), r.getLong(3), r.getLong(4),
         r.getSeq[String](5).toList))).toMap
 
+  /** keyStatsView rows: (type, day) -> (nu, umin, umax, ksf pairs). */
+  private def keyRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+      ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getSeq[org.apache.spark.sql.Row](5)
+          .map(p => (p.getString(0), p.getLong(1))).toList))).toMap
+
   private def ev(ids: Range, day: Int) = {
     import spark.implicits._
     ids.map { i =>
@@ -97,16 +104,22 @@ class KmvMaintainSpec extends SparkSpec {
   test("append scans only the new file and matches a from-scratch build") {
     // corpus A: two days in one part file
     val full = TempDirs.create("graft_kmv_corpA")
-    ev(1 to 800, 1).union(ev(801 to 1600, 2))
+    ev(1 to 1000, 1).union(ev(1001 to 1600, 2))
       .coalesce(1).write.parquet(s"$full/events.parquet")
-    val (fromScratch, fromScratchQ, fromScratchS) = withTableDir { _ =>
+    val (fromScratch, fromScratchQ, fromScratchS, fromScratchK) = withTableDir { _ =>
       (ksRows(KmvTable.kmvView(spark, full)),
        smpRows(KmvTable.quantileView(spark, full)),
-       statRows(KmvTable.statsView(spark, full)))
+       statRows(KmvTable.statsView(spark, full)),
+       keyRows(KmvTable.keyStatsView(spark, full)))
     }
 
     // corpus B: same rows, landed as two files with a maintenance run
-    // between — the incremental path must converge to the same table
+    // between — the incremental path must converge to the same table.
+    // The appended file carries MORE day-1 rows plus the new day 2, so
+    // the same-(type, day) merge path runs under the equality pins:
+    // the stored day-1 ksf partial merges with the new rows through the
+    // count-weighted aggregate (ADD on duplicate hashes), smp/kv
+    // union-resketch, and the scalar stats re-sum
     val incr = TempDirs.create("graft_kmv_corpB")
     ev(1 to 800, 1).coalesce(1).write.parquet(s"$incr/events.parquet")
     withTableDir { _ =>
@@ -115,9 +128,10 @@ class KmvMaintainSpec extends SparkSpec {
       // no-op maintenance: zero files scanned
       KmvTable.maintain(spark, incr)
       assert(KmvTable.filesScanned.get() === before)
-      // append day 2 as a second part file
+      // append the day-1 tail and day 2 as a second part file
       graft.streaming.EventsStream.landFeedFile(
-        ev(801 to 1600, 2), s"$incr/events.parquet", "append01")
+        ev(801 to 1000, 1).union(ev(1001 to 1600, 2)),
+        s"$incr/events.parquet", "append01")
       val t2 = ksRows(KmvTable.kmvView(spark, incr))
       assert(KmvTable.filesScanned.get() === before + 1,
         "append must scan exactly the one new file")
@@ -133,12 +147,16 @@ class KmvMaintainSpec extends SparkSpec {
         "stats bundle must converge too (n / vmin / vmax / kv)")
       // and the counts are the population truth, not an estimate
       s.foreach { case ((_, day), (n, vmin, vmax, _)) =>
-        val ids = if (day.endsWith("01")) (1 to 800) else (801 to 1600)
+        val ids = if (day.endsWith("01")) (1 to 1000) else (1001 to 1600)
         assert(n === ids.size.toLong)
         // value = i/100.0 dollars => exactly i cents
         assert(vmin === ids.head.toLong && vmax === ids.last.toLong,
           s"cents bounds for $day: got ($vmin, $vmax)")
       }
+      // the key-tier bundle converges too — frequencies included (the
+      // downward-closure merge law through the actual table machinery)
+      assert(keyRows(KmvTable.keyStatsView(spark, incr)) === fromScratchK,
+        "key bundle must converge too (nu / umin / umax / ksf)")
     }
   }
 
@@ -265,17 +283,23 @@ class KmvMaintainSpec extends SparkSpec {
             f.requiredSchema.fieldNames.toSet
         }.flatten.toSet
       val kmvCols = readCols(KmvTable.kmvView(spark, Sf))
-      assert(kmvCols.contains("ks") &&
-        Seq("smp", "kv", "n", "vmin", "vmax").forall(!kmvCols.contains(_)),
+      assert(kmvCols.contains("ksf") &&
+        Seq("smp", "kv", "n", "vmin", "vmax", "nu", "umin", "umax")
+          .forall(!kmvCols.contains(_)),
         s"kmvView must prune every other family at the scan, read: $kmvCols")
       val qCols = readCols(KmvTable.quantileView(spark, Sf))
       assert(qCols.contains("smp") &&
-        Seq("ks", "kv", "n", "vmin", "vmax").forall(!qCols.contains(_)),
+        Seq("ksf", "kv", "n", "vmin", "vmax", "nu", "umin", "umax")
+          .forall(!qCols.contains(_)),
         s"quantileView must prune every other family at the scan, read: $qCols")
       val sCols = readCols(KmvTable.statsView(spark, Sf))
       assert(Seq("n", "vmin", "vmax", "kv").forall(sCols.contains) &&
-        !sCols.contains("ks") && !sCols.contains("smp"),
+        Seq("ksf", "smp", "nu", "umin", "umax").forall(!sCols.contains(_)),
         s"statsView must prune the kept-set families, read: $sCols")
+      val kCols = readCols(KmvTable.keyStatsView(spark, Sf))
+      assert(Seq("nu", "umin", "umax", "ksf").forall(kCols.contains) &&
+        Seq("smp", "kv", "n", "vmin", "vmax").forall(!kCols.contains(_)),
+        s"keyStatsView must prune the value families, read: $kCols")
     }
   }
 
@@ -334,7 +358,7 @@ class KmvMaintainSpec extends SparkSpec {
     }
   }
 
-  test("pre-format-2 generations force one migrating rebuild") {
+  test("pre-current-format generations force one migrating rebuild") {
     // a committed manifest generation WITHOUT the current format marker
     // is an older table schema: reading it through the new schema would
     // silently null-fill the statistics columns — the marker routes it
@@ -343,9 +367,9 @@ class KmvMaintainSpec extends SparkSpec {
     ev(1 to 500, 1).coalesce(1).write.parquet(s"$dir/events.parquet")
     withTableDir { tbl =>
       val t0 = statRows(KmvTable.statsView(spark, dir))
-      // simulate the pre-bundle layout: drop the format markers
+      // simulate an older-format layout: drop the format markers
       new java.io.File(tbl).listFiles().filter(_.getName.startsWith("gen-"))
-        .foreach { g => new java.io.File(g, "format-2").delete(); () }
+        .foreach { g => new java.io.File(g, KmvTable.FormatMarker).delete(); () }
       val rebuilds = KmvTable.fullRebuilds.get()
       val t1 = statRows(KmvTable.statsView(spark, dir))
       assert(KmvTable.fullRebuilds.get() === rebuilds + 1,

@@ -74,15 +74,17 @@ class SketchAnchorsSpec extends SparkSpec {
       val on146 = Layout.q146KmvRolling(spark, Sf)
       val on151 = KmvTable.q151KmvMaintain(spark, Sf)
       val on148 = Layout.q148KmvAlgebra(spark, Sf)
-      val (off146, off151, off148, off161, off163, off164, off165) = anchorsOff {
-        (Layout.q146KmvRolling(spark, Sf),
-         KmvTable.q151KmvMaintain(spark, Sf),
-         Layout.q148KmvAlgebra(spark, Sf),
-         Layout.q161QuantileRolling(spark, Sf),
-         Layout.q163QuantileDrift(spark, Sf),
-         Layout.q164RangeSelectivity(spark, Sf),
-         KmvTable.q165TableStats(spark, Sf))
-      }
+      val (off146, off151, off148, off161, off163, off164, off165, off166) =
+        anchorsOff {
+          (Layout.q146KmvRolling(spark, Sf),
+           KmvTable.q151KmvMaintain(spark, Sf),
+           Layout.q148KmvAlgebra(spark, Sf),
+           Layout.q161QuantileRolling(spark, Sf),
+           Layout.q163QuantileDrift(spark, Sf),
+           Layout.q164RangeSelectivity(spark, Sf),
+           KmvTable.q165TableStats(spark, Sf),
+           KmvTable.q166KeyStats(spark, Sf))
+        }
       assert(KmvTable.filesScanned.get() === before,
         "maintenance against a fresh table must scan zero feed files")
 
@@ -92,7 +94,7 @@ class SketchAnchorsSpec extends SparkSpec {
       // in the maintained table's smp column, same one-scan pass)
       Seq("q146" -> off146, "q151" -> off151, "q148" -> off148,
           "q161" -> off161, "q163" -> off163, "q164" -> off164,
-          "q165" -> off165).foreach {
+          "q165" -> off165, "q166" -> off166).foreach {
         case (name, df) =>
           val feed = scanPaths(df).filter(_.contains("events.parquet"))
           assert(feed.isEmpty, s"$name anchors-off plan scans the feed: $feed")
@@ -151,6 +153,25 @@ class SketchAnchorsSpec extends SparkSpec {
           r.getLong(r.fieldIndex("x_min")))
         assert(r.getLong(r.fieldIndex("vmax")) ===
           r.getLong(r.fieldIndex("x_max")))
+      }
+      // q166: key-tier statistics agree across modes, and the anchored
+      // run's feed-exact columns equal the table-merged ones
+      val on166 = KmvTable.q166KeyStats(spark, Sf)
+      def q166Map(df: DataFrame) = df.collect().map { r =>
+        r.getString(r.fieldIndex("event_type")) ->
+          ((r.getLong(r.fieldIndex("n_keys")), r.getLong(r.fieldIndex("umin")),
+            r.getLong(r.fieldIndex("umax")),
+            r.getLong(r.fieldIndex("f_kept_sum")),
+            r.getDouble(r.fieldIndex("ndv_est"))))
+      }.toMap
+      assert(q166Map(off166) === q166Map(on166))
+      on166.collect().foreach { r =>
+        assert(r.getLong(r.fieldIndex("n_keys")) ===
+          r.getLong(r.fieldIndex("x_keys")))
+        assert(r.getLong(r.fieldIndex("umin")) ===
+          r.getLong(r.fieldIndex("x_umin")))
+        assert(r.getLong(r.fieldIndex("umax")) ===
+          r.getLong(r.fieldIndex("x_umax")))
       }
     }
   }
