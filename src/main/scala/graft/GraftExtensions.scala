@@ -104,6 +104,12 @@ object GraftExtensions {
         require(args.length == 3, "graft_quantile_sketch(hash, value, k)")
         graft.functions.QuantileSketch(args(0), args(1), litInt(args(2), "quantile-sketch k"))
       }),
+    (FunctionIdentifier("graft_kmv_freq"),
+      info("graft_kmv_freq", "graft_kmv_freq(hash, weight, k) - frequency-carrying KMV (join synopsis): bottom-k distinct hashes with exact summed weights as array<struct<h, c>>; pass 1L (bigint - the weight is strictly typed) over rows, a stored count column to merge partials"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_kmv_freq(hash, weight, k)")
+        graft.functions.KmvFreqSketch(args(0), args(1), litInt(args(2), "kmv-freq k"))
+      }),
     (FunctionIdentifier("graft_priority_sample"),
       info("graft_priority_sample", "graft_priority_sample(item, weight, priority, k) - top-k-by-priority weighted sample as array<struct<item, w, priority>>"),
       (args: Seq[Expression]) => {

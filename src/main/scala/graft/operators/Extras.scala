@@ -298,6 +298,80 @@ object Extras {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** q167 — STREAMING FREQUENCY-KMV ([[EventsStream.kmvFreqWindowAgg]]):
+    * the live join synopsis. Per (hourly window, event_type) the
+    * stream's bounded state row is the bottom-64 user hashes WITH exact
+    * running counts; the gate hash-verifies the merged-across-
+    * micro-batches kept set AND its summed frequencies (f_kept_sum —
+    * the count exactness is the downward-closure law surviving
+    * arbitrary micro-batch splits) against the batch definition, plus
+    * the usual estimator columns off the batch exact anchor. The
+    * planner input q157/q158 consume from the durable table is hereby
+    * maintainable from a stream with O(k) state per group — the
+    * fourth aggregate's streaming face, completing its batch /
+    * durable-table / streaming / SQL symmetry. */
+  def q167StreamKeyFreq(spark: SparkSession, dir: String): DataFrame = {
+    val streamed = EventsStream.runKmvFreqWindowOnce(spark, dir,
+      s"stream_kmvfreq_${counter.incrementAndGet()}")
+      .select(col("window_start"), col("event_type"),
+        size(col("ksf")).cast("long").as("n_kept"),
+        element_at(col("ksf"), size(col("ksf"))).getField("h").as("hk"),
+        expr("aggregate(ksf, 0L, (a, x) -> a + x.c)").as("f_kept_sum"))
+    val exact = graft.sources.Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("user_id")).as("n_distinct"))
+    streamed.join(exact, Seq("window_start", "event_type"))
+      .withColumn("kmv_estimate",
+        Layout.kmvEstimate(col("n_kept"), col("hk"), 64L,
+          col("n_distinct").cast("double")))
+      .select(col("window_start"), col("event_type"), col("n_kept"),
+        col("hk"), col("f_kept_sum"), col("n_rows"), col("n_distinct"),
+        col("kmv_estimate"),
+        ((col("kmv_estimate") - col("n_distinct").cast("double"))
+          / col("n_distinct").cast("double")).as("rel_err"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  val q167Sql: String =
+    """WITH e AS (
+      |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+      |    event_type, user_id, md5(CAST(user_id AS VARCHAR)) AS h
+      |  FROM events WHERE user_id IS NOT NULL),
+      |f AS (
+      |  SELECT window_start, event_type, h, COUNT(*) AS c
+      |  FROM e GROUP BY 1, 2, 3),
+      |r AS (
+      |  SELECT window_start, event_type, h, c, ROW_NUMBER() OVER (
+      |    PARTITION BY window_start, event_type ORDER BY h) AS rn
+      |  FROM f),
+      |sk AS (
+      |  SELECT window_start, event_type, COUNT(*) AS n_kept, MAX(h) AS hk,
+      |    CAST(SUM(c) AS BIGINT) AS f_kept_sum
+      |  FROM r WHERE rn <= 64 GROUP BY 1, 2),
+      |x AS (
+      |  SELECT window_start, event_type, COUNT(*) AS n_rows,
+      |    COUNT(DISTINCT user_id) AS n_distinct
+      |  FROM e GROUP BY 1, 2),
+      |j AS (
+      |  SELECT sk.window_start, sk.event_type,
+      |    CAST(sk.n_kept AS BIGINT) AS n_kept, sk.hk, sk.f_kept_sum,
+      |    CAST(x.n_rows AS BIGINT) AS n_rows,
+      |    CAST(x.n_distinct AS BIGINT) AS n_distinct,
+      |    CASE WHEN sk.n_kept < 64 THEN CAST(x.n_distinct AS DOUBLE)
+      |      ELSE 63.0 /
+      |        (CAST(GREATEST(CAST(CAST(('0x' || substring(sk.hk, 1, 12)) AS UBIGINT)
+      |           AS BIGINT), 1) AS DOUBLE) / 281474976710656.0) END AS kmv_estimate
+      |  FROM sk JOIN x
+      |    ON sk.window_start = x.window_start AND sk.event_type = x.event_type)
+      |SELECT window_start, event_type, n_kept, hk, f_kept_sum, n_rows,
+      |  n_distinct, kmv_estimate,
+      |  (kmv_estimate - CAST(n_distinct AS DOUBLE))
+      |    / CAST(n_distinct AS DOUBLE) AS rel_err
+      |FROM j ORDER BY window_start, event_type""".stripMargin
+
   val q150Sql: String =
     """WITH e AS (
       |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
@@ -521,12 +595,13 @@ object Extras {
     "q84_stream_sliding", "q87_session_windows", "q92_stream_enrich",
     "q93_stream_recovery", "q94_stream_join_recovery",
     "q98_stream_bronze_ingest", "q150_stream_kmv", "q153_stream_psample",
-    "q160_stream_quantile")
+    "q160_stream_quantile", "q167_stream_key_freq")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_stream_psample"     -> (q153StreamPsample _),
     "q150_stream_kmv"         -> (q150StreamKmv _),
     "q160_stream_quantile"    -> (q160StreamQuantile _),
+    "q167_stream_key_freq"    -> (q167StreamKeyFreq _),
     "q51_stream_window"       -> (q51StreamWindow _),
     "q52_multimodal_meta"     -> (q52MultimodalMeta _),
     "q53_multimodal_features" -> (q53MultimodalFeatures _),
@@ -551,6 +626,7 @@ object Extras {
     "q153_stream_psample"     -> q153Sql,
     "q150_stream_kmv"         -> q150Sql,
     "q160_stream_quantile"    -> q160Sql,
+    "q167_stream_key_freq"    -> q167Sql,
     "q51_stream_window"       -> q51Sql,
     "q52_multimodal_meta"     -> MultimodalOps.q52Sql,
     "q53_multimodal_features" -> q53Sql,

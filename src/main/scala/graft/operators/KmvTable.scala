@@ -674,6 +674,20 @@ object KmvTable {
       |    / CAST(n_distinct_v AS DOUBLE) AS rel_err
       |FROM j ORDER BY event_type""".stripMargin
 
+  /** Per-type merged frequency-KMV off [[keyStatsView]]: daily ksf
+    * partials merged through the count-weighted aggregate at the
+    * table's OWN k (the merge k and the stored-partial k must agree, or
+    * corpus-bottom-k hashes outside some day's bottom-k lose that day's
+    * count — the downward-closure law only covers k ≤ the partials').
+    * Shared by q166 and q157/q158's anchors-off path — the merge rule
+    * lives exactly once. Returns (event_type, ksf). */
+  def mergedKeyFreq(spark: SparkSession, dir: String): DataFrame =
+    keyStatsView(spark, dir)
+      .select(col("event_type"), expr("inline(ksf)"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.KmvFreqAgg.kmvFreq(
+        spark, col("h"), col("c"), K).as("ksf"))
+
   /** q166 — PER-TYPE KEY STATISTICS from the table's key-tier bundle:
     * the join-synopsis surface ([[graft.plans.KeySynopsis]]) as an
     * oracled query. The per-day frequency-KMV kept sets merge to the
@@ -693,10 +707,7 @@ object KmvTable {
     val agg = sv.groupBy(col("event_type"))
       .agg(sum(col("nu")).as("n_keys"),
         min(col("umin")).as("umin"), max(col("umax")).as("umax"))
-    val merged = sv.select(col("event_type"), expr("inline(ksf)"))
-      .groupBy(col("event_type"))
-      .agg(graft.functions.KmvFreqAgg.kmvFreq(
-        spark, col("h"), col("c"), K).as("ksf"))
+    val merged = mergedKeyFreq(spark, dir)
       .select(col("event_type"),
         size(col("ksf")).cast("long").as("n_kept_u"),
         element_at(col("ksf"), size(col("ksf"))).getField("h").as("hk_u"),

@@ -1063,6 +1063,51 @@ object Layout {
   // factor is two IEEE ops in identical order cross-engine.
   // ------------------------------------------------------------------
   def q157JoinSizeEst(spark: SparkSession, dir: String): DataFrame = {
+    // the per-pair estimator over per-type kept sets with frequencies —
+    // KB-sized regardless of where keptFreq came from (feed or table)
+    def pairsFrom(keptFreq: DataFrame): DataFrame =
+      keptFreq.as("a").join(keptFreq.as("b"),
+          col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+          col("a.ks").as("ka"), col("b.ks").as("kb"),
+          col("a.fm").as("fa"), col("b.fm").as("fb"))
+        .withColumn("ku",
+          slice(array_sort(array_distinct(concat(col("ka"), col("kb")))), 1, KmvK.toInt))
+        .withColumn("n_kept", size(col("ku")).cast("long"))
+        .withColumn("uk", element_at(col("ku"), size(col("ku"))))
+        .withColumn("matched",
+          expr("filter(ku, h -> array_contains(ka, h) AND array_contains(kb, h))"))
+        .withColumn("matches", size(col("matched")).cast("long"))
+        // exact integer product sum over the <= k matched keys
+        .withColumn("psum",
+          expr("aggregate(matched, CAST(0 AS BIGINT), (acc, h) -> acc + fa[h] * fb[h])"))
+        .withColumn("union_est",
+          kmvEstimate(col("n_kept"), col("uk"), KmvK, col("n_kept").cast("double")))
+        .withColumn("join_est",
+          col("union_est") / col("n_kept").cast("double") * col("psum").cast("double"))
+    if (!anchorsOn(spark)) {
+      // production shape (r11 key tier): the per-type (hash, frequency)
+      // kept sets come from the MAINTAINED table's ksf bundle — daily
+      // partials merged through the count-weighted aggregate, counts
+      // exact by downward-closure — so the whole estimate is KB of
+      // table reads; the corpus-scale per-(type, key) count shuffle
+      // the pre-table shape paid (sf10 ~13 s, count-bound both modes,
+      // PLANS §r11) never runs, and neither does the real key join
+      // the merge itself lives in KmvTable.mergedKeyFreq at the table's
+      // own k; the pair estimator below slices unions at KmvK — the two
+      // constants must agree or table-served kept sets stop matching
+      // the feed-built ones (k-coupling made loud, self-review r11)
+      require(KmvK.toInt == KmvTable.K,
+        s"q157 estimator k ($KmvK) != sketch-table k (${KmvTable.K})")
+      val tableKept = KmvTable.mergedKeyFreq(spark, dir)
+        .select(col("event_type"),
+          expr("map_from_entries(transform(ksf, x -> struct(x.h, x.c)))").as("fm"),
+          expr("transform(ksf, x -> x.h)").as("ks"))
+      return pairsFrom(tableKept)
+        .select(col("type_a"), col("type_b"), col("n_kept"),
+          col("matches"), col("psum"), col("union_est"), col("join_est"))
+        .orderBy(col("type_a"), col("type_b"))
+    }
     val ev = Tables.events(spark, dir)
       .filter(col("user_id").isNotNull)
       .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
@@ -1078,33 +1123,7 @@ object Layout {
       .groupBy(col("event_type"))
       .agg(map_from_entries(collect_list(struct(col("h"), col("c")))).as("fm"),
         sort_array(collect_list(col("h"))).as("ks"))
-    val pairs = keptFreq.as("a").join(keptFreq.as("b"),
-        col("a.event_type") < col("b.event_type"))
-      .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
-        col("a.ks").as("ka"), col("b.ks").as("kb"),
-        col("a.fm").as("fa"), col("b.fm").as("fb"))
-      .withColumn("ku",
-        slice(array_sort(array_distinct(concat(col("ka"), col("kb")))), 1, KmvK.toInt))
-      .withColumn("n_kept", size(col("ku")).cast("long"))
-      .withColumn("uk", element_at(col("ku"), size(col("ku"))))
-      .withColumn("matched",
-        expr("filter(ku, h -> array_contains(ka, h) AND array_contains(kb, h))"))
-      .withColumn("matches", size(col("matched")).cast("long"))
-      // exact integer product sum over the <= k matched keys
-      .withColumn("psum",
-        expr("aggregate(matched, CAST(0 AS BIGINT), (acc, h) -> acc + fa[h] * fb[h])"))
-      .withColumn("union_est",
-        kmvEstimate(col("n_kept"), col("uk"), KmvK, col("n_kept").cast("double")))
-      .withColumn("join_est",
-        col("union_est") / col("n_kept").cast("double") * col("psum").cast("double"))
-    if (!anchorsOn(spark)) {
-      // production shape: the synopsis alone — one corpus-scale count
-      // shuffle, then KB-sized estimation; the real key join (the
-      // anchor) never executes
-      return pairs.select(col("type_a"), col("type_b"), col("n_kept"),
-          col("matches"), col("psum"), col("union_est"), col("join_est"))
-        .orderBy(col("type_a"), col("type_b"))
-    }
+    val pairs = pairsFrom(keptFreq)
     // exact anchor: the real key join the estimator avoids
     val exact = freq.as("x").join(freq.as("y"),
         col("x.h") === col("y.h") && col("x.event_type") < col("y.event_type"))

@@ -78,7 +78,13 @@ object JoinSynopsis {
     * would double the cost of the artifact this exists to make cheap.
     * The collected result is ≤ k + 1 rows. */
   def build(name: String, df: DataFrame, key: Column, k: Int = K): KeySynopsis = {
+    // null keys are excluded here, not left to the caller's filter: a
+    // null key hashes to a null h, and Spark's ascending sort puts
+    // nulls FIRST — an unfiltered null group would take the kept set's
+    // head slot and poison rows/bounds. Population = non-null keys,
+    // the same contract as fromTable's table bundle.
     val freq = df.select(md5(key.cast("string")).as("h"), key.as("kv"))
+      .filter(col("h").isNotNull)
       .groupBy(col("h"))
       .agg(count(lit(1)).as("c"), min(col("kv")).as("mn"), max(col("kv")).as("mx"))
       .cache()

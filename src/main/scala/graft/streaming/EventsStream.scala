@@ -112,6 +112,31 @@ object EventsStream {
   def runKmvWindowOnce(spark: SparkSession, dir: String, name: String = "stream_kmv"): DataFrame =
     runToMemory(kmvWindowAgg(spark, readEvents(spark, dir)), OutputMode.Complete, name)
 
+  /** Streaming FREQUENCY-KMV per (hourly window, event_type) —
+    * [[graft.functions.KmvFreqSketch]] as a streaming aggregate: one
+    * O(k) state row per group carrying the bottom-k user hashes WITH
+    * their exact running counts (ADD on duplicate is order-free and
+    * micro-batch-invariant by the same downward-closure law as the
+    * batch/table tiers), so a live join synopsis — the q157/q158
+    * planner input — is maintainable from the stream with bounded
+    * state. This is the streaming face of q166, completing the
+    * aggregate's batch / durable-table / streaming / SQL symmetry
+    * (the contract the KMV and quantile members already carry). */
+  def kmvFreqWindowAgg(spark: SparkSession, events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "168 hours")
+      .filter(col("user_id").isNotNull)
+      .withColumn("h", md5(col("user_id").cast("string")))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(graft.functions.KmvFreqAgg.kmvFreq(spark, col("h"), lit(1L), 64).as("ksf"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("ksf"))
+
+  def runKmvFreqWindowOnce(spark: SparkSession, dir: String,
+      name: String = "stream_kmvfreq"): DataFrame =
+    runToMemory(kmvFreqWindowAgg(spark, readEvents(spark, dir)),
+      OutputMode.Complete, name)
+
   /** Streaming QUANTILE SKETCH per (hourly window, event_type):
     * [[graft.functions.QuantileSketch]] running unchanged as a
     * streaming aggregate — one O(k) state row per group holding a

@@ -143,14 +143,22 @@ class ApproxRewriteSpec extends SparkSpec {
              graft_kmv(md5(CAST(user_id AS STRING)), 64) AS sk,
              size(graft_kmv_full(md5(CAST(user_id AS STRING)), 8)) AS n_full,
              size(graft_priority_sample(CAST(user_id AS STRING), CAST(1 AS BIGINT),
-               CAST(user_id AS DOUBLE), 5)) AS n_ps
-           FROM approx_spec_events GROUP BY 1 ORDER BY 1""").collect()
+               CAST(user_id AS DOUBLE), 5)) AS n_ps,
+             graft_kmv_freq(md5(CAST(user_id AS STRING)), 1L, 64) AS ksf,
+             COUNT(user_id) AS n_rows
+           FROM approx_spec_events WHERE user_id IS NOT NULL
+           GROUP BY 1 ORDER BY 1""").collect()
       assert(r.nonEmpty)
       r.foreach { row =>
         // 15 distinct users/type at sf0.001
         assert(row.getAs[org.apache.spark.sql.Row]("sk").getAs[Int]("n_kept") === 15)
         assert(row.getAs[Int]("n_full") === 8)
         assert(row.getAs[Int]("n_ps") === 5)
+        // the frequency KMV: unsaturated kept set == whole key set, so
+        // the summed counts are the group's full row count
+        val ksf = row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("ksf"))
+        assert(ksf.size === 15)
+        assert(ksf.map(_.getLong(1)).sum === row.getAs[Long]("n_rows"))
       }
     }
   }

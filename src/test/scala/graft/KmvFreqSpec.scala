@@ -105,6 +105,61 @@ class KmvFreqSpec extends SparkSpec {
     merged.foreach { case (h, c) => assert(c === truth(h)) }
   }
 
+  test("drip-fed streamed kept set == batch bottom-k WITH counts; state rows == groups") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.streaming.EventsStream
+    val s = spark
+    val base = TempDirs.create("graft_stream_kf")
+    val feedDir = s"$base/feed"
+    val raw = graft.sources.Tables.eventsRawNanos(s, Sf)
+      .withColumn("__t", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
+    for (i <- 1 to 4)
+      EventsStream.landFeedFile(
+        raw.filter(col("__t") === i).drop("__t"), feedDir, f"tranche$i%03d")
+    val feed = s.readStream.schema(EventsStream.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventsStream.kmvFreqWindowAgg(s, feed).writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory").queryName("stream_kf_spec")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val progress = q.recentProgress.toSeq
+    assert(progress.count(_.numInputRows > 0) >= 4,
+      "the run must actually span multiple data micro-batches")
+    val streamed = s.table("stream_kf_spec").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("window_start"),
+        r.getAs[String]("event_type")) ->
+        r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("ksf"))
+          .map(x => (x.getString(0), x.getLong(1))).toList).toMap
+    // batch definition: bottom-64 distinct hashes per group with EXACT
+    // per-hash counts — the frequencies must survive arbitrary
+    // micro-batch splits (counts ADD across batches, downward-closure)
+    val batch = graft.sources.Tables.events(s, Sf)
+      .filter(col("user_id").isNotNull)
+      .select(date_trunc("hour", col("ts")).as("w"), col("event_type"),
+        md5(col("user_id").cast("string")).as("h"))
+      .groupBy(col("w"), col("event_type"), col("h"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("w"), col("event_type")).orderBy(col("h"))))
+      .filter(col("rn") <= 64)
+      .orderBy(col("w"), col("event_type"), col("h"))
+      .collect().groupBy(r => (r.getAs[java.sql.Timestamp]("w"),
+        r.getAs[String]("event_type")))
+      .map { case (k, rs) =>
+        k -> rs.map(r => (r.getAs[String]("h"), r.getAs[Long]("c"))).toList }
+    assert(streamed === batch,
+      "micro-batch boundaries must be invisible in kept hashes AND counts")
+    val stateRows = progress.flatMap(_.stateOperators.headOption)
+      .map(_.numRowsTotal).max
+    assert(stateRows === batch.size.toLong,
+      s"state must be one synopsis row per group: $stateRows vs ${batch.size}")
+  }
+
   test("plan pin: object-hash partial aggregate, O(tasks × groups) exchange") {
     val ev = graft.sources.Tables.events(spark, Sf)
       .filter(col("user_id").isNotNull)

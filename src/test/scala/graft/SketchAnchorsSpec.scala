@@ -74,7 +74,8 @@ class SketchAnchorsSpec extends SparkSpec {
       val on146 = Layout.q146KmvRolling(spark, Sf)
       val on151 = KmvTable.q151KmvMaintain(spark, Sf)
       val on148 = Layout.q148KmvAlgebra(spark, Sf)
-      val (off146, off151, off148, off161, off163, off164, off165, off166) =
+      val (off146, off151, off148, off161, off163, off164, off165, off166,
+          off157, off158) =
         anchorsOff {
           (Layout.q146KmvRolling(spark, Sf),
            KmvTable.q151KmvMaintain(spark, Sf),
@@ -83,7 +84,9 @@ class SketchAnchorsSpec extends SparkSpec {
            Layout.q163QuantileDrift(spark, Sf),
            Layout.q164RangeSelectivity(spark, Sf),
            KmvTable.q165TableStats(spark, Sf),
-           KmvTable.q166KeyStats(spark, Sf))
+           KmvTable.q166KeyStats(spark, Sf),
+           Layout.q157JoinSizeEst(spark, Sf),
+           Layout.q158SynopsisOrder(spark, Sf))
         }
       assert(KmvTable.filesScanned.get() === before,
         "maintenance against a fresh table must scan zero feed files")
@@ -94,7 +97,8 @@ class SketchAnchorsSpec extends SparkSpec {
       // in the maintained table's smp column, same one-scan pass)
       Seq("q146" -> off146, "q151" -> off151, "q148" -> off148,
           "q161" -> off161, "q163" -> off163, "q164" -> off164,
-          "q165" -> off165, "q166" -> off166).foreach {
+          "q165" -> off165, "q166" -> off166,
+          "q157" -> off157, "q158" -> off158).foreach {
         case (name, df) =>
           val feed = scanPaths(df).filter(_.contains("events.parquet"))
           assert(feed.isEmpty, s"$name anchors-off plan scans the feed: $feed")
@@ -173,6 +177,20 @@ class SketchAnchorsSpec extends SparkSpec {
         assert(r.getLong(r.fieldIndex("umax")) ===
           r.getLong(r.fieldIndex("x_umax")))
       }
+      // q157/q158 joined the table-served family this round: the
+      // anchors-off estimate (table-merged frequency kept sets) must
+      // equal the anchored one (feed-built kept sets) — the
+      // JoinSynopsisTableSpec equality law through the actual queries —
+      // and the schedule it implies must be the same schedule
+      val on157 = Layout.q157JoinSizeEst(spark, Sf)
+      assert(estMap(off157, "join_est", "type_a", "type_b") ===
+        estMap(on157, "join_est", "type_a", "type_b"))
+      val on158 = Layout.q158SynopsisOrder(spark, Sf)
+      def rankMap(df: DataFrame) = df.collect().map { r =>
+        (r.getString(r.fieldIndex("type_a")), r.getString(r.fieldIndex("type_b"))) ->
+          r.getInt(r.fieldIndex("est_rank"))
+      }.toMap
+      assert(rankMap(off158) === rankMap(on158))
     }
   }
 
