@@ -59,6 +59,12 @@ import graft.sources.Tables
   *     (the physical layout uses shadow partition columns `pet`/`pd`),
   *     so a reader lists the manifest and reads the owned dirs directly
   *     — no partition inference across generation roots.
+  *   - generation COMPACTION (r11): when the prospective manifest would
+  *     reference more than `spark.graft.kmv.maxGenerations` (16)
+  *     distinct generations, the maintenance rewrites every live
+  *     partition into the new generation — O(table) sketch rows, zero
+  *     feed IO — so append-only workloads keep a bounded directory
+  *     fan-out instead of one generation per run forever.
   *   - generations are swept by REFERENCE: a gen dir is deleted only
   *     when neither the latest committed manifest nor the prior
   *     committed one references it (the prior manifest keeps in-flight
@@ -444,19 +450,45 @@ object KmvTable {
       }
     }
     sweepGens(_ >= nextN)
-    lastRewrittenPartitions.set(touchedRel)
-    if (touched.nonEmpty)
-      merged
+    // GENERATION COMPACTION: append-only workloads otherwise accumulate
+    // one generation per maintenance run FOREVER (each keeps owning the
+    // day it appended), so reads list O(runs) directories and the
+    // reference sweep can never reclaim them. When the prospective
+    // manifest would reference more than spark.graft.kmv.maxGenerations
+    // distinct generations, this run rewrites EVERY live partition into
+    // the new generation instead — cost O(table) = KB-scale sketch
+    // rows, NOT the corpus (the feed is untouched: filesScanned still
+    // counts only the new files), same crash-atomic commit, and the
+    // orphaned old generations fall to the ordinary reference sweep.
+    val untouchedOwned = baseManifest -- touchedRel
+    val maxGens = spark.conf.getOption("spark.graft.kmv.maxGenerations")
+      .map(_.toInt).getOrElse(16)
+    val compact = (untouchedOwned.values.toSet + nextN).size > maxGens
+    val writeSet =
+      if (!compact || untouchedOwned.isEmpty) merged
+      else merged.unionByName(
+        spark.read.schema(tableSchema).parquet(untouchedOwned.keys.toSeq.sorted
+            .map(rel => s"$root/gen-${baseManifest(rel)}/parts/$rel"): _*)
+          .select(col("event_type"), col("d"), col("ksf"), col("smp"),
+            col("kv"), col("n"), col("vmin"), col("vmax"),
+            col("nu"), col("umin"), col("umax")))
+    val writtenRel =
+      if (compact) touchedRel ++ untouchedOwned.keySet else touchedRel
+    lastRewrittenPartitions.set(writtenRel)
+    if (writtenRel.nonEmpty)
+      writeSet
         .withColumn("pet", col("event_type"))
         .withColumn("pd", col("d").cast("string"))
         .write.mode("overwrite").partitionBy("pet", "pd")
         .parquet(s"${genPath(nextN)}/parts")
     newDaily.unpersist()
     // the new manifest: untouched partitions keep their owning
-    // generation; touched ones are owned here. (A full rebuild has an
-    // empty baseManifest, so the manifest is exactly the touched set.)
-    val manifest = (baseManifest -- touchedRel) ++
-      touchedRel.iterator.map(_ -> nextN)
+    // generation (ALL partitions land here on a compaction run);
+    // touched ones are owned here. (A full rebuild has an empty
+    // baseManifest, so the manifest is exactly the touched set.)
+    val manifest =
+      if (compact) writtenRel.iterator.map(_ -> nextN).toMap
+      else untouchedOwned ++ touchedRel.iterator.map(_ -> nextN)
     currentDf.coalesce(1).write.mode("overwrite")
       .parquet(s"${genPath(nextN)}/consumed")
     writeManifest(fs, root, nextN, manifest)

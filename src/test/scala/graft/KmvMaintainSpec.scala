@@ -383,6 +383,49 @@ class KmvMaintainSpec extends SparkSpec {
     }
   }
 
+  test("generation sprawl is bounded: compaction folds the manifest, feed-free") {
+    // 9 single-day appends with maxGenerations=4: without compaction
+    // the manifest would reference 9 generations forever (one per run —
+    // reads listing O(runs) dirs, the sweep never reclaiming); with it,
+    // whenever the prospective reference count would exceed 4 the run
+    // rewrites every live partition into the new generation. The
+    // rewrite must cost table reads only (filesScanned counts ONLY the
+    // appended feed files throughout) and converge to the from-scratch
+    // table exactly.
+    val full = TempDirs.create("graft_kmv_compA")
+    (1 to 9).map(d => ev(d * 100 + 1 to d * 100 + 80, d))
+      .reduce(_ union _).coalesce(1).write.parquet(s"$full/events.parquet")
+    val expected = withTableDir { _ =>
+      (ksRows(KmvTable.kmvView(spark, full)),
+       statRows(KmvTable.statsView(spark, full)),
+       keyRows(KmvTable.keyStatsView(spark, full)))
+    }
+    val incr = TempDirs.create("graft_kmv_compB")
+    ev(101 to 180, 1).coalesce(1).write.parquet(s"$incr/events.parquet")
+    spark.conf.set("spark.graft.kmv.maxGenerations", "4")
+    try withTableDir { tbl =>
+      KmvTable.maintain(spark, incr).count()
+      val before = KmvTable.filesScanned.get()
+      (2 to 9).foreach { d =>
+        graft.streaming.EventsStream.landFeedFile(
+          ev(d * 100 + 1 to d * 100 + 80, d),
+          s"$incr/events.parquet", f"append$d%03d")
+        KmvTable.maintain(spark, incr).count()
+      }
+      assert(KmvTable.filesScanned.get() === before + 8,
+        "compaction must be table-IO only: the feed scan count is the appends'")
+      // the live manifest references at most maxGenerations generations
+      val genDirs = new java.io.File(tbl).listFiles()
+        .filter(_.getName.startsWith("gen-")).map(_.getName).toSet
+      assert(genDirs.size <= 6, // ≤4 referenced + current/prior retention
+        s"generation fan-out must stay bounded, saw ${genDirs.size}: $genDirs")
+      // and the table is exactly the from-scratch build, all families
+      assert(ksRows(KmvTable.kmvView(spark, incr)) === expected._1)
+      assert(statRows(KmvTable.statsView(spark, incr)) === expected._2)
+      assert(keyRows(KmvTable.keyStatsView(spark, incr)) === expected._3)
+    } finally spark.conf.unset("spark.graft.kmv.maxGenerations")
+  }
+
   test("empty first corpus commits cleanly and appends recover") {
     import spark.implicits._
     val dir = TempDirs.create("graft_kmv_empty")
