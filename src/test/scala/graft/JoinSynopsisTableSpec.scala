@@ -52,6 +52,32 @@ class JoinSynopsisTableSpec extends SparkSpec {
     }
   }
 
+  test("table-served synopsis lands in the catalog where ANALYZE would") {
+    // the visible end of the chain: sketch table -> fromTable ->
+    // SynopsisStats.injectFromSynopsis -> Spark's catalog statistics.
+    // (Planner consumption of injected stats is pinned in
+    // SynopsisStatsSpec; here the pin is that the TABLE-served synopsis
+    // is a legal, faithful source for that machinery.)
+    withTableDir { _ =>
+      val (t, syn) = JoinSynopsis.fromTable(spark, Sf).maxBy(_._2.rows)
+      spark.sql("DROP TABLE IF EXISTS jsyn_tbl")
+      spark.sql("CREATE TABLE jsyn_tbl (user_id BIGINT) USING parquet")
+      try {
+        graft.plans.SynopsisStats.injectFromSynopsis(
+          spark, "jsyn_tbl", syn, "user_id")
+        val stats = spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("jsyn_tbl"))
+          .stats.get
+        assert(stats.rowCount === Some(BigInt(syn.rows)), s"rows for $t")
+        val cs = stats.colStats("user_id")
+        assert(cs.distinctCount ===
+          Some(BigInt(math.round(syn.distinctEst))), s"ndv for $t")
+        assert(cs.min === syn.keyMin && cs.max === syn.keyMax,
+          "Catalyst needs the key bounds or every join estimate zeroes")
+      } finally spark.sql("DROP TABLE IF EXISTS jsyn_tbl")
+    }
+  }
+
   test("fromTable is feed-free once the table is fresh") {
     withTableDir { _ =>
       KmvTable.maintain(spark, Sf).count()
