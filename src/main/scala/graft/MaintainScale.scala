@@ -51,6 +51,15 @@ object MaintainScale {
       graft.sources.Tables.events(spark, appendDir), s"$work/events.parquet", "append01")
     val scanned = timed("append")
     require(scanned == 1, s"append must scan exactly the new file, scanned $scanned")
+    // COMPACTION cost at the same scale: force the threshold so the next
+    // append rewrites every live partition into one generation — the
+    // claim is that this is table-sized sketch IO, not a corpus pass
+    // (files_scanned stays 1: only the appended file touches the feed)
+    spark.conf.set("spark.graft.kmv.maxGenerations", "1")
+    graft.streaming.EventsStream.landFeedFile(
+      graft.sources.Tables.events(spark, appendDir), s"$work/events.parquet", "append02")
+    val scanned2 = timed("compact_append")
+    require(scanned2 == 1, s"compaction must not rescan the feed, scanned $scanned2")
     spark.stop()
   }
 }
