@@ -1787,11 +1787,7 @@ object Layout {
   private val RsHi = 5000L // cents: value <= 50.00
 
   def q164RangeSelectivity(spark: SparkSession, dir: String): DataFrame = {
-    val daily = KmvTable.quantileView(spark, dir)
-    val merged = daily.select(col("event_type"), expr("inline(smp)"))
-      .groupBy(col("event_type"))
-      .agg(graft.functions.QuantileSketchAgg.qsketch(
-        spark, col("h"), col("v"), QrK).as("smp"))
+    val merged = mergedCorpusSample(spark, dir)
     val est = merged.select(col("event_type"),
         size(col("smp")).cast("long").as("n_kept"),
         expr(s"cast(size(filter(smp, s -> s.v >= ${RsLo}L AND s.v <= ${RsHi}L)) as bigint)")
@@ -1804,13 +1800,8 @@ object Layout {
           col("est_sel"))
         .orderBy(col("event_type"))
     }
-    // exact anchor: the full feed scan per type (NULL event_id
-    // excluded so the exact frame matches the sample's population —
-    // the q159 guard)
-    val base = Tables.events(spark, dir)
-      .filter(col("value").isNotNull && col("event_id").isNotNull)
-      .select(col("event_type"),
-        (col("value").cast("decimal(18,2)") * lit(100)).cast("long").as("v"))
+    // exact anchor: the full feed scan per type
+    val base = popCents(spark, dir)
     val ex = base.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_rows"),
         count(when(col("v").between(RsLo, RsHi), 1)).as("x_in"))
@@ -1849,6 +1840,153 @@ object Layout {
       |FROM s JOIN x ON s.event_type = x.event_type
       |ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q168 — THE PLANNER'S HISTOGRAM AS AN ORACLED QUERY: not a lookalike
+  // but the EXACT artifact plans/ValueSynopsis.histogram hands
+  // Catalyst's FilterEstimation (SynopsisHistogramSpec proves the >10x
+  // estimate fix through the executed plan; ValueSynopsisTableSpec pins
+  // q168's rows == histogram(8)'s bins field-by-field). Same
+  // segmentation (floor cuts [i·m/b, (i+1)·m/b), expressed for SQL as
+  // the rank inverse bin = ⌈rank·b/m⌉−1, pure integer arithmetic), same
+  // boundary convention (interior boundaries are SHARED sample
+  // elements — bin lo = previous bin's hi; the outer lo/hi are the TRUE
+  // column bounds off the table's value bundle, which Catalyst's
+  // numBinsHoldingRange requires), same height (population rows / b).
+  // The exact anchor counts the feed rows each bin's [lo, hi] actually
+  // holds — the per-bin selectivity truth the histogram's whole-bin
+  // mass stands in for — plus the feed population proving the table's.
+  // Anchors-off: the whole planner histogram from KB of table reads.
+  // ------------------------------------------------------------------
+  private val HbB = 8
+
+  /** Corpus-grain merged sample per type off the maintained table —
+    * q164/q168's shared first stage (bottom-k of the union of daily
+    * kept sets IS the corpus sample: the q161 disjointness law). */
+  private def mergedCorpusSample(spark: SparkSession, dir: String): DataFrame =
+    KmvTable.quantileView(spark, dir)
+      .select(col("event_type"), expr("inline(smp)"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.QuantileSketchAgg.qsketch(
+        spark, col("h"), col("v"), QrK).as("smp"))
+
+  /** The quantile family's population frame in exact cents —
+    * q164/q168's exact-anchor base (value AND event_id non-null, the
+    * q159 guard). */
+  private def popCents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("event_id").isNotNull)
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * lit(100)).cast("long").as("v"))
+
+  def q168TableHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = mergedCorpusSample(spark, dir)
+      .select(col("event_type"), size(col("smp")).cast("long").as("m"),
+        posexplode(array_sort(
+          expr("transform(smp, s -> struct(s.v AS v, s.h AS h))"))))
+      .select(col("event_type"), col("m"),
+        (col("pos") + 1).cast("long").as("vr"), col("col.v").as("v"))
+      .withColumn("b", least(lit(HbB.toLong), col("m")))
+      // rank inverse of ValueSynopsis.histogram's floor cuts
+      .withColumn("bin", expr("CAST((vr * b + m - 1) DIV m AS INT) - 1"))
+    val seg = ranked.groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n_bin"), max(col("v")).as("seg_hi"),
+        first(col("m")).as("m"), first(col("b")).as("b"))
+    // true outer bounds + population from the table's value bundle
+    val tbl = KmvTable.statsView(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_pop"), min(col("vmin")).as("vmin_t"),
+        max(col("vmax")).as("vmax_t"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+    val bins = seg
+      .withColumn("prev_hi", lag(col("seg_hi"), 1).over(w))
+      .join(tbl, Seq("event_type"))
+      .withColumn("lo", coalesce(col("prev_hi"), col("vmin_t")))
+      .withColumn("hi",
+        when(col("bin") === col("b").cast("int") - 1, col("vmax_t"))
+          .otherwise(col("seg_hi")))
+      .withColumn("height",
+        col("n_pop").cast("double") / col("b").cast("double"))
+      .withColumn("est_sel",
+        col("n_bin").cast("double") / col("m").cast("double"))
+    if (!anchorsOn(spark)) {
+      // production shape: the planner statistic from the table alone
+      // (n_pop and the outer bounds are table-EXACT, not estimates)
+      return bins.select(col("event_type"), col("bin"), col("n_bin"),
+          col("lo"), col("hi"), col("n_pop"), col("height"), col("est_sel"))
+        .orderBy(col("event_type"), col("bin"))
+    }
+    // exact anchors: the feed population (proving the table's) and what
+    // each bin's span actually holds
+    val base = popCents(spark, dir)
+    val pop = base.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("x_pop"))
+    val xin = bins.join(base, Seq("event_type"))
+      .filter(col("v").between(col("lo"), col("hi")))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("x_in"))
+    bins.join(xin, Seq("event_type", "bin"), "left")
+      .na.fill(0L, Seq("x_in"))
+      .join(pop, Seq("event_type"))
+      .withColumn("x_sel",
+        col("x_in").cast("double") / col("x_pop").cast("double"))
+      .select(col("event_type"), col("bin"), col("n_bin"), col("lo"),
+        col("hi"), col("n_pop"), col("height"), col("est_sel"),
+        col("x_pop"), col("x_in"), col("x_sel"),
+        (col("est_sel") - col("x_sel")).as("sel_err"))
+      .orderBy(col("event_type"), col("bin"))
+  }
+
+  val q168Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, md5(CAST(event_id AS VARCHAR)) AS h,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+      |r AS (
+      |  SELECT event_type, h, v, ROW_NUMBER() OVER (
+      |    PARTITION BY event_type ORDER BY h) AS rn FROM e),
+      |smp AS (SELECT event_type, h, v FROM r WHERE rn <= 64),
+      |vr AS (
+      |  SELECT event_type, v, ROW_NUMBER() OVER (
+      |    PARTITION BY event_type ORDER BY v, h) AS vr,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS m
+      |  FROM smp),
+      |x AS (
+      |  SELECT event_type, COUNT(*) AS n_pop, MIN(v) AS vmin_t,
+      |    MAX(v) AS vmax_t
+      |  FROM e GROUP BY 1),
+      |seg AS (
+      |  SELECT event_type,
+      |    CAST((vr * LEAST(8, m) + m - 1) // m AS INT) - 1 AS bin,
+      |    COUNT(*) AS n_bin, MAX(v) AS seg_hi, MAX(m) AS m,
+      |    MAX(LEAST(8, m)) AS b
+      |  FROM vr GROUP BY 1, 2),
+      |bins AS (
+      |  SELECT s.event_type AS event_type, s.bin AS bin, s.n_bin, s.m, s.b,
+      |    COALESCE(LAG(s.seg_hi) OVER (
+      |      PARTITION BY s.event_type ORDER BY s.bin), x.vmin_t) AS lo,
+      |    CASE WHEN s.bin = s.b - 1 THEN x.vmax_t ELSE s.seg_hi END AS hi,
+      |    x.n_pop
+      |  FROM seg s JOIN x ON s.event_type = x.event_type),
+      |xi AS (
+      |  SELECT b.event_type, b.bin, COUNT(e.v) AS x_in
+      |  FROM bins b JOIN e ON e.event_type = b.event_type
+      |    AND e.v BETWEEN b.lo AND b.hi
+      |  GROUP BY 1, 2)
+      |SELECT b.event_type AS event_type, b.bin AS bin,
+      |  CAST(b.n_bin AS BIGINT) AS n_bin, b.lo, b.hi,
+      |  CAST(b.n_pop AS BIGINT) AS n_pop,
+      |  CAST(b.n_pop AS DOUBLE) / CAST(b.b AS DOUBLE) AS height,
+      |  CAST(b.n_bin AS DOUBLE) / CAST(b.m AS DOUBLE) AS est_sel,
+      |  CAST(b.n_pop AS BIGINT) AS x_pop,
+      |  CAST(COALESCE(xi.x_in, 0) AS BIGINT) AS x_in,
+      |  CAST(COALESCE(xi.x_in, 0) AS DOUBLE) / CAST(b.n_pop AS DOUBLE) AS x_sel,
+      |  CAST(b.n_bin AS DOUBLE) / CAST(b.m AS DOUBLE)
+      |    - CAST(COALESCE(xi.x_in, 0) AS DOUBLE) / CAST(b.n_pop AS DOUBLE)
+      |    AS sel_err
+      |FROM bins b LEFT JOIN xi
+      |  ON xi.event_type = b.event_type AND xi.bin = b.bin
+      |ORDER BY b.event_type, b.bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_zorder_layout" -> (q99ZorderLayout _),
     "q100_profile"      -> (q100Profile _),
@@ -1872,6 +2010,7 @@ object Layout {
     "q164_range_selectivity" -> (q164RangeSelectivity _),
     "q165_table_stats"  -> (KmvTable.q165TableStats _),
     "q166_key_stats"    -> (KmvTable.q166KeyStats _),
+    "q168_table_histogram" -> (q168TableHistogram _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1897,5 +2036,6 @@ object Layout {
     "q164_range_selectivity" -> q164Sql,
     "q165_table_stats"  -> KmvTable.q165Sql,
     "q166_key_stats"    -> KmvTable.q166Sql,
+    "q168_table_histogram" -> q168Sql,
   )
 }

@@ -18,7 +18,7 @@ class SketchAnchorsSpec extends SparkSpec {
 
   private val AnchorCols = Set("n_rows", "n_distinct", "n_exact", "rel_err",
     "n_a", "n_b", "n_inter", "n_union", "jaccard_exact", "union_rel_err",
-    "n_join_exact", "n_exact")
+    "n_join_exact", "n_exact", "x_pop", "x_in", "x_sel", "sel_err")
 
   private def anchorsOff[T](f: => T): T = {
     spark.conf.set("spark.graft.sketch.anchors", "false")
@@ -75,7 +75,7 @@ class SketchAnchorsSpec extends SparkSpec {
       val on151 = KmvTable.q151KmvMaintain(spark, Sf)
       val on148 = Layout.q148KmvAlgebra(spark, Sf)
       val (off146, off151, off148, off161, off163, off164, off165, off166,
-          off157, off158) =
+          off157, off158, off168) =
         anchorsOff {
           (Layout.q146KmvRolling(spark, Sf),
            KmvTable.q151KmvMaintain(spark, Sf),
@@ -86,7 +86,8 @@ class SketchAnchorsSpec extends SparkSpec {
            KmvTable.q165TableStats(spark, Sf),
            KmvTable.q166KeyStats(spark, Sf),
            Layout.q157JoinSizeEst(spark, Sf),
-           Layout.q158SynopsisOrder(spark, Sf))
+           Layout.q158SynopsisOrder(spark, Sf),
+           Layout.q168TableHistogram(spark, Sf))
         }
       assert(KmvTable.filesScanned.get() === before,
         "maintenance against a fresh table must scan zero feed files")
@@ -98,7 +99,8 @@ class SketchAnchorsSpec extends SparkSpec {
       Seq("q146" -> off146, "q151" -> off151, "q148" -> off148,
           "q161" -> off161, "q163" -> off163, "q164" -> off164,
           "q165" -> off165, "q166" -> off166,
-          "q157" -> off157, "q158" -> off158).foreach {
+          "q157" -> off157, "q158" -> off158,
+          "q168" -> off168).foreach {
         case (name, df) =>
           val feed = scanPaths(df).filter(_.contains("events.parquet"))
           assert(feed.isEmpty, s"$name anchors-off plan scans the feed: $feed")
@@ -191,6 +193,16 @@ class SketchAnchorsSpec extends SparkSpec {
           r.getInt(r.fieldIndex("est_rank"))
       }.toMap
       assert(rankMap(off158) === rankMap(on158))
+      // q168: the histogram bins (counts + spans + claimed mass) agree
+      // across modes — same merged sample either way
+      val on168 = Layout.q168TableHistogram(spark, Sf)
+      def q168Map(df: DataFrame) = df.collect().map { r =>
+        (r.getString(r.fieldIndex("event_type")), r.getInt(r.fieldIndex("bin"))) ->
+          ((r.getLong(r.fieldIndex("n_bin")), r.getLong(r.fieldIndex("lo")),
+            r.getLong(r.fieldIndex("hi")),
+            r.getDouble(r.fieldIndex("est_sel"))))
+      }.toMap
+      assert(q168Map(off168) === q168Map(on168))
     }
   }
 

@@ -93,6 +93,32 @@ class ValueSynopsisTableSpec extends SparkSpec {
     }
   }
 
+  test("q168's rows ARE ValueSynopsis.histogram's bins, field by field") {
+    // the claim "the histogram the planner eats is gate-verified" needs
+    // this bridge: the oracled q168 surface and the CatalogColumnStat
+    // histogram must be the SAME artifact — same segmentation, same
+    // shared-element boundary convention, same true outer bounds, same
+    // height — or the gate would verify a lookalike (self-review catch)
+    withTableDir { _ =>
+      val fromT = ValueSynopsis.fromTable(spark, Sf)
+      val byType = graft.operators.Layout
+        .queries("q168_table_histogram")(spark, Sf)
+        .collect().groupBy(_.getString(0))
+      assert(byType.keySet === fromT.keySet)
+      fromT.foreach { case (t, vs) =>
+        val hist = vs.histogram(8).get
+        val rows = byType(t).sortBy(r => r.getInt(r.fieldIndex("bin")))
+        assert(rows.length === hist.bins.length, s"$t bin count")
+        rows.zip(hist.bins).foreach { case (r, b) =>
+          assert(r.getLong(r.fieldIndex("lo")).toDouble === b.lo, s"$t lo")
+          assert(r.getLong(r.fieldIndex("hi")).toDouble === b.hi, s"$t hi")
+          assert(r.getDouble(r.fieldIndex("height")) === hist.height,
+            s"$t height")
+        }
+      }
+    }
+  }
+
   test("table synopsis drives Catalyst FilterEstimation without a feed scan") {
     // the end-to-end statistics story: maintained table -> fromTable ->
     // SynopsisStats.inject(valueStat histogram) -> Spark's OWN
