@@ -69,7 +69,8 @@ object Bench {
     if (Seq("q146_kmv_rolling", "q148_kmv_algebra", "q151_kmv_maintain",
         "q161_quantile_rolling", "q163_quantile_drift",
         "q164_range_selectivity", "q165_table_stats",
-        "q166_key_stats").exists(selected)) {
+        "q166_key_stats", "q168_table_histogram",
+        "q162_selfjoin_moment", "q169_stats_join_order").exists(selected)) {
       val tw = System.nanoTime()
       graft.operators.KmvTable.maintain(spark, sfDir).count()
       prewarmKmv = (System.nanoTime() - tw) / 1e9

@@ -461,8 +461,12 @@ object KmvTable {
     // counts only the new files), same crash-atomic commit, and the
     // orphaned old generations fall to the ordinary reference sweep.
     val untouchedOwned = baseManifest -- touchedRel
+    // house conf-parsing convention (r11 ADVICE): a malformed or
+    // nonsensical (< 1) value falls back to the default instead of
+    // throwing mid-maintenance after the uncommitted-gen sweep
     val maxGens = spark.conf.getOption("spark.graft.kmv.maxGenerations")
-      .map(_.toInt).getOrElse(16)
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ >= 1).getOrElse(16)
     val compact = (untouchedOwned.values.toSet + nextN).size > maxGens
     val writeSet =
       if (!compact || untouchedOwned.isEmpty) merged

@@ -39,8 +39,10 @@ import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatisti
   *    frequency-skew information through an interface that only
   *    carries per-relation numbers. (Effective stats are per
   *    fact-dimension pair — the star-join shape q158 ranks; a
-  *    dimension reused against several facts takes the last
-  *    calibration written.)
+  *    dimension reused against several facts keeps the MAX rows_eff
+  *    across its recorded calibrations — exact for the hot-aligned
+  *    pair, a conservative over-estimate for the rest, never the
+  *    under-estimate that last-writer-wins handed the first fact.)
   *
   * SynopsisStatsSpec is the executed-plan proof: a 3-table chain
   * reorders under injected stats alone (CBO on, ANALYZE never run)
@@ -118,18 +120,44 @@ object SynopsisStats {
       syn: KeySynopsis, keyColumn: String, avgRowBytes: Long = 32L): Unit =
     inject(spark, table, syn.rows, Map(keyColumn -> syn), avgRowBytes)
 
+  /** Per-(fact, dimension) calibrations seen so far, keyed by
+    * (dimTable, keyColumn) then fact name — the fix for the r11
+    * last-calibration-wins defect: a dimension joined against TWO facts
+    * used to keep only the second fact's rows_eff, so the first fact's
+    * reorder decision was made from the wrong number (the NORMAL star
+    * shape at scale — one shared dimension, many facts). Each
+    * [[injectCalibrated]] call records its (fact → rows_eff) entry and
+    * injects the MAX across all facts recorded for that dimension: the
+    * hot-aligned pair keeps its exact calibration, every other pair
+    * gets a conservative OVER-estimate (never an under-estimate — the
+    * direction that wrongly promotes a join to "cheap" and schedules it
+    * first). Re-calibrating the same fact REPLACES its entry (refresh
+    * semantics). JVM-global like [[SynopsisCatalog]]; [[clearCalibrations]]
+    * resets (tests / corpus switch). */
+  private val calibrations =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Map[String, Long]]()
+
+  def clearCalibrations(): Unit = calibrations.clear()
+
   /** Frequency-skew calibration for a dimension joined against a fact
     * (see object doc): the dimension's injected cardinality is scaled
     * so Spark's uniform join formula yields [[JoinSynopsis.joinEst]]
     * for this (fact, dim) pair. Key NDV and bounds stay the honest
-    * synopsis values — only the row count carries the skew signal. */
+    * synopsis values — only the row count carries the skew signal.
+    * Calibrations against DIFFERENT facts accumulate and the injected
+    * rows_eff is their max (see [[calibrations]]); SynopsisStatsSpec's
+    * two-fact case pins both directions. */
   def injectCalibrated(spark: SparkSession, dimTable: String,
       dimSyn: KeySynopsis, keyColumn: String, factSyn: KeySynopsis): Unit = {
     val est = JoinSynopsis.joinEst(factSyn, dimSyn)
     val maxNdv = math.max(factSyn.distinctEst, dimSyn.distinctEst)
     val effRows = math.max(1L, math.round(est * maxNdv / factSyn.rows.toDouble))
-    // calibrated rowCount, HONEST sizeInBytes (see inject)
-    inject(spark, dimTable, effRows, Map(keyColumn -> dimSyn),
+    val key = (dimTable, keyColumn)
+    val merged = calibrations.merge(key, Map(factSyn.name -> effRows),
+      (old, add) => old ++ add)
+    // calibrated rowCount = conservative max across facts,
+    // HONEST sizeInBytes (see inject)
+    inject(spark, dimTable, merged.values.max, Map(keyColumn -> dimSyn),
       physicalRows = Some(dimSyn.rows))
   }
 }

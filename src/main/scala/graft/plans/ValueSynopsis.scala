@@ -153,10 +153,20 @@ object ValueSynopsis {
         // sits in both days' kept sets, and the sketch aggregate the
         // equality pin compares against is idempotent on duplicates
         // (TreeMap REPLACE) — an undeduped union would spend two of the
-        // k slots on one row and displace the true k-th element
+        // k slots on one row and displace the true k-th element. Dedup
+        // is by HASH ALONE (r11 ADVICE): the aggregate's REPLACE
+        // contract keeps exactly one slot per row identity, so an
+        // identity that recurs with a DIFFERENT value (a corrected
+        // replay) must still occupy one slot here; the kept value is
+        // the minimum — a deterministic canonicalization (REPLACE's own
+        // survivor is insertion-order-dependent; under the corpus
+        // contract that row identities are value-stable the two agree,
+        // which is what ValueSynopsisTableSpec's equality pin relies on)
         val smp = rs.flatMap(_.getSeq[Row](1)
             .map(r => r.getString(0) -> r.getLong(1)))
-          .distinct.sortBy(_._1).take(k)
+          .groupBy(_._1).iterator
+          .map { case (h, ps) => h -> ps.map(_._2).min }
+          .toSeq.sortBy(_._1).take(k)
         val kv = rs.flatMap(_.getSeq[String](2)).distinct.sorted.take(k)
         Some(t -> ValueSynopsis(
           name = t, rows = n, nullCount = 0L, k = k,

@@ -116,6 +116,119 @@ class SynopsisStatsSpec extends SparkSpec {
     } finally names.foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
   }
 
+  test("shared dimension against two facts: calibrations accumulate (max), not last-writer-wins") {
+    import spark.implicits._
+    // ONE dimension D joined by TWO facts — the normal star shape at
+    // scale. D is HOT-aligned with f1 (D's heavy key 0 is f1's hot key)
+    // and COLD-aligned with f2 (f2's hot key 7 appears once in D), so
+    // the two correct calibrations differ by ~250x. r11's
+    // injectCalibrated kept only the LAST one written: calibrating f2
+    // after f1 left D's rows_eff at the f2-pair value, and f1's reorder
+    // was then made from a ~250x UNDER-estimate of its own join.
+    val f1 = (1 to 8000).map { i =>
+      val ka = if (i <= 4000) 0L else (i % 59 + 1).toLong
+      (ka, i.toLong)
+    }.toDF("ka", "payload")
+    val f2 = (1 to 8000).map { i =>
+      val k = if (i <= 4000) 7L else (i % 53).toLong
+      (k, i.toLong)
+    }.toDF("k2", "payload")
+    val dimD = ((1 to 541).map(_ => 0L) ++ (1L to 59L)).map(k => (k, "d"))
+      .toDF("k", "tag")
+    // per-fact comparison dims: B uniform (f1's correct first join),
+    // B2 hot-aligned with f2 (so f2's correct first join stays D even
+    // under D's conservatively inflated estimate)
+    val dimB = (0L to 59L).flatMap(k => Seq.fill(10)(k)).map(k => (k, "b"))
+      .toDF("k", "tag")
+    val dimB2 = ((1 to 1141).map(_ => 7L) ++ ((0L to 59L).filter(_ != 7L)))
+      .map(k => (k, "b2")).toDF("k", "tag")
+    val trueF1D = f1.join(dimD, col("ka") === dimD("k")).count()
+    val trueF1B = f1.join(dimB, col("ka") === dimB("k")).count()
+    val trueF2D = f2.join(dimD, col("k2") === dimD("k")).count()
+    val trueF2B2 = f2.join(dimB2, col("k2") === dimB2("k")).count()
+    // fixture sanity: f1's cheap join is B, f2's cheap join is D —
+    // with enough margin that even D's inflated (max) estimate cannot
+    // flip f2's decision
+    assert(trueF1D > trueF1B * 20, s"degenerate: $trueF1D vs $trueF1B")
+    assert(trueF2B2 > trueF2D * 20, s"degenerate: $trueF2B2 vs $trueF2D")
+    assert(trueF2B2 > trueF1D * 2, s"degenerate: $trueF2B2 vs $trueF1D")
+
+    val names = Seq("synmf_f1", "synmf_f2", "synmf_d", "synmf_b", "synmf_b2")
+    names.foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    try {
+      f1.write.mode("overwrite").saveAsTable("synmf_f1")
+      f2.write.mode("overwrite").saveAsTable("synmf_f2")
+      dimD.write.mode("overwrite").saveAsTable("synmf_d")
+      dimB.write.mode("overwrite").saveAsTable("synmf_b")
+      dimB2.write.mode("overwrite").saveAsTable("synmf_b2")
+      val sF1 = JoinSynopsis.build("synmf_f1", spark.table("synmf_f1"), col("ka"))
+      val sF2 = JoinSynopsis.build("synmf_f2", spark.table("synmf_f2"), col("k2"))
+      val sD = JoinSynopsis.build("synmf_d", spark.table("synmf_d"), col("k"))
+      val sB = JoinSynopsis.build("synmf_b", spark.table("synmf_b"), col("k"))
+      val sB2 = JoinSynopsis.build("synmf_b2", spark.table("synmf_b2"), col("k"))
+      SynopsisStats.inject(spark, "synmf_f1", sF1.rows, Map("ka" -> sF1))
+      SynopsisStats.inject(spark, "synmf_f2", sF2.rows, Map("k2" -> sF2))
+      SynopsisStats.injectCalibrated(spark, "synmf_b", sB, "k", sF1)
+      SynopsisStats.injectCalibrated(spark, "synmf_b2", sB2, "k", sF2)
+
+      val sqlF1 =
+        """SELECT f.payload, d.tag AS tag_d, b.tag AS tag_b
+          |FROM synmf_f1 f
+          |JOIN synmf_d d ON f.ka = d.k
+          |JOIN synmf_b b ON f.ka = b.k""".stripMargin
+      val sqlF2 =
+        """SELECT f.payload, d.tag AS tag_d, b.tag AS tag_b
+          |FROM synmf_f2 f
+          |JOIN synmf_d d ON f.k2 = d.k
+          |JOIN synmf_b2 b ON f.k2 = b.k""".stripMargin
+      def firstJoinDim(sql: String): String = {
+        val order = leafOrder(spark.sql(sql).queryExecution.optimizedPlan)
+        val posD = order.indexWhere(_.contains("synmf_d"))
+        val posB = order.indexWhere(o => o.contains("synmf_b"))
+        assert(posD >= 0 && posB >= 0, s"missing leaves: $order")
+        if (posD < posB) "d" else "b"
+      }
+      val keys = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+      keys.foreach(k => spark.conf.set(k, "true"))
+      try {
+        // THE DEFECT, reproduced as the stats state last-writer-wins
+        // left behind: only f2's calibration on D (what surviving
+        // "calibrate f1, then f2" used to mean) mis-schedules f1's
+        // chain — the hot-aligned join runs first
+        SynopsisStats.clearCalibrations()
+        SynopsisStats.injectCalibrated(spark, "synmf_d", sD, "k", sF2)
+        assert(firstJoinDim(sqlF1) === "d",
+          "defect premise gone: the f2-only calibration no longer mis-orders f1")
+        // THE FIX: both facts recorded; D's injected rows_eff is the
+        // max. f1's chain schedules B first (its true-cheap join) ...
+        SynopsisStats.injectCalibrated(spark, "synmf_d", sD, "k", sF1)
+        assert(firstJoinDim(sqlF1) === "b",
+          "accumulated calibration must schedule f1's cold join first")
+        // ... while f2's chain still schedules D first (B2 dwarfs even
+        // the conservatively inflated D estimate)
+        assert(firstJoinDim(sqlF2) === "d",
+          "conservative max must not flip f2's decision")
+        // estimate directions: f1's pair is exact (saturated joinEst ==
+        // truth, calibration identity); f2's pair never UNDER-estimates
+        val estF1D = spark.sql(
+            "SELECT * FROM synmf_f1 f JOIN synmf_d d ON f.ka = d.k")
+          .queryExecution.optimizedPlan.stats.rowCount
+        assert(estF1D.isDefined)
+        assert(math.abs(estF1D.get.toDouble - trueF1D.toDouble) / trueF1D < 0.05,
+          s"hot pair must keep its exact calibration: $estF1D vs $trueF1D")
+        val estF2D = spark.sql(
+            "SELECT * FROM synmf_f2 f JOIN synmf_d d ON f.k2 = d.k")
+          .queryExecution.optimizedPlan.stats.rowCount
+        assert(estF2D.isDefined)
+        assert(estF2D.get.toDouble >= trueF2D.toDouble,
+          s"cold pair must be conservative, never an under-estimate: $estF2D vs $trueF2D")
+      } finally {
+        keys.foreach(spark.conf.unset)
+        SynopsisStats.clearCalibrations()
+      }
+    } finally names.foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+  }
+
   test("injected sizeInBytes drives Spark's own broadcast planning (no hint, CBO off)") {
     import spark.implicits._
     val names = Seq("synbc_fact", "synbc_dim")
