@@ -101,8 +101,10 @@ object KmvTable {
     * silently null-fill the missing statistics columns instead.
     * format-2 added the value-tier bundle (kv/n/vmin/vmax); format-3
     * turned `ks` into the frequency-carrying `ksf` and added the
-    * key-tier bundle (nu/umin/umax). */
-  private[graft] val FormatMarker = "format-3"
+    * key-tier bundle (nu/umin/umax); format-4 added `kss`, the SALTED
+    * frequency-KMV (r11 verdict #2 — q162's independent per-type
+    * draws, see the schema comment). */
+  private[graft] val FormatMarker = "format-4"
 
   /** Part files scanned by maintenance in this JVM (spec observable). */
   private[graft] val filesScanned = new AtomicLong
@@ -124,6 +126,18 @@ object KmvTable {
     // downward-closure, so the merged bottom-k carries exact corpus
     // frequencies
     StructField("ksf", ArrayType(StructType(Seq(
+      StructField("h", StringType, nullable = false),
+      StructField("c", LongType, nullable = false))), containsNull = false)),
+    // the SALTED sibling of ksf (format-4): the same frequency-carrying
+    // KMV kept set, but over md5(event_type ‖ ':' ‖ user_id) — each
+    // type draws its bottom-k from an INDEPENDENT hash assignment of
+    // the shared user universe. The unsalted ksf must stay as-is:
+    // q157/q158's matched-key join estimator NEEDS coordinated
+    // sampling (cross-type kept-set intersections are the signal);
+    // q162's per-type F₂ has no cross-type term and needs the
+    // decorrelated draws (r10 verdict #6) — so the table carries both,
+    // off the same single scan.
+    StructField("kss", ArrayType(StructType(Seq(
       StructField("h", StringType, nullable = false),
       StructField("c", LongType, nullable = false))), containsNull = false)),
     StructField("smp", ArrayType(StructType(Seq(
@@ -239,7 +253,7 @@ object KmvTable {
       val dirs = manifest.toSeq.sortBy(_._1)
         .map { case (rel, g) => s"$root/gen-$g/parts/$rel" }
       spark.read.schema(tableSchema).parquet(dirs: _*)
-        .select(col("event_type"), col("d"), col("ksf"), col("smp"),
+        .select(col("event_type"), col("d"), col("ksf"), col("kss"), col("smp"),
           col("kv"), col("n"), col("vmin"), col("vmax"),
           col("nu"), col("umin"), col("umax"))
     }
@@ -250,8 +264,8 @@ object KmvTable {
     new java.util.concurrent.atomic.AtomicReference[Set[String]](Set.empty)
 
   /** Bring the sketch table up to date with `dir`'s events feed and
-    * return it — the full format-3 row: (event_type, d, ksf, smp, kv,
-    * n, vmin, vmax, nu, umin, umax); use the family views
+    * return it — the full format-4 row: (event_type, d, ksf, kss, smp,
+    * kv, n, vmin, vmax, nu, umin, umax); use the family views
     * ([[kmvView]]/[[quantileView]]/[[statsView]]/[[keyStatsView]]) for
     * pruned projections. Scans only unconsumed part
     * files, WRITES only touched (type, day) partitions into a fresh
@@ -330,6 +344,11 @@ object KmvTable {
       .select(col("event_type"), to_date(col("ts")).as("d"),
         when(col("user_id").isNotNull,
           md5(col("user_id").cast("string"))).as("hu"),
+        // the SALTED key hash (format-4): per-type independent draws —
+        // same salt convention as q162 (md5(type ‖ ':' ‖ user))
+        when(col("user_id").isNotNull,
+          md5(concat(col("event_type"), lit(":"),
+            col("user_id").cast("string")))).as("hs"),
         when(col("value").isNotNull,
           md5(col("event_id").cast("string"))).as("he"),
         when(col("value").isNotNull,
@@ -338,6 +357,8 @@ object KmvTable {
       .groupBy(col("event_type"), col("d"))
       .agg(graft.functions.KmvFreqAgg.kmvFreq(
           spark, col("hu"), lit(1L), K).as("ksf"),
+        graft.functions.KmvFreqAgg.kmvFreq(
+          spark, col("hs"), lit(1L), K).as("kss"),
         graft.functions.QuantileSketchAgg.qsketch(
           spark, col("he"), col("v"), K).as("smp"),
         // the statistics bundle, same scan: population = he non-null
@@ -380,7 +401,7 @@ object KmvTable {
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
           else spark.read.schema(tableSchema).parquet(touchedOwned.map(rel =>
               s"$root/gen-${baseManifest(rel)}/parts/$rel"): _*)
-            .select(col("event_type"), col("d"), col("ksf"), col("smp"),
+            .select(col("event_type"), col("d"), col("ksf"), col("kss"), col("smp"),
               col("kv"), col("n"), col("vmin"), col("vmax"),
               col("nu"), col("umin"), col("umax"))
         val pre = bTouched.unionByName(newDaily)
@@ -393,6 +414,13 @@ object KmvTable {
           .groupBy(col("event_type"), col("d"))
           .agg(graft.functions.KmvFreqAgg.kmvFreq(
             spark, col("h"), col("c"), K).as("ksf"))
+        // the salted partials merge through the identical rule — the
+        // downward-closure count exactness is hash-blind
+        val mergedKss = pre
+          .select(col("event_type"), col("d"), expr("inline(kss)"))
+          .groupBy(col("event_type"), col("d"))
+          .agg(graft.functions.KmvFreqAgg.kmvFreq(
+            spark, col("h"), col("c"), K).as("kss"))
         val mergedSmp = pre
           .select(col("event_type"), col("d"), expr("inline(smp)"))
           .groupBy(col("event_type"), col("d"))
@@ -422,12 +450,15 @@ object KmvTable {
         // written, wedging every later read (self-review r11)
         pre.select(col("event_type"), col("d")).distinct()
           .join(mergedKsf, Seq("event_type", "d"), "left")
+          .join(mergedKss, Seq("event_type", "d"), "left")
           .join(mergedSmp, Seq("event_type", "d"), "left")
           .join(mergedKv, Seq("event_type", "d"), "left")
           .join(mergedStat, Seq("event_type", "d"), "left")
           .select(col("event_type"), col("d"),
             coalesce(col("ksf"),
               array().cast("array<struct<h:string,c:bigint>>")).as("ksf"),
+            coalesce(col("kss"),
+              array().cast("array<struct<h:string,c:bigint>>")).as("kss"),
             coalesce(col("smp"),
               array().cast("array<struct<h:string,v:bigint>>")).as("smp"),
             coalesce(col("kv"), array().cast("array<string>")).as("kv"),
@@ -473,7 +504,7 @@ object KmvTable {
       else merged.unionByName(
         spark.read.schema(tableSchema).parquet(untouchedOwned.keys.toSeq.sorted
             .map(rel => s"$root/gen-${baseManifest(rel)}/parts/$rel"): _*)
-          .select(col("event_type"), col("d"), col("ksf"), col("smp"),
+          .select(col("event_type"), col("d"), col("ksf"), col("kss"), col("smp"),
             col("kv"), col("n"), col("vmin"), col("vmax"),
             col("nu"), col("umin"), col("umax")))
     val writtenRel =
@@ -723,6 +754,27 @@ object KmvTable {
       .groupBy(col("event_type"))
       .agg(graft.functions.KmvFreqAgg.kmvFreq(
         spark, col("h"), col("c"), K).as("ksf"))
+
+  /** The SALTED kept-set view (event_type, d, kss) — q162's tier of the
+    * table (format-4): per-type INDEPENDENT bottom-k draws over
+    * md5(type ‖ ':' ‖ user), where ksf's shared unsalted hash would make
+    * every type's distinct-estimate error one correlated draw (the r10
+    * verdict #6 decorrelation, now durable). Same restriction as
+    * [[keyStatsView]]: days with ≥1 non-null user. */
+  def saltedKeyView(spark: SparkSession, dir: String): DataFrame =
+    maintain(spark, dir).filter(size(col("kss")) > 0)
+      .select(col("event_type"), col("d"), col("kss"))
+
+  /** Per-type merged SALTED frequency-KMV off [[saltedKeyView]] — the
+    * same downward-closure merge as [[mergedKeyFreq]], over the salted
+    * hash: q162's F₂ estimator reads its per-type kept frequencies from
+    * here with no feed scan. Returns (event_type, kss). */
+  def mergedSaltedFreq(spark: SparkSession, dir: String): DataFrame =
+    saltedKeyView(spark, dir)
+      .select(col("event_type"), expr("inline(kss)"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.KmvFreqAgg.kmvFreq(
+        spark, col("h"), col("c"), K).as("kss"))
 
   /** q166 — PER-TYPE KEY STATISTICS from the table's key-tier bundle:
     * the join-synopsis surface ([[graft.plans.KeySynopsis]]) as an

@@ -284,22 +284,27 @@ class KmvMaintainSpec extends SparkSpec {
         }.flatten.toSet
       val kmvCols = readCols(KmvTable.kmvView(spark, Sf))
       assert(kmvCols.contains("ksf") &&
-        Seq("smp", "kv", "n", "vmin", "vmax", "nu", "umin", "umax")
+        Seq("kss", "smp", "kv", "n", "vmin", "vmax", "nu", "umin", "umax")
           .forall(!kmvCols.contains(_)),
         s"kmvView must prune every other family at the scan, read: $kmvCols")
       val qCols = readCols(KmvTable.quantileView(spark, Sf))
       assert(qCols.contains("smp") &&
-        Seq("ksf", "kv", "n", "vmin", "vmax", "nu", "umin", "umax")
+        Seq("ksf", "kss", "kv", "n", "vmin", "vmax", "nu", "umin", "umax")
           .forall(!qCols.contains(_)),
         s"quantileView must prune every other family at the scan, read: $qCols")
       val sCols = readCols(KmvTable.statsView(spark, Sf))
       assert(Seq("n", "vmin", "vmax", "kv").forall(sCols.contains) &&
-        Seq("ksf", "smp", "nu", "umin", "umax").forall(!sCols.contains(_)),
+        Seq("ksf", "kss", "smp", "nu", "umin", "umax").forall(!sCols.contains(_)),
         s"statsView must prune the kept-set families, read: $sCols")
       val kCols = readCols(KmvTable.keyStatsView(spark, Sf))
       assert(Seq("nu", "umin", "umax", "ksf").forall(kCols.contains) &&
-        Seq("smp", "kv", "n", "vmin", "vmax").forall(!kCols.contains(_)),
+        Seq("kss", "smp", "kv", "n", "vmin", "vmax").forall(!kCols.contains(_)),
         s"keyStatsView must prune the value families, read: $kCols")
+      val ssCols = readCols(KmvTable.saltedKeyView(spark, Sf))
+      assert(ssCols.contains("kss") &&
+        Seq("ksf", "smp", "kv", "n", "vmin", "vmax", "nu", "umin", "umax")
+          .forall(!ssCols.contains(_)),
+        s"saltedKeyView must prune every other family, read: $ssCols")
     }
   }
 

@@ -75,7 +75,7 @@ class SketchAnchorsSpec extends SparkSpec {
       val on151 = KmvTable.q151KmvMaintain(spark, Sf)
       val on148 = Layout.q148KmvAlgebra(spark, Sf)
       val (off146, off151, off148, off161, off163, off164, off165, off166,
-          off157, off158, off168) =
+          off157, off158, off168, off162) =
         anchorsOff {
           (Layout.q146KmvRolling(spark, Sf),
            KmvTable.q151KmvMaintain(spark, Sf),
@@ -87,7 +87,8 @@ class SketchAnchorsSpec extends SparkSpec {
            KmvTable.q166KeyStats(spark, Sf),
            Layout.q157JoinSizeEst(spark, Sf),
            Layout.q158SynopsisOrder(spark, Sf),
-           Layout.q168TableHistogram(spark, Sf))
+           Layout.q168TableHistogram(spark, Sf),
+           Layout.q162SelfJoinMoment(spark, Sf))
         }
       assert(KmvTable.filesScanned.get() === before,
         "maintenance against a fresh table must scan zero feed files")
@@ -100,7 +101,7 @@ class SketchAnchorsSpec extends SparkSpec {
           "q161" -> off161, "q163" -> off163, "q164" -> off164,
           "q165" -> off165, "q166" -> off166,
           "q157" -> off157, "q158" -> off158,
-          "q168" -> off168).foreach {
+          "q168" -> off168, "q162" -> off162).foreach {
         case (name, df) =>
           val feed = scanPaths(df).filter(_.contains("events.parquet"))
           assert(feed.isEmpty, s"$name anchors-off plan scans the feed: $feed")
@@ -193,6 +194,20 @@ class SketchAnchorsSpec extends SparkSpec {
           r.getInt(r.fieldIndex("est_rank"))
       }.toMap
       assert(rankMap(off158) === rankMap(on158))
+      // q162 joined the table-served family this round (format-4 kss):
+      // the anchors-off F₂ estimate (table-merged SALTED kept sets)
+      // must equal the anchored one (feed-built salted kept sets) —
+      // the downward-closure merge law over the salted hash, through
+      // the actual query
+      val on162 = Layout.q162SelfJoinMoment(spark, Sf)
+      def q162Map(df: DataFrame) = df.collect().map { r =>
+        r.getString(r.fieldIndex("event_type")) ->
+          ((r.getLong(r.fieldIndex("n_kept")),
+            r.getLong(r.fieldIndex("sum_f2_kept")),
+            r.getDouble(r.fieldIndex("d_est")),
+            r.getDouble(r.fieldIndex("f2_est"))))
+      }.toMap
+      assert(q162Map(off162) === q162Map(on162))
       // q168: the histogram bins (counts + spans + claimed mass) agree
       // across modes — same merged sample either way
       val on168 = Layout.q168TableHistogram(spark, Sf)
