@@ -166,7 +166,7 @@ object KmvTable {
     StructField("umin", LongType),
     StructField("umax", LongType)))
 
-  private def tableRoot(spark: SparkSession, dir: String): String =
+  private[graft] def tableRoot(spark: SparkSession, dir: String): String =
     spark.conf.getOption("spark.graft.kmv.tableDir").getOrElse {
       val id = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -184,6 +184,14 @@ object KmvTable {
     statuses.toSeq.map(s => PartFile(s.getPath.getName, s.getLen,
       s.getModificationTime, s.getPath.toString)).sortBy(_.name)
   }
+
+  /** The feed's file-identity stamp (name/len/mtime per part file) —
+    * the same identity [[maintain]]'s mutation detector keys on, in a
+    * single-string form other derived artifacts ([[StatsJoin]]'s typed
+    * layout) can persist and compare for staleness. */
+  private[graft] def feedStamp(spark: SparkSession, dir: String): String =
+    listParts(spark, dir)
+      .map(f => s"${f.name}\t${f.len}\t${f.mtime}").mkString("\n")
 
   private val GenRe = "gen-(\\d+)".r
 

@@ -2036,6 +2036,7 @@ object Layout {
     "q165_table_stats"  -> (KmvTable.q165TableStats _),
     "q166_key_stats"    -> (KmvTable.q166KeyStats _),
     "q168_table_histogram" -> (q168TableHistogram _),
+    "q169_stats_join_order" -> (StatsJoin.q169StatsJoinOrder _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2062,5 +2063,6 @@ object Layout {
     "q165_table_stats"  -> KmvTable.q165Sql,
     "q166_key_stats"    -> KmvTable.q166Sql,
     "q168_table_histogram" -> q168Sql,
+    "q169_stats_join_order" -> StatsJoin.q169Sql,
   )
 }

@@ -148,7 +148,9 @@ object SynopsisStats {
     * rows_eff is their max (see [[calibrations]]); SynopsisStatsSpec's
     * two-fact case pins both directions. */
   def injectCalibrated(spark: SparkSession, dimTable: String,
-      dimSyn: KeySynopsis, keyColumn: String, factSyn: KeySynopsis): Unit = {
+      dimSyn: KeySynopsis, keyColumn: String, factSyn: KeySynopsis,
+      avgRowBytes: Long = 32L,
+      extraCols: Map[String, CatalogColumnStat] = Map.empty): Unit = {
     val est = JoinSynopsis.joinEst(factSyn, dimSyn)
     val maxNdv = math.max(factSyn.distinctEst, dimSyn.distinctEst)
     val effRows = math.max(1L, math.round(est * maxNdv / factSyn.rows.toDouble))
@@ -158,6 +160,7 @@ object SynopsisStats {
     // calibrated rowCount = conservative max across facts,
     // HONEST sizeInBytes (see inject)
     inject(spark, dimTable, merged.values.max, Map(keyColumn -> dimSyn),
-      physicalRows = Some(dimSyn.rows))
+      avgRowBytes = avgRowBytes, physicalRows = Some(dimSyn.rows),
+      extraCols = extraCols)
   }
 }

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.functions._
+
+import graft.operators.{KmvTable, StatsJoin}
+import graft.plans.JoinSynopsis
+
+/** r11 verdict #1 — the statistics catalog driving a DECLARED query's
+  * executed plan: q169 is written in the BAD join order (the two big
+  * unfiltered event types first), and with table-served injected
+  * statistics + CBO the first executed join must be the one
+  * [[JoinSynopsis.cheapestJoinFirst]] ranks first — the filtered
+  * purchase side. The decision is matched at the schedule level (which
+  * relation joins FIRST): rank-1's defining choice is "start from the
+  * filtered side", and the plan assertion is that the innermost join
+  * contains it while the literal (view ⋈ click) pair does not run
+  * first. Stats-off (`spark.graft.stats.cbo=false`) the literal order
+  * must stand, and both modes must return identical rows.
+  */
+class StatsJoinCboSpec extends SparkSpec {
+
+  /** Catalog-table names at the INNERMOST join (the first executed). */
+  private def innermostJoinTables(df: DataFrame): Set[String] = {
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    joins.find(j => j.children.forall(c =>
+        c.collect { case x: Join => x }.isEmpty))
+      .map(_.collectLeaves().collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if r.catalogTable.isDefined => r.catalogTable.get.identifier.table
+      }.toSet).getOrElse(Set.empty)
+  }
+
+  private def withConfs[T](pairs: (String, String)*)(f: => T): T = {
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally pairs.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
+  /** Spec-side ground truth: the rank-1 schedule over the two joins the
+    * fact can run first. view/click synopses come from the maintained
+    * table (exactly what q169 injects); the filtered-purchase synopsis
+    * is built from the feed — the truth the histogram-driven filter
+    * estimate stands in for. */
+  private def rank1IsFilteredPurchase(dir: String): Unit = {
+    val keySyns = JoinSynopsis.fromTable(spark, dir)
+    val pFilt = JoinSynopsis.build("p_filtered",
+      graft.sources.Tables.events(spark, dir)
+        .filter(col("user_id").isNotNull &&
+          col("event_type") === "purchase" &&
+          (col("value").cast("decimal(18,2)") * lit(100)).cast("long")
+            >= StatsJoin.ThresholdCents),
+      col("user_id"))
+    val ranked = JoinSynopsis.cheapestJoinFirst(Seq(
+      (keySyns("view"), pFilt), (keySyns("view"), keySyns("click"))))
+    assert(ranked.head._1._2.name === "p_filtered",
+      s"ranking premise: filtered purchase must be rank-1, got " +
+        ranked.map { case ((a, b), e) => s"${b.name}=$e" }.mkString(", "))
+  }
+
+  test("q169: table-served stats schedule rank-1 (filtered purchase) first; " +
+      "stats-off keeps the literal order; results identical") {
+    withConfs(
+      "spark.graft.kmv.tableDir" -> TempDirs.create("graft_sj_tbl"),
+      "spark.graft.evlayout.dir" -> TempDirs.create("graft_sj_layout")) {
+      rank1IsFilteredPurchase(Sf)
+      val dfOn = StatsJoin.q169StatsJoinOrder(spark, Sf)
+      val onInner = innermostJoinTables(dfOn)
+      assert(onInner.exists(_.contains("purchase")),
+        s"stats-on plan must schedule the filtered purchase join first, got $onInner")
+      val rowsOn = dfOn.collect().toSeq
+      assert(rowsOn.nonEmpty)
+
+      val (offInner, rowsOff) = withConfs("spark.graft.stats.cbo" -> "false") {
+        val d = StatsJoin.q169StatsJoinOrder(spark, Sf)
+        (innermostJoinTables(d), d.collect().toSeq)
+      }
+      assert(offInner.exists(_.contains("view")) &&
+        offInner.exists(_.contains("click")) &&
+        !offInner.exists(_.contains("purchase")),
+        s"stats-off must keep the literal (view join click first) order, got $offInner")
+      assert(rowsOn === rowsOff, "the reorder must not change the result")
+      // the layout is feed-stamped: the second build above reused it
+      val builds = StatsJoin.layoutBuilds.get()
+      StatsJoin.q169StatsJoinOrder(spark, Sf)
+      assert(StatsJoin.layoutBuilds.get() === builds,
+        "a fresh-stamp call must not rebuild the typed layout")
+    }
+  }
+
+  test("q169 sf10: executed join order equals cheapestJoinFirst rank-1 " +
+      "(prewarmed replica)") {
+    val sf10 = "/tmp/sf10"
+    assume(new java.io.File(s"$sf10/events.parquet").exists,
+      "sf10 replica absent")
+    // run only against a sketch table already committed at the CURRENT
+    // format (the measurement harness leaves it warm) — a stale table
+    // would pull a multi-minute sf10 rebuild into the suite
+    val root = KmvTable.tableRoot(spark, sf10)
+    val warm = Option(new java.io.File(root).listFiles()).exists(_.exists(g =>
+      g.getName.startsWith("gen-") &&
+        new java.io.File(g, KmvTable.FormatMarker).exists &&
+        new java.io.File(g, "_COMMITTED").exists))
+    assume(warm, "sf10 sketch table not prewarmed at the current format")
+    rank1IsFilteredPurchase(sf10)
+    val dfOn = StatsJoin.q169StatsJoinOrder(spark, sf10)
+    val onInner = innermostJoinTables(dfOn)
+    assert(onInner.exists(_.contains("purchase")),
+      s"sf10 stats-on plan must schedule rank-1 (filtered purchase) first, got $onInner")
+    // and EXECUTE the plan — the pin is about the order that runs
+    assert(dfOn.count() > 0)
+  }
+}
