@@ -553,6 +553,12 @@ object KmvTable {
        else priorManifest.map(_.values.toSet).getOrElse(Set.empty[Long])) ++
       curGen.toSet + nextN
     sweepGens(n => !live.contains(n))
+    // catalog-statistics refresh (r11 verdict #3): every commit that
+    // WROTE re-fires the registered stat injections for this corpus —
+    // fired here, after the commit and sweep, so callbacks that read
+    // the table back (fromTable) land on the fresh generation through
+    // maintain's no-op path (no recursion, same thread-reentrant lock)
+    graft.plans.SynopsisStats.refreshAfterMaintain(spark, dir)
     readTable(spark, root, manifest)
   }
 

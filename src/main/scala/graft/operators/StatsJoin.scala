@@ -171,27 +171,48 @@ object StatsJoin {
     }
   }
 
+  /** Rebuild-if-stale the layout + tables and (re-)inject every
+    * statistic q169's plan consumes — the unit of work
+    * [[graft.plans.SynopsisStats.registerRefresh]] re-fires after each
+    * maintenance commit, so an appended corpus updates BOTH the layout
+    * and the catalog statistics in the maintenance call itself (zero
+    * stale window beyond the run). Returns type → table name. */
+  private def injectAll(spark: SparkSession, dir: String): Map[String, String] = {
+    val tbls = registerTypedTables(spark, dir)
+    require(Seq("view", "click", "purchase").forall(tbls.contains),
+      s"corpus lacks the q169 event types: ${tbls.keys.toSeq.sorted}")
+    val keySyns = JoinSynopsis.fromTable(spark, dir)
+    val valSyns = ValueSynopsis.fromTable(spark, dir)
+    injectFor(spark, tbls("view"), keySyns("view"), valSyns.get("view"), None)
+    injectFor(spark, tbls("click"), keySyns("click"), valSyns.get("click"),
+      Some(keySyns("view")))
+    injectFor(spark, tbls("purchase"), keySyns("purchase"),
+      valSyns.get("purchase"), Some(keySyns("view")))
+    tbls
+  }
+
   /** q169 — see object doc. Stats-on (default) this builds the
     * per-type synopses FROM THE MAINTAINED TABLE, writes them as
-    * catalog statistics, and runs the query in a child session with
-    * CBO + join reorder enabled (child session: the conf flip never
-    * leaks into the caller's session, and the gate's other queries
-    * keep their vanilla planner). Stats-off it runs the identical SQL
-    * with no statistics and no CBO — the literal-order baseline. */
+    * catalog statistics, registers the injection for post-maintenance
+    * refresh, and runs the query in a child session with CBO + join
+    * reorder enabled (child session: the conf flip never leaks into
+    * the caller's session, and the gate's other queries keep their
+    * vanilla planner). Stats-off it runs the identical SQL with no
+    * statistics and no CBO — the literal-order baseline. */
   def q169StatsJoinOrder(spark: SparkSession, dir: String): DataFrame = {
-    val tbls = registerTypedTables(spark, dir)
+    val tbls =
+      if (statsCboOn(spark)) {
+        val t = injectAll(spark, dir)
+        SynopsisStats.registerRefresh(dir, "q169_stats") { sp =>
+          injectAll(sp, dir); ()
+        }
+        t
+      } else registerTypedTables(spark, dir)
     require(Seq("view", "click", "purchase").forall(tbls.contains),
       s"corpus lacks the q169 event types: ${tbls.keys.toSeq.sorted}")
     val (vT, cT, pT) = (tbls("view"), tbls("click"), tbls("purchase"))
     val s = spark.newSession()
     if (statsCboOn(spark)) {
-      val keySyns = JoinSynopsis.fromTable(spark, dir)
-      val valSyns = ValueSynopsis.fromTable(spark, dir)
-      injectFor(spark, vT, keySyns("view"), valSyns.get("view"), None)
-      injectFor(spark, cT, keySyns("click"), valSyns.get("click"),
-        Some(keySyns("view")))
-      injectFor(spark, pT, keySyns("purchase"), valSyns.get("purchase"),
-        Some(keySyns("view")))
       s.conf.set("spark.sql.cbo.enabled", "true")
       s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
     }

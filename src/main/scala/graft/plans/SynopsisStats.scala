@@ -120,6 +120,43 @@ object SynopsisStats {
       syn: KeySynopsis, keyColumn: String, avgRowBytes: Long = 32L): Unit =
     inject(spark, table, syn.rows, Map(keyColumn -> syn), avgRowBytes)
 
+  /** Statistics REFRESHERS, keyed by corpus dir (r11 verdict #3): a
+    * consumer that injected catalog statistics derived from the
+    * maintained sketch table registers a callback here, and
+    * [[graft.operators.KmvTable.maintain]] fires it after every commit
+    * that actually WROTE (append, rebuild, compaction — never the
+    * no-op fast path), with the fresh table already committed. The
+    * stale-stats window is therefore zero beyond the maintenance run
+    * itself: an append updates the registered tables' rowCount / NDV /
+    * histogram in the same call that updated the sketches, with no
+    * ANALYZE and no second feed scan (the callbacks re-derive from the
+    * table — `fromTable` inside a callback hits maintain's no-op path,
+    * so no recursion). Keyed by (dir, name): re-registering the same
+    * name replaces the callback (idempotent registrants like q169). */
+  private val refreshers = new java.util.concurrent.ConcurrentHashMap[
+    String, Map[String, SparkSession => Unit]]()
+
+  def registerRefresh(dir: String, name: String)(
+      f: SparkSession => Unit): Unit = {
+    refreshers.merge(dir, Map(name -> f), (old, add) => old ++ add)
+    ()
+  }
+
+  def clearRefresh(): Unit = refreshers.clear()
+
+  /** Fired by [[graft.operators.KmvTable.maintain]] post-commit. A
+    * refresher failure must not wedge the DATA maintenance that
+    * already committed — it is reported, and the next maintenance (or
+    * the consumer's own next injection) retries. */
+  private[graft] def refreshAfterMaintain(spark: SparkSession, dir: String): Unit =
+    Option(refreshers.get(dir)).foreach(_.foreach { case (name, f) =>
+      try f(spark)
+      catch { case e: Throwable =>
+        System.err.println(
+          s"[synopsis-stats] refresher $name failed for $dir: ${e.getMessage}")
+      }
+    })
+
   /** Per-(fact, dimension) calibrations seen so far, keyed by
     * (dimTable, keyColumn) then fact name — the fix for the r11
     * last-calibration-wins defect: a dimension joined against TWO facts

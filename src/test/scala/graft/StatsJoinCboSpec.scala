@@ -85,6 +85,10 @@ class StatsJoinCboSpec extends SparkSpec {
       StatsJoin.q169StatsJoinOrder(spark, Sf)
       assert(StatsJoin.layoutBuilds.get() === builds,
         "a fresh-stamp call must not rebuild the typed layout")
+      // drop this suite's refresh registration: other suites maintain
+      // the same fixture corpus under their own temp table dirs, and a
+      // lingering q169 callback would rebuild layouts on their commits
+      graft.plans.SynopsisStats.clearRefresh()
     }
   }
 
@@ -109,5 +113,6 @@ class StatsJoinCboSpec extends SparkSpec {
       s"sf10 stats-on plan must schedule rank-1 (filtered purchase) first, got $onInner")
     // and EXECUTE the plan — the pin is about the order that runs
     assert(dfOn.count() > 0)
+    graft.plans.SynopsisStats.clearRefresh()
   }
 }
