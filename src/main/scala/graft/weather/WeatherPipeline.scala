@@ -170,15 +170,21 @@ object WeatherPipeline {
       dataType: String): DataFrame = {
     val timeField = if (dataType == "forecast") "target_timestamp" else "timestamp"
 
+    // J1/J2 carry NO broadcast() hints (r11 verdict #6): the dimension
+    // sides arrive as catalog tables with injected synopsis statistics
+    // ([[WeatherStats.dims]]), and Spark's own threshold planning makes
+    // the broadcast decision from the injected sizeInBytes/rowCount —
+    // the flagship consuming the statistics catalog it ships.
+    // WeatherStatsSpec pins the decision in both directions.
     val withLoc = stg
       .filter(col("data_quality_score") >= 0.5)
-      .join(broadcast(stations.select("station_id", "latitude", "longitude")), "station_id")
+      .join(stations.select("station_id", "latitude", "longitude"), "station_id")
 
     val dLat = col("latitude") - col("centroid_lat")
     val dLon = col("longitude") - col("centroid_lon")
     val distKm = sqrt(dLat * dLat + dLon * dLon) * 111.0
     val mapped = withLoc
-      .crossJoin(broadcast(postal.select("postal_code", "centroid_lat", "centroid_lon")))
+      .crossJoin(postal.select("postal_code", "centroid_lat", "centroid_lon"))
       .withColumn("distance_km", distKm)
       .filter(col("distance_km") <= 50.0)
       .withColumn("idw_weight",

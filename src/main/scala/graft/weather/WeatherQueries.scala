@@ -85,7 +85,7 @@ object WeatherQueries {
         expr(s"INTERVAL ${WeatherPipeline.LookbackHours} HOURS"))
   }
 
-  private def stgObs(s: SparkSession, d: String): DataFrame =
+  private[graft] def stgObs(s: SparkSession, d: String): DataFrame =
     memoized(s, d, "stgObs") {
       WeatherPipeline.cleanObservations(
         WeatherSynth.rawObservationsFrom(bronzeEventsWindowed(s, d)))
@@ -99,14 +99,17 @@ object WeatherQueries {
 
   private def goldObs(s: SparkSession, d: String): DataFrame =
     memoized(s, d, "goldObs") {
-      WeatherPipeline.aggregateToPostal(
-        stgObs(s, d), WeatherSynth.stations(s, d), WeatherSynth.postalCodes(s, d), "observation")
+      // dims served from the statistics catalog (same rows as the
+      // WeatherSynth frames — materialized + stat-injected), so the
+      // hint-free J1/J2 broadcast decisions are Spark's own
+      val (st, pc) = WeatherStats.dims(s, d)
+      WeatherPipeline.aggregateToPostal(stgObs(s, d), st, pc, "observation")
     }
 
   private def goldFc(s: SparkSession, d: String): DataFrame =
     memoized(s, d, "goldFc") {
-      WeatherPipeline.aggregateToPostal(
-        stgFc(s, d), WeatherSynth.stations(s, d), WeatherSynth.postalCodes(s, d), "forecast")
+      val (st, pc) = WeatherStats.dims(s, d)
+      WeatherPipeline.aggregateToPostal(stgFc(s, d), st, pc, "forecast")
     }
 
   def cleanObs(s: SparkSession, d: String): DataFrame =
