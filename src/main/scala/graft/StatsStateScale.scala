@@ -51,7 +51,16 @@ object StatsStateScale {
       if (fanout == 1) sfDir
       else {
         val out = s"${sys.props("java.io.tmpdir")}/graft_stats_state/${id8}_f$fanout"
-        if (!new java.io.File(s"$out/events.parquet/_SUCCESS").exists) {
+        // replica reuse is stamped on the SOURCE feed's file identity —
+        // a regenerated corpus at the same path must not be measured
+        // through a stale fanout copy
+        val stamp = graft.operators.KmvTable.feedStamp(spark, sfDir)
+        val stampFile = new java.io.File(s"$out/_stamp")
+        val fresh = new java.io.File(s"$out/events.parquet/_SUCCESS").exists &&
+          stampFile.exists &&
+          new String(java.nio.file.Files.readAllBytes(stampFile.toPath),
+            "UTF-8") == stamp
+        if (!fresh) {
           spark.read.parquet(s"$sfDir/events.parquet")
             .crossJoin(broadcast(spark.range(fanout).toDF("__r")))
             .withColumn("event_type",
@@ -59,6 +68,7 @@ object StatsStateScale {
             .withColumn("event_id", col("event_id") + col("__r") * 10000000L)
             .drop("__r")
             .write.mode("overwrite").parquet(s"$out/events.parquet")
+          java.nio.file.Files.write(stampFile.toPath, stamp.getBytes("UTF-8"))
         }
         out
       }

@@ -67,42 +67,52 @@ object StatsJoin {
 
   /** Materialize the per-type layout of the events feed (user-keyed
     * join columns only: user_id, d, v-cents; null-user rows dropped —
-    * they can never satisfy the equi-join) under a feed-stamped root;
-    * returns the data root containing `pt=<type>/` dirs. Stamp written
-    * AFTER the data (the commit marker): a crash mid-write leaves a
-    * stampless dir that the next call rebuilds. */
+    * they can never satisfy the equi-join) and return its data root
+    * containing `pt=<type>/` dirs. GENERATIONAL, the KmvTable rule: the
+    * data root is `gen-<stampHash>/`, committed by an atomic
+    * `_COMMITTED` create, and the PRIOR generation survives one
+    * rebuild (in-flight lazy readers of the old layout — a stale-stamp
+    * rebuild must never delete files a resolved plan still references).
+    * Older generations are swept. A crash mid-write leaves an
+    * uncommitted dir the next call overwrites. */
   def ensureTypedLayout(spark: SparkSession, dir: String): String = synchronized {
     val root = layoutRoot(spark, dir)
     val rp = new org.apache.hadoop.fs.Path(root)
     val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val stamp = KmvTable.feedStamp(spark, dir)
-    val stampPath = new org.apache.hadoop.fs.Path(s"$root/_stamp")
-    if (fs.exists(stampPath)) {
-      val in = fs.open(stampPath)
-      val cur = try new String(
-        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
-      finally in.close()
-      if (cur == stamp) return s"$root/data"
-    }
+    val gen = s"gen-${md5hex(KmvTable.feedStamp(spark, dir)).take(12)}"
+    val dataDir = s"$root/$gen"
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dataDir/_COMMITTED")))
+      return dataDir
     layoutBuilds.incrementAndGet()
-    if (fs.exists(rp)) { fs.delete(rp, true); () }
     Tables.events(spark, dir)
       .filter(col("user_id").isNotNull)
       .select(col("event_type").as("pt"), col("user_id"),
         to_date(col("ts")).as("d"),
         when(col("value").isNotNull,
           (col("value").cast("decimal(18,2)") * lit(100)).cast("long")).as("v"))
-      .write.partitionBy("pt").parquet(s"$root/data")
-    val out = fs.create(stampPath, false)
-    try out.write(stamp.getBytes("UTF-8")) finally out.close()
-    s"$root/data"
+      .write.mode("overwrite").partitionBy("pt").parquet(dataDir)
+    fs.create(new org.apache.hadoop.fs.Path(s"$dataDir/_COMMITTED"), false)
+      .close()
+    // keep this generation + the newest committed prior; sweep the rest
+    val gens = fs.listStatus(rp).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
+      .sortBy(_.getModificationTime)
+    val keep = gens.map(_.getPath.getName).filter(_ != gen).takeRight(1).toSet + gen
+    gens.filterNot(s => keep(s.getPath.getName))
+      .foreach(s => fs.delete(s.getPath, true))
+    dataDir
   }
 
   /** Register one external catalog table per event type over the
-    * layout (idempotent; refreshed every call so a rebuilt layout is
+    * CURRENT layout generation (a table found pointing at a prior
+    * generation is dropped and re-created — external tables cannot be
+    * re-pointed in place; refreshed every call so a rebuilt layout is
     * never read through a stale cached relation). Returns
     * type → table name; names carry a corpus-dir hash so the three
-    * gate scales coexist in one session catalog. */
+    * gate scales coexist in one session catalog, and sanitized names
+    * are required collision-free (two types folding onto one
+    * case-insensitive identifier would silently serve one type's rows
+    * for the other). */
   def registerTypedTables(spark: SparkSession, dir: String): Map[String, String] = {
     val dataRoot = ensureTypedLayout(spark, dir)
     val fs = new org.apache.hadoop.fs.Path(dataRoot)
@@ -112,18 +122,29 @@ object StatsJoin {
       org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
     def unesc(v: String): String =
       org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
-    fs.listStatus(new org.apache.hadoop.fs.Path(dataRoot)).toSeq
+    val types = fs.listStatus(new org.apache.hadoop.fs.Path(dataRoot)).toSeq
       .collect { case s if s.isDirectory && s.getPath.getName.startsWith("pt=") =>
         unesc(s.getPath.getName.stripPrefix("pt=")) }
-      .sorted.map { t =>
-        val safe = t.map(ch => if (ch.isLetterOrDigit) ch else '_')
-        val tbl = s"graft_ev_${safe}_$id8"
-        spark.sql(
-          s"""CREATE TABLE IF NOT EXISTS $tbl (user_id BIGINT, d DATE, v BIGINT)
-             |USING parquet LOCATION '$dataRoot/pt=${esc(t)}'""".stripMargin)
-        spark.catalog.refreshTable(tbl)
-        t -> tbl
-      }.toMap
+      .sorted
+    def safe(t: String): String =
+      t.map(ch => if (ch.isLetterOrDigit) ch else '_').toLowerCase
+    require(types.map(safe).distinct.size == types.size,
+      s"event types collide after identifier sanitization: $types")
+    types.map { t =>
+      val tbl = s"graft_ev_${safe(t)}_$id8"
+      val loc = s"$dataRoot/pt=${esc(t)}"
+      val id = org.apache.spark.sql.catalyst.TableIdentifier(tbl)
+      val stale = spark.catalog.tableExists(tbl) &&
+        scala.util.Try(spark.sessionState.catalog.getTableMetadata(id)
+          .location.toString).toOption
+          .exists(l => !l.stripSuffix("/").endsWith(loc.stripPrefix("file:")))
+      if (stale) spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(
+        s"""CREATE TABLE IF NOT EXISTS $tbl (user_id BIGINT, d DATE, v BIGINT)
+           |USING parquet LOCATION '$loc'""".stripMargin)
+      spark.catalog.refreshTable(tbl)
+      t -> tbl
+    }.toMap
   }
 
   /** value >= 200.00 — ~1.6% of purchase rows at every gate scale:
@@ -171,16 +192,21 @@ object StatsJoin {
     }
   }
 
-  /** Rebuild-if-stale the layout + tables and (re-)inject every
-    * statistic q169's plan consumes — the unit of work
-    * [[graft.plans.SynopsisStats.registerRefresh]] re-fires after each
-    * maintenance commit, so an appended corpus updates BOTH the layout
-    * and the catalog statistics in the maintenance call itself (zero
-    * stale window beyond the run). Returns type → table name. */
-  private def injectAll(spark: SparkSession, dir: String): Map[String, String] = {
-    val tbls = registerTypedTables(spark, dir)
-    require(Seq("view", "click", "purchase").forall(tbls.contains),
-      s"corpus lacks the q169 event types: ${tbls.keys.toSeq.sorted}")
+  /** (Re-)inject every statistic q169's plan consumes for already-
+    * registered tables, all table-served (KB of driver work) — the
+    * unit [[graft.plans.SynopsisStats.registerRefresh]] re-fires after
+    * each maintenance commit. Deliberately STATS-ONLY: the catalog
+    * numbers refresh eagerly in the maintenance call itself (zero
+    * stale window), while the corpus-scale typed LAYOUT rebuilds
+    * lazily on the next q169 call's stamp check (the IVF-index
+    * posture) — a refresher that re-laid-out the corpus would turn
+    * every O(touched) append into an O(corpus) rewrite. Between the
+    * append and the next q169 call the tables serve the pre-append
+    * rows under post-append statistics; planner statistics are
+    * estimates, and that window is exactly an ordinary stale-ANALYZE
+    * window — except here it closes itself. */
+  private def injectStats(spark: SparkSession, dir: String,
+      tbls: Map[String, String]): Unit = {
     val keySyns = JoinSynopsis.fromTable(spark, dir)
     val valSyns = ValueSynopsis.fromTable(spark, dir)
     injectFor(spark, tbls("view"), keySyns("view"), valSyns.get("view"), None)
@@ -188,28 +214,34 @@ object StatsJoin {
       Some(keySyns("view")))
     injectFor(spark, tbls("purchase"), keySyns("purchase"),
       valSyns.get("purchase"), Some(keySyns("view")))
-    tbls
   }
 
   /** q169 — see object doc. Stats-on (default) this builds the
     * per-type synopses FROM THE MAINTAINED TABLE, writes them as
-    * catalog statistics, registers the injection for post-maintenance
-    * refresh, and runs the query in a child session with CBO + join
-    * reorder enabled (child session: the conf flip never leaks into
-    * the caller's session, and the gate's other queries keep their
-    * vanilla planner). Stats-off it runs the identical SQL with no
-    * statistics and no CBO — the literal-order baseline. */
+    * catalog statistics, registers the stats injection for
+    * post-maintenance refresh, and runs the query in a child session
+    * with CBO + join reorder enabled (child session: the conf flip
+    * never leaks into the caller's session, and the gate's other
+    * queries keep their vanilla planner). Stats-off it runs the
+    * identical SQL with NO statistics (any previously injected ones
+    * are cleared — the A/B baseline must not ride an earlier stats-on
+    * run's numbers) and no CBO — the literal-order baseline. */
   def q169StatsJoinOrder(spark: SparkSession, dir: String): DataFrame = {
-    val tbls =
-      if (statsCboOn(spark)) {
-        val t = injectAll(spark, dir)
-        SynopsisStats.registerRefresh(dir, "q169_stats") { sp =>
-          injectAll(sp, dir); ()
-        }
-        t
-      } else registerTypedTables(spark, dir)
+    val tbls = registerTypedTables(spark, dir)
     require(Seq("view", "click", "purchase").forall(tbls.contains),
       s"corpus lacks the q169 event types: ${tbls.keys.toSeq.sorted}")
+    if (statsCboOn(spark)) {
+      injectStats(spark, dir, tbls)
+      SynopsisStats.registerRefresh(dir, "q169_stats") { sp =>
+        injectStats(sp, dir, tbls)
+      }
+    } else {
+      tbls.values.foreach { t =>
+        spark.sessionState.catalog.alterTableStats(
+          org.apache.spark.sql.catalyst.TableIdentifier(t), None)
+        spark.catalog.refreshTable(t)
+      }
+    }
     val (vT, cT, pT) = (tbls("view"), tbls("click"), tbls("purchase"))
     val s = spark.newSession()
     if (statsCboOn(spark)) {

@@ -151,7 +151,9 @@ object SynopsisStats {
   private[graft] def refreshAfterMaintain(spark: SparkSession, dir: String): Unit =
     Option(refreshers.get(dir)).foreach(_.foreach { case (name, f) =>
       try f(spark)
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
+        // non-fatal only: OOM/interrupt must propagate, not be reduced
+        // to a log line with the JVM in a corrupted state
         System.err.println(
           s"[synopsis-stats] refresher $name failed for $dir: ${e.getMessage}")
       }
@@ -194,10 +196,22 @@ object SynopsisStats {
     val key = (dimTable, keyColumn)
     val merged = calibrations.merge(key, Map(factSyn.name -> effRows),
       (old, add) => old ++ add)
+    val injRows = merged.values.max
+    // extraCols ride a CALIBRATED rowCount, but Catalyst reads each
+    // column's null fraction as nullCount/rowCount against it (the
+    // physical-rows contract on [[inject]]) — rescale the nullCounts so
+    // the FRACTION survives calibration; a physical nullCount over an
+    // effective rowCount would put the fraction anywhere up to >1 and
+    // corrupt every downstream FilterEstimation selectivity
+    val phys = math.max(1L, dimSyn.rows).toDouble
+    val scaledExtra = extraCols.map { case (c, st) =>
+      c -> st.copy(nullCount = st.nullCount.map(nc =>
+        BigInt(math.round(nc.toDouble / phys * injRows))))
+    }
     // calibrated rowCount = conservative max across facts,
     // HONEST sizeInBytes (see inject)
-    inject(spark, dimTable, merged.values.max, Map(keyColumn -> dimSyn),
+    inject(spark, dimTable, injRows, Map(keyColumn -> dimSyn),
       avgRowBytes = avgRowBytes, physicalRows = Some(dimSyn.rows),
-      extraCols = extraCols)
+      extraCols = scaledExtra)
   }
 }

@@ -26,17 +26,25 @@ object Pipeline {
     * under `out` with the reference's upsert semantics (staging/gold
     * DO UPDATE ⇒ LastWins on the processing stamp).
     */
-  def run(spark: SparkSession, dir: String, out: String): Layers =
+  def run(spark: SparkSession, dir: String, out: String): Layers = {
+    // dims from the statistics catalog (r12): aggregateToPostal carries
+    // no broadcast() hints anymore, so the J1/J2 decisions need the
+    // injected dimension statistics — same route as the q21/q22 gold
+    val (stations, postal) = WeatherStats.dims(spark, dir)
     runWithRaws(spark,
       WeatherSynth.rawObservations(spark, dir),
       WeatherSynth.rawForecasts(spark, dir),
-      WeatherSynth.stations(spark, dir),
-      WeatherSynth.postalCodes(spark, dir), out)
+      stations, postal, out)
+  }
 
   /** Same transform over caller-supplied bronze frames — the micro-batch
     * entry point: each cron tick passes only the newly ingested slice and
     * the keyed upserts accumulate staging, from which gold is re-derived
     * (the reference's re-processing-window model, SURVEY §2.10).
+    * Dimension statistics are the CALLER's contract here: the gold joins
+    * are hint-free, so at scale pass statistics-backed dim frames
+    * ([[WeatherStats.dims]]) — a raw derived frame's size-only estimate
+    * never shrinks through its filters, which can cost J1 its broadcast.
     */
   def runWithRaws(spark: SparkSession, rawObs: DataFrame, rawFc: DataFrame,
       stations: DataFrame, postal: DataFrame, out: String): Layers = {

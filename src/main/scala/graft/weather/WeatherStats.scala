@@ -55,22 +55,28 @@ object WeatherStats {
       val (stTbl, pcTbl) = dimTableNames(d)
       val root = s"$dimRoot/${id8(d)}"
       if (!registered(d)) {
+        // the DATA write is once per JVM (overwriting under a shared
+        // root could delete files a concurrent session's analyzed
+        // frames still reference) ...
         WeatherSynth.stations(s, d).coalesce(1)
           .write.mode("overwrite").parquet(s"$root/stations")
         WeatherSynth.postalCodes(s, d).coalesce(1)
           .write.mode("overwrite").parquet(s"$root/postal")
-        s.sql(
-          s"""CREATE TABLE IF NOT EXISTS $stTbl (
-             |  station_id STRING, station_name STRING, latitude DOUBLE,
-             |  longitude DOUBLE, altitude INT, source STRING)
-             |USING parquet LOCATION '$root/stations'""".stripMargin)
-        s.sql(
-          s"""CREATE TABLE IF NOT EXISTS $pcTbl (
-             |  postal_code STRING, city STRING,
-             |  centroid_lat DOUBLE, centroid_lon DOUBLE)
-             |USING parquet LOCATION '$root/postal'""".stripMargin)
         registered += d
       }
+      // ... but the CATALOG entries are session-scoped state: a second
+      // SparkSession in this JVM must still get its tables created
+      // (IF NOT EXISTS keeps the common case a metadata no-op)
+      s.sql(
+        s"""CREATE TABLE IF NOT EXISTS $stTbl (
+           |  station_id STRING, station_name STRING, latitude DOUBLE,
+           |  longitude DOUBLE, altitude INT, source STRING)
+           |USING parquet LOCATION '$root/stations'""".stripMargin)
+      s.sql(
+        s"""CREATE TABLE IF NOT EXISTS $pcTbl (
+           |  postal_code STRING, city STRING,
+           |  centroid_lat DOUBLE, centroid_lon DOUBLE)
+           |USING parquet LOCATION '$root/postal'""".stripMargin)
       val synSt = JoinSynopsis.build(stTbl, s.table(stTbl), col("station_id"))
       SynopsisStats.inject(s, stTbl, synSt.rows,
         Map("station_id" -> synSt), avgRowBytes = 64)

@@ -63,6 +63,7 @@ class StatsJoinCboSpec extends SparkSpec {
     withConfs(
       "spark.graft.kmv.tableDir" -> TempDirs.create("graft_sj_tbl"),
       "spark.graft.evlayout.dir" -> TempDirs.create("graft_sj_layout")) {
+      try {
       rank1IsFilteredPurchase(Sf)
       val dfOn = StatsJoin.q169StatsJoinOrder(spark, Sf)
       val onInner = innermostJoinTables(dfOn)
@@ -85,10 +86,13 @@ class StatsJoinCboSpec extends SparkSpec {
       StatsJoin.q169StatsJoinOrder(spark, Sf)
       assert(StatsJoin.layoutBuilds.get() === builds,
         "a fresh-stamp call must not rebuild the typed layout")
-      // drop this suite's refresh registration: other suites maintain
-      // the same fixture corpus under their own temp table dirs, and a
-      // lingering q169 callback would rebuild layouts on their commits
-      graft.plans.SynopsisStats.clearRefresh()
+      } finally {
+        // drop this suite's refresh registration even on failure: other
+        // suites maintain the same fixture corpus under their own temp
+        // table dirs, and a lingering q169 callback firing on their
+        // commits would turn one failure into a cascade
+        graft.plans.SynopsisStats.clearRefresh()
+      }
     }
   }
 
@@ -106,13 +110,14 @@ class StatsJoinCboSpec extends SparkSpec {
         new java.io.File(g, KmvTable.FormatMarker).exists &&
         new java.io.File(g, "_COMMITTED").exists))
     assume(warm, "sf10 sketch table not prewarmed at the current format")
-    rank1IsFilteredPurchase(sf10)
-    val dfOn = StatsJoin.q169StatsJoinOrder(spark, sf10)
-    val onInner = innermostJoinTables(dfOn)
-    assert(onInner.exists(_.contains("purchase")),
-      s"sf10 stats-on plan must schedule rank-1 (filtered purchase) first, got $onInner")
-    // and EXECUTE the plan — the pin is about the order that runs
-    assert(dfOn.count() > 0)
-    graft.plans.SynopsisStats.clearRefresh()
+    try {
+      rank1IsFilteredPurchase(sf10)
+      val dfOn = StatsJoin.q169StatsJoinOrder(spark, sf10)
+      val onInner = innermostJoinTables(dfOn)
+      assert(onInner.exists(_.contains("purchase")),
+        s"sf10 stats-on plan must schedule rank-1 (filtered purchase) first, got $onInner")
+      // and EXECUTE the plan — the pin is about the order that runs
+      assert(dfOn.count() > 0)
+    } finally graft.plans.SynopsisStats.clearRefresh()
   }
 }
