@@ -32,6 +32,31 @@ class WeatherStatsSpec extends SparkSpec {
       case j: BroadcastNestedLoopJoinExec => j.buildSide.toString })
 
   test("gold J1/J2 broadcast from injected stats, hint-free; build side follows the injected size") {
+    // pin every conf the broadcast decision reads to its default for
+    // the duration (suite-order independence: a sibling suite's leaked
+    // threshold would otherwise flip these plans), and record the plan
+    // in each failure message
+    val pinned = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> (10L << 20).toString,
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> (10L << 20).toString,
+      "spark.sql.cbo.enabled" -> "false")
+    val saved = pinned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pinned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try runPinned() finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def runPinned(): Unit = {
+    // drop the memoized weather frames first: a gold plan CACHED by an
+    // earlier suite would be substituted under this spec's freshly-built
+    // plan by the CacheManager (canonicalized-subtree matching), leaving
+    // an InMemoryTableScan where the live joins should be — the pins
+    // here are about the PLANNING of those joins, so they must plan live
+    // (found as an order-dependent in-suite failure; standalone runs had
+    // no cached gold to match)
+    WeatherQueries.clear()
     val (st, pc) = WeatherStats.dims(spark, Sf)
     val (stTbl, pcTbl) = WeatherStats.dimTableNames(Sf)
     val stRows = st.count()
@@ -57,8 +82,10 @@ class WeatherStatsSpec extends SparkSpec {
     assert(gold.queryExecution.analyzed.collect {
       case h: ResolvedHint => h }.isEmpty, "no hint may remain in the plan")
     val (bhj0, bnlj0) = joinSides(gold)
-    assert(bhj0.nonEmpty, "J1 must plan as a broadcast hash join")
-    assert(bnlj0.nonEmpty, "J2 must plan as a broadcast nested loop join")
+    assert(bhj0.nonEmpty, "J1 must plan as a broadcast hash join; plan:\n" +
+      gold.queryExecution.sparkPlan.toString)
+    assert(bnlj0.nonEmpty, "J2 must plan as a broadcast nested loop join; plan:\n" +
+      gold.queryExecution.sparkPlan.toString)
     assert(bnlj0.head === "BuildRight",
       s"honest stats: the KB-sized postal dim (right) is the built side, got $bnlj0")
     assert(gold.count() > 0)
