@@ -20,13 +20,20 @@ import org.apache.spark.sql.functions._
   * materialization. Companions: `graft.StreamScale` (q64's join-state
   * plateau), `graft.SketchStateScale` (q150's KMV).
   *
+  * A third arg selects the output mode: `complete` (default — the
+  * no-eviction ceiling) or `append` (production: the 168 h watermark
+  * evicts closed windows on emission, so the REPORTED final state is
+  * the open-window plateau, not the group total — the q64 StreamScale
+  * claim for the statistics aggregates).
+  *
   * Usage:
-  *   SPARK_GRAFT_SF_DIR=<dir> runMain graft.StatsStateScale <kmvfreq|quantile> [fanout]
+  *   SPARK_GRAFT_SF_DIR=<dir> runMain graft.StatsStateScale <kmvfreq|quantile> [fanout] [complete|append]
   */
 object StatsStateScale {
   def main(args: Array[String]): Unit = {
     val agg = args(0)
     val fanout = if (args.length > 1) args(1).toInt else 1
+    val mode = if (args.length > 2) args(2) else "complete"
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -81,9 +88,12 @@ object StatsStateScale {
     }
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft_stats_state_ckpt_").toString
+    val outMode =
+      if (mode == "append") org.apache.spark.sql.streaming.OutputMode.Append
+      else org.apache.spark.sql.streaming.OutputMode.Complete
     val t0 = System.nanoTime()
     val q = streamed.writeStream
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+      .outputMode(outMode)
       .format("noop").option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -91,7 +101,10 @@ object StatsStateScale {
     val secs = (System.nanoTime() - t0) / 1e9
     val progress = q.recentProgress
     val so = progress.flatMap(_.stateOperators.headOption)
+    // peak = the run's high-water mark; final = after the last batch's
+    // watermark evictions (append mode's plateau; == peak in complete)
     val stateRows = if (so.nonEmpty) so.map(_.numRowsTotal).max else -1L
+    val finalRows = if (so.nonEmpty) so.last.numRowsTotal else -1L
     val stateBytes = if (so.nonEmpty) so.map(_.memoryUsedBytes).max else -1L
     val inputRows = progress.map(_.numInputRows).sum
     // expected group count, batch-side (same population rule per agg)
@@ -104,6 +117,7 @@ object StatsStateScale {
       .select(date_trunc("hour", col("ts")).as("w"), col("event_type"))
       .distinct().count()
     println(f"""{"metric":"stats_state","agg":"$agg","fanout":$fanout,""" +
+      f""""mode":"$mode","final_rows":$finalRows,""" +
       f""""state_rows":$stateRows,"groups":$groups,"state_bytes":$stateBytes,""" +
       f""""bytes_per_group":${if (stateRows > 0) stateBytes / stateRows else -1},""" +
       f""""input_rows":$inputRows,"rows_per_sec":${(inputRows / secs).toLong},""" +

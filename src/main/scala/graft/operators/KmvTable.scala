@@ -604,7 +604,16 @@ object KmvTable {
     * .SynopsisStats]]'s) with no feed scan. Restricted to partitions
     * with ≥1 non-null user (all-null days carry no key statistics). */
   def keyStatsView(spark: SparkSession, dir: String): DataFrame =
-    maintain(spark, dir).filter(col("nu") > 0)
+    keyStatsViewOf(maintain(spark, dir))
+
+  /** [[keyStatsView]] over an already-maintained table frame — for
+    * consumers that read several views of one maintenance result
+    * (e.g. [[graft.plans.SynopsisStats]] injections building key AND
+    * value synopses): each `maintain` call, even the no-op fast path,
+    * costs a feed listing plus the consumed-file anti-join job, so a
+    * multi-view consumer should pay it once. */
+  private[graft] def keyStatsViewOf(table: DataFrame): DataFrame =
+    table.filter(col("nu") > 0)
       .select(col("event_type"), col("d"), col("nu"),
         col("umin"), col("umax"), col("ksf"))
 

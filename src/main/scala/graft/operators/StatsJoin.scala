@@ -207,8 +207,12 @@ object StatsJoin {
     * window — except here it closes itself. */
   private def injectStats(spark: SparkSession, dir: String,
       tbls: Map[String, String]): Unit = {
-    val keySyns = JoinSynopsis.fromTable(spark, dir)
-    val valSyns = ValueSynopsis.fromTable(spark, dir)
+    // ONE maintenance resolution feeds both synopsis families (each
+    // maintain call, even a no-op, pays the feed listing + consumed
+    // anti-join job — measured ~0.4 s apiece at sf10)
+    val t = KmvTable.maintain(spark, dir)
+    val keySyns = JoinSynopsis.fromTable(spark, dir, Some(t))
+    val valSyns = ValueSynopsis.fromTable(spark, dir, Some(t))
     injectFor(spark, tbls("view"), keySyns("view"), valSyns.get("view"), None)
     injectFor(spark, tbls("click"), keySyns("click"), valSyns.get("click"),
       Some(keySyns("view")))

@@ -116,11 +116,16 @@ object JoinSynopsis {
     * feed-built ones). Population contract as everywhere in the
     * family: the caller of [[build]] filters null keys; the table
     * already does. */
-  def fromTable(spark: org.apache.spark.sql.SparkSession, dir: String)
-      : Map[String, KeySynopsis] = {
+  def fromTable(spark: org.apache.spark.sql.SparkSession, dir: String,
+      table: Option[DataFrame] = None): Map[String, KeySynopsis] = {
     import org.apache.spark.sql.Row
     val k = graft.operators.KmvTable.K
-    val rows = graft.operators.KmvTable.keyStatsView(spark, dir).collect()
+    // `table`: an already-maintained frame, so multi-view consumers
+    // (key + value synopses off one maintenance) pay maintain() once
+    val rows = table
+      .map(graft.operators.KmvTable.keyStatsViewOf)
+      .getOrElse(graft.operators.KmvTable.keyStatsView(spark, dir))
+      .collect()
     rows.groupBy(_.getString(0)).flatMap { case (t, rs) =>
       val n = rs.map(_.getLong(2)).sum
       if (n == 0L) None

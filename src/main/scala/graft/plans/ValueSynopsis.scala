@@ -138,10 +138,12 @@ object ValueSynopsis {
     * field-by-field, histogram included). nullCount is 0 by
     * construction — the table's population already excludes null
     * value/event_id rows; inject over a population, not the raw feed. */
-  def fromTable(spark: SparkSession, dir: String): Map[String, ValueSynopsis] = {
+  def fromTable(spark: SparkSession, dir: String,
+      table: Option[DataFrame] = None): Map[String, ValueSynopsis] = {
     import org.apache.spark.sql.Row
     val k = graft.operators.KmvTable.K
-    val rows = graft.operators.KmvTable.maintain(spark, dir)
+    // `table`: an already-maintained frame (see JoinSynopsis.fromTable)
+    val rows = table.getOrElse(graft.operators.KmvTable.maintain(spark, dir))
       .select(col("event_type"), col("smp"), col("kv"), col("n"),
         col("vmin"), col("vmax"))
       .collect()
