@@ -193,10 +193,22 @@ object KmvTable {
     listParts(spark, dir)
       .map(f => s"${f.name}\t${f.len}\t${f.mtime}").mkString("\n")
 
+  /** The feed's part files as (identity-line, path) pairs — the
+    * identity lines are exactly [[feedStamp]]'s, so a consumer that
+    * persisted a stamp can diff it against this listing to find the
+    * APPEND DELTA's concrete paths ([[StatsJoin]]'s incremental layout
+    * maintenance). */
+  private[graft] def partFilesWithStamp(
+      spark: SparkSession, dir: String): Seq[(String, String)] =
+    listParts(spark, dir)
+      .map(f => (s"${f.name}\t${f.len}\t${f.mtime}", f.path))
+
   private val GenRe = "gen-(\\d+)".r
 
-  /** Highest generation number with a `_COMMITTED` marker, if any. */
-  private def latestCommitted(
+  /** Highest generation number with a `_COMMITTED` marker, if any.
+    * Shared with [[StatsJoin]]'s layout maintenance (same generation
+    * naming + commit contract). */
+  private[graft] def latestCommitted(
       fs: org.apache.hadoop.fs.FileSystem, root: String): Option[Long] = {
     val rp = new org.apache.hadoop.fs.Path(root)
     if (!fs.exists(rp)) return None

@@ -33,23 +33,35 @@ import graft.sources.Tables
   * join order against [[JoinSynopsis.cheapestJoinFirst]]'s rank-1
   * schedule, fixture and sf10.
   *
-  * The per-type TABLES are a durable layout of the corpus
-  * (`pt=<type>/` parquet, the partition-by-type layout any production
-  * events pipeline lands anyway), stamped with the feed's file
-  * identity ([[KmvTable.feedStamp]]) and rebuilt only when the corpus
-  * changes — registered as external catalog tables because catalog
-  * statistics attach to catalog tables (that is where ANALYZE writes).
-  * At 100 TB: the layout is one map-only repartition of the feed paid
-  * once per corpus (the analogue of the maintenance scan), the
-  * statistics injection is KB-sized driver metadata, and the query
-  * itself ships with whatever join order the statistics justify —
-  * which is the whole point.
+  * The per-type TABLES are a durable, INCREMENTALLY-maintained layout
+  * of the corpus (`pt=<type>/pd=<day>/` parquet — the
+  * partition-by-type-and-day layout any production events pipeline
+  * lands anyway), maintained under the KmvTable consistency contract:
+  * consumed-file identity tracking, manifest GENERATIONS (an append
+  * reads only the new feed files and REWRITES only the touched
+  * (type, day) partitions into a fresh committed generation; untouched
+  * partitions ride forward by manifest reference), atomic `_COMMITTED`
+  * markers, reference sweeping with one-prior retention for in-flight
+  * readers, and full rebuild on corpus MUTATION. The catalog side is
+  * Spark-native: each type is an external PARTITIONED catalog table
+  * whose per-partition LOCATIONs point into the owning generation dirs
+  * — the manifest expressed as Spark's own partition metadata, synced
+  * per session on registration (catalog statistics attach to catalog
+  * tables: that is where ANALYZE writes). At 100 TB: the layout pays
+  * one read per feed file EVER plus O(touched partitions) per append
+  * (StatsLayoutSpec pins the file counts), the statistics injection is
+  * KB-sized driver metadata, and the query itself ships with whatever
+  * join order the statistics justify — which is the whole point.
   */
 object StatsJoin {
 
-  /** Typed-layout rebuilds in this JVM (spec observable: a fresh-stamp
-    * call must not rebuild). */
+  /** FULL layout builds in this JVM — initial build or mutation-forced
+    * rebuild (spec observable: a fresh-stamp call must not rebuild,
+    * and an APPEND must not count here). */
   private[graft] val layoutBuilds = new AtomicLong
+  /** Feed part files read by layout maintenance in this JVM (spec
+    * observable: an append must scan exactly the appended files). */
+  private[graft] val layoutFilesScanned = new AtomicLong
 
   /** `spark.graft.stats.cbo` (default on): the A/B knob for the
     * measured stats-on vs stats-off delta — off, q169 neither injects
@@ -65,83 +77,280 @@ object StatsJoin {
     spark.conf.getOption("spark.graft.evlayout.dir")
       .getOrElse(sys.props("java.io.tmpdir") + s"/graft_ev_layout/${md5hex(dir)}")
 
-  /** Materialize the per-type layout of the events feed (user-keyed
-    * join columns only: user_id, d, v-cents; null-user rows dropped —
-    * they can never satisfy the equi-join) and return its data root
-    * containing `pt=<type>/` dirs. GENERATIONAL, the KmvTable rule: the
-    * data root is `gen-<stampHash>/`, committed by an atomic
-    * `_COMMITTED` create, and the PRIOR generation survives one
-    * rebuild (in-flight lazy readers of the old layout — a stale-stamp
-    * rebuild must never delete files a resolved plan still references).
-    * Older generations are swept. A crash mid-write leaves an
-    * uncommitted dir the next call overwrites. */
-  def ensureTypedLayout(spark: SparkSession, dir: String): String = synchronized {
+  private def esc(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
+  private def unesc(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
+
+  private def readText(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+      finally in.close()
+    }
+  }
+
+  private def writeText(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, s: String): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(path), false)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  private val GenRe = "gen-(\\d+)".r
+
+  /** Bring the per-type layout up to date with `dir`'s feed and return
+    * the live partition map: (type, day) → owning partition dir. The
+    * KmvTable maintenance contract, applied to ROWS instead of
+    * sketches (data columns user_id / d / v-cents + the type, under
+    * shadow partition dirs `pt=<type>/pd=<day>`; null-user rows
+    * dropped — they can never satisfy the equi-join):
+    *
+    *  - consumed-file identity (name, len, mtime): a no-op returns by
+    *    manifest reference with ZERO feed reads; an APPEND reads only
+    *    the new files, merges only the touched (type, day) partitions
+    *    (prior partition rows ∪ new rows — the layout mirrors the
+    *    append-only feed, so the merge is a plain union) and writes
+    *    only them into gen-(n+1); a MUTATED corpus forces a full
+    *    rebuild;
+    *  - the manifest (`gen<TAB>type<TAB>day`, escaped) maps every live
+    *    partition to its owning generation; commit = atomic
+    *    `_COMMITTED` create; sweep keeps generations referenced by the
+    *    new OR the prior committed manifest (in-flight lazy readers),
+    *    and clears uncommitted leftovers of crashed runs first. */
+  def ensureTypedLayout(spark: SparkSession, dir: String)
+      : Map[(String, String), String] = synchronized {
     val root = layoutRoot(spark, dir)
     val rp = new org.apache.hadoop.fs.Path(root)
     val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val gen = s"gen-${md5hex(KmvTable.feedStamp(spark, dir)).take(12)}"
-    val dataDir = s"$root/$gen"
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dataDir/_COMMITTED")))
-      return dataDir
-    layoutBuilds.incrementAndGet()
-    Tables.events(spark, dir)
-      .filter(col("user_id").isNotNull)
-      .select(col("event_type").as("pt"), col("user_id"),
-        to_date(col("ts")).as("d"),
-        when(col("value").isNotNull,
-          (col("value").cast("decimal(18,2)") * lit(100)).cast("long")).as("v"))
-      .write.mode("overwrite").partitionBy("pt").parquet(dataDir)
-    fs.create(new org.apache.hadoop.fs.Path(s"$dataDir/_COMMITTED"), false)
-      .close()
-    // keep this generation + the newest committed prior; sweep the rest
-    val gens = fs.listStatus(rp).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
-      .sortBy(_.getModificationTime)
-    val keep = gens.map(_.getPath.getName).filter(_ != gen).takeRight(1).toSet + gen
-    gens.filterNot(s => keep(s.getPath.getName))
-      .foreach(s => fs.delete(s.getPath, true))
-    dataDir
+    def partDir(g: Long, t: String, d: String): String =
+      s"$root/gen-$g/parts/pt=${esc(t)}/pd=${esc(d)}"
+    def dirsOf(m: Map[(String, String), Long]): Map[(String, String), String] =
+      m.map { case ((t, d), g) => (t, d) -> partDir(g, t, d) }
+    // one-time migration sweep: the pre-manifest layout used
+    // gen-<stampHash> dir names the numeric sweeps can never match —
+    // left alone they leak a corpus-scale dir forever (the KmvTable
+    // legacy-migration contract: stale dirs deleted, not lingering)
+    if (fs.exists(rp)) fs.listStatus(rp).toSeq.foreach { s =>
+      val n = s.getPath.getName
+      if (s.isDirectory && n.startsWith("gen-") &&
+          !GenRe.pattern.matcher(n).matches()) {
+        fs.delete(s.getPath, true); ()
+      }
+    }
+    val parts = KmvTable.partFilesWithStamp(spark, dir)
+    val curSet = parts.map(_._1).toSet
+    val committed: Option[Long] = KmvTable.latestCommitted(fs, root)
+    val priorManifest: Map[(String, String), Long] = committed.toSeq.flatMap { g =>
+      readText(fs, s"$root/gen-$g/manifest").toSeq.flatMap(
+        _.split("\n").iterator.filter(_.nonEmpty).map { line =>
+          val Array(gen, t, d) = line.split("\t", 3)
+          (unesc(t), unesc(d)) -> gen.toLong
+        })
+    }.toMap
+    val priorConsumed: Set[String] = committed.flatMap(g =>
+      readText(fs, s"$root/gen-$g/consumed"))
+      .map(_.split("\n").iterator.filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    if (committed.isDefined && priorConsumed == curSet)
+      return dirsOf(priorManifest)
+    // a consumed file no longer listed with the same identity means the
+    // corpus was MUTATED, not appended — full rebuild (as in KmvTable)
+    val mutated = committed.isEmpty || !priorConsumed.subsetOf(curSet)
+    if (mutated) layoutBuilds.incrementAndGet()
+    val newPaths =
+      if (mutated) parts.map(_._2)
+      else parts.collect { case (l, p) if !priorConsumed(l) => p }
+    layoutFilesScanned.addAndGet(newPaths.size)
+    val base: Map[(String, String), Long] =
+      if (mutated) Map.empty else priorManifest
+    val nextN = committed.getOrElse(-1L) + 1
+    def sweepGens(pred: Long => Boolean): Unit =
+      if (fs.exists(rp)) fs.listStatus(rp).toSeq.foreach { s =>
+        s.getPath.getName match {
+          case GenRe(n) if pred(n.toLong) => fs.delete(s.getPath, true); ()
+          case _ => ()
+        }
+      }
+    sweepGens(_ >= nextN) // uncommitted leftovers of crashed runs
+    // generation COMPACTION (the KmvTable rule at row scale): when the
+    // prospective manifest would reference more than
+    // spark.graft.layout.maxGenerations (16) generations, this run
+    // rewrites EVERY live partition into the new generation — bounding
+    // both the directory fan-out and the dead superseded-partition
+    // copies that retained generations otherwise accumulate. For a ROW
+    // layout this is a table-sized rewrite (unlike the KB sketch
+    // table), but it amortizes to O(corpus / maxGenerations) per
+    // append and the feed is never re-read (files_scanned still counts
+    // only the new files).
+    val maxGens = spark.conf.getOption("spark.graft.layout.maxGenerations")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ >= 1).getOrElse(16)
+    val schema = "et STRING, user_id BIGINT, d DATE, v BIGINT"
+    def readPartitions(m: Map[(String, String), Long]): Option[DataFrame] =
+      if (m.isEmpty) None
+      else Some(spark.read.schema(schema)
+        .parquet(m.toSeq.sortBy(_._1).map { case ((t, d), g) =>
+          partDir(g, t, d) }: _*)
+        .withColumn("pd", col("d").cast("string")))
+    // the file-subset read needs the ts physical-type conf SET (the
+    // normalizeEventsTs precondition — Tables.events does this for
+    // whole-feed readers; a fresh session reaching this path first
+    // would otherwise die on INT64 TIMESTAMP(NANOS) footers)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // rows with a null type or timestamp have no partition home —
+    // excluded from the layout's population (and from q169's oracle
+    // frame, which states the same filters); the corpus carries
+    // neither, so the gate hashes are unchanged
+    def projected(paths: Seq[String]): DataFrame =
+      Tables.normalizeEventsTs(spark.read.parquet(paths: _*))
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull &&
+          col("ts").isNotNull)
+        .select(col("event_type").as("et"), col("user_id"),
+          to_date(col("ts")).as("d"),
+          when(col("value").isNotNull,
+            (col("value").cast("decimal(18,2)") * lit(100)).cast("long"))
+            .as("v"))
+        .withColumn("pd", col("d").cast("string"))
+    /** The (type, day) partition dirs a write actually produced —
+      * listed, not pre-collected, so the FULL-build path stays one
+      * feed scan (no touched-keys pass). */
+    def writtenKeys(n: Long): Set[(String, String)] = {
+      val pp = new org.apache.hadoop.fs.Path(s"$root/gen-$n/parts")
+      if (!fs.exists(pp)) Set.empty
+      else fs.listStatus(pp).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("pt="))
+        .flatMap { pt =>
+          val t = unesc(pt.getPath.getName.stripPrefix("pt="))
+          fs.listStatus(pt.getPath).toSeq
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("pd="))
+            .map(pd => (t, unesc(pd.getPath.getName.stripPrefix("pd="))))
+        }.toSet
+    }
+    val manifest: Map[(String, String), Long] =
+      if (newPaths.isEmpty) base
+      else if (base.isEmpty) {
+        // full build / rebuild: ONE feed scan straight to the writer;
+        // the manifest is the written partition listing
+        projected(newPaths)
+          .withColumn("pt", col("et"))
+          .write.mode("overwrite").partitionBy("pt", "pd")
+          .parquet(s"$root/gen-$nextN/parts")
+        writtenKeys(nextN).iterator.map(_ -> nextN).toMap
+      } else {
+        // APPEND: the touched keys gate which prior partitions ride in,
+        // so they must be known BEFORE the write — cache the (small)
+        // new-file scan: the touched collect and the generation write
+        // both consume it (the KmvTable rule)
+        val newRows = projected(newPaths).cache()
+        try {
+          import spark.implicits._
+          val touched: Set[(String, String)] = newRows
+            .select(col("et"), col("pd")).distinct()
+            .as[(String, String)].collect().toSet
+          val untouchedOwned = base -- touched
+          val compact =
+            (untouchedOwned.values.toSet + nextN).size > maxGens
+          // prior rows ride in by manifest reference — O(touched) on
+          // the append path, every live partition on a compaction. The
+          // files carry et/d as data columns (shadow partition dirs),
+          // so a multi-dir read needs no per-dir bookkeeping.
+          val carryIn =
+            if (compact) base
+            else base.filter { case (k, _) => touched.contains(k) }
+          val pre = readPartitions(carryIn)
+            .map(_.unionByName(newRows)).getOrElse(newRows)
+          pre
+            .withColumn("pt", col("et"))
+            .write.mode("overwrite").partitionBy("pt", "pd")
+            .parquet(s"$root/gen-$nextN/parts")
+          if (compact)
+            (base.keySet ++ touched).iterator.map(_ -> nextN).toMap
+          else (base -- touched) ++ touched.iterator.map(_ -> nextN)
+        } finally { newRows.unpersist(); () }
+      }
+    writeText(fs, s"$root/gen-$nextN/consumed",
+      parts.map(_._1).mkString("\n"))
+    writeText(fs, s"$root/gen-$nextN/manifest",
+      manifest.toSeq.sortBy(_._1)
+        .map { case ((t, d), g) => s"$g\t${esc(t)}\t${esc(d)}" }
+        .mkString("\n"))
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$root/gen-$nextN/_COMMITTED"), false).close()
+    val live = manifest.values.toSet ++ priorManifest.values.toSet ++
+      committed.toSet + nextN
+    sweepGens(n => !live.contains(n))
+    dirsOf(manifest)
   }
 
-  /** Register one external catalog table per event type over the
-    * CURRENT layout generation (a table found pointing at a prior
-    * generation is dropped and re-created — external tables cannot be
-    * re-pointed in place; refreshed every call so a rebuilt layout is
-    * never read through a stale cached relation). Returns
-    * type → table name; names carry a corpus-dir hash so the three
-    * gate scales coexist in one session catalog, and sanitized names
-    * are required collision-free (two types folding onto one
-    * case-insensitive identifier would silently serve one type's rows
-    * for the other). */
+  /** Register one external PARTITIONED catalog table per event type and
+    * sync its per-partition LOCATIONs to the layout manifest (Spark's
+    * own partition metadata carrying the generation mapping): new
+    * partitions are ADDed, re-pointed ones SET, vanished ones DROPped —
+    * a per-session metadata sync, no data IO. Returns type → table
+    * name; names carry a corpus-dir hash so the three gate scales
+    * coexist in one session catalog, and sanitized names are required
+    * collision-free (two types folding onto one case-insensitive
+    * identifier would silently serve one type's rows for the other). */
   def registerTypedTables(spark: SparkSession, dir: String): Map[String, String] = {
-    val dataRoot = ensureTypedLayout(spark, dir)
-    val fs = new org.apache.hadoop.fs.Path(dataRoot)
+    val partitions = ensureTypedLayout(spark, dir)
+    val root = layoutRoot(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val id8 = md5hex(dir).take(8)
-    def esc(v: String): String =
-      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
-    def unesc(v: String): String =
-      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
-    val types = fs.listStatus(new org.apache.hadoop.fs.Path(dataRoot)).toSeq
-      .collect { case s if s.isDirectory && s.getPath.getName.startsWith("pt=") =>
-        unesc(s.getPath.getName.stripPrefix("pt=")) }
-      .sorted
+    val types = partitions.keysIterator.map(_._1).toSeq.distinct.sorted
     def safe(t: String): String =
       t.map(ch => if (ch.isLetterOrDigit) ch else '_').toLowerCase
     require(types.map(safe).distinct.size == types.size,
       s"event types collide after identifier sanitization: $types")
+    // URI-normalized compare: catalog locations come back as file:/…
+    // (or file:///…) URIs while the manifest holds plain paths
+    def normalize(loc: String): String =
+      new org.apache.hadoop.fs.Path(loc).toUri.getPath.stripSuffix("/")
+    // a type that vanished on a corpus MUTATION must lose its table —
+    // its partition locations point at generations the sweep reclaims
+    val liveNames = types.map(t => s"graft_ev_${safe(t)}_$id8").toSet
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(n => n.startsWith("graft_ev_") && n.endsWith(s"_$id8") &&
+        !liveNames.contains(n))
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
     types.map { t =>
       val tbl = s"graft_ev_${safe(t)}_$id8"
-      val loc = s"$dataRoot/pt=${esc(t)}"
+      if (!spark.catalog.tableExists(tbl)) {
+        val base = s"$root/tables/${safe(t)}"
+        fs.mkdirs(new org.apache.hadoop.fs.Path(base))
+        spark.sql(
+          s"""CREATE TABLE $tbl (user_id BIGINT, d DATE, v BIGINT, pd STRING)
+             |USING parquet PARTITIONED BY (pd) LOCATION '$base'""".stripMargin)
+      }
       val id = org.apache.spark.sql.catalyst.TableIdentifier(tbl)
-      val stale = spark.catalog.tableExists(tbl) &&
-        scala.util.Try(spark.sessionState.catalog.getTableMetadata(id)
-          .location.toString).toOption
-          .exists(l => !l.stripSuffix("/").endsWith(loc.stripPrefix("file:")))
-      if (stale) spark.sql(s"DROP TABLE IF EXISTS $tbl")
-      spark.sql(
-        s"""CREATE TABLE IF NOT EXISTS $tbl (user_id BIGINT, d DATE, v BIGINT)
-           |USING parquet LOCATION '$loc'""".stripMargin)
+      val catalog = spark.sessionState.catalog
+      val want: Map[String, String] = partitions.collect {
+        case ((tt, dd), loc) if tt == t => dd -> loc }
+      val have = catalog.listPartitions(id)
+        .map(p => p.spec("pd") -> p).toMap
+      val toDrop = have.keySet -- want.keySet
+      if (toDrop.nonEmpty)
+        spark.sql(s"ALTER TABLE $tbl DROP IF EXISTS " +
+          toDrop.toSeq.sorted.map(d => s"PARTITION (pd='$d')").mkString(", "))
+      val toAdd = want.filter { case (dd, _) => !have.contains(dd) }
+      if (toAdd.nonEmpty)
+        spark.sql(s"ALTER TABLE $tbl ADD IF NOT EXISTS " +
+          toAdd.toSeq.sorted.map { case (dd, loc) =>
+            s"PARTITION (pd='$dd') LOCATION '$loc'" }.mkString(" "))
+      // re-points batch through ONE alterPartitions call — an append
+      // can touch every partition (the worst case), and one catalog
+      // call beats O(partitions) sequential ALTER statements
+      val toRepoint = want.toSeq.flatMap { case (dd, loc) =>
+        have.get(dd).filter(p => normalize(p.location.toString) != normalize(loc))
+          .map(p => p.copy(storage = p.storage.copy(
+            locationUri = Some(new java.net.URI(
+              new org.apache.hadoop.fs.Path(loc).toUri.toString)))))
+      }
+      if (toRepoint.nonEmpty) catalog.alterPartitions(id, toRepoint)
       spark.catalog.refreshTable(tbl)
       t -> tbl
     }.toMap
@@ -192,19 +401,10 @@ object StatsJoin {
     }
   }
 
-  /** (Re-)inject every statistic q169's plan consumes for already-
-    * registered tables, all table-served (KB of driver work) — the
-    * unit [[graft.plans.SynopsisStats.registerRefresh]] re-fires after
-    * each maintenance commit. Deliberately STATS-ONLY: the catalog
-    * numbers refresh eagerly in the maintenance call itself (zero
-    * stale window), while the corpus-scale typed LAYOUT rebuilds
-    * lazily on the next q169 call's stamp check (the IVF-index
-    * posture) — a refresher that re-laid-out the corpus would turn
-    * every O(touched) append into an O(corpus) rewrite. Between the
-    * append and the next q169 call the tables serve the pre-append
-    * rows under post-append statistics; planner statistics are
-    * estimates, and that window is exactly an ordinary stale-ANALYZE
-    * window — except here it closes itself. */
+  /** (Re-)inject every statistic q169's plan consumes, all served from
+    * the maintained sketch table (KB of driver work) — the unit
+    * [[graft.plans.SynopsisStats.registerRefresh]] re-fires (together
+    * with the layout sync) after each maintenance commit. */
   private def injectStats(spark: SparkSession, dir: String,
       tbls: Map[String, String]): Unit = {
     // ONE maintenance resolution feeds both synopsis families (each
@@ -236,8 +436,14 @@ object StatsJoin {
       s"corpus lacks the q169 event types: ${tbls.keys.toSeq.sorted}")
     if (statsCboOn(spark)) {
       injectStats(spark, dir, tbls)
+      // the refresher keeps BOTH tiers current from the maintenance
+      // commit itself: the layout sync is an O(touched-partitions)
+      // incremental append (ensureTypedLayout's manifest path — never
+      // an O(corpus) re-layout) and the statistics are KB-sized
+      // table-served injections, so an appended corpus leaves zero
+      // stale window for data OR statistics beyond the run
       SynopsisStats.registerRefresh(dir, "q169_stats") { sp =>
-        injectStats(sp, dir, tbls)
+        injectStats(sp, dir, registerTypedTables(sp, dir))
       }
     } else {
       tbls.values.foreach { t =>
@@ -266,7 +472,8 @@ object StatsJoin {
        |  SELECT event_type, user_id, CAST(ts AS DATE) AS d,
        |    CASE WHEN value IS NOT NULL
        |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END AS v
-       |  FROM events WHERE user_id IS NOT NULL)
+       |  FROM events WHERE user_id IS NOT NULL
+       |    AND event_type IS NOT NULL AND ts IS NOT NULL)
        |SELECT v.d AS d, CAST(COUNT(*) AS BIGINT) AS n_rows,
        |  CAST(COUNT(DISTINCT v.user_id) AS BIGINT) AS n_users,
        |  CAST(SUM(c.v) AS BIGINT) AS sum_click_cents
