@@ -53,13 +53,20 @@ run env SPARK_GRAFT_SF_DIR=/tmp/sf10 SPARK_GRAFT_REPS=1 \
 run sbt -batch "testOnly graft.StatsJoinCboSpec"
 
 # streaming statistics aggregates: state rows == groups at 1x and 100x
-# group cardinality on RocksDB
+# group cardinality on RocksDB (complete = no-eviction ceiling), plus
+# the production append-mode eviction plateau at 100x
 for AGG in kmvfreq quantile; do
   run env SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
     sbt -batch "runMain graft.StatsStateScale $AGG 1"
   run env SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
     sbt -batch "runMain graft.StatsStateScale $AGG 100"
+  run env SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+    sbt -batch "runMain graft.StatsStateScale $AGG 100 append"
 done
+
+# the typed layout's incremental-maintenance cost profile at sf10
+run env SPARK_GRAFT_SF_DIR=/tmp/sf10 SPARK_GRAFT_APPEND_DIR=/root/testdata/sf0.1 \
+  sbt -batch "runMain graft.LayoutScale"
 
 # closing gate
 run sbt -batch test
