@@ -71,6 +71,31 @@ class StatsJoinCboSpec extends SparkSpec {
         s"stats-on plan must schedule the filtered purchase join first, got $onInner")
       val rowsOn = dfOn.collect().toSeq
       assert(rowsOn.nonEmpty)
+      // the selectivity input to that decision: Catalyst's OWN estimate
+      // of the filtered purchase side (through the injected histogram)
+      // must land near the true filtered count — the q168 histogram
+      // artifact consumed inside a declared query's plan
+      val pTbl = StatsJoin.q169StatsJoinOrder(spark, Sf).queryExecution
+        .analyzed.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+              if r.catalogTable.exists(_.identifier.table.contains("purchase")) =>
+            r.catalogTable.get.identifier.table
+        }.head
+      val truePf = spark.table(pTbl)
+        .filter(col("v") >= StatsJoin.ThresholdCents).count()
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      try {
+        val est = spark.table(pTbl)
+          .filter(col("v") >= StatsJoin.ThresholdCents)
+          .queryExecution.optimizedPlan.stats.rowCount
+        assert(est.isDefined, "the filter must carry a CBO rowCount")
+        // the fixture sample is k=64, so the histogram is coarse: the
+        // estimate must be the right ORDER (within 4x of truth and far
+        // under the unfiltered table), not uniform-interpolation garbage
+        assert(est.get.toLong <= truePf * 4 + 4 &&
+          est.get.toLong * 20 < spark.table(pTbl).count(),
+          s"histogram-driven estimate must land near truth: est=$est true=$truePf")
+      } finally spark.conf.unset("spark.sql.cbo.enabled")
 
       val (offInner, rowsOff) = withConfs("spark.graft.stats.cbo" -> "false") {
         val d = StatsJoin.q169StatsJoinOrder(spark, Sf)
