@@ -2037,6 +2037,7 @@ object Layout {
     "q166_key_stats"    -> (KmvTable.q166KeyStats _),
     "q168_table_histogram" -> (q168TableHistogram _),
     "q169_stats_join_order" -> (StatsJoin.q169StatsJoinOrder _),
+    "q170_stats_star_order" -> (StatsJoin.q170StatsStarOrder _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2064,5 +2065,6 @@ object Layout {
     "q166_key_stats"    -> KmvTable.q166Sql,
     "q168_table_histogram" -> q168Sql,
     "q169_stats_join_order" -> StatsJoin.q169Sql,
+    "q170_stats_star_order" -> StatsJoin.q170Sql,
   )
 }

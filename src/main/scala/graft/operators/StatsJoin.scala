@@ -62,6 +62,49 @@ object StatsJoin {
   /** Feed part files read by layout maintenance in this JVM (spec
     * observable: an append must scan exactly the appended files). */
   private[graft] val layoutFilesScanned = new AtomicLong
+  /** Full register+sync passes (layout maintenance, catalog-table
+    * sweep, partition-metadata diff) in this JVM — spec observable for
+    * the feed-stamp memo: a repeat call on an unchanged corpus must be
+    * a pure memo hit, issuing ZERO catalog listings or feed work. */
+  private[graft] val regSyncs = new AtomicLong
+  /** Statistics injections actually performed (spec observable for the
+    * stats-stamp short-circuit: unchanged stamp → no injection;
+    * stale stamp → re-inject). */
+  private[graft] val statsInjections = new AtomicLong
+
+  /** (sharedState, layoutRoot) → (feedStamp, type → catalog table) —
+    * the ROOT, not the corpus dir, because a conf-overridden
+    * `spark.graft.evlayout.dir` (spec isolation) changes which physical
+    * layout the same corpus's tables must point at. Catalog
+    * tables, their partitions, and their statistics all live in the
+    * SHARED external catalog, so the memo keys on the shared state —
+    * a child session (q169/q170 run their SQL in one) sees the same
+    * entries. Per-call freshness reduces to one feed listing: the
+    * stamp IS ensureTypedLayout's no-op condition, so a hit skips the
+    * layout listing-and-anti-join, the vanished-table sweep, and the
+    * per-type partition diff (~0.5 s + O(catalog) metadata at sf10,
+    * 100% of the steady-state premium the r12 verdict flagged). */
+  private val regMemo = new java.util.concurrent.ConcurrentHashMap[
+    (AnyRef, String), (String, Map[String, String])]()
+  /** (sharedState, layoutRoot, consumerName) → feedStamp at last
+    * injection.
+    * Separate keys per consumer: q169 and q170 inject disjoint table
+    * treatments and must not skip on each other's stamps. */
+  private val statsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (AnyRef, String, String), String]()
+
+  /** Spec/teardown hook: drop the stamp memos so the next call re-syncs
+    * and re-injects (a spec that perturbs catalog stats or drops tables
+    * must clear first — the CacheManager-lesson discipline applied to
+    * this memo tier). */
+  def clearMemo(): Unit = { regMemo.clear(); statsMemo.clear() }
+
+  /** Layout maintenance serializes per layout ROOT, not JVM-globally: a
+    * cold corpus-scale build (~23 s at sf10) must not block concurrent
+    * sessions maintaining OTHER corpora (the r12 verdict's lock-scope
+    * nit); two writers of the SAME root still serialize. */
+  private val rootLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** `spark.graft.stats.cbo` (default on): the A/B knob for the
     * measured stats-on vs stats-off delta — off, q169 neither injects
@@ -122,8 +165,15 @@ object StatsJoin {
     *    new OR the prior committed manifest (in-flight lazy readers),
     *    and clears uncommitted leftovers of crashed runs first. */
   def ensureTypedLayout(spark: SparkSession, dir: String)
-      : Map[(String, String), String] = synchronized {
+      : Map[(String, String), String] = {
     val root = layoutRoot(spark, dir)
+    rootLocks.computeIfAbsent(root, _ => new Object).synchronized {
+      ensureTypedLayoutLocked(spark, dir, root)
+    }
+  }
+
+  private def ensureTypedLayoutLocked(spark: SparkSession, dir: String,
+      root: String): Map[(String, String), String] = {
     val rp = new org.apache.hadoop.fs.Path(root)
     val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def partDir(g: Long, t: String, d: String): String =
@@ -296,6 +346,21 @@ object StatsJoin {
     * collision-free (two types folding onto one case-insensitive
     * identifier would silently serve one type's rows for the other). */
   def registerTypedTables(spark: SparkSession, dir: String): Map[String, String] = {
+    // the stamp (one feed listStatus) is the ONLY per-call cost on an
+    // unchanged corpus: it is exactly ensureTypedLayout's no-op
+    // condition, so a memo hit can skip the layout resolution, the
+    // vanished-table sweep, and the partition-metadata diff wholesale.
+    // Tables are re-checked for existence (point lookups, not
+    // listings) so a spec that dropped one falls through to a re-sync.
+    val stamp = KmvTable.feedStamp(spark, dir)
+    val memoKey = (spark.sharedState: AnyRef, layoutRoot(spark, dir))
+    Option(regMemo.get(memoKey)) match {
+      case Some((s, tbls)) if s == stamp &&
+          tbls.values.forall(spark.catalog.tableExists) =>
+        return tbls
+      case _ => ()
+    }
+    regSyncs.incrementAndGet()
     val partitions = ensureTypedLayout(spark, dir)
     val root = layoutRoot(spark, dir)
     val fs = new org.apache.hadoop.fs.Path(root)
@@ -311,13 +376,18 @@ object StatsJoin {
     def normalize(loc: String): String =
       new org.apache.hadoop.fs.Path(loc).toUri.getPath.stripSuffix("/")
     // a type that vanished on a corpus MUTATION must lose its table —
-    // its partition locations point at generations the sweep reclaims
+    // its partition locations point at generations the sweep reclaims.
+    // The listing is PATTERN-SCOPED to this corpus's name family (the
+    // r12 verdict nit: the unscoped listTables().collect() paid
+    // O(session catalog) metadata on every call) and only runs on this
+    // re-sync path — a fresh-stamp call memo-returns above it.
     val liveNames = types.map(t => s"graft_ev_${safe(t)}_$id8").toSet
-    spark.catalog.listTables().collect().map(_.name)
-      .filter(n => n.startsWith("graft_ev_") && n.endsWith(s"_$id8") &&
-        !liveNames.contains(n))
+    spark.sessionState.catalog
+      .listTables(spark.catalog.currentDatabase, s"graft_ev_*_$id8")
+      .map(_.table)
+      .filterNot(liveNames.contains)
       .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
-    types.map { t =>
+    val out = types.map { t =>
       val tbl = s"graft_ev_${safe(t)}_$id8"
       if (!spark.catalog.tableExists(tbl)) {
         val base = s"$root/tables/${safe(t)}"
@@ -354,6 +424,8 @@ object StatsJoin {
       spark.catalog.refreshTable(tbl)
       t -> tbl
     }.toMap
+    regMemo.put(memoKey, (stamp, out))
+    out
   }
 
   /** value >= 200.00 — ~1.6% of purchase rows at every gate scale:
@@ -382,7 +454,7 @@ object StatsJoin {
     * against the fact. */
   private def injectFor(spark: SparkSession, table: String,
       syn: graft.plans.KeySynopsis, vs: Option[ValueSynopsis],
-      factSyn: Option[graft.plans.KeySynopsis]): Unit = {
+      factSyns: Seq[graft.plans.KeySynopsis]): Unit = {
     val rowBytes = 24L // user_id + d + v
     val extra = vs.map { v =>
       // the layout's v column is null exactly where value was null;
@@ -391,33 +463,43 @@ object StatsJoin {
       Map("v" -> SynopsisStats.valueStat(v).copy(
         nullCount = Some(BigInt(math.max(0L, syn.rows - v.rows)))))
     }.getOrElse(Map.empty)
-    factSyn match {
-      case Some(f) => SynopsisStats.injectCalibrated(
-        spark, table, syn, "user_id", f, avgRowBytes = rowBytes,
-        extraCols = extra)
-      case None => SynopsisStats.inject(
-        spark, table, syn.rows, Map("user_id" -> syn),
+    if (factSyns.isEmpty)
+      SynopsisStats.inject(spark, table, syn.rows, Map("user_id" -> syn),
         avgRowBytes = rowBytes, extraCols = extra)
+    else {
+      // fresh calibration epoch: this injector calibrates the dim's
+      // FULL live fact set right here, so stale entries (a fact that
+      // vanished with a corpus mutation) must not survive in the MAX
+      SynopsisStats.resetCalibration(table, "user_id")
+      factSyns.foreach(f => SynopsisStats.injectCalibrated(
+        spark, table, syn, "user_id", f, avgRowBytes = rowBytes,
+        extraCols = extra))
     }
   }
 
-  /** (Re-)inject every statistic q169's plan consumes, all served from
-    * the maintained sketch table (KB of driver work) — the unit
-    * [[graft.plans.SynopsisStats.registerRefresh]] re-fires (together
-    * with the layout sync) after each maintenance commit. */
+  /** (Re-)inject every statistic a stats-planned query consumes, all
+    * served from the maintained sketch table (KB of driver work) — the
+    * unit [[graft.plans.SynopsisStats.registerRefresh]] re-fires
+    * (together with the layout sync) after each maintenance commit.
+    * `plain` tables get the ANALYZE-equivalent injection; each
+    * `calibrated` (dim, facts) pair gets the frequency-skew effective
+    * cardinality, MAX-accumulated across its facts. */
   private def injectStats(spark: SparkSession, dir: String,
-      tbls: Map[String, String]): Unit = {
+      tbls: Map[String, String], plain: Seq[String],
+      calibrated: Seq[(String, Seq[String])]): Unit = {
+    statsInjections.incrementAndGet()
     // ONE maintenance resolution feeds both synopsis families (each
     // maintain call, even a no-op, pays the feed listing + consumed
     // anti-join job — measured ~0.4 s apiece at sf10)
     val t = KmvTable.maintain(spark, dir)
     val keySyns = JoinSynopsis.fromTable(spark, dir, Some(t))
     val valSyns = ValueSynopsis.fromTable(spark, dir, Some(t))
-    injectFor(spark, tbls("view"), keySyns("view"), valSyns.get("view"), None)
-    injectFor(spark, tbls("click"), keySyns("click"), valSyns.get("click"),
-      Some(keySyns("view")))
-    injectFor(spark, tbls("purchase"), keySyns("purchase"),
-      valSyns.get("purchase"), Some(keySyns("view")))
+    plain.foreach(n =>
+      injectFor(spark, tbls(n), keySyns(n), valSyns.get(n), Nil))
+    calibrated.foreach { case (dim, facts) =>
+      injectFor(spark, tbls(dim), keySyns(dim), valSyns.get(dim),
+        facts.map(keySyns))
+    }
   }
 
   /** q169 — see object doc. Stats-on (default) this builds the
@@ -430,29 +512,61 @@ object StatsJoin {
     * identical SQL with NO statistics (any previously injected ones
     * are cleared — the A/B baseline must not ride an earlier stats-on
     * run's numbers) and no CBO — the literal-order baseline. */
-  def q169StatsJoinOrder(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared stats-planned runner: register the typed tables, bring the
+    * consumer's statistics up to date (short-circuited on an unchanged
+    * feed stamp — the r12 verdict's per-call-freshness ask: the
+    * refresher already re-injects on every maintenance commit, so a
+    * repeat call on an unchanged corpus pays ONE feed listing, not
+    * three maintains + synopsis collects + catalog writes), and run the
+    * literal SQL in a child session with CBO on. Stats-off: statistics
+    * cleared, the refresher UNREGISTERED (a maintenance commit landing
+    * between the clear and the lazy execution must not re-inject under
+    * the 'no stats' baseline), and the stamp memo invalidated so the
+    * next stats-on call re-injects from scratch. */
+  private def runStatsPlanned(spark: SparkSession, dir: String,
+      name: String, needed: Seq[String], plain: Seq[String],
+      calibrated: Seq[(String, Seq[String])],
+      sql: Map[String, String] => String): DataFrame = {
     val tbls = registerTypedTables(spark, dir)
-    require(Seq("view", "click", "purchase").forall(tbls.contains),
-      s"corpus lacks the q169 event types: ${tbls.keys.toSeq.sorted}")
+    require(needed.forall(tbls.contains),
+      s"corpus lacks the $name event types: ${tbls.keys.toSeq.sorted}")
     if (statsCboOn(spark)) {
-      injectStats(spark, dir, tbls)
+      val stamp = KmvTable.feedStamp(spark, dir)
+      val key = (spark.sharedState: AnyRef, layoutRoot(spark, dir), name)
+      if (!Option(statsMemo.get(key)).contains(stamp)) {
+        injectStats(spark, dir, tbls, plain, calibrated)
+        statsMemo.put(key, stamp)
+      }
       // the refresher keeps BOTH tiers current from the maintenance
       // commit itself: the layout sync is an O(touched-partitions)
       // incremental append (ensureTypedLayout's manifest path — never
       // an O(corpus) re-layout) and the statistics are KB-sized
       // table-served injections, so an appended corpus leaves zero
-      // stale window for data OR statistics beyond the run
-      SynopsisStats.registerRefresh(dir, "q169_stats") { sp =>
-        injectStats(sp, dir, registerTypedTables(sp, dir))
+      // stale window for data OR statistics beyond the run. It also
+      // advances the stamp memo: the commit it fired from IS the new
+      // feed state, so the next query call short-circuits again.
+      SynopsisStats.registerRefresh(dir, s"${name}_stats") { sp =>
+        val t = registerTypedTables(sp, dir)
+        injectStats(sp, dir, t, plain, calibrated)
+        statsMemo.put((sp.sharedState: AnyRef, layoutRoot(sp, dir), name),
+          KmvTable.feedStamp(sp, dir))
+        ()
       }
     } else {
-      tbls.values.foreach { t =>
+      SynopsisStats.unregisterRefresh(dir, s"${name}_stats")
+      // the clear below wipes stats on tables OTHER consumers may share
+      // (view rides in both q169 and q170) — every consumer's stamp
+      // memo for this root must fall, or a later stats-on call of the
+      // other query would skip re-injection over the cleared tables
+      val root = layoutRoot(spark, dir)
+      statsMemo.keySet.removeIf(k =>
+        k._1.eq(spark.sharedState) && k._2 == root)
+      needed.map(tbls).foreach { t =>
         spark.sessionState.catalog.alterTableStats(
           org.apache.spark.sql.catalyst.TableIdentifier(t), None)
         spark.catalog.refreshTable(t)
       }
     }
-    val (vT, cT, pT) = (tbls("view"), tbls("click"), tbls("purchase"))
     val s = spark.newSession()
     if (statsCboOn(spark)) {
       s.conf.set("spark.sql.cbo.enabled", "true")
@@ -460,9 +574,16 @@ object StatsJoin {
     }
     // the child session resolves the tables through its own relation
     // cache — refresh so it sees this call's layout + statistics
-    Seq(vT, cT, pT).foreach(t => s.catalog.refreshTable(t))
-    s.sql(q169Query(vT, cT, pT))
+    needed.map(tbls).foreach(t => s.catalog.refreshTable(t))
+    s.sql(sql(tbls))
   }
+
+  def q169StatsJoinOrder(spark: SparkSession, dir: String): DataFrame =
+    runStatsPlanned(spark, dir, "q169",
+      needed = Seq("view", "click", "purchase"),
+      plain = Seq("view"),
+      calibrated = Seq("click" -> Seq("view"), "purchase" -> Seq("view")),
+      sql = t => q169Query(t("view"), t("click"), t("purchase")))
 
   /** DuckDB oracle: the identical 3-way join computed straight off the
     * raw feed (the layout is a projection of it — same `CAST(ts AS
@@ -484,4 +605,61 @@ object StatsJoin {
        |  ON v.user_id = p.user_id
        |WHERE p.v >= $ThresholdCents
        |GROUP BY v.d ORDER BY d""".stripMargin
+
+  /** q170 — the STAR shape planned from the catalog (r12 verdict #6):
+    * q169 proved Catalyst executes the synopsis schedule for a
+    * one-fact/two-dim chain; this closes the loop on the shape
+    * [[graft.plans.SynopsisStats.injectCalibrated]]'s MAX-accumulation
+    * exists for — ONE shared dimension (signup) calibrated against TWO
+    * facts (error, view). Both calibrations are recorded and the
+    * injected rows_eff is their max: exact for the hot-aligned pair,
+    * a conservative over-estimate for the other — never the
+    * under-estimate that the pre-r12 last-writer-wins handed the first
+    * fact. The query is again WRITTEN in the bad literal order (the
+    * two unfiltered relations join first; the 98%-selective view
+    * filter joins last); with the calibrated dim stats + the view
+    * value histogram, CostBasedJoinReorder schedules the filtered view
+    * side first (StatsStarCboSpec pins the executed order at fixture
+    * and sf10, and pins the dim's injected rowCount == the MAX over
+    * both spec-computed per-fact calibrations). Stats off, the literal
+    * order stands — the same A/B knob as q169. */
+  private[graft] def q170Query(eT: String, sT: String, vT: String): String =
+    s"""SELECT e.d AS d, COUNT(*) AS n_rows,
+       |  COUNT(DISTINCT s.user_id) AS n_users,
+       |  SUM(e.v) AS sum_error_cents
+       |FROM $eT e
+       |JOIN $sT s ON e.user_id = s.user_id
+       |JOIN $vT v ON s.user_id = v.user_id
+       |WHERE v.v >= $ThresholdCents
+       |GROUP BY e.d
+       |ORDER BY d""".stripMargin
+
+  def q170StatsStarOrder(spark: SparkSession, dir: String): DataFrame =
+    runStatsPlanned(spark, dir, "q170",
+      needed = Seq("error", "signup", "view"),
+      // view's plain injection is IDENTICAL to q169's (same synopsis,
+      // same histogram) — the two consumers never fight over a table
+      plain = Seq("error", "view"),
+      calibrated = Seq("signup" -> Seq("error", "view")),
+      sql = t => q170Query(t("error"), t("signup"), t("view")))
+
+  /** DuckDB oracle: the identical star computed straight off the raw
+    * feed (same projection contract as [[q169Sql]]). */
+  val q170Sql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, user_id, CAST(ts AS DATE) AS d,
+       |    CASE WHEN value IS NOT NULL
+       |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END AS v
+       |  FROM events WHERE user_id IS NOT NULL
+       |    AND event_type IS NOT NULL AND ts IS NOT NULL)
+       |SELECT e.d AS d, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS n_users,
+       |  CAST(SUM(e.v) AS BIGINT) AS sum_error_cents
+       |FROM (SELECT * FROM ev WHERE event_type = 'error') e
+       |JOIN (SELECT * FROM ev WHERE event_type = 'signup') s
+       |  ON e.user_id = s.user_id
+       |JOIN (SELECT * FROM ev WHERE event_type = 'view') v
+       |  ON s.user_id = v.user_id
+       |WHERE v.v >= $ThresholdCents
+       |GROUP BY e.d ORDER BY d""".stripMargin
 }

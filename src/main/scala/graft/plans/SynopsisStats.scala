@@ -144,6 +144,20 @@ object SynopsisStats {
 
   def clearRefresh(): Unit = refreshers.clear()
 
+  /** Remove one named refresher for `dir` (no-op if absent). The
+    * stats-OFF arm of an A/B consumer needs this: clearing a table's
+    * catalog statistics is not enough if a registered refresher can
+    * re-inject them from a maintenance commit that lands between the
+    * clear and the lazy DataFrame's execution — the 'no stats'
+    * baseline would silently ride injected sizeInBytes. */
+  def unregisterRefresh(dir: String, name: String): Unit = {
+    refreshers.computeIfPresent(dir, (_, m) => {
+      val rest = m - name
+      if (rest.isEmpty) null else rest
+    })
+    ()
+  }
+
   /** Fired by [[graft.operators.KmvTable.maintain]] post-commit. A
     * refresher failure must not wedge the DATA maintenance that
     * already committed — it is reported, and the next maintenance (or
@@ -177,6 +191,20 @@ object SynopsisStats {
     new java.util.concurrent.ConcurrentHashMap[(String, String), Map[String, Long]]()
 
   def clearCalibrations(): Unit = calibrations.clear()
+
+  /** Drop every recorded calibration for one (dimTable, keyColumn) —
+    * the start-of-epoch reset an injector fires before re-calibrating
+    * a dimension whose corpus CHANGED. Without it a fact that stops
+    * being calibrated (vanished type after a corpus mutation, a
+    * consumer that no longer runs) leaves its stale rows_eff in the
+    * MAX forever: conservative direction, but unbounded staleness. An
+    * injector that re-calibrates ALL of a dimension's facts in one
+    * pass (the [[graft.operators.StatsJoin]] shape) resets first, so
+    * the accumulated MAX reflects exactly the live fact set. */
+  def resetCalibration(dimTable: String, keyColumn: String): Unit = {
+    calibrations.remove((dimTable, keyColumn))
+    ()
+  }
 
   /** Frequency-skew calibration for a dimension joined against a fact
     * (see object doc): the dimension's injected cardinality is scaled

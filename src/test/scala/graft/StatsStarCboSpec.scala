@@ -1,0 +1,204 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.functions._
+
+import graft.operators.{KmvTable, StatsJoin}
+import graft.plans.{JoinSynopsis, KeySynopsis}
+
+/** r12 verdict #6 — the STAR shape planned from the catalog: q170's
+  * shared dimension (signup) is calibrated against BOTH facts (error,
+  * view), so the injected rowCount is the MAX across the two recorded
+  * calibrations — the first *executed-plan* consumer of the r12
+  * last-calibration-wins fix. The query is written in the bad literal
+  * order (error ⋈ signup first); with calibrated stats + the view
+  * value histogram, CBO must schedule the filtered view side first.
+  * Stats-off the literal order stands and results are identical.
+  *
+  * Also pins the r12 verdict-#2 freshness short-circuit on the shared
+  * runner: an unchanged feed stamp skips BOTH the register/sync pass
+  * and the statistics injection; a stale stamp re-runs both and the
+  * re-injected statistics track the appended population; the stats-off
+  * arm unregisters the refresher so a maintenance commit can no longer
+  * re-inject under the 'no stats' baseline (r12 ADVICE).
+  */
+class StatsStarCboSpec extends SparkSpec {
+
+  private def innermostJoinTables(df: DataFrame): Set[String] = {
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    joins.find(j => j.children.forall(c =>
+        c.collect { case x: Join => x }.isEmpty))
+      .map(_.collectLeaves().collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if r.catalogTable.isDefined => r.catalogTable.get.identifier.table
+      }.toSet).getOrElse(Set.empty)
+  }
+
+  private def withConfs[T](pairs: (String, String)*)(f: => T): T = {
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally pairs.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
+  /** q170's exact calibration arithmetic, replicated spec-side. */
+  private def rowsEff(dim: KeySynopsis, fact: KeySynopsis): Long = {
+    val est = JoinSynopsis.joinEst(fact, dim)
+    val maxNdv = math.max(fact.distinctEst, dim.distinctEst)
+    math.max(1L, math.round(est * maxNdv / fact.rows.toDouble))
+  }
+
+  private def catalogRowCount(tbl: String): Option[Long] =
+    spark.sessionState.catalog.getTableMetadata(TableIdentifier(tbl))
+      .stats.flatMap(_.rowCount).map(_.toLong)
+
+  /** Rank-1 premise over the three first-join candidates the star
+    * offers (all on user_id): the filtered-view pair must be cheapest. */
+  private def rank1HasFilteredView(dir: String): Unit = {
+    val keySyns = JoinSynopsis.fromTable(spark, dir)
+    val vFilt = JoinSynopsis.build("v_filtered",
+      graft.sources.Tables.events(spark, dir)
+        .filter(col("user_id").isNotNull &&
+          col("event_type") === "view" &&
+          (col("value").cast("decimal(18,2)") * lit(100)).cast("long")
+            >= StatsJoin.ThresholdCents),
+      col("user_id"))
+    val ranked = JoinSynopsis.cheapestJoinFirst(Seq(
+      (keySyns("error"), keySyns("signup")),
+      (keySyns("signup"), vFilt),
+      (keySyns("error"), vFilt)))
+    assert(ranked.head._1._2.name === "v_filtered",
+      s"ranking premise: a filtered-view pair must be rank-1, got " +
+        ranked.map { case ((a, b), e) => s"${a.name}⋈${b.name}=$e" }
+          .mkString(", "))
+  }
+
+  test("q170: calibrated star stats schedule the filtered view first; " +
+      "the shared dim carries the MAX over both per-fact calibrations; " +
+      "stats-off keeps the literal order; results identical") {
+    withConfs(
+      "spark.graft.kmv.tableDir" -> TempDirs.create("graft_star_tbl"),
+      "spark.graft.evlayout.dir" -> TempDirs.create("graft_star_layout")) {
+      try {
+        StatsJoin.clearMemo()
+        rank1HasFilteredView(Sf)
+        val dfOn = StatsJoin.q170StatsStarOrder(spark, Sf)
+        val onInner = innermostJoinTables(dfOn)
+        assert(onInner.exists(_.contains("view")),
+          s"stats-on plan must schedule the filtered view join first, got $onInner")
+        val rowsOn = dfOn.collect().toSeq
+        assert(rowsOn.nonEmpty)
+        // the MAX-accumulation pin: signup's injected rowCount must be
+        // the max of its two per-fact effective cardinalities, computed
+        // here with the same table-served synopses q170 consumed
+        val keySyns = JoinSynopsis.fromTable(spark, Sf)
+        val want = math.max(
+          rowsEff(keySyns("signup"), keySyns("error")),
+          rowsEff(keySyns("signup"), keySyns("view")))
+        val sTbl = dfOn.queryExecution.analyzed.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+              if r.catalogTable.exists(_.identifier.table.contains("signup")) =>
+            r.catalogTable.get.identifier.table
+        }.head
+        assert(catalogRowCount(sTbl) === Some(want),
+          "the shared dim's injected rowCount must be the MAX across " +
+            "its recorded per-fact calibrations")
+        val (offInner, rowsOff) = withConfs("spark.graft.stats.cbo" -> "false") {
+          val d = StatsJoin.q170StatsStarOrder(spark, Sf)
+          (innermostJoinTables(d), d.collect().toSeq)
+        }
+        assert(offInner.exists(_.contains("error")) &&
+          offInner.exists(_.contains("signup")) &&
+          !offInner.exists(_.contains("view")),
+          s"stats-off must keep the literal (error join signup first) order, got $offInner")
+        assert(rowsOn === rowsOff, "the reorder must not change the result")
+      } finally {
+        graft.plans.SynopsisStats.clearRefresh()
+        StatsJoin.clearMemo()
+      }
+    }
+  }
+
+  private def ev(ids: Range, day: Int, types: Seq[String]) = {
+    import spark.implicits._
+    ids.map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-03-$day%02d 10:00:00"),
+        (i % 40).toLong, types(i % types.size), i / 10.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+  }
+  private val T = Seq("error", "signup", "view")
+
+  test("freshness short-circuit: an unchanged stamp skips sync and " +
+      "injection; a stale stamp re-runs both and the stats track the " +
+      "append; stats-off unregisters the refresher") {
+    val dir = TempDirs.create("graft_star_corp")
+    withConfs(
+      "spark.graft.kmv.tableDir" -> TempDirs.create("graft_star_tbl2"),
+      "spark.graft.evlayout.dir" -> TempDirs.create("graft_star_layout2")) {
+      try {
+        StatsJoin.clearMemo()
+        ev(1 to 600, 1, T).coalesce(1).write.parquet(s"$dir/events.parquet")
+        StatsJoin.q170StatsStarOrder(spark, dir).count()
+        val syncs0 = StatsJoin.regSyncs.get()
+        val inj0 = StatsJoin.statsInjections.get()
+        // unchanged stamp → pure memo hit: no sync, no injection
+        StatsJoin.q170StatsStarOrder(spark, dir).count()
+        assert(StatsJoin.regSyncs.get() === syncs0,
+          "an unchanged feed stamp must not re-run the register/sync pass")
+        assert(StatsJoin.statsInjections.get() === inj0,
+          "an unchanged feed stamp must not re-inject statistics")
+        // the view fact's injected rowCount == its key population
+        val tbls = StatsJoin.registerTypedTables(spark, dir)
+        val pop0 = spark.table(tbls("view")).count()
+        assert(catalogRowCount(tbls("view")) === Some(pop0))
+        // stale stamp → re-sync + re-inject, stats track the append
+        graft.streaming.EventsStream.landFeedFile(
+          ev(601 to 900, 2, Seq("view")), s"$dir/events.parquet", "append01")
+        StatsJoin.q170StatsStarOrder(spark, dir).count()
+        assert(StatsJoin.regSyncs.get() > syncs0,
+          "a stale feed stamp must re-run the register/sync pass")
+        assert(StatsJoin.statsInjections.get() > inj0,
+          "a stale feed stamp must re-inject statistics")
+        assert(catalogRowCount(tbls("view")) === Some(pop0 + 300),
+          "re-injected statistics must track the appended population")
+        // stats-off: stats cleared AND the refresher unregistered — a
+        // later maintenance commit must NOT re-inject the baseline away
+        withConfs("spark.graft.stats.cbo" -> "false") {
+          StatsJoin.q170StatsStarOrder(spark, dir).count()
+        }
+        assert(catalogRowCount(tbls("view")).isEmpty,
+          "stats-off must clear the fact's catalog statistics")
+        graft.streaming.EventsStream.landFeedFile(
+          ev(901 to 1000, 3, Seq("error")), s"$dir/events.parquet", "append02")
+        KmvTable.maintain(spark, dir).count()
+        assert(catalogRowCount(tbls("view")).isEmpty,
+          "a maintenance commit after stats-off must not re-inject " +
+            "(the refresher was unregistered)")
+      } finally {
+        graft.plans.SynopsisStats.clearRefresh()
+        StatsJoin.clearMemo()
+      }
+    }
+  }
+
+  test("q170 sf10: executed join order schedules the filtered view first " +
+      "(prewarmed replica)") {
+    val sf10 = "/tmp/sf10"
+    assume(new java.io.File(s"$sf10/events.parquet").exists,
+      "sf10 replica absent")
+    val root = KmvTable.tableRoot(spark, sf10)
+    val warm = Option(new java.io.File(root).listFiles()).exists(_.exists(g =>
+      g.getName.startsWith("gen-") &&
+        new java.io.File(g, KmvTable.FormatMarker).exists &&
+        new java.io.File(g, "_COMMITTED").exists))
+    assume(warm, "sf10 sketch table not prewarmed at the current format")
+    try {
+      rank1HasFilteredView(sf10)
+      val dfOn = StatsJoin.q170StatsStarOrder(spark, sf10)
+      val onInner = innermostJoinTables(dfOn)
+      assert(onInner.exists(_.contains("view")),
+        s"sf10 stats-on plan must schedule the filtered view first, got $onInner")
+      assert(dfOn.count() > 0)
+    } finally graft.plans.SynopsisStats.clearRefresh()
+  }
+}
