@@ -22,13 +22,19 @@ import graft.plans.{JoinSynopsis, SynopsisStats}
   *
   * The dims are KB-scale (reference `sql/schema.sql:12-45` — stations
   * and postal polygons are small reference tables), so one tiny scan
-  * at registration IS their ANALYZE; materialized once per (JVM,
-  * corpus) under a per-JVM root (the bronze-landing convention —
-  * re-landing under a shared root could delete files a concurrent
-  * session's analyzed frames still reference). At 100 TB the fact side
-  * grows; the dims stay dims — exactly the regime where a planner fed
-  * honest dimension statistics keeps broadcasting no matter what the
-  * fact's file sizes look like.
+  * at registration IS their ANALYZE. Registration is memoized per
+  * (shared catalog, corpus) on the SOURCE tables' file-identity stamp
+  * (r12 verdict #3: the DDL + two synopsis builds + two catalog
+  * injections used to re-run on every gold build, sitting on the hot
+  * q20–q32 path): a repeat call pays two listStatus, nothing else. The
+  * land dir is STAMP-ADDRESSED — a corpus regenerated in place
+  * mid-JVM lands fresh dims to a NEW dir (the r12 ADVICE staleness:
+  * the dims used to serve the first landing forever) while the old
+  * dir stays for concurrent sessions' in-flight analyzed frames
+  * (the bronze-landing convention). At 100 TB the fact side grows;
+  * the dims stay dims — exactly the regime where a planner fed honest
+  * dimension statistics keeps broadcasting no matter what the fact's
+  * file sizes look like.
   */
 object WeatherStats {
 
@@ -36,53 +42,100 @@ object WeatherStats {
     java.nio.file.Files.createTempDirectory("graft_wx_dims_")
       .toAbsolutePath.toString
 
-  private val registered = scala.collection.mutable.Set.empty[String]
+  /** Stamp-addressed land dirs already written in this JVM. */
+  private val landed = scala.collection.mutable.Set.empty[String]
 
-  private def id8(d: String): String =
+  /** (shared catalog, corpus dir) → source stamp at last registration:
+    * a hit means tables exist, point at this stamp's land dir, and
+    * carry honest injected statistics. */
+  private val dimMemo = new java.util.concurrent.ConcurrentHashMap[
+    (AnyRef, String), String]()
+
+  /** Spec hook: a test that perturbs the dims' catalog statistics must
+    * clear before re-calling [[dims]] to restore them (same discipline
+    * as the CacheManager lesson on memoized frames). */
+  def clearMemo(): Unit = dimMemo.clear()
+
+  private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def id8(d: String): String = md5hex(d).take(8)
+
+  /** File-identity stamp of the dims' SOURCE tables (customer feeds
+    * stations, nation feeds postal — [[WeatherSynth]]): two RPC-cheap
+    * listStatus, the same identity discipline as KmvTable.feedStamp. */
+  private def sourceStamp(s: SparkSession, d: String): String =
+    Seq("customer.parquet", "nation.parquet").map { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$d/$t")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val statuses =
+        if (fs.getFileStatus(p).isFile) Array(fs.getFileStatus(p))
+        else fs.listStatus(p)
+          .filter(x => x.isFile && !x.getPath.getName.startsWith("_"))
+      statuses.sortBy(_.getPath.getName)
+        .map(x => s"${x.getPath.getName}\t${x.getLen}\t${x.getModificationTime}")
+        .mkString("\n")
+    }.mkString("\n--\n")
 
   /** Catalog table names for a corpus dir (spec surface). */
   private[graft] def dimTableNames(d: String): (String, String) =
     (s"graft_wx_stations_${id8(d)}", s"graft_wx_postal_${id8(d)}")
 
   /** The stations + postal-centroid dims as catalog tables with
-    * injected synopsis statistics; (re-)injection runs on every call —
-    * KB-scale metadata, and the idempotent refresh keeps the stats
-    * honest if a spec perturbed them. */
+    * injected synopsis statistics; memoized on the source stamp —
+    * see object doc. */
   def dims(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    registered.synchronized {
+    landed.synchronized {
       val (stTbl, pcTbl) = dimTableNames(d)
-      val root = s"$dimRoot/${id8(d)}"
-      if (!registered(d)) {
-        // the DATA write is once per JVM (overwriting under a shared
-        // root could delete files a concurrent session's analyzed
-        // frames still reference) ...
+      val stamp = sourceStamp(s, d)
+      val memoKey = (s.sharedState: AnyRef, d)
+      if (Option(dimMemo.get(memoKey)).contains(stamp) &&
+          s.catalog.tableExists(stTbl) && s.catalog.tableExists(pcTbl))
+        return (s.table(stTbl), s.table(pcTbl))
+      val root = s"$dimRoot/${id8(d)}/${md5hex(stamp).take(8)}"
+      if (!landed(root)) {
+        // stamp-addressed: a regenerated corpus lands to a NEW dir (the
+        // old one stays — a concurrent session's analyzed frames may
+        // still read it); re-landing the SAME stamp is a no-op
         WeatherSynth.stations(s, d).coalesce(1)
           .write.mode("overwrite").parquet(s"$root/stations")
         WeatherSynth.postalCodes(s, d).coalesce(1)
           .write.mode("overwrite").parquet(s"$root/postal")
-        registered += d
+        landed += root
       }
-      // ... but the CATALOG entries are session-scoped state: a second
-      // SparkSession in this JVM must still get its tables created
-      // (IF NOT EXISTS keeps the common case a metadata no-op)
-      s.sql(
-        s"""CREATE TABLE IF NOT EXISTS $stTbl (
-           |  station_id STRING, station_name STRING, latitude DOUBLE,
-           |  longitude DOUBLE, altitude INT, source STRING)
-           |USING parquet LOCATION '$root/stations'""".stripMargin)
-      s.sql(
-        s"""CREATE TABLE IF NOT EXISTS $pcTbl (
-           |  postal_code STRING, city STRING,
-           |  centroid_lat DOUBLE, centroid_lon DOUBLE)
-           |USING parquet LOCATION '$root/postal'""".stripMargin)
+      // catalog entries are shared-catalog state, but a table created
+      // against an OLDER stamp points at the superseded land dir —
+      // re-point by drop + create (metadata only)
+      def normalize(loc: java.net.URI): String =
+        new org.apache.hadoop.fs.Path(loc).toUri.getPath.stripSuffix("/")
+      def ensureTable(tbl: String, cols: String, loc: String): Unit = {
+        if (s.catalog.tableExists(tbl)) {
+          val have = s.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(tbl)).location
+          if (normalize(have) !=
+              normalize(new org.apache.hadoop.fs.Path(loc).toUri))
+            s.sql(s"DROP TABLE $tbl")
+        }
+        s.sql(s"CREATE TABLE IF NOT EXISTS $tbl ($cols) " +
+          s"USING parquet LOCATION '$loc'")
+        ()
+      }
+      ensureTable(stTbl,
+        """station_id STRING, station_name STRING, latitude DOUBLE,
+          |longitude DOUBLE, altitude INT, source STRING""".stripMargin,
+        s"$root/stations")
+      ensureTable(pcTbl,
+        """postal_code STRING, city STRING,
+          |centroid_lat DOUBLE, centroid_lon DOUBLE""".stripMargin,
+        s"$root/postal")
       val synSt = JoinSynopsis.build(stTbl, s.table(stTbl), col("station_id"))
       SynopsisStats.inject(s, stTbl, synSt.rows,
         Map("station_id" -> synSt), avgRowBytes = 64)
       val synPc = JoinSynopsis.build(pcTbl, s.table(pcTbl), col("postal_code"))
       SynopsisStats.inject(s, pcTbl, synPc.rows,
         Map("postal_code" -> synPc), avgRowBytes = 48)
+      dimMemo.put(memoKey, stamp)
       (s.table(stTbl), s.table(pcTbl))
     }
 }

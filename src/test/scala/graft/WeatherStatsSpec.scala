@@ -57,6 +57,10 @@ class WeatherStatsSpec extends SparkSpec {
     // (found as an order-dependent in-suite failure; standalone runs had
     // no cached gold to match)
     WeatherQueries.clear()
+    // ... and the dim registration memo (same lesson, statistics tier):
+    // this spec perturbs and restores the dims' catalog statistics, so
+    // every dims() call below must actually re-inject
+    WeatherStats.clearMemo()
     val (st, pc) = WeatherStats.dims(spark, Sf)
     val (stTbl, pcTbl) = WeatherStats.dimTableNames(Sf)
     val stRows = st.count()
@@ -108,6 +112,7 @@ class WeatherStatsSpec extends SparkSpec {
       assert(big.queryExecution.sparkPlan.collect {
         case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
       }.nonEmpty, "the refused broadcast must fall back to a cartesian join")
+      WeatherStats.clearMemo()
       WeatherStats.dims(spark, Sf) // restore postal
 
       // (c) causality, J1: deflate stations to ~rows bytes — the join must
@@ -122,6 +127,7 @@ class WeatherStatsSpec extends SparkSpec {
         s"J1's build side must follow the injected size, got $bhjTiny")
     } finally {
       // restore honest statistics and confirm the original decisions
+      WeatherStats.clearMemo()
       WeatherStats.dims(spark, Sf)
       ()
     }
@@ -129,5 +135,49 @@ class WeatherStatsSpec extends SparkSpec {
     assert(bhjBack === bhj0 && bnljBack === bnlj0,
       "re-injecting the honest synopses must restore the original plan")
     assert(pcRows > 0 && stRows > 0)
+  }
+
+  test("dims registration is memoized on the source stamp; a mutated " +
+      "source re-lands and re-points (r12 verdict #3 + ADVICE)") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = TempDirs.create("graft_wx_corp")
+    def copy(t: String): Unit = {
+      Files.copy(Paths.get(s"$Sf/$t"), Paths.get(s"$dir/$t"),
+        StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+    Seq("customer.parquet", "nation.parquet").foreach(copy)
+    WeatherStats.clearMemo()
+    val (stTbl, _) = WeatherStats.dimTableNames(dir)
+    WeatherStats.dims(spark, dir)
+    val honest = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(stTbl)).stats
+    assert(honest.exists(_.rowCount.isDefined))
+    // memo hit: a direct perturbation SURVIVES a repeat dims call —
+    // proof the repeat call did none of the DDL/build/inject work
+    val syn = graft.plans.JoinSynopsis.build(
+      stTbl, spark.table(stTbl), col("station_id"))
+    SynopsisStats.inject(spark, stTbl, syn.rows,
+      Map("station_id" -> syn), avgRowBytes = 4096)
+    WeatherStats.dims(spark, dir)
+    val perturbed = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(stTbl)).stats
+    assert(perturbed.map(_.sizeInBytes) !== honest.map(_.sizeInBytes),
+      "an unchanged source stamp must be a pure memo hit (no re-injection)")
+    // mutate the SOURCE (customer feeds stations): fresh mtime/len →
+    // stale stamp → re-land to a new stamp-addressed dir, re-point the
+    // table, re-inject honest statistics — no clearMemo involved
+    val loc0 = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(stTbl)).location
+    graft.sources.Tables.customer(spark, Sf).limit(80).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val (st2, _) = WeatherStats.dims(spark, dir)
+    val loc1 = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(stTbl)).location
+    assert(loc1 !== loc0, "a mutated source must re-land to a new dir")
+    val restored = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(stTbl)).stats
+    assert(restored.exists(_.rowCount.contains(BigInt(st2.count()))),
+      "the re-pointed table must carry fresh honest statistics")
   }
 }
