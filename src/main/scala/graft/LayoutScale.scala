@@ -52,6 +52,24 @@ object LayoutScale {
       graft.sources.Tables.events(spark, appendDir),
       s"$work/events.parquet", "append01")
     timed("append")
+    // COMPACTION cost must track the COMPACTED SUBSET, not the table
+    // (r12 verdict #4): land two single-(type, day) appends, then cap
+    // generations at 2 — the third small append retires the
+    // fewest-partition generation (one day of one type), while the
+    // bulk generations ride by reference. compact ≈ append_small,
+    // both orders of magnitude under build.
+    import org.apache.spark.sql.functions._
+    def smallAppend(day: String, name: String): Unit =
+      graft.streaming.EventsStream.landFeedFile(
+        graft.sources.Tables.events(spark, appendDir)
+          .filter(col("event_type") === "view" &&
+            to_date(col("ts")) === lit(day).cast("date")),
+        s"$work/events.parquet", name)
+    smallAppend("2024-01-03", "append02")
+    timed("append_small")
+    spark.conf.set("spark.graft.layout.maxGenerations", "2")
+    smallAppend("2024-01-04", "append03")
+    timed("compact")
     spark.stop()
   }
 }

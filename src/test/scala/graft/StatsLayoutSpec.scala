@@ -91,6 +91,65 @@ class StatsLayoutSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.evlayout.dir")
   }
 
+  test("compaction is per-partition: only the fewest-partition " +
+      "generations fold; the bulk build generation rides by reference") {
+    val dir = TempDirs.create("graft_layout_corp3")
+    val lay = TempDirs.create("graft_layout_root3")
+    spark.conf.set("spark.graft.evlayout.dir", lay)
+    spark.conf.set("spark.graft.layout.maxGenerations", "2")
+    try {
+      ev(1 to 600, 1, T).coalesce(1).write.parquet(s"$dir/events.parquet")
+      StatsJoin.registerTypedTables(spark, dir) // gen-0: 3 types × day 1
+      graft.streaming.EventsStream.landFeedFile(
+        ev(601 to 700, 2, Seq("view")), s"$dir/events.parquet", "append01")
+      StatsJoin.registerTypedTables(spark, dir) // gen-1: view/day2 — at the bound
+      val scanned0 = StatsJoin.layoutFilesScanned.get()
+      val builds0 = StatsJoin.layoutBuilds.get()
+      // this append (view/day3) pushes live gens to {0, 1, 2}: gen-1 —
+      // the generation owning the FEWEST partitions (1) — must retire,
+      // its view/day2 folding into gen-2, while gen-0's three
+      // build-sized partitions ride by REFERENCE (oldest-first would
+      // fold the whole table here, and on every later bound hit too)
+      graft.streaming.EventsStream.landFeedFile(
+        ev(701 to 800, 3, Seq("view")), s"$dir/events.parquet", "append02")
+      val tbls = StatsJoin.registerTypedTables(spark, dir)
+      assert(StatsJoin.layoutFilesScanned.get() === scanned0 + 1,
+        "compaction must not re-read the feed")
+      assert(StatsJoin.layoutBuilds.get() === builds0,
+        "compaction is not a full rebuild")
+      val gen2 = new java.io.File(s"$lay/gen-2/parts")
+      val written = gen2.listFiles().filter(_.isDirectory).flatMap(pt =>
+        pt.listFiles().filter(_.isDirectory)
+          .map(pd => s"${pt.getName}/${pd.getName}")).toSet
+      assert(written === Set("pt=view/pd=2024-02-02", "pt=view/pd=2024-02-03"),
+        s"gen-2 must hold exactly the touched + retired-gen partitions, wrote $written")
+      // the bulk generation survives by reference: the catalog still
+      // points every day-1 partition at gen-0
+      val vLoc = spark.sessionState.catalog.listPartitions(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbls("view")))
+        .map(p => p.spec("pd") -> p.location.toString).toMap
+      assert(vLoc("2024-02-01").contains("gen-0"),
+        s"the bulk generation must ride by reference, got $vLoc")
+      assert(vLoc("2024-02-02").contains("gen-2") &&
+        vLoc("2024-02-03").contains("gen-2"))
+      // contents still equal the feed definition through the catalog
+      val got = tbls.toSeq.flatMap { case (t, tbl) =>
+        spark.table(tbl).collect().map(r =>
+          (t, r.getLong(0), r.getDate(1).toString, r.getLong(2))) }.toSet
+      val want = graft.sources.Tables.events(spark, dir)
+        .filter(col("user_id").isNotNull)
+        .select(col("event_type"), col("user_id"),
+          to_date(col("ts")).cast("string"),
+          (col("value").cast("decimal(18,2)") * lit(100)).cast("long"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getString(2), r.getLong(3))).toSet
+      assert(got === want)
+    } finally {
+      spark.conf.unset("spark.graft.evlayout.dir")
+      spark.conf.unset("spark.graft.layout.maxGenerations")
+    }
+  }
+
   test("compaction bounds generation fan-out without re-reading the feed") {
     val dir = TempDirs.create("graft_layout_corp2")
     val lay = TempDirs.create("graft_layout_root2")
