@@ -103,8 +103,11 @@ object KmvTable {
     * turned `ks` into the frequency-carrying `ksf` and added the
     * key-tier bundle (nu/umin/umax); format-4 added `kss`, the SALTED
     * frequency-KMV (r11 verdict #2 — q162's independent per-type
-    * draws, see the schema comment). */
-  private[graft] val FormatMarker = "format-4"
+    * draws, see the schema comment); format-5 added `nuv`, the
+    * user∧value non-null population (r12 ADVICE — the exact
+    * null-complement for a key-framed value column, so injected value
+    * nullCounts stop being a bound). */
+  private[graft] val FormatMarker = "format-5"
 
   /** Part files scanned by maintenance in this JVM (spec observable). */
   private[graft] val filesScanned = new AtomicLong
@@ -164,7 +167,13 @@ object KmvTable {
     // bounds min/max.
     StructField("nu", LongType),
     StructField("umin", LongType),
-    StructField("umax", LongType)))
+    StructField("umax", LongType),
+    // format-5: rows with user_id AND value both non-null — the exact
+    // complement for the null count of a value column framed over the
+    // key population (the typed layout's `v`: its population is the
+    // user-non-null frame, but `n` counts the value∧event_id frame, so
+    // n could only bound the nullCount). Adds like nu.
+    StructField("nuv", LongType)))
 
   private[graft] def tableRoot(spark: SparkSession, dir: String): String =
     spark.conf.getOption("spark.graft.kmv.tableDir").getOrElse {
@@ -275,7 +284,7 @@ object KmvTable {
       spark.read.schema(tableSchema).parquet(dirs: _*)
         .select(col("event_type"), col("d"), col("ksf"), col("kss"), col("smp"),
           col("kv"), col("n"), col("vmin"), col("vmax"),
-          col("nu"), col("umin"), col("umax"))
+          col("nu"), col("umin"), col("umax"), col("nuv"))
     }
 
   /** Partitions this JVM's last maintenance REWROTE (spec observable
@@ -390,6 +399,11 @@ object KmvTable {
         max(when(col("he").isNotNull, col("v"))).as("vmax"),
         // key-tier bundle: the user population and key-domain bounds
         count(col("u")).as("nu"),
+        // format-5: the user∧value non-null population (v is non-null
+        // exactly where value was) — exact nullCount complement for
+        // key-framed value columns
+        count(when(col("u").isNotNull && col("v").isNotNull, lit(1)))
+          .as("nuv"),
         min(col("u")).as("umin"),
         max(col("u")).as("umax"))
       .cache()
@@ -423,7 +437,7 @@ object KmvTable {
               s"$root/gen-${baseManifest(rel)}/parts/$rel"): _*)
             .select(col("event_type"), col("d"), col("ksf"), col("kss"), col("smp"),
               col("kv"), col("n"), col("vmin"), col("vmax"),
-              col("nu"), col("umin"), col("umax"))
+              col("nu"), col("umin"), col("umax"), col("nuv"))
         val pre = bTouched.unionByName(newDaily)
         // frequency-KMV partials merge through the SAME aggregate with
         // the stored count as the weight: counts ADD per hash, and a
@@ -459,7 +473,7 @@ object KmvTable {
           .groupBy(col("event_type"), col("d"))
           .agg(sum(col("n")).as("n"),
             min(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"),
-            sum(col("nu")).as("nu"),
+            sum(col("nu")).as("nu"), sum(col("nuv")).as("nuv"),
             min(col("umin")).as("umin"), max(col("umax")).as("umax"))
         // anchor the merge on the full TOUCHED key set, not on the
         // aggregates: explode/inline ELIMINATE a group whose arrays are
@@ -485,6 +499,7 @@ object KmvTable {
             coalesce(col("n"), lit(0L)).as("n"),
             col("vmin"), col("vmax"),
             coalesce(col("nu"), lit(0L)).as("nu"),
+            coalesce(col("nuv"), lit(0L)).as("nuv"),
             col("umin"), col("umax"))
     }
     // sweep uncommitted leftovers from a crashed run, then land the new
@@ -526,7 +541,7 @@ object KmvTable {
             .map(rel => s"$root/gen-${baseManifest(rel)}/parts/$rel"): _*)
           .select(col("event_type"), col("d"), col("ksf"), col("kss"), col("smp"),
             col("kv"), col("n"), col("vmin"), col("vmax"),
-            col("nu"), col("umin"), col("umax")))
+            col("nu"), col("umin"), col("umax"), col("nuv")))
     val writtenRel =
       if (compact) touchedRel ++ untouchedOwned.keySet else touchedRel
     lastRewrittenPartitions.set(writtenRel)
@@ -628,6 +643,17 @@ object KmvTable {
     table.filter(col("nu") > 0)
       .select(col("event_type"), col("d"), col("nu"),
         col("umin"), col("umax"), col("ksf"))
+
+  /** Per-type user∧value non-null population (Σ `nuv`) off an
+    * already-maintained frame — the exact complement for a key-framed
+    * value column's nullCount ([[graft.operators.StatsJoin]] injects
+    * `rows − uv` where the pre-format-5 shape could only bound it from
+    * the value∧event_id population). KB-scale aggregate over the
+    * sketch table. */
+  private[graft] def uvPopulations(table: DataFrame): Map[String, Long] =
+    table.groupBy(col("event_type"))
+      .agg(coalesce(sum(col("nuv")), lit(0L)).as("uv"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
   /** q151 — the maintained table as an oracled query: per (type, day)
     * sketch columns + estimate, with exact anchors from the raw feed

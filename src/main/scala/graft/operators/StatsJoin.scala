@@ -473,14 +473,18 @@ object StatsJoin {
     * against the fact. */
   private def injectFor(spark: SparkSession, table: String,
       syn: graft.plans.KeySynopsis, vs: Option[ValueSynopsis],
+      uvRows: Option[Long],
       factSyns: Seq[graft.plans.KeySynopsis]): Unit = {
     val rowBytes = 24L // user_id + d + v
     val extra = vs.map { v =>
-      // the layout's v column is null exactly where value was null;
-      // its population differs from the synopsis's (value ∧ event_id
-      // non-null) only by degenerate rows — a statistics-grade bound
+      // the layout's v column is null exactly where value was null,
+      // over the user-non-null frame — `uvRows` (the table's format-5
+      // user∧value population) makes the injected nullCount EXACT;
+      // the fallback (value∧event_id population) is the pre-format-5
+      // statistics-grade bound (r12 ADVICE)
       Map("v" -> SynopsisStats.valueStat(v).copy(
-        nullCount = Some(BigInt(math.max(0L, syn.rows - v.rows)))))
+        nullCount = Some(BigInt(math.max(0L,
+          syn.rows - uvRows.getOrElse(v.rows))))))
     }.getOrElse(Map.empty)
     if (factSyns.isEmpty)
       SynopsisStats.inject(spark, table, syn.rows, Map("user_id" -> syn),
@@ -513,11 +517,12 @@ object StatsJoin {
     val t = KmvTable.maintain(spark, dir)
     val keySyns = JoinSynopsis.fromTable(spark, dir, Some(t))
     val valSyns = ValueSynopsis.fromTable(spark, dir, Some(t))
+    val uv = KmvTable.uvPopulations(t)
     plain.foreach(n =>
-      injectFor(spark, tbls(n), keySyns(n), valSyns.get(n), Nil))
+      injectFor(spark, tbls(n), keySyns(n), valSyns.get(n), uv.get(n), Nil))
     calibrated.foreach { case (dim, facts) =>
       injectFor(spark, tbls(dim), keySyns(dim), valSyns.get(dim),
-        facts.map(keySyns))
+        uv.get(dim), facts.map(keySyns))
     }
   }
 

@@ -119,11 +119,17 @@ class StatsStarCboSpec extends SparkSpec {
     }
   }
 
+  /** Null users and null values on independent residues: rows with a
+    * NULL user but non-null value exist, so the pre-format-5 nullCount
+    * bound (key population − value∧event_id population) UNDERestimates
+    * and the exact-`nuv` pin below discriminates (r12 ADVICE). */
   private def ev(ids: Range, day: Int, types: Seq[String]) = {
     import spark.implicits._
     ids.map { i =>
       (i.toLong, java.sql.Timestamp.valueOf(f"2024-03-$day%02d 10:00:00"),
-        (i % 40).toLong, types(i % types.size), i / 10.0)
+        if (i % 11 == 0) None else Some((i % 40).toLong),
+        types(i % types.size),
+        if (i % 7 == 0) None else Some(i / 10.0))
     }.toDF("event_id", "ts", "user_id", "event_type", "value")
   }
   private val T = Seq("error", "signup", "view")
@@ -147,10 +153,22 @@ class StatsStarCboSpec extends SparkSpec {
           "an unchanged feed stamp must not re-run the register/sync pass")
         assert(StatsJoin.statsInjections.get() === inj0,
           "an unchanged feed stamp must not re-inject statistics")
-        // the view fact's injected rowCount == its key population
+        // the view fact's injected rowCount == its key population, and
+        // its injected v nullCount is EXACT (the format-5 nuv tier):
+        // the fixture carries null-user∧non-null-value rows, where the
+        // pre-format-5 value∧event_id bound provably underestimates
         val tbls = StatsJoin.registerTypedTables(spark, dir)
         val pop0 = spark.table(tbls("view")).count()
         assert(catalogRowCount(tbls("view")) === Some(pop0))
+        def vNullStat(): Option[BigInt] =
+          spark.sessionState.catalog.getTableMetadata(
+            TableIdentifier(tbls("view"))).stats
+            .flatMap(_.colStats.get("v")).flatMap(_.nullCount)
+        val exactNulls = spark.table(tbls("view"))
+          .filter(col("v").isNull).count()
+        assert(vNullStat() === Some(BigInt(exactNulls)),
+          "the injected value nullCount must equal the layout's exact " +
+            "null population, not the value∧event_id bound")
         // stale stamp → re-sync + re-inject, stats track the append
         graft.streaming.EventsStream.landFeedFile(
           ev(601 to 900, 2, Seq("view")), s"$dir/events.parquet", "append01")
@@ -159,8 +177,12 @@ class StatsStarCboSpec extends SparkSpec {
           "a stale feed stamp must re-run the register/sync pass")
         assert(StatsJoin.statsInjections.get() > inj0,
           "a stale feed stamp must re-inject statistics")
-        assert(catalogRowCount(tbls("view")) === Some(pop0 + 300),
+        assert(catalogRowCount(tbls("view")) ===
+          Some(spark.table(tbls("view")).count()),
           "re-injected statistics must track the appended population")
+        assert(vNullStat() === Some(BigInt(
+          spark.table(tbls("view")).filter(col("v").isNull).count())),
+          "the exact nullCount must track the append too")
         // stats-off: stats cleared AND the refresher unregistered — a
         // later maintenance commit must NOT re-inject the baseline away
         withConfs("spark.graft.stats.cbo" -> "false") {
