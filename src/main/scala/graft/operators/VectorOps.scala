@@ -473,6 +473,39 @@ object VectorOps {
       (base.sparkSession.sparkContext.applicationId, dir),
       _ => loadOrBuild(base.sparkSession, dir, "full-assign")(nearestCell(base, cents)))
 
+  /** q135's persisted incremental-index artifacts (centroids trained on
+    * the standing set + its per-cell counts), memoized like the full
+    * index — shared between the query and [[prewarmIvfIndex]] so the
+    * prewarm can never drift from the keys the query actually uses. */
+  private def incCents(spark: SparkSession, dir: String, old: DataFrame): DataFrame =
+    centsCache.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir + "|inc"),
+      _ => loadOrBuild(spark, dir, "inc-cents")(trainCents(old)))
+
+  private def incCellCounts(spark: SparkSession, dir: String,
+      old: DataFrame, cents: DataFrame): DataFrame =
+    centsCache.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir + "|inc|nold"), _ =>
+        loadOrBuild(spark, dir, "inc-cellcounts")(
+          nearestCell(old, cents)
+            .groupBy(col("cell")).agg(count(lit(1)).as("n_old"))))
+
+  /** Bench prewarm (r12 verdict #1): materialize the four DURABLE IVF
+    * index artifacts (q57's full-corpus centroids + assignment, q135's
+    * incremental centroids + standing cell counts) so a cold /tmp index
+    * pays its one-time train under its own priced key instead of inside
+    * the first consumer's timed rep — q57 read 5.4 s in BENCH_r12 vs
+    * 1.0 in r11 and the artifact could not say why. When the index is
+    * already on disk this is four parquet loads, ~0 s. */
+  def prewarmIvfIndex(spark: SparkSession, dir: String): Unit = {
+    val base = vecs(spark, dir, "")
+    val cents = kmeansCents(dir, base)
+    corpusCells(dir, base, cents).count()
+    val old = base.filter(col("id") % 10 =!= 7)
+    incCellCounts(spark, dir, old, incCents(spark, dir, old)).count()
+    ()
+  }
+
   /** IvfIters rounds of deterministic spherical k-means over `base`
     * (`id`, `v`, `nrm`); returns (`c_id`, `c_v`, `c_nrm`). Each round is
     * one slim broadcast-assignment pass + one posexplode/groupBy mean;
@@ -610,9 +643,7 @@ object VectorOps {
     val all = vecs(spark, dir, "")
     val old = all.filter(col("id") % 10 =!= 7)
     val batch = all.filter(col("id") % 10 === 7)
-    val cents = centsCache.computeIfAbsent(
-      (spark.sparkContext.applicationId, dir + "|inc"),
-      _ => loadOrBuild(spark, dir, "inc-cents")(trainCents(old)))
+    val cents = incCents(spark, dir, old)
     // standing-set per-cell counts are part of the persisted index —
     // written to disk ONCE with the centroids ([[loadOrBuild]]) and
     // loaded on every nightly run, including from a fresh JVM. Without
@@ -622,11 +653,7 @@ object VectorOps {
     // batch assignment, O(batch × K) — the incremental contract the
     // operator exists for. Values are identical either way (the store
     // persists the same aggregation), so the oracle is untouched.
-    val nOld = centsCache.computeIfAbsent(
-      (spark.sparkContext.applicationId, dir + "|inc|nold"), _ =>
-        loadOrBuild(spark, dir, "inc-cellcounts")(
-          nearestCell(old, cents)
-            .groupBy(col("cell")).agg(count(lit(1)).as("n_old"))))
+    val nOld = incCellCounts(spark, dir, old, cents)
     val nNew = nearestCell(batch, cents)
       .groupBy(col("cell")).agg(count(lit(1)).as("n_added"))
     nOld.join(nNew, Seq("cell"), "full")
