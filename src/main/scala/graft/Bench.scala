@@ -80,11 +80,20 @@ object Bench {
     // feed-stale layout would otherwise pay its one-time corpus
     // repartition inside the first timed rep — priced as its own key
     var prewarmLayout = 0.0
-    if (Seq("q169_stats_join_order", "q170_stats_star_order").exists(selected)) {
+    if (Seq("q169_stats_join_order", "q170_stats_star_order",
+        "q171_stats_broadcast").exists(selected)) {
       val tw = System.nanoTime()
       graft.operators.StatsJoin.ensureTypedLayout(spark, sfDir)
       prewarmLayout = (System.nanoTime() - tw) / 1e9
       System.err.println(s"[bench] prewarm_typed_layout ${fmt(prewarmLayout)}")
+    }
+    // the durable z-clustered layout (q172), same convention
+    var prewarmZ = 0.0
+    if (selected("q172_zorder_prune")) {
+      val tw = System.nanoTime()
+      graft.operators.ZIndex.ensure(spark, sfDir)
+      prewarmZ = (System.nanoTime() - tw) / 1e9
+      System.err.println(s"[bench] prewarm_zindex ${fmt(prewarmZ)}")
     }
     // the durable IVF index (q57/q135), same convention (r12 verdict #1:
     // q57 read 5.4 s vs 1.0 warm and only prose could say the /tmp index
@@ -207,7 +216,7 @@ object Bench {
     val total =
       (if (results.nonEmpty) results.values.map(_._1).filter(_ >= 0).sum
        else 0.0) +
-        prewarmLsh + prewarmKmv + prewarmLayout + prewarmIvf
+        prewarmLsh + prewarmKmv + prewarmLayout + prewarmIvf + prewarmZ
     // per-lane totals (prewarm is a batch-lane artifact build)
     val streamTotal = results.collect {
       case (n, (v, _)) if isStreaming(n) && v >= 0 => v }.sum
@@ -240,7 +249,7 @@ object Bench {
     // memo builds) and the machine-load/GC indicators make the summary
     // self-attributing: min-based totals that drift while gc/load sit
     // in band indict the plans; a drift that tracks load_end/gc does not
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"prewarm_lsh_pairs":${fmt(prewarmLsh)},"prewarm_kmv_table":${fmt(prewarmKmv)},"prewarm_typed_layout":${fmt(prewarmLayout)},"prewarm_ivf_index":${fmt(prewarmIvf)},"batch_total":${fmt(batchTotal)},"streaming_total":${fmt(streamTotal)},"rep1_total":${fmt(rep1Total)},"load_start":${fmt(loadStart)},"load_end":${fmt(loadAvg())},"gc_sec":${fmt(gcSec() - gcStart)},"isolated":$iso,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"prewarm_lsh_pairs":${fmt(prewarmLsh)},"prewarm_kmv_table":${fmt(prewarmKmv)},"prewarm_typed_layout":${fmt(prewarmLayout)},"prewarm_ivf_index":${fmt(prewarmIvf)},"prewarm_zindex":${fmt(prewarmZ)},"batch_total":${fmt(batchTotal)},"streaming_total":${fmt(streamTotal)},"rep1_total":${fmt(rep1Total)},"load_start":${fmt(loadStart)},"load_end":${fmt(loadAvg())},"gc_sec":${fmt(gcSec() - gcStart)},"isolated":$iso,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2038,6 +2038,8 @@ object Layout {
     "q168_table_histogram" -> (q168TableHistogram _),
     "q169_stats_join_order" -> (StatsJoin.q169StatsJoinOrder _),
     "q170_stats_star_order" -> (StatsJoin.q170StatsStarOrder _),
+    "q171_stats_broadcast" -> (StatsJoin.q171StatsBroadcast _),
+    "q172_zorder_prune" -> (ZIndex.q172ZorderPrune _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2066,5 +2068,7 @@ object Layout {
     "q168_table_histogram" -> q168Sql,
     "q169_stats_join_order" -> StatsJoin.q169Sql,
     "q170_stats_star_order" -> StatsJoin.q170Sql,
+    "q171_stats_broadcast" -> StatsJoin.q171Sql,
+    "q172_zorder_prune" -> ZIndex.q172Sql,
   )
 }

@@ -596,6 +596,13 @@ object StatsJoin {
       s.conf.set("spark.sql.cbo.enabled", "true")
       s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
     }
+    // a fresh session seeds its SQLConf from the SparkConf, NOT from
+    // the caller's runtime confs — carry the broadcast threshold over
+    // so the physical-strategy knob (q171's A/B axis, and RunOne's
+    // `k=v` steering) means the same thing in the session that actually
+    // plans the query
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
     // the child session resolves the tables through its own relation
     // cache — refresh so it sees this call's layout + statistics
     needed.map(tbls).foreach(t => s.catalog.refreshTable(t))
@@ -686,4 +693,59 @@ object StatsJoin {
        |  ON s.user_id = v.user_id
        |WHERE v.v >= $ThresholdCents
        |GROUP BY e.d ORDER BY d""".stripMargin
+
+  /** q171 — the statistics catalog deciding the physical JOIN STRATEGY
+    * (the third consumer shape: q169 pinned chain order, q170 star
+    * order, this one pins broadcast-vs-shuffle). The query is a 2-way
+    * fact⋈filtered-fact join with NO hints: stats-on, the injected
+    * rowCount + value histogram let FilterEstimation shrink the
+    * filtered error side's size estimate below
+    * `spark.sql.autoBroadcastJoinThreshold`, so JoinSelection plans a
+    * BroadcastHashJoin at PLANNER time — no shuffle at all. Stats-off,
+    * the only size evidence is the raw file size (a Filter does not
+    * shrink sizeInBytes without column statistics), which exceeds the
+    * threshold at production scale, so the planner emits a
+    * SortMergeJoin: both sides pay their full shuffle map stage before
+    * AQE can notice the small build side and localize the read. Good
+    * statistics move the broadcast decision from runtime (after the
+    * map stage is paid) to plan time — StatsBroadcastSpec pins the
+    * static plans both ways on a threshold bracketed between the
+    * estimated filtered size and the raw file size, plus result
+    * equality. Both tables take the PLAIN injection (exactly q170's
+    * treatment of error and view — consumers never fight over a
+    * table's statistics). The filter is again spelled on the PROBE-last
+    * side in SQL order, so nothing but the estimate chain explains the
+    * build-side choice. */
+  private[graft] def q171Query(vT: String, eT: String): String =
+    s"""SELECT v.d AS d, COUNT(*) AS n_rows,
+       |  SUM(e.v) AS sum_error_cents
+       |FROM $vT v
+       |JOIN $eT e ON v.user_id = e.user_id
+       |WHERE e.v >= $ThresholdCents
+       |GROUP BY v.d
+       |ORDER BY d""".stripMargin
+
+  def q171StatsBroadcast(spark: SparkSession, dir: String): DataFrame =
+    runStatsPlanned(spark, dir, "q171",
+      needed = Seq("view", "error"),
+      plain = Seq("view", "error"),
+      calibrated = Nil,
+      sql = t => q171Query(t("view"), t("error")))
+
+  /** DuckDB oracle: the identical join computed straight off the raw
+    * feed (same projection contract as [[q169Sql]]). */
+  val q171Sql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, user_id, CAST(ts AS DATE) AS d,
+       |    CASE WHEN value IS NOT NULL
+       |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END AS v
+       |  FROM events WHERE user_id IS NOT NULL
+       |    AND event_type IS NOT NULL AND ts IS NOT NULL)
+       |SELECT v.d AS d, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(e.v) AS BIGINT) AS sum_error_cents
+       |FROM (SELECT * FROM ev WHERE event_type = 'view') v
+       |JOIN (SELECT * FROM ev WHERE event_type = 'error') e
+       |  ON v.user_id = e.user_id
+       |WHERE e.v >= $ThresholdCents
+       |GROUP BY v.d ORDER BY d""".stripMargin
 }

@@ -1,0 +1,295 @@
+package graft.operators
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** q172 — zone-map data skipping over a DURABLE z-clustered layout:
+  * the scan-pruning consumer that closes the loop on q99's clustering
+  * the way q169 closed it for the statistics catalog.
+  *
+  * q99 proved the layout property (tight per-bucket extents on BOTH
+  * dimensions of the Morton code — the lake-side replacement for the
+  * reference's composite B-tree indexes, `sql/schema.sql:295-305`);
+  * this operator makes the skipping OPERATIONAL: [[ensure]] lands
+  * lineitem physically clustered by z(l_partkey, l_orderkey)
+  * ([[Layout.clusterByZ]] — range-partition + sort, 64 files) and
+  * records an exact per-FILE zone map (min/max of both dimensions,
+  * computed from the written files themselves — KB of metadata, the
+  * same maintained-artifact discipline as the sketch table). A 2-D box
+  * query then consults the zone map on the driver, reads ONLY the
+  * overlapping files, and applies the residual predicate inside the
+  * scan. Pruning is sound by construction — per-file bounds are exact
+  * over the non-null population, and NULL keys cannot satisfy the box
+  * predicate — regardless of how well clustered the files are;
+  * clustering quality only decides HOW MANY files survive (ZIndexSpec
+  * pins ~1/16 of the corpus for a 1%-of-z-space box; an i.i.d. layout
+  * would read everything, which is exactly why the engine creates the
+  * correlation it skips on).
+  *
+  * Maintenance follows the KmvTable contract: consumed-file identity,
+  * generation dirs with atomic `_COMMITTED`, crash-leftover sweep,
+  * one-prior retention for in-flight readers, mutation → full rebuild.
+  * An APPEND clusters only the new feed files — among themselves, into
+  * proportionally many files — and unions their zone-map rows with the
+  * standing ones (the appended files carry their own exact bounds, so
+  * skipping stays sound while clustering quality degrades gracefully).
+  * When live generations exceed `spark.graft.zindex.maxGenerations`
+  * (8), the append instead RECLUSTERS the full feed: a global sort
+  * order cannot be compacted per-partition (the very property that
+  * makes both dimensions' extents tight is global), so the periodic
+  * rewrite is the production norm for clustered tables (Delta/Iceberg
+  * `OPTIMIZE ZORDER` — amortized O(corpus / maxGenerations) per
+  * append, and soundness never depended on it).
+  *
+  * At 100 TB: the zone map stays KB-per-thousand-files and lives on
+  * the driver for exactly one filter pass; the pruned read opens only
+  * the matching files — no listing, no footer reads, no tasks for the
+  * rest of the corpus. That is the scan-side complement to the
+  * statistics catalog's join planning.
+  */
+object ZIndex {
+
+  /** Files written per full cluster (q99's 8×8 z-grid resolution). */
+  private[graft] val NFiles = 64
+
+  /** Spec observables. */
+  private[graft] val zBuilds = new AtomicLong // full (re)clusters
+  private[graft] val zAppends = new AtomicLong // incremental appends
+  private[graft] val zFilesTotal = new AtomicLong // zone-map rows at last query
+  private[graft] val zFilesRead = new AtomicLong // files surviving the prune
+
+  /** (root → (feed stamp, committed gen)) — a repeat [[ensure]] on an
+    * unchanged corpus pays one feed listStatus. */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+  def clearMemo(): Unit = memo.clear()
+
+  private val rootLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def root(spark: SparkSession, dir: String): String =
+    spark.conf.getOption("spark.graft.zindex.dir")
+      .getOrElse(sys.props("java.io.tmpdir") + s"/graft_zindex/${md5hex(dir)}")
+
+  private case class Feed(name: String, len: Long, mtime: Long, path: String)
+
+  private def listFeed(spark: SparkSession, dir: String): Seq[Feed] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statuses =
+      if (fs.getFileStatus(p).isFile) Array(fs.getFileStatus(p))
+      else fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    statuses.toSeq.map(s => Feed(s.getPath.getName, s.getLen,
+      s.getModificationTime, s.getPath.toString)).sortBy(_.name)
+  }
+
+  private def stampOf(feed: Seq[Feed]): String =
+    feed.map(f => s"${f.name}\t${f.len}\t${f.mtime}").mkString("\n")
+
+  /** Cluster `rows` into `n` z-sorted files under `genDir/files` and
+    * return the zone-map rows (gen-relative file path + exact per-file
+    * bounds + row count) computed FROM the written files — one KB-scale
+    * aggregate over what the readers will actually open. */
+  private def clusterAndMap(spark: SparkSession, rows: DataFrame,
+      genName: String, genDir: String, n: Int): DataFrame = {
+    Layout.clusterByZ(rows, "l_partkey", "l_orderkey", n)
+      .write.mode("overwrite").parquet(s"$genDir/files")
+    val prefix = s"$genDir/files/"
+    spark.read.parquet(s"$genDir/files")
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("np"),
+        min(col("l_partkey")).as("pmin"), max(col("l_partkey")).as("pmax"),
+        min(col("l_orderkey")).as("omin"), max(col("l_orderkey")).as("omax"))
+      // gen-relative paths: later generations reference these rows
+      // verbatim, wherever the root happens to be mounted
+      .select(concat(lit(s"$genName/files/"),
+          element_at(split(col("f"), "/"), -1)).as("file"),
+        col("np"), col("pmin"), col("pmax"), col("omin"), col("omax"))
+  }
+
+  private val GenRe = "gen-(\\d+)".r
+
+  /** Land-or-refresh the clustered layout; returns (root, committed
+    * gen). One feed listStatus on the memo-hit path. */
+  def ensure(spark: SparkSession, dir: String): (String, Long) = {
+    val r = root(spark, dir)
+    rootLocks.computeIfAbsent(r, _ => new Object).synchronized {
+      val feed = listFeed(spark, dir)
+      val stamp = stampOf(feed)
+      Option(memo.get(r)) match {
+        case Some((s, g)) if s == stamp => return (r, g)
+        case _ => ()
+      }
+      val rp = new org.apache.hadoop.fs.Path(r)
+      val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val gens: Seq[Long] =
+        if (!fs.exists(rp)) Seq.empty
+        else fs.listStatus(rp).toSeq.collect {
+          case s if s.isDirectory => s.getPath.getName
+        }.collect { case GenRe(n) => n.toLong }.sorted
+      val committed = gens.filter(g =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$r/gen-$g/_COMMITTED")))
+      // crash-leftover sweep: uncommitted gens above the high-water mark
+      (gens.toSet -- committed.toSet).foreach(g =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$r/gen-$g"), true))
+      val latest = committed.lastOption
+      val nextN = committed.lastOption.map(_ + 1).getOrElse(0L)
+      val genDir = s"$r/gen-$nextN"
+      val genName = s"gen-$nextN"
+
+      // consumed-identity diff (the KmvTable mutation detector): a
+      // consumed line that vanished from the feed means MUTATION; the
+      // surplus current lines are the append delta
+      val consumedLines: Set[String] = latest.map { g =>
+        spark.read.textFile(s"$r/gen-$g/consumed").collect().toSet
+      }.getOrElse(Set.empty)
+      val currentLines = feed.map(f => s"${f.name}\t${f.len}\t${f.mtime}").toSet
+      val mutated = latest.isDefined && !consumedLines.subsetOf(currentLines)
+      val newFeed = feed.filter(f =>
+        !consumedLines.contains(s"${f.name}\t${f.len}\t${f.mtime}"))
+
+      if (latest.isDefined && !mutated && newFeed.isEmpty) {
+        memo.put(r, (stamp, latest.get))
+        return (r, latest.get)
+      }
+
+      val priorMap: Option[DataFrame] = latest.map(g =>
+        spark.read.parquet(s"$r/gen-$g/zonemap"))
+      val maxGens = spark.conf.getOption("spark.graft.zindex.maxGenerations")
+        .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+        .filter(_ >= 1).getOrElse(8)
+      val liveGens: Set[Long] = priorMap.map(_.select(col("file"))
+        .as(org.apache.spark.sql.Encoders.STRING).collect()
+        .map(f => f.split("/")(0)).collect { case GenRe(n) => n.toLong }
+        .toSet).getOrElse(Set.empty)
+
+      val full = latest.isEmpty || mutated || liveGens.size + 1 > maxGens
+      val zonemap: DataFrame =
+        if (full) {
+          // initial build, mutation rebuild, or the periodic global
+          // recluster that bounds generation sprawl AND restores
+          // clustering quality (see object doc)
+          zBuilds.incrementAndGet()
+          clusterAndMap(spark, Tables.lineitem(spark, dir), genName, genDir,
+            NFiles)
+        } else {
+          zAppends.incrementAndGet()
+          val newRows = spark.read.parquet(newFeed.map(_.path): _*)
+            .select(Tables.lineitem(spark, dir).columns.map(col): _*)
+            .cache()
+          try {
+            // proportionally many files for the delta (≥1): appended
+            // files z-cluster among themselves, so their zone-map rows
+            // are as tight as the delta allows
+            val baseRows = priorMap.get.agg(sum(col("np")))
+              .collect()(0).getLong(0)
+            val k = math.max(1L, math.min(NFiles.toLong,
+              math.round(NFiles.toDouble * newRows.count() /
+                math.max(1L, baseRows)))).toInt
+            clusterAndMap(spark, newRows, genName, genDir, k)
+              .unionByName(priorMap.get)
+          } finally { newRows.unpersist(); () }
+        }
+      zonemap.coalesce(1).write.mode("overwrite").parquet(s"$genDir/zonemap")
+      spark.createDataset(feed.map(f => s"${f.name}\t${f.len}\t${f.mtime}"))(
+        org.apache.spark.sql.Encoders.STRING)
+        .coalesce(1).write.mode("overwrite").text(s"$genDir/consumed")
+      fs.create(new org.apache.hadoop.fs.Path(s"$genDir/_COMMITTED"), false)
+        .close()
+      // one-prior retention: gens referenced by the NEW or the PRIOR
+      // committed zone map (plus the prior gen itself — it holds the
+      // zone map an in-flight reader may have collected but not yet
+      // opened data files through) survive; everything else is
+      // reclaimed. The new map's gens are always ⊆ liveGens + nextN.
+      val newLive: Set[Long] = liveGens ++ latest.toSet + nextN
+      committed.filterNot(newLive.contains).foreach(g =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$r/gen-$g"), true))
+      memo.put(r, (stamp, nextN))
+      (r, nextN)
+    }
+  }
+
+  /** The 2-D query box, derived from the zone map's own global bounds
+    * (exact: min-of-file-mins == the table min over the non-null
+    * population) — decile 2 of the partkey range × deciles 4 of the
+    * orderkey range, ~1% of the z-space. Long division truncates
+    * toward zero on the non-negative ranges here, exactly DuckDB's
+    * `//`. */
+  private[graft] def box(plo: Long, phi: Long, olo: Long, ohi: Long)
+      : (Long, Long, Long, Long) =
+    (plo + (phi - plo) / 10, plo + (phi - plo) * 2 / 10,
+      olo + (ohi - olo) * 3 / 10, olo + (ohi - olo) * 4 / 10)
+
+  /** q172 — the box aggregate over the pruned scan: consult the zone
+    * map (KB, driver), open ONLY the overlapping files, apply the
+    * residual predicate inside the scan. */
+  def q172ZorderPrune(spark: SparkSession, dir: String): DataFrame = {
+    val (r, gen) = ensure(spark, dir)
+    val zm = spark.read.parquet(s"$r/gen-$gen/zonemap").collect()
+    zFilesTotal.set(zm.length)
+    require(zm.nonEmpty, "zone map of a non-empty table cannot be empty")
+    def lmin(c: String): Long = zm.iterator.filter(!_.isNullAt(
+      zm.head.fieldIndex(c))).map(_.getAs[Long](c)).min
+    def lmax(c: String): Long = zm.iterator.filter(!_.isNullAt(
+      zm.head.fieldIndex(c))).map(_.getAs[Long](c)).max
+    val (xlo, xhi, ylo, yhi) =
+      box(lmin("pmin"), lmax("pmax"), lmin("omin"), lmax("omax"))
+    val keep = zm.filter { row =>
+      def l(c: String): Option[Long] =
+        if (row.isNullAt(row.fieldIndex(c))) None else Some(row.getAs[Long](c))
+      // a file whose bounds are null on either dimension holds no row
+      // that can satisfy the box predicate (NULL keys compare false)
+      (for { pmin <- l("pmin"); pmax <- l("pmax")
+             omin <- l("omin"); omax <- l("omax") }
+        yield pmin < xhi && pmax >= xlo && omin < yhi && omax >= ylo)
+        .getOrElse(false)
+    }.map(row => s"$r/${row.getAs[String]("file")}")
+    zFilesRead.set(keep.length)
+    val boxed =
+      if (keep.isEmpty)
+        // schema-faithful empty frame: one footer, zero row groups read
+        spark.read.parquet(s"$r/${zm.head.getAs[String]("file")}")
+          .filter(lit(false))
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+    boxed
+      .filter(col("l_partkey") >= xlo && col("l_partkey") < xhi &&
+        col("l_orderkey") >= ylo && col("l_orderkey") < yhi)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        countDistinct(col("l_suppkey")).as("n_supp"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** DuckDB oracle: identical box arithmetic (`//` floor division ==
+    * Long truncation on these non-negative ranges) straight off the
+    * raw table. */
+  val q172Sql: String =
+    """WITH b AS (
+      |  SELECT MIN(l_partkey) AS plo, MAX(l_partkey) AS phi,
+      |         MIN(l_orderkey) AS olo, MAX(l_orderkey) AS ohi
+      |  FROM lineitem),
+      |x AS (
+      |  SELECT plo + (phi - plo) // 10 AS xlo,
+      |         plo + (phi - plo) * 2 // 10 AS xhi,
+      |         olo + (ohi - olo) * 3 // 10 AS ylo,
+      |         olo + (ohi - olo) * 4 // 10 AS yhi
+      |  FROM b)
+      |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+      |FROM lineitem, x
+      |WHERE l_partkey >= xlo AND l_partkey < xhi
+      |  AND l_orderkey >= ylo AND l_orderkey < yhi
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+}

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.ZIndex
+
+/** q172 — zone-map data skipping over the durable z-clustered layout.
+  * Pins, in order: (1) the prune reads a strict, meaningful subset of
+  * the files while the result equals the direct full-scan computation
+  * (soundness + effectiveness); (2) an unchanged feed is a memo hit —
+  * no rebuild, no append; (3) an APPEND clusters only the new feed
+  * files (zBuilds flat, the standing zone-map rows survive verbatim,
+  * the appended generation holds only the delta) and the pruned result
+  * tracks the grown corpus; (4) a MUTATED feed forces a full rebuild;
+  * (5) the generation bound triggers the global recluster instead of
+  * unbounded append-generation sprawl. NULL join keys ride in the
+  * fixture throughout — they can never satisfy the box predicate, so
+  * files are prunable on their non-null bounds alone. */
+class ZIndexSpec extends SparkSpec {
+
+  private def withConfs[T](pairs: (String, String)*)(f: => T): T = {
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally pairs.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
+  /** Deterministic pseudo-scattered rows; null partkeys on a residue. */
+  private def li(ids: Range, partMod: Int = 2000, orderMod: Int = 15000) = {
+    import spark.implicits._
+    ids.map { i =>
+      (if (i % 97 == 0) None else Some(((i.toLong * 7919) % partMod)),
+        (i.toLong * 104729) % orderMod,
+        (i % 100).toLong,
+        (i % 50 + 1).toDouble,
+        Seq("A", "N", "R")(i % 3))
+    }.toDF("l_partkey", "l_orderkey", "l_suppkey", "l_quantity",
+      "l_returnflag")
+  }
+
+  /** The q172 aggregate computed directly on the raw fixture with the
+    * same box arithmetic — the in-JVM oracle. */
+  private def direct(dir: String): Seq[org.apache.spark.sql.Row] = {
+    val raw = spark.read.parquet(s"$dir/lineitem.parquet")
+    val b = raw.agg(min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_orderkey")), max(col("l_orderkey"))).collect()(0)
+    val (xlo, xhi, ylo, yhi) =
+      ZIndex.box(b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    raw.filter(col("l_partkey") >= xlo && col("l_partkey") < xhi &&
+        col("l_orderkey") >= ylo && col("l_orderkey") < yhi)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        countDistinct(col("l_suppkey")).as("n_supp"))
+      .orderBy(col("l_returnflag")).collect().toSeq
+  }
+
+  test("q172: the prune reads a strict subset of the layout, the " +
+      "result equals the direct computation; unchanged feed = memo hit; " +
+      "append is incremental; mutation rebuilds") {
+    val dir = TempDirs.create("graft_zidx_corp")
+    li(0 until 20000).write.mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    withConfs("spark.graft.zindex.dir" -> TempDirs.create("graft_zidx_root")) {
+      ZIndex.clearMemo()
+      val b0 = ZIndex.zBuilds.get(); val a0 = ZIndex.zAppends.get()
+      val rows1 = ZIndex.q172ZorderPrune(spark, dir).collect().toSeq
+      assert(ZIndex.zBuilds.get() === b0 + 1 && ZIndex.zAppends.get() === a0)
+      val (total1, read1) = (ZIndex.zFilesTotal.get(), ZIndex.zFilesRead.get())
+      assert(total1 === ZIndex.NFiles.toLong)
+      assert(read1 < total1 / 2,
+        s"a ~1%-of-z-space box must prune most of a clustered layout, " +
+          s"read $read1 of $total1")
+      assert(read1 >= 1 && rows1.nonEmpty)
+      assert(rows1 === direct(dir))
+
+      // unchanged feed: pure memo hit — no build, no append
+      val rows2 = ZIndex.q172ZorderPrune(spark, dir).collect().toSeq
+      assert(ZIndex.zBuilds.get() === b0 + 1 && ZIndex.zAppends.get() === a0)
+      assert(rows2 === rows1)
+
+      // APPEND: new feed files cluster among themselves; standing
+      // zone-map rows survive verbatim; the result tracks the union
+      val mapBefore = {
+        val (r, g) = ZIndex.ensure(spark, dir)
+        spark.read.parquet(s"$r/gen-$g/zonemap").collect()
+          .map(_.getAs[String]("file")).toSet
+      }
+      li(20000 until 24000).write.mode("append")
+        .parquet(s"$dir/lineitem.parquet")
+      ZIndex.clearMemo() // the memo is JVM-wide; a fresh stamp must miss anyway
+      val rows3 = ZIndex.q172ZorderPrune(spark, dir).collect().toSeq
+      assert(ZIndex.zBuilds.get() === b0 + 1,
+        "an append must not trigger a full recluster")
+      assert(ZIndex.zAppends.get() === a0 + 1)
+      assert(rows3 === direct(dir))
+      val (r3, g3) = ZIndex.ensure(spark, dir)
+      val mapAfter = spark.read.parquet(s"$r3/gen-$g3/zonemap").collect()
+        .map(_.getAs[String]("file")).toSet
+      assert(mapBefore.subsetOf(mapAfter),
+        "standing zone-map rows must ride the append by reference")
+      val newFiles = mapAfter -- mapBefore
+      assert(newFiles.nonEmpty &&
+        newFiles.forall(_.startsWith(s"gen-$g3/")),
+        s"appended rows must land in the new generation only, got $newFiles")
+      // the appended generation holds exactly the delta's rows
+      val appended = spark.read
+        .parquet(newFiles.toSeq.map(f => s"$r3/$f"): _*).count()
+      assert(appended === 4000L)
+
+      // MUTATION: a consumed file vanishing forces the full rebuild
+      li(0 until 9000).write.mode("overwrite")
+        .parquet(s"$dir/lineitem.parquet")
+      val rows4 = ZIndex.q172ZorderPrune(spark, dir).collect().toSeq
+      assert(ZIndex.zBuilds.get() === b0 + 2,
+        "a mutated feed must force a full rebuild")
+      assert(rows4 === direct(dir))
+    }
+  }
+
+  test("q172: the generation bound swaps append sprawl for a global " +
+      "recluster") {
+    val dir = TempDirs.create("graft_zidx_corp2")
+    li(0 until 8000).write.mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    withConfs(
+      "spark.graft.zindex.dir" -> TempDirs.create("graft_zidx_root2"),
+      "spark.graft.zindex.maxGenerations" -> "2") {
+      ZIndex.clearMemo()
+      val b0 = ZIndex.zBuilds.get(); val a0 = ZIndex.zAppends.get()
+      ZIndex.ensure(spark, dir) // gen-0: full build
+      li(8000 until 9000).write.mode("append").parquet(s"$dir/lineitem.parquet")
+      ZIndex.ensure(spark, dir) // gen-1: append (2 live gens — at the bound)
+      assert(ZIndex.zBuilds.get() === b0 + 1 && ZIndex.zAppends.get() === a0 + 1)
+      li(9000 until 10000).write.mode("append").parquet(s"$dir/lineitem.parquet")
+      val (r, g) = ZIndex.ensure(spark, dir) // would be 3 live gens: recluster
+      assert(ZIndex.zBuilds.get() === b0 + 2 && ZIndex.zAppends.get() === a0 + 1,
+        "exceeding the generation bound must recluster, not append")
+      val gens = spark.read.parquet(s"$r/gen-$g/zonemap").collect()
+        .map(_.getAs[String]("file").split("/")(0)).toSet
+      assert(gens === Set(s"gen-$g"),
+        s"the recluster must own every file, got $gens")
+      assert(ZIndex.q172ZorderPrune(spark, dir).collect().toSeq === direct(dir))
+    }
+  }
+}
