@@ -229,6 +229,18 @@ object Extras {
       |GROUP BY 1, 2
       |ORDER BY window_start, c_mktsegment""".stripMargin
 
+  /** q173: q92's enrich with the broadcast decided by the STATISTICS
+    * CATALOG instead of the hint — the streaming consumer of the same
+    * injected synopsis statistics the batch planners ride (see
+    * [[graft.streaming.EventsStream.runStreamStatsEnrichOnce]]).
+    * Identical result contract to q92 (same oracle); what changes is
+    * the plan's provenance, pinned by StreamStatsEnrichSpec on the
+    * micro-batch executed plan both ways. */
+  def q173StreamStatsEnrich(spark: SparkSession, dir: String): DataFrame =
+    EventsStream.runStreamStatsEnrichOnce(spark, dir,
+      s"stream_stats_enrich_${counter.incrementAndGet()}")
+      .orderBy(col("window_start"), col("c_mktsegment"))
+
   /** q93: checkpoint-restart recovery — the corpus streamed in two
     * tranches across separate checkpointed runs plus a no-op retry (see
     * EventsStream.runStreamRecoveryOnce). The final merged gold must equal
@@ -595,7 +607,8 @@ object Extras {
     "q84_stream_sliding", "q87_session_windows", "q92_stream_enrich",
     "q93_stream_recovery", "q94_stream_join_recovery",
     "q98_stream_bronze_ingest", "q150_stream_kmv", "q153_stream_psample",
-    "q160_stream_quantile", "q167_stream_key_freq")
+    "q160_stream_quantile", "q167_stream_key_freq",
+    "q173_stream_stats_enrich")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_stream_psample"     -> (q153StreamPsample _),
@@ -620,6 +633,7 @@ object Extras {
     "q93_stream_recovery"     -> (q93StreamRecovery _),
     "q94_stream_join_recovery" -> (q94StreamJoinRecovery _),
     "q98_stream_bronze_ingest" -> (q98StreamBronzeIngest _),
+    "q173_stream_stats_enrich" -> (q173StreamStatsEnrich _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -645,5 +659,8 @@ object Extras {
     "q93_stream_recovery"     -> q51Sql, // same contract: batch hourly rollup
     "q94_stream_join_recovery" -> q64Sql, // same contract: batch self-join
     "q98_stream_bronze_ingest" -> q98Sql,
+    "q173_stream_stats_enrich" -> q92Sql, // same contract: the enrich
+      // semantics are q92's — only the broadcast decision's PROVENANCE
+      // changed (catalog statistics instead of a hint)
   )
 }

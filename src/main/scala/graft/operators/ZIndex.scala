@@ -219,19 +219,39 @@ object ZIndex {
 
   /** The 2-D query box, derived from the zone map's own global bounds
     * (exact: min-of-file-mins == the table min over the non-null
-    * population) — decile 2 of the partkey range × deciles 4 of the
-    * orderkey range, ~1% of the z-space. Long division truncates
-    * toward zero on the non-negative ranges here, exactly DuckDB's
-    * `//`. */
+    * population) — decile 2 of BOTH ranges, ~1% of the z-space. The
+    * SAME decile on both dimensions deliberately: replicated corpora
+    * (ScaleUp offsets every key family per copy) correlate the two
+    * keys along the diagonal, so an off-diagonal box would be empty at
+    * replica scale while a diagonal one is populated at every scale —
+    * and a correlated key space is precisely where z-clustering
+    * prunes hardest. Long division truncates toward zero on the
+    * non-negative ranges here, exactly DuckDB's `//`. */
   private[graft] def box(plo: Long, phi: Long, olo: Long, ohi: Long)
       : (Long, Long, Long, Long) =
     (plo + (phi - plo) / 10, plo + (phi - plo) * 2 / 10,
-      olo + (ohi - olo) * 3 / 10, olo + (ohi - olo) * 4 / 10)
+      olo + (ohi - olo) / 10, olo + (ohi - olo) * 2 / 10)
 
   /** q172 — the box aggregate over the pruned scan: consult the zone
     * map (KB, driver), open ONLY the overlapping files, apply the
-    * residual predicate inside the scan. */
+    * residual predicate inside the scan.
+    *
+    * Measurement arms (`spark.graft.zindex.mode`): `pruned` (default)
+    * consults the zone map; `all` opens every layout file (the
+    * file-skipping delta in isolation — small on a local SSD, where
+    * the z-sorted files' tight row-group stats let parquet skip
+    * almost everything from the footers anyway; at object-store scale
+    * the never-opened files are the win); `raw` computes the identical
+    * result straight off the UNCLUSTERED corpus table — the cost a
+    * user without the layout pays: random row order means wide
+    * row-group bounds, so pushdown cannot skip and the scan reads the
+    * whole table. The `raw` arm derives the box from the table's own
+    * bounds (one min/max pass), exactly the oracle's arithmetic. */
   def q172ZorderPrune(spark: SparkSession, dir: String): DataFrame = {
+    val mode = spark.conf.getOption("spark.graft.zindex.mode")
+      .getOrElse(if (!spark.conf.getOption("spark.graft.zindex.prune")
+        .contains("false")) "pruned" else "all")
+    if (mode == "raw") return q172Raw(spark, dir)
     val (r, gen) = ensure(spark, dir)
     val zm = spark.read.parquet(s"$r/gen-$gen/zonemap").collect()
     zFilesTotal.set(zm.length)
@@ -242,17 +262,23 @@ object ZIndex {
       zm.head.fieldIndex(c))).map(_.getAs[Long](c)).max
     val (xlo, xhi, ylo, yhi) =
       box(lmin("pmin"), lmax("pmax"), lmin("omin"), lmax("omax"))
+    val prune = mode == "pruned"
     val keep = zm.filter { row =>
       def l(c: String): Option[Long] =
         if (row.isNullAt(row.fieldIndex(c))) None else Some(row.getAs[Long](c))
       // a file whose bounds are null on either dimension holds no row
       // that can satisfy the box predicate (NULL keys compare false)
-      (for { pmin <- l("pmin"); pmax <- l("pmax")
+      !prune || (for { pmin <- l("pmin"); pmax <- l("pmax")
              omin <- l("omin"); omax <- l("omax") }
         yield pmin < xhi && pmax >= xlo && omin < yhi && omax >= ylo)
         .getOrElse(false)
     }.map(row => s"$r/${row.getAs[String]("file")}")
     zFilesRead.set(keep.length)
+    // attribution line (the RunOne/Bench stderr convention): wall-time
+    // parity between pruned and all on a warm local disk is expected —
+    // THIS is the number that scales
+    System.err.println(s"[zindex] mode=$mode files_read=${keep.length} " +
+      s"files_total=${zm.length}")
     val boxed =
       if (keep.isEmpty)
         // schema-faithful empty frame: one footer, zero row groups read
@@ -261,6 +287,26 @@ object ZIndex {
       else spark.read.parquet(keep.toIndexedSeq: _*)
     boxed
       .filter(col("l_partkey") >= xlo && col("l_partkey") < xhi &&
+        col("l_orderkey") >= ylo && col("l_orderkey") < yhi)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        countDistinct(col("l_suppkey")).as("n_supp"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** The `raw` measurement arm: the oracle's computation verbatim on
+    * the unclustered corpus table — bounds pass + filtered scan, no
+    * layout, no zone map (see [[q172ZorderPrune]]). */
+  private def q172Raw(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val b = li.agg(min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_orderkey")), max(col("l_orderkey"))).collect()(0)
+    val (xlo, xhi, ylo, yhi) =
+      box(b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    System.err.println(s"[zindex] mode=raw (unclustered scan)")
+    li.filter(col("l_partkey") >= xlo && col("l_partkey") < xhi &&
         col("l_orderkey") >= ylo && col("l_orderkey") < yhi)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_rows"),
@@ -281,8 +327,8 @@ object ZIndex {
       |x AS (
       |  SELECT plo + (phi - plo) // 10 AS xlo,
       |         plo + (phi - plo) * 2 // 10 AS xhi,
-      |         olo + (ohi - olo) * 3 // 10 AS ylo,
-      |         olo + (ohi - olo) * 4 // 10 AS yhi
+      |         olo + (ohi - olo) // 10 AS ylo,
+      |         olo + (ohi - olo) * 2 // 10 AS yhi
       |  FROM b)
       |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -284,6 +284,117 @@ object EventsStream {
       OutputMode.Complete, name)
   }
 
+  // ---- q173: the statistics catalog planning a STREAMING join ---------
+
+  /** Catalog table name for the customer dim of a corpus (spec surface). */
+  private[graft] def custDimTable(dir: String): String = {
+    val id8 = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    s"graft_cust_dim_$id8"
+  }
+
+  /** (shared catalog, corpus) → customer source stamp at last honest
+    * injection — the [[graft.weather.WeatherStats]] memo discipline. A
+    * spec that perturbs the dim's statistics must NOT clear before
+    * re-running if it wants the perturbation to stand (the memo hit
+    * skips re-injection); clearing restores honesty on the next call. */
+  private val dimMemo = new java.util.concurrent.ConcurrentHashMap[
+    (AnyRef, String), String]()
+  def clearDimMemo(): Unit = dimMemo.clear()
+
+  /** The customer dim as a catalog table with injected synopsis
+    * statistics — registered straight over the corpus parquet (no
+    * landing: unlike the derived weather dims, the source IS already a
+    * parquet table; the catalog entry only attaches statistics to it).
+    * The table carries the ENRICH PROJECTION's schema (parquet is
+    * schema-on-read: a 2-column table over the 8-column file reads
+    * exactly those columns), so its injected sizeInBytes honestly
+    * describes what the join ships — rows × ~32 B — not the wide
+    * master row the enrich never touches. One KB-scale scan at
+    * registration is its ANALYZE; memoized on the source files'
+    * identity. */
+  def statsCustDim(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = custDimTable(dir)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/customer.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statuses =
+      if (fs.getFileStatus(p).isFile) Array(fs.getFileStatus(p))
+      else fs.listStatus(p)
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    val stamp = statuses.sortBy(_.getPath.getName)
+      .map(s => s"${s.getPath.getName}\t${s.getLen}\t${s.getModificationTime}")
+      .mkString("\n")
+    val key = (spark.sharedState: AnyRef, dir)
+    if (Option(dimMemo.get(key)).contains(stamp) &&
+        spark.catalog.tableExists(tbl))
+      return spark.table(tbl)
+    // the location is the read-only corpus itself — the catalog entry
+    // is pure metadata (explicit 2-column schema = the enrich
+    // projection; see the scaladoc)
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $tbl " +
+      s"(c_custkey BIGINT, c_mktsegment STRING) USING parquet " +
+      s"LOCATION '$dir/customer.parquet'")
+    val syn = graft.plans.JoinSynopsis.build(
+      tbl, spark.table(tbl), col("c_custkey"))
+    graft.plans.SynopsisStats.inject(spark, tbl, syn.rows,
+      Map("c_custkey" -> syn), avgRowBytes = 32)
+    spark.catalog.refreshTable(tbl)
+    dimMemo.put(key, stamp)
+    spark.table(tbl)
+  }
+
+  /** Last q173 micro-batch physical plan (spec observable — the
+    * streaming analogue of the executed-plan pins on batch queries). */
+  private[graft] val lastEnrichPlan =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+
+  /** q173: [[enrichedWindowAgg]]'s production shape with the broadcast
+    * decision moved from the q92 HINT to the statistics catalog — the
+    * streaming consumer of the same injected synopsis statistics the
+    * batch planners ride (r12 removed the weather gold's hints; this
+    * removes the streaming lane's). Each micro-batch plans the
+    * stream-static join with plain JoinSelection: the dim's injected
+    * sizeInBytes (rows × avgRowBytes, honest KB-scale) sits far under
+    * the broadcast threshold, so the per-batch plan is a
+    * BroadcastHashJoin with no hint anywhere; inflate the statistics
+    * and the SAME code degrades to a per-batch shuffle join
+    * (StreamStatsEnrichSpec pins both directions and result equality).
+    * At 100 TB the dim stays a dim — exactly the regime where honest
+    * dimension statistics keep every micro-batch shuffle-free no
+    * matter how large the stream side's files look. */
+  def runStreamStatsEnrichOnce(spark: SparkSession, dir: String,
+      name: String = "stream_stats_enrich"): DataFrame = {
+    val dim = statsCustDim(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val df = readEvents(spark, dir)
+      .withWatermark("ts", "168 hours")
+      .join(dim, col("user_id") === col("c_custkey")) // NO hint
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("c_mktsegment"),
+        col("n"), col("sum_value"))
+    val q = df.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // capture the last micro-batch's executed plan for the spec pins
+    // (StreamingQuery.explain prints — there is no accessor API);
+    // best-effort: a capture failure must not fail the QUERY, only the
+    // spec that reads an empty plan
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+        q.explain(extended = false)
+      }
+      lastEnrichPlan.set(buf.toString("UTF-8"))
+    } catch { case e: Throwable => lastEnrichPlan.set(s"<unavailable: $e>") }
+    df.sparkSession.table(name)
+  }
+
   /** Run the windowed agg to completion over the (finite) file source and
     * return the result as a batch DataFrame — complete mode so final
     * windows are emitted (append would hold back the watermark tail).
