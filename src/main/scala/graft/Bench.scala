@@ -28,8 +28,9 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     // builder-side convenience (driver leaves it unset → full suite):
     // SPARK_GRAFT_ONLY="q78,q46" restricts to those query prefixes;
-    // SPARK_GRAFT_REPS=2 times each query that many times (last rep wins,
-    // separating first-build memoization cost from steady-state).
+    // SPARK_GRAFT_REPS sets the rep count — batch queries always run at
+    // least 2 and record the MIN (steady state; rep1 rides stderr and
+    // rep1_total the summary), streaming queries run exactly REPS.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     // qNN-prefix OR full-name match; bare startsWith would over-select
@@ -70,7 +71,8 @@ object Bench {
         "q161_quantile_rolling", "q163_quantile_drift",
         "q164_range_selectivity", "q165_table_stats",
         "q166_key_stats", "q168_table_histogram",
-        "q162_selfjoin_moment", "q169_stats_join_order").exists(selected)) {
+        "q162_selfjoin_moment", "q169_stats_join_order",
+        "q170_stats_star_order", "q171_stats_broadcast").exists(selected)) {
       val tw = System.nanoTime()
       graft.operators.KmvTable.maintain(spark, sfDir).count()
       prewarmKmv = (System.nanoTime() - tw) / 1e9

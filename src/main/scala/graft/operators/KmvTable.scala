@@ -182,10 +182,18 @@ object KmvTable {
       sys.props("java.io.tmpdir") + s"/graft_kmv_table/$id"
     }
 
-  private case class PartFile(name: String, len: Long, mtime: Long, path: String)
+  private[graft] case class PartFile(
+      name: String, len: Long, mtime: Long, path: String)
 
-  private def listParts(spark: SparkSession, dir: String): Seq[PartFile] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+  /** Part files of any parquet table file/dir as (name, len, mtime,
+    * path), name-sorted — THE file-identity listing every derived
+    * artifact's staleness contract keys on (events feed here, the
+    * typed layout, [[graft.operators.ZIndex]]'s clustered layout, the
+    * weather/customer dim registrations). One implementation: a change
+    * to the identity discipline (nested dirs, checksums) reaches every
+    * consumer at once instead of silently diverging four copies. */
+  private[graft] def partsOf(spark: SparkSession, path: String): Seq[PartFile] = {
+    val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val statuses =
       if (fs.getFileStatus(p).isFile) Array(fs.getFileStatus(p))
@@ -193,6 +201,14 @@ object KmvTable {
     statuses.toSeq.map(s => PartFile(s.getPath.getName, s.getLen,
       s.getModificationTime, s.getPath.toString)).sortBy(_.name)
   }
+
+  /** The identity-string form of [[partsOf]] (one line per part file). */
+  private[graft] def stampOfPath(spark: SparkSession, path: String): String =
+    partsOf(spark, path)
+      .map(f => s"${f.name}\t${f.len}\t${f.mtime}").mkString("\n")
+
+  private def listParts(spark: SparkSession, dir: String): Seq[PartFile] =
+    partsOf(spark, s"$dir/events.parquet")
 
   /** The feed's file-identity stamp (name/len/mtime per part file) —
     * the same identity [[maintain]]'s mutation detector keys on, in a

@@ -106,6 +106,13 @@ object StatsJoin {
   private val rootLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Stats-planned consumer names that ran in this JVM — the sibling
+    * universe the stats-off arm's refresher sweep iterates (a
+    * refresher can only have been registered by a stats-on call here,
+    * which also recorded its name). */
+  private val consumers =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** `spark.graft.stats.cbo` (default on): the A/B knob for the
     * measured stats-on vs stats-off delta — off, q169 neither injects
     * statistics nor enables CBO, so the literal (bad) join order runs. */
@@ -364,19 +371,34 @@ object StatsJoin {
     * coexist in one session catalog, and sanitized names are required
     * collision-free (two types folding onto one case-insensitive
     * identifier would silently serve one type's rows for the other). */
-  def registerTypedTables(spark: SparkSession, dir: String): Map[String, String] = {
+  def registerTypedTables(spark: SparkSession, dir: String): Map[String, String] =
+    registerTypedTablesStamped(spark, dir)._2
+
+  /** [[registerTypedTables]] plus the feed stamp the registration was
+    * validated against — so an enclosing stats-planned call reuses ONE
+    * listing for both the registration memo and its own statistics
+    * stamp instead of listing the feed twice per warm call. */
+  private def registerTypedTablesStamped(spark: SparkSession, dir: String)
+      : (String, Map[String, String]) = {
     // the stamp (one feed listStatus) is the ONLY per-call cost on an
     // unchanged corpus: it is exactly ensureTypedLayout's no-op
     // condition, so a memo hit can skip the layout resolution, the
     // vanished-table sweep, and the partition-metadata diff wholesale.
     // Tables are re-checked for existence (point lookups, not
-    // listings) so a spec that dropped one falls through to a re-sync.
+    // listings), and the layout root is probed for a committed
+    // generation (one tiny root listing) so an externally wiped layout
+    // self-heals by re-sync instead of serving partitions that point
+    // at dead paths.
     val stamp = KmvTable.feedStamp(spark, dir)
     val memoKey = (spark.sharedState: AnyRef, layoutRoot(spark, dir))
     Option(regMemo.get(memoKey)) match {
       case Some((s, tbls)) if s == stamp &&
-          tbls.values.forall(spark.catalog.tableExists) =>
-        return tbls
+          tbls.values.forall(spark.catalog.tableExists) && {
+            val rp = new org.apache.hadoop.fs.Path(layoutRoot(spark, dir))
+            val lfs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            KmvTable.latestCommitted(lfs, layoutRoot(spark, dir)).isDefined
+          } =>
+        return (stamp, tbls)
       case _ => ()
     }
     regSyncs.incrementAndGet()
@@ -444,7 +466,7 @@ object StatsJoin {
       t -> tbl
     }.toMap
     regMemo.put(memoKey, (stamp, out))
-    out
+    (stamp, out)
   }
 
   /** value >= 200.00 — ~1.6% of purchase rows at every gate scale:
@@ -551,11 +573,11 @@ object StatsJoin {
       name: String, needed: Seq[String], plain: Seq[String],
       calibrated: Seq[(String, Seq[String])],
       sql: Map[String, String] => String): DataFrame = {
-    val tbls = registerTypedTables(spark, dir)
+    consumers.add(name)
+    val (stamp, tbls) = registerTypedTablesStamped(spark, dir)
     require(needed.forall(tbls.contains),
       s"corpus lacks the $name event types: ${tbls.keys.toSeq.sorted}")
     if (statsCboOn(spark)) {
-      val stamp = KmvTable.feedStamp(spark, dir)
       val key = (spark.sharedState: AnyRef, layoutRoot(spark, dir), name)
       if (!Option(statsMemo.get(key)).contains(stamp)) {
         injectStats(spark, dir, tbls, plain, calibrated)
@@ -567,21 +589,31 @@ object StatsJoin {
       // an O(corpus) re-layout) and the statistics are KB-sized
       // table-served injections, so an appended corpus leaves zero
       // stale window for data OR statistics beyond the run. It also
-      // advances the stamp memo: the commit it fired from IS the new
-      // feed state, so the next query call short-circuits again.
+      // advances the stamp memo: the stamp is read BEFORE the
+      // injection (a feed file landing mid-refresh must surface as a
+      // memo MISS on the next query call, not mark the just-injected —
+      // now stale — statistics fresh), and the registration path
+      // reuses its own pre-injection stamp the same way.
       SynopsisStats.registerRefresh(dir, s"${name}_stats") { sp =>
-        val t = registerTypedTables(sp, dir)
+        val (st, t) = registerTypedTablesStamped(sp, dir)
         injectStats(sp, dir, t, plain, calibrated)
-        statsMemo.put((sp.sharedState: AnyRef, layoutRoot(sp, dir), name),
-          KmvTable.feedStamp(sp, dir))
+        statsMemo.put((sp.sharedState: AnyRef, layoutRoot(sp, dir), name), st)
         ()
       }
     } else {
-      SynopsisStats.unregisterRefresh(dir, s"${name}_stats")
-      // the clear below wipes stats on tables OTHER consumers may share
-      // (view rides in both q169 and q170) — every consumer's stamp
-      // memo for this root must fall, or a later stats-on call of the
-      // other query would skip re-injection over the cleared tables
+      // EVERY stats-planned refresher for this corpus must fall, not
+      // just this consumer's: the tables are shared (view rides in
+      // q169 AND q170/q171), so a surviving sibling refresher firing
+      // off a maintenance commit would re-inject statistics onto the
+      // cleared tables under the 'no stats' baseline. A refresher can
+      // only exist if a stats-on call registered it in THIS JVM, which
+      // also recorded its name in `consumers` — the dynamic set is
+      // exactly the sibling universe.
+      consumers.forEach(n =>
+        SynopsisStats.unregisterRefresh(dir, s"${n}_stats"))
+      // ... and every consumer's stamp memo for this root must fall,
+      // or a later stats-on call of the other query would skip
+      // re-injection over the cleared tables
       val root = layoutRoot(spark, dir)
       statsMemo.keySet.removeIf(k =>
         k._1.eq(spark.sharedState) && k._2 == root)

@@ -61,6 +61,9 @@ object ZIndex {
   private[graft] val zAppends = new AtomicLong // incremental appends
   private[graft] val zFilesTotal = new AtomicLong // zone-map rows at last query
   private[graft] val zFilesRead = new AtomicLong // files surviving the prune
+  /** Feed part files read by maintenance in this JVM (the KmvTable
+    * convention: an append must scan exactly the appended files). */
+  private[graft] val zFeedFilesScanned = new AtomicLong
 
   /** (root → (feed stamp, committed gen)) — a repeat [[ensure]] on an
     * unchanged corpus pays one feed listStatus. */
@@ -79,19 +82,12 @@ object ZIndex {
     spark.conf.getOption("spark.graft.zindex.dir")
       .getOrElse(sys.props("java.io.tmpdir") + s"/graft_zindex/${md5hex(dir)}")
 
-  private case class Feed(name: String, len: Long, mtime: Long, path: String)
+  // file-identity listing shared with every derived artifact
+  // ([[KmvTable.partsOf]] — one implementation of the stamp discipline)
+  private def listFeed(spark: SparkSession, dir: String): Seq[KmvTable.PartFile] =
+    KmvTable.partsOf(spark, s"$dir/lineitem.parquet")
 
-  private def listFeed(spark: SparkSession, dir: String): Seq[Feed] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val statuses =
-      if (fs.getFileStatus(p).isFile) Array(fs.getFileStatus(p))
-      else fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
-    statuses.toSeq.map(s => Feed(s.getPath.getName, s.getLen,
-      s.getModificationTime, s.getPath.toString)).sortBy(_.name)
-  }
-
-  private def stampOf(feed: Seq[Feed]): String =
+  private def stampOf(feed: Seq[KmvTable.PartFile]): String =
     feed.map(f => s"${f.name}\t${f.len}\t${f.mtime}").mkString("\n")
 
   /** Cluster `rows` into `n` z-sorted files under `genDir/files` and
@@ -102,7 +98,6 @@ object ZIndex {
       genName: String, genDir: String, n: Int): DataFrame = {
     Layout.clusterByZ(rows, "l_partkey", "l_orderkey", n)
       .write.mode("overwrite").parquet(s"$genDir/files")
-    val prefix = s"$genDir/files/"
     spark.read.parquet(s"$genDir/files")
       .groupBy(input_file_name().as("f"))
       .agg(count(lit(1)).as("np"),
@@ -124,12 +119,17 @@ object ZIndex {
     rootLocks.computeIfAbsent(r, _ => new Object).synchronized {
       val feed = listFeed(spark, dir)
       val stamp = stampOf(feed)
-      Option(memo.get(r)) match {
-        case Some((s, g)) if s == stamp => return (r, g)
-        case _ => ()
-      }
       val rp = new org.apache.hadoop.fs.Path(r)
       val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Option(memo.get(r)) match {
+        // one existence probe alongside the stamp: an externally wiped
+        // layout (tmp cleaner) must fall through to a rebuild, not
+        // serve dead paths off the memo
+        case Some((s, g)) if s == stamp && fs.exists(
+            new org.apache.hadoop.fs.Path(s"$r/gen-$g/_COMMITTED")) =>
+          return (r, g)
+        case _ => ()
+      }
       val gens: Seq[Long] =
         if (!fs.exists(rp)) Seq.empty
         else fs.listStatus(rp).toSeq.collect {
@@ -178,10 +178,12 @@ object ZIndex {
           // recluster that bounds generation sprawl AND restores
           // clustering quality (see object doc)
           zBuilds.incrementAndGet()
+          zFeedFilesScanned.addAndGet(feed.size)
           clusterAndMap(spark, Tables.lineitem(spark, dir), genName, genDir,
             NFiles)
         } else {
           zAppends.incrementAndGet()
+          zFeedFilesScanned.addAndGet(newFeed.size)
           val newRows = spark.read.parquet(newFeed.map(_.path): _*)
             .select(Tables.lineitem(spark, dir).columns.map(col): _*)
             .cache()

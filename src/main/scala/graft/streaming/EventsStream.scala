@@ -244,7 +244,13 @@ object EventsStream {
     * run*Once entry (AvailableNow processes all available data, including
     * the no-data state-cleanup batch outer joins need).
     */
-  private def runToMemory(df: DataFrame, mode: OutputMode, name: String): DataFrame = {
+  private def runToMemory(df: DataFrame, mode: OutputMode, name: String): DataFrame =
+    runToMemoryQ(df, mode, name)._1
+
+  /** [[runToMemory]] plus the (terminated) query handle — for callers
+    * that capture the last micro-batch's plan (q173's pins). */
+  private def runToMemoryQ(df: DataFrame, mode: OutputMode, name: String)
+      : (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) = {
     val q = df.writeStream
       .outputMode(mode)
       .format("memory")
@@ -252,7 +258,7 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    df.sparkSession.table(name)
+    (df.sparkSession.table(name), q)
   }
 
   def runSlidingWindowOnce(spark: SparkSession, dir: String, name: String = "stream_sliding"): DataFrame =
@@ -315,15 +321,8 @@ object EventsStream {
     * identity. */
   def statsCustDim(spark: SparkSession, dir: String): DataFrame = {
     val tbl = custDimTable(dir)
-    val p = new org.apache.hadoop.fs.Path(s"$dir/customer.parquet")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val statuses =
-      if (fs.getFileStatus(p).isFile) Array(fs.getFileStatus(p))
-      else fs.listStatus(p)
-        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
-    val stamp = statuses.sortBy(_.getPath.getName)
-      .map(s => s"${s.getPath.getName}\t${s.getLen}\t${s.getModificationTime}")
-      .mkString("\n")
+    val stamp = graft.operators.KmvTable.stampOfPath(
+      spark, s"$dir/customer.parquet")
     val key = (spark.sharedState: AnyRef, dir)
     if (Option(dimMemo.get(key)).contains(stamp) &&
         spark.catalog.tableExists(tbl))
@@ -334,6 +333,11 @@ object EventsStream {
     spark.sql(s"CREATE TABLE IF NOT EXISTS $tbl " +
       s"(c_custkey BIGINT, c_mktsegment STRING) USING parquet " +
       s"LOCATION '$dir/customer.parquet'")
+    // refresh BEFORE the synopsis build: on the stamp-miss path
+    // (corpus regenerated in place) the cached relation still serves
+    // the OLD file listing — the build would scan deleted files or
+    // inject the pre-mutation statistics
+    spark.catalog.refreshTable(tbl)
     val syn = graft.plans.JoinSynopsis.build(
       tbl, spark.table(tbl), col("c_custkey"))
     graft.plans.SynopsisStats.inject(spark, tbl, syn.rows,
@@ -374,13 +378,7 @@ object EventsStream {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("window.start").as("window_start"), col("c_mktsegment"),
         col("n"), col("sum_value"))
-    val q = df.writeStream
-      .outputMode(OutputMode.Complete)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val (result, q) = runToMemoryQ(df, OutputMode.Complete, name)
     // capture the last micro-batch's executed plan for the spec pins
     // (StreamingQuery.explain prints — there is no accessor API);
     // best-effort: a capture failure must not fail the QUERY, only the
@@ -392,7 +390,7 @@ object EventsStream {
       }
       lastEnrichPlan.set(buf.toString("UTF-8"))
     } catch { case e: Throwable => lastEnrichPlan.set(s"<unavailable: $e>") }
-    df.sparkSession.table(name)
+    result
   }
 
   /** Run the windowed agg to completion over the (finite) file source and

@@ -66,17 +66,9 @@ object WeatherStats {
     * stations, nation feeds postal — [[WeatherSynth]]): two RPC-cheap
     * listStatus, the same identity discipline as KmvTable.feedStamp. */
   private def sourceStamp(s: SparkSession, d: String): String =
-    Seq("customer.parquet", "nation.parquet").map { t =>
-      val p = new org.apache.hadoop.fs.Path(s"$d/$t")
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val statuses =
-        if (fs.getFileStatus(p).isFile) Array(fs.getFileStatus(p))
-        else fs.listStatus(p)
-          .filter(x => x.isFile && !x.getPath.getName.startsWith("_"))
-      statuses.sortBy(_.getPath.getName)
-        .map(x => s"${x.getPath.getName}\t${x.getLen}\t${x.getModificationTime}")
-        .mkString("\n")
-    }.mkString("\n--\n")
+    Seq("customer.parquet", "nation.parquet")
+      .map(t => graft.operators.KmvTable.stampOfPath(s, s"$d/$t"))
+      .mkString("\n--\n")
 
   /** Catalog table names for a corpus dir (spec surface). */
   private[graft] def dimTableNames(d: String): (String, String) =

@@ -86,13 +86,20 @@ class ZIndexSpec extends SparkSpec {
         spark.read.parquet(s"$r/gen-$g/zonemap").collect()
           .map(_.getAs[String]("file")).toSet
       }
+      def feedParts(): Int = new java.io.File(s"$dir/lineitem.parquet")
+        .listFiles().count(f => f.getName.endsWith(".parquet"))
+      val partsBefore = feedParts()
       li(20000 until 24000).write.mode("append")
         .parquet(s"$dir/lineitem.parquet")
+      val newFeedFiles = feedParts() - partsBefore
       ZIndex.clearMemo() // the memo is JVM-wide; a fresh stamp must miss anyway
+      val fs0 = ZIndex.zFeedFilesScanned.get()
       val rows3 = ZIndex.q172ZorderPrune(spark, dir).collect().toSeq
       assert(ZIndex.zBuilds.get() === b0 + 1,
         "an append must not trigger a full recluster")
       assert(ZIndex.zAppends.get() === a0 + 1)
+      assert(ZIndex.zFeedFilesScanned.get() - fs0 === newFeedFiles.toLong,
+        "an append must scan exactly the appended feed files")
       assert(rows3 === direct(dir))
       val (r3, g3) = ZIndex.ensure(spark, dir)
       val mapAfter = spark.read.parquet(s"$r3/gen-$g3/zonemap").collect()
