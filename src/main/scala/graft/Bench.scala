@@ -89,9 +89,9 @@ object Bench {
       prewarmLayout = (System.nanoTime() - tw) / 1e9
       System.err.println(s"[bench] prewarm_typed_layout ${fmt(prewarmLayout)}")
     }
-    // the durable z-clustered layout (q172), same convention
+    // the durable z-clustered layout (q172/q174), same convention
     var prewarmZ = 0.0
-    if (selected("q172_zorder_prune")) {
+    if (Seq("q172_zorder_prune", "q174_zorder_onedim").exists(selected)) {
       val tw = System.nanoTime()
       graft.operators.ZIndex.ensure(spark, sfDir)
       prewarmZ = (System.nanoTime() - tw) / 1e9

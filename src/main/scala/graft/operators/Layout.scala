@@ -2040,6 +2040,7 @@ object Layout {
     "q170_stats_star_order" -> (StatsJoin.q170StatsStarOrder _),
     "q171_stats_broadcast" -> (StatsJoin.q171StatsBroadcast _),
     "q172_zorder_prune" -> (ZIndex.q172ZorderPrune _),
+    "q174_zorder_onedim" -> (ZIndex.q174ZorderOnedim _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2070,5 +2071,6 @@ object Layout {
     "q170_stats_star_order" -> StatsJoin.q170Sql,
     "q171_stats_broadcast" -> StatsJoin.q171Sql,
     "q172_zorder_prune" -> ZIndex.q172Sql,
+    "q174_zorder_onedim" -> ZIndex.q174Sql,
   )
 }

@@ -318,6 +318,89 @@ object ZIndex {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q174's one-dimensional range — decile 3 of the ORDERKEY range,
+    * no partkey predicate at all. */
+  private[graft] def band(olo: Long, ohi: Long): (Long, Long) =
+    (olo + (ohi - olo) * 2 / 10, olo + (ohi - olo) * 3 / 10)
+
+  /** q174 — the NON-LEADING-column range query over the SAME
+    * z-clustered layout ([[q172ZorderPrune]]'s artifact, shared
+    * build): a predicate on l_orderkey alone, no l_partkey term.
+    *
+    * This is the claim that justifies z-order over a plain sort: the
+    * reference's composite B-tree `(partkey, orderkey)`
+    * (`sql/schema.sql:295-305`) serves only LEADING-prefix predicates
+    * — an orderkey-only range scans the whole index — and a layout
+    * sorted by partkey alone is exactly as blind. The Morton
+    * interleave keeps BOTH columns' per-file extents tight, so the
+    * same 64-file layout serves the orderkey-only band by opening the
+    * ~1-strip of files whose [omin, omax] overlap it (ZIndexSpec pins
+    * the strict subset; a 10% band keeps ~⅛–¼ of the grid vs ~1/64
+    * for q172's 2-D cell — the classic z-order strip-vs-cell
+    * geometry). Same `raw` arm convention for the no-layout baseline. */
+  def q174ZorderOnedim(spark: SparkSession, dir: String): DataFrame = {
+    val mode = spark.conf.getOption("spark.graft.zindex.mode")
+      .getOrElse("pruned")
+    if (mode == "raw") {
+      val li = Tables.lineitem(spark, dir)
+      val b = li.agg(min(col("l_orderkey")), max(col("l_orderkey"))).collect()(0)
+      val (ylo, yhi) = band(b.getLong(0), b.getLong(1))
+      System.err.println(s"[zindex] q174 mode=raw (unclustered scan)")
+      return bandAgg(li, ylo, yhi)
+    }
+    val (r, gen) = ensure(spark, dir)
+    val zm = spark.read.parquet(s"$r/gen-$gen/zonemap").collect()
+    zFilesTotal.set(zm.length)
+    require(zm.nonEmpty, "zone map of a non-empty table cannot be empty")
+    def lmin(c: String): Long = zm.iterator.filter(!_.isNullAt(
+      zm.head.fieldIndex(c))).map(_.getAs[Long](c)).min
+    def lmax(c: String): Long = zm.iterator.filter(!_.isNullAt(
+      zm.head.fieldIndex(c))).map(_.getAs[Long](c)).max
+    val (ylo, yhi) = band(lmin("omin"), lmax("omax"))
+    val prune = mode == "pruned"
+    val keep = zm.filter { row =>
+      def l(c: String): Option[Long] =
+        if (row.isNullAt(row.fieldIndex(c))) None else Some(row.getAs[Long](c))
+      !prune || (for { omin <- l("omin"); omax <- l("omax") }
+        yield omin < yhi && omax >= ylo).getOrElse(false)
+    }.map(row => s"$r/${row.getAs[String]("file")}")
+    zFilesRead.set(keep.length)
+    System.err.println(s"[zindex] q174 mode=$mode files_read=${keep.length} " +
+      s"files_total=${zm.length}")
+    val banded =
+      if (keep.isEmpty)
+        spark.read.parquet(s"$r/${zm.head.getAs[String]("file")}")
+          .filter(lit(false))
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+    bandAgg(banded, ylo, yhi)
+  }
+
+  private def bandAgg(df: DataFrame, ylo: Long, yhi: Long): DataFrame =
+    df.filter(col("l_orderkey") >= ylo && col("l_orderkey") < yhi)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        countDistinct(col("l_suppkey")).as("n_supp"))
+      .orderBy(col("l_returnflag"))
+
+  /** DuckDB oracle for [[q174ZorderOnedim]]. */
+  val q174Sql: String =
+    """WITH b AS (
+      |  SELECT MIN(l_orderkey) AS olo, MAX(l_orderkey) AS ohi
+      |  FROM lineitem),
+      |x AS (
+      |  SELECT olo + (ohi - olo) * 2 // 10 AS ylo,
+      |         olo + (ohi - olo) * 3 // 10 AS yhi
+      |  FROM b)
+      |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+      |FROM lineitem, x
+      |WHERE l_orderkey >= ylo AND l_orderkey < yhi
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** DuckDB oracle: identical box arithmetic (`//` floor division ==
     * Long truncation on these non-negative ranges) straight off the
     * raw table. */

@@ -125,6 +125,40 @@ class ZIndexSpec extends SparkSpec {
     }
   }
 
+  /** q174's in-JVM oracle: the orderkey band aggregate off the raw
+    * fixture. */
+  private def direct1d(dir: String): Seq[org.apache.spark.sql.Row] = {
+    val raw = spark.read.parquet(s"$dir/lineitem.parquet")
+    val b = raw.agg(min(col("l_orderkey")), max(col("l_orderkey"))).collect()(0)
+    val (ylo, yhi) = ZIndex.band(b.getLong(0), b.getLong(1))
+    raw.filter(col("l_orderkey") >= ylo && col("l_orderkey") < yhi)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        countDistinct(col("l_suppkey")).as("n_supp"))
+      .orderBy(col("l_returnflag")).collect().toSeq
+  }
+
+  test("q174: a NON-LEADING-column range over the same layout still " +
+      "prunes (the composite-B-tree claim) and equals the direct " +
+      "computation") {
+    val dir = TempDirs.create("graft_zidx_corp3")
+    li(0 until 20000).write.mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    withConfs("spark.graft.zindex.dir" -> TempDirs.create("graft_zidx_root3")) {
+      ZIndex.clearMemo()
+      val rows = ZIndex.q174ZorderOnedim(spark, dir).collect().toSeq
+      val (total, read) = (ZIndex.zFilesTotal.get(), ZIndex.zFilesRead.get())
+      assert(rows.nonEmpty && rows === direct1d(dir))
+      // a 10% orderkey band keeps ~1 strip of the 8×8 z-grid — well
+      // under half the files, though more than q172's 2-D cell
+      assert(read < total / 2,
+        s"an orderkey-only band must prune most of the layout " +
+          s"(read $read of $total)")
+    }
+  }
+
   test("q172: the generation bound swaps append sprawl for a global " +
       "recluster") {
     val dir = TempDirs.create("graft_zidx_corp2")
