@@ -92,22 +92,70 @@ object ZIndex {
 
   /** Cluster `rows` into `n` z-sorted files under `genDir/files` and
     * return the zone-map rows (gen-relative file path + exact per-file
-    * bounds + row count) computed FROM the written files — one KB-scale
-    * aggregate over what the readers will actually open. */
+    * bounds + row count) read FROM THE PARQUET FOOTERS of the written
+    * files — parquet already wrote exact per-row-group min/max for
+    * these INT64 columns, so the zone map costs n footer reads (KB
+    * each), never a second pass over the data. Conservative semantics
+    * when a footer carries no usable statistics for a column: the
+    * bounds widen to (Long.Min, Long.Max) so the file is ALWAYS kept —
+    * pruning soundness never rests on statistics being present. A
+    * column that is all-null in a file yields null bounds (the file
+    * cannot satisfy a predicate on it). */
   private def clusterAndMap(spark: SparkSession, rows: DataFrame,
       genName: String, genDir: String, n: Int): DataFrame = {
     Layout.clusterByZ(rows, "l_partkey", "l_orderkey", n)
       .write.mode("overwrite").parquet(s"$genDir/files")
-    spark.read.parquet(s"$genDir/files")
-      .groupBy(input_file_name().as("f"))
-      .agg(count(lit(1)).as("np"),
-        min(col("l_partkey")).as("pmin"), max(col("l_partkey")).as("pmax"),
-        min(col("l_orderkey")).as("omin"), max(col("l_orderkey")).as("omax"))
-      // gen-relative paths: later generations reference these rows
-      // verbatim, wherever the root happens to be mounted
-      .select(concat(lit(s"$genName/files/"),
-          element_at(split(col("f"), "/"), -1)).as("file"),
-        col("np"), col("pmin"), col("pmax"), col("omin"), col("omax"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fdir = new org.apache.hadoop.fs.Path(s"$genDir/files")
+    val files = fdir.getFileSystem(conf).listStatus(fdir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    import scala.jdk.CollectionConverters._
+    val mapRows = files.toSeq.map { st =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      val blocks = try reader.getFooter.getBlocks.asScala.toSeq
+        finally reader.close()
+      val np = blocks.map(_.getRowCount).sum
+      // per-column fold over row-group statistics:
+      //   None                  → no usable stats → (Min, Max) keep-all
+      //   Some(None)            → all row groups all-null → null bounds
+      //   Some(Some((lo, hi)))  → exact bounds
+      def bounds(colName: String): Option[Option[(Long, Long)]] = {
+        val perBlock = blocks.map { b =>
+          b.getColumns.asScala.find(
+            _.getPath.toDotString == colName) match {
+            case None => None // column absent from the file: no stats
+            case Some(c) =>
+              val s = c.getStatistics
+              if (s == null || s.isEmpty) None // stats not written
+              else if (!s.hasNonNullValue && s.getNumNulls > 0)
+                Some(None) // row group is all-null for this column
+              else if (!s.hasNonNullValue) None // empty/unknown: keep
+              else Some(Some((
+                s.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+                s.genericGetMax.asInstanceOf[java.lang.Long].longValue)))
+          }
+        }
+        if (perBlock.exists(_.isEmpty)) None // any unknown poisons to keep-all
+        else {
+          val defined = perBlock.flatten.flatten
+          if (defined.isEmpty) Some(None)
+          else Some(Some((defined.map(_._1).min, defined.map(_._2).max)))
+        }
+      }
+      def cols(b: Option[Option[(Long, Long)]]): (Option[Long], Option[Long]) =
+        b match {
+          case None => (Some(Long.MinValue), Some(Long.MaxValue))
+          case Some(None) => (None, None)
+          case Some(Some((lo, hi))) => (Some(lo), Some(hi))
+        }
+      val (pmin, pmax) = cols(bounds("l_partkey"))
+      val (omin, omax) = cols(bounds("l_orderkey"))
+      (s"$genName/files/${st.getPath.getName}", np, pmin, pmax, omin, omax)
+    }
+    import spark.implicits._
+    mapRows.toDF("file", "np", "pmin", "pmax", "omin", "omax")
   }
 
   private val GenRe = "gen-(\\d+)".r

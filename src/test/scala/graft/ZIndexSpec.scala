@@ -125,6 +125,46 @@ class ZIndexSpec extends SparkSpec {
     }
   }
 
+  test("the footer-read zone map equals the per-file aggregate truth") {
+    val dir = TempDirs.create("graft_zidx_corp4")
+    li(0 until 10000).write.mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    withConfs("spark.graft.zindex.dir" -> TempDirs.create("graft_zidx_root4")) {
+      ZIndex.clearMemo()
+      val (r, g) = ZIndex.ensure(spark, dir)
+      val zm = spark.read.parquet(s"$r/gen-$g/zonemap").collect()
+        .map(row => row.getAs[String]("file") -> (
+          row.getAs[Long]("np"),
+          if (row.isNullAt(row.fieldIndex("pmin"))) None
+          else Some(row.getAs[Long]("pmin")),
+          if (row.isNullAt(row.fieldIndex("pmax"))) None
+          else Some(row.getAs[Long]("pmax")),
+          row.getAs[Long]("omin"), row.getAs[Long]("omax"))).toMap
+      val truth = spark.read.parquet(s"$r/gen-$g/files")
+        .groupBy(input_file_name().as("f"))
+        .agg(count(lit(1)).as("np"),
+          min(col("l_partkey")).as("pmin"), max(col("l_partkey")).as("pmax"),
+          min(col("l_orderkey")).as("omin"), max(col("l_orderkey")).as("omax"))
+        .collect()
+        .map(row => (s"gen-$g/files/" +
+            row.getAs[String]("f").split("/").last) -> (
+          row.getAs[Long]("np"),
+          if (row.isNullAt(row.fieldIndex("pmin"))) None
+          else Some(row.getAs[Long]("pmin")),
+          if (row.isNullAt(row.fieldIndex("pmax"))) None
+          else Some(row.getAs[Long]("pmax")),
+          row.getAs[Long]("omin"), row.getAs[Long]("omax"))).toMap
+      assert(zm === truth,
+        "the zone map read from parquet footers must equal the " +
+          "per-file aggregate computed from the data (incl. null-bound " +
+          "files where every partkey in the file is null)")
+      // the fixture's null-partkey residue guarantees at least the
+      // possibility of an all-null file; assert the map covers every
+      // written file either way
+      assert(zm.keySet === truth.keySet && zm.nonEmpty)
+    }
+  }
+
   /** q174's in-JVM oracle: the orderkey band aggregate off the raw
     * fixture. */
   private def direct1d(dir: String): Seq[org.apache.spark.sql.Row] = {
