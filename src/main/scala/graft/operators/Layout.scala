@@ -2041,6 +2041,7 @@ object Layout {
     "q171_stats_broadcast" -> (StatsJoin.q171StatsBroadcast _),
     "q172_zorder_prune" -> (ZIndex.q172ZorderPrune _),
     "q174_zorder_onedim" -> (ZIndex.q174ZorderOnedim _),
+    "q175_zorder_fileindex" -> (ZIndex.q175ZorderFileIndex _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2072,5 +2073,8 @@ object Layout {
     "q171_stats_broadcast" -> StatsJoin.q171Sql,
     "q172_zorder_prune" -> ZIndex.q172Sql,
     "q174_zorder_onedim" -> ZIndex.q174Sql,
+    "q175_zorder_fileindex" -> ZIndex.q172Sql, // same contract: q172's
+      // box semantics — only the pruning's INTEGRATION point moved
+      // (driver-side consult → Spark's own FileIndex planning)
   )
 }

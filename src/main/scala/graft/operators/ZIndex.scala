@@ -432,6 +432,65 @@ object ZIndex {
         countDistinct(col("l_suppkey")).as("n_supp"))
       .orderBy(col("l_returnflag"))
 
+  /** q175 — the zone map inside SPARK'S OWN scan planning: the same
+    * box aggregate as q172, but expressed as ordinary DataFrame
+    * filters over a relation backed by
+    * [[graft.plans.ZoneMapFileIndex]]. Nothing query-specific consults
+    * the map: Spark pushes the data filters to the FileIndex and the
+    * index refutes them per file against the exact bounds — the
+    * driver-side q172 method generalized to EVERY predicate a user
+    * writes over the relation (the Delta-style integration). The
+    * filters are deliberately spelled in BOTH literal orientations
+    * (col ⊗ lit and lit ⊗ col) to exercise the index's normalization.
+    * Oracle: [[q172Sql]] — identical semantics, different plumbing. */
+  /** The z-layout as an UNFILTERED relation over
+    * [[graft.plans.ZoneMapFileIndex]], plus its zone entries — the
+    * spec surface for planner-side pruning with arbitrary predicates. */
+  private[graft] def zFrame(spark: SparkSession, dir: String)
+      : (DataFrame, IndexedSeq[graft.plans.ZoneEntry]) = {
+    val (r, gen) = ensure(spark, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val zm = spark.read.parquet(s"$r/gen-$gen/zonemap").collect()
+    require(zm.nonEmpty, "zone map of a non-empty table cannot be empty")
+    val entries = zm.map { row =>
+      def l(c: String): Option[Long] =
+        if (row.isNullAt(row.fieldIndex(c))) None else Some(row.getAs[Long](c))
+      val p = new org.apache.hadoop.fs.Path(s"$r/${row.getAs[String]("file")}")
+      graft.plans.ZoneEntry(p.getFileSystem(conf).getFileStatus(p),
+        l("pmin"), l("pmax"), l("omin"), l("omax"))
+    }.toIndexedSeq
+    val schema = spark.read.parquet(entries.head.status.getPath.toString).schema
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      new graft.plans.ZoneMapFileIndex(
+        new org.apache.hadoop.fs.Path(r), entries, schema),
+      new org.apache.spark.sql.types.StructType(), schema, None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      Map.empty[String, String])(cs)
+    (cs.baseRelationToDataFrame(rel), entries)
+  }
+
+  def q175ZorderFileIndex(spark: SparkSession, dir: String): DataFrame = {
+    val (df, entries) = zFrame(spark, dir)
+    // keep-all sentinel bounds (stats unavailable at map-build time)
+    // must not poison the global range the box derives from
+    def gmin(f: graft.plans.ZoneEntry => Option[Long]): Long =
+      entries.flatMap(f(_)).filter(_ != Long.MinValue).min
+    def gmax(f: graft.plans.ZoneEntry => Option[Long]): Long =
+      entries.flatMap(f(_)).filter(_ != Long.MaxValue).max
+    val (xlo, xhi, ylo, yhi) =
+      box(gmin(_.pmin), gmax(_.pmax), gmin(_.omin), gmax(_.omax))
+    df
+      .filter(col("l_partkey") >= xlo && lit(xhi) > col("l_partkey") &&
+        col("l_orderkey") >= ylo && lit(yhi) > col("l_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        countDistinct(col("l_suppkey")).as("n_supp"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** DuckDB oracle for [[q174ZorderOnedim]]. */
   val q174Sql: String =
     """WITH b AS (

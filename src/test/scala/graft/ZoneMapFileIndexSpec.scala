@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ZIndex
+import graft.plans.ZoneMapFileIndex
+
+/** q175 — the zone map inside Spark's own scan planning. Pins:
+  * (1) the FileIndex-backed query equals q172's driver-side consult
+  *     AND the direct computation, with the planner-counted kept set
+  *     exactly the q172 consult's overlap set (same map, same box,
+  *     two integration points — one truth);
+  * (2) both literal orientations prune (the query spells col ⊗ lit
+  *     and lit ⊗ col conjuncts);
+  * (3) an unmapped-column predicate keeps EVERY file — unsupported
+  *     shapes degrade to a full listing, never a wrong answer. */
+class ZoneMapFileIndexSpec extends SparkSpec {
+
+  private def withConfs[T](pairs: (String, String)*)(f: => T): T = {
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally pairs.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
+  private def li(ids: Range) = {
+    import spark.implicits._
+    ids.map { i =>
+      (if (i % 97 == 0) None else Some(((i.toLong * 7919) % 2000)),
+        (i.toLong * 104729) % 15000,
+        (i % 100).toLong,
+        (i % 50 + 1).toDouble,
+        Seq("A", "N", "R")(i % 3))
+    }.toDF("l_partkey", "l_orderkey", "l_suppkey", "l_quantity",
+      "l_returnflag")
+  }
+
+  test("q175: planner-side pruning equals the driver-side consult; " +
+      "unmapped predicates keep every file") {
+    val dir = TempDirs.create("graft_zmfi_corp")
+    li(0 until 20000).write.mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    withConfs("spark.graft.zindex.dir" -> TempDirs.create("graft_zmfi_root")) {
+      ZIndex.clearMemo()
+      // driver-side consult first: its overlap set is the truth the
+      // planner-side kept set must reproduce
+      val q172Rows = ZIndex.q172ZorderPrune(spark, dir).collect().toSeq
+      val consultKept = ZIndex.zFilesRead.get()
+      val consultTotal = ZIndex.zFilesTotal.get()
+
+      val df = ZIndex.q175ZorderFileIndex(spark, dir)
+      val rows = df.collect().toSeq
+      assert(rows.nonEmpty && rows === q172Rows,
+        "the FileIndex-backed query must compute exactly q172's box")
+      assert(ZoneMapFileIndex.lastTotal.get() === consultTotal)
+      assert(ZoneMapFileIndex.lastKept.get() === consultKept,
+        s"Spark's pushed filters must prune the same overlap set as " +
+          s"the driver-side consult (planner " +
+          s"${ZoneMapFileIndex.lastKept.get()} vs consult $consultKept)")
+      assert(consultKept < consultTotal / 2)
+
+    }
+  }
+
+  test("q175: arbitrary predicates over the raw relation — a mapped " +
+      "range prunes, an unmapped-only filter lists every file, answers " +
+      "match the plain table either way") {
+    val dir = TempDirs.create("graft_zmfi_corp2")
+    li(0 until 8000).write.mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    withConfs("spark.graft.zindex.dir" -> TempDirs.create("graft_zmfi_root2")) {
+      ZIndex.clearMemo()
+      val (frame, _) = ZIndex.zFrame(spark, dir)
+      val raw = spark.read.parquet(s"$dir/lineitem.parquet")
+
+      // unmapped-only predicate: refutes nothing, every file listed
+      val a1 = frame.filter(col("l_returnflag") === "A").count()
+      assert(ZoneMapFileIndex.lastKept.get() ===
+        ZoneMapFileIndex.lastTotal.get(),
+        "an unmapped predicate must keep every file")
+      assert(a1 === raw.filter(col("l_returnflag") === "A").count())
+
+      // a user-written mapped range (not the q175 box — any predicate
+      // a user writes gets the skipping): top 5% of the orderkey range
+      val b = raw.agg(min(col("l_orderkey")), max(col("l_orderkey")))
+        .collect()(0)
+      val cut = b.getLong(1) - (b.getLong(1) - b.getLong(0)) / 20
+      val a2 = frame.filter(col("l_orderkey") > cut).count()
+      assert(ZoneMapFileIndex.lastKept.get() <
+        ZoneMapFileIndex.lastTotal.get() / 2,
+        s"a 5% tail range must prune most files, kept " +
+          s"${ZoneMapFileIndex.lastKept.get()} of " +
+          s"${ZoneMapFileIndex.lastTotal.get()}")
+      assert(a2 === raw.filter(col("l_orderkey") > cut).count())
+    }
+  }
+}
