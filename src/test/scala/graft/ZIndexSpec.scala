@@ -125,6 +125,30 @@ class ZIndexSpec extends SparkSpec {
     }
   }
 
+  test("concurrent ensure() calls on one root serialize: exactly one " +
+      "build, every caller sees the committed generation") {
+    val dir = TempDirs.create("graft_zidx_corp5")
+    li(0 until 6000).write.mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    withConfs("spark.graft.zindex.dir" -> TempDirs.create("graft_zidx_root5")) {
+      ZIndex.clearMemo()
+      val b0 = ZIndex.zBuilds.get()
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val results = Await.result(
+        Future.sequence((1 to 4).map(_ =>
+          Future(ZIndex.ensure(spark, dir)))), 120.seconds)
+      assert(results.toSet.size === 1,
+        s"every concurrent caller must land on one committed " +
+          s"generation, got ${results.toSet}")
+      assert(ZIndex.zBuilds.get() === b0 + 1,
+        "the root lock must serialize to exactly ONE build")
+      assert(ZIndex.q172ZorderPrune(spark, dir).collect().toSeq ===
+        direct(dir))
+    }
+  }
+
   test("the footer-read zone map equals the per-file aggregate truth") {
     val dir = TempDirs.create("graft_zidx_corp4")
     li(0 until 10000).write.mode("overwrite")
