@@ -69,7 +69,7 @@ object ZIndex {
     * unchanged corpus pays one feed listStatus. */
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
-  def clearMemo(): Unit = memo.clear()
+  def clearMemo(): Unit = { memo.clear(); entryMemo.clear() }
 
   private val rootLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
@@ -446,19 +446,28 @@ object ZIndex {
   /** The z-layout as an UNFILTERED relation over
     * [[graft.plans.ZoneMapFileIndex]], plus its zone entries — the
     * spec surface for planner-side pruning with arbitrary predicates. */
+  /** (root, gen) → zone entries with resolved FileStatus. A committed
+    * generation's CONTENT is immutable (maintenance only ever writes
+    * new generations), so the memo never goes stale — it retires the
+    * ~(files + 1) metadata RPCs a per-call rebuild would pay. */
+  private val entryMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), IndexedSeq[graft.plans.ZoneEntry]]()
+
   private[graft] def zFrame(spark: SparkSession, dir: String)
       : (DataFrame, IndexedSeq[graft.plans.ZoneEntry]) = {
     val (r, gen) = ensure(spark, dir)
     val conf = spark.sparkContext.hadoopConfiguration
-    val zm = spark.read.parquet(s"$r/gen-$gen/zonemap").collect()
-    require(zm.nonEmpty, "zone map of a non-empty table cannot be empty")
-    val entries = zm.map { row =>
-      def l(c: String): Option[Long] =
-        if (row.isNullAt(row.fieldIndex(c))) None else Some(row.getAs[Long](c))
-      val p = new org.apache.hadoop.fs.Path(s"$r/${row.getAs[String]("file")}")
-      graft.plans.ZoneEntry(p.getFileSystem(conf).getFileStatus(p),
-        l("pmin"), l("pmax"), l("omin"), l("omax"))
-    }.toIndexedSeq
+    val entries = entryMemo.computeIfAbsent((r, gen), _ => {
+      val zm = spark.read.parquet(s"$r/gen-$gen/zonemap").collect()
+      require(zm.nonEmpty, "zone map of a non-empty table cannot be empty")
+      zm.map { row =>
+        def l(c: String): Option[Long] =
+          if (row.isNullAt(row.fieldIndex(c))) None else Some(row.getAs[Long](c))
+        val p = new org.apache.hadoop.fs.Path(s"$r/${row.getAs[String]("file")}")
+        graft.plans.ZoneEntry(p.getFileSystem(conf).getFileStatus(p),
+          l("pmin"), l("pmax"), l("omin"), l("omax"))
+      }.toIndexedSeq
+    })
     val schema = spark.read.parquet(entries.head.status.getPath.toString).schema
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
