@@ -453,11 +453,13 @@ object ZIndex {
   private val entryMemo = new java.util.concurrent.ConcurrentHashMap[
     (String, Long), IndexedSeq[graft.plans.ZoneEntry]]()
 
-  private[graft] def zFrame(spark: SparkSession, dir: String)
-      : (DataFrame, IndexedSeq[graft.plans.ZoneEntry]) = {
+  /** Resolve the latest committed generation's zone entries (memoized
+    * per immutable (root, gen) — see [[entryMemo]]). */
+  private def resolveEntries(spark: SparkSession, dir: String)
+      : IndexedSeq[graft.plans.ZoneEntry] = {
     val (r, gen) = ensure(spark, dir)
     val conf = spark.sparkContext.hadoopConfiguration
-    val entries = entryMemo.computeIfAbsent((r, gen), _ => {
+    entryMemo.computeIfAbsent((r, gen), _ => {
       val zm = spark.read.parquet(s"$r/gen-$gen/zonemap").collect()
       require(zm.nonEmpty, "zone map of a non-empty table cannot be empty")
       zm.map { row =>
@@ -468,19 +470,27 @@ object ZIndex {
           l("pmin"), l("pmax"), l("omin"), l("omax"))
       }.toIndexedSeq
     })
+  }
+
+  private[graft] def zFrame(spark: SparkSession, dir: String)
+      : (DataFrame, graft.plans.ZoneMapFileIndex) = {
+    val r = root(spark, dir)
+    val index = new graft.plans.ZoneMapFileIndex(
+      new org.apache.hadoop.fs.Path(r),
+      () => resolveEntries(spark, dir))
+    val entries = index.currentEntries
     val schema = spark.read.parquet(entries.head.status.getPath.toString).schema
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-      new graft.plans.ZoneMapFileIndex(
-        new org.apache.hadoop.fs.Path(r), entries, schema),
-      new org.apache.spark.sql.types.StructType(), schema, None,
+      index, new org.apache.spark.sql.types.StructType(), schema, None,
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
       Map.empty[String, String])(cs)
-    (cs.baseRelationToDataFrame(rel), entries)
+    (cs.baseRelationToDataFrame(rel), index)
   }
 
   def q175ZorderFileIndex(spark: SparkSession, dir: String): DataFrame = {
-    val (df, entries) = zFrame(spark, dir)
+    val (df, index) = zFrame(spark, dir)
+    val entries = index.currentEntries
     // keep-all sentinel bounds (stats unavailable at map-build time)
     // must not poison the global range the box derives from
     def gmin(f: graft.plans.ZoneEntry => Option[Long]): Long =

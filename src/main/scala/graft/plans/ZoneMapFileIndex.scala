@@ -34,20 +34,30 @@ case class ZoneEntry(status: FileStatus,
   * unsupported predicates degrade to a full listing, never a wrong
   * answer (ZoneMapFileIndexSpec pins both directions and the
   * planner-counted kept set against the q172 consult). */
-class ZoneMapFileIndex(root: Path, entries: Seq[ZoneEntry],
-    schema: StructType) extends FileIndex {
+class ZoneMapFileIndex(root: Path,
+    resolve: () => IndexedSeq[ZoneEntry]) extends FileIndex {
+
+  /** Snapshot of the layout's committed state. `refresh()` re-resolves
+    * through the maintenance path (stamp-checked, so a no-op feed is a
+    * listStatus), which makes a LONG-LIVED relation handle durable
+    * across appends: the next action after a refresh plans against the
+    * new committed generation — the catalog-table behavior, without a
+    * catalog table. */
+  @volatile private var entries: IndexedSeq[ZoneEntry] = resolve()
+  private[graft] def currentEntries: IndexedSeq[ZoneEntry] = entries
 
   override def rootPaths: Seq[Path] = Seq(root)
   override def partitionSchema: StructType = new StructType()
   override def sizeInBytes: Long = entries.map(_.status.getLen).sum
   override def inputFiles: Array[String] =
     entries.map(_.status.getPath.toString).toArray
-  override def refresh(): Unit = ()
+  override def refresh(): Unit = { entries = resolve(); () }
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val kept = entries.filter(e => dataFilters.forall(f => mayMatch(f, e)))
-    ZoneMapFileIndex.lastTotal.set(entries.size)
+    val es = entries
+    val kept = es.filter(e => dataFilters.forall(f => mayMatch(f, e)))
+    ZoneMapFileIndex.lastTotal.set(es.size)
     ZoneMapFileIndex.lastKept.set(kept.size)
     Seq(PartitionDirectory(InternalRow.empty, kept.map(_.status).toArray))
   }

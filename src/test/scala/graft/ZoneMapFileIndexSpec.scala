@@ -92,4 +92,27 @@ class ZoneMapFileIndexSpec extends SparkSpec {
       assert(a2 === raw.filter(col("l_orderkey") > cut).count())
     }
   }
+
+  test("q175: refresh() makes a long-lived relation handle durable " +
+      "across appends — the next action plans against the new " +
+      "committed generation") {
+    val dir = TempDirs.create("graft_zmfi_corp3")
+    li(0 until 6000).write.mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    withConfs("spark.graft.zindex.dir" -> TempDirs.create("graft_zmfi_root3")) {
+      ZIndex.clearMemo()
+      val (frame, idx) = ZIndex.zFrame(spark, dir)
+      val n1 = frame.count()
+      assert(n1 === 6000L)
+      li(6000 until 7000).write.mode("append")
+        .parquet(s"$dir/lineitem.parquet")
+      // WITHOUT a refresh the handle keeps serving its snapshot (the
+      // one-prior retention keeps those files readable)
+      assert(frame.count() === n1,
+        "an unrefreshed handle must keep serving its snapshot")
+      idx.refresh() // stamp-miss → incremental append lands, new entries
+      assert(frame.count() === 7000L,
+        "after refresh the SAME DataFrame must see the appended rows")
+    }
+  }
 }
