@@ -1,34 +1,49 @@
 package graft.operators
 
-import java.util.concurrent.atomic.AtomicLong
+import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
+import graft.plans.{AllNullZone, ColZone, DoubleZone, KeepAllZone, LongZone,
+  StringZone, ZoneFile, ZoneMapFileIndex}
 import graft.sources.Tables
 
-/** q172 — zone-map data skipping over a DURABLE z-clustered layout:
-  * the scan-pruning consumer that closes the loop on q99's clustering
-  * the way q169 closed it for the statistics catalog.
+/** A table's z-layout contract: where its feed lives, how to load the
+  * corpus, which two dimensions drive the Morton clustering, and how
+  * many files a full cluster writes. The ZONE MAP is not part of the
+  * contract — it records exact footer statistics for EVERY supported
+  * column of the table's schema (integral/date/timestamp, floating,
+  * string), so any predicate over any recorded column can skip files,
+  * not just the two clustered dimensions. */
+case class ZTable(name: String,
+    feedOf: String => String,
+    load: (SparkSession, String) => DataFrame,
+    xCol: String, yCol: String,
+    nFiles: Int)
+
+/** q172/q174/q175 — zone-map data skipping over a DURABLE z-clustered
+  * layout: the scan-pruning consumer that closes the loop on q99's
+  * clustering the way q169 closed it for the statistics catalog.
   *
   * q99 proved the layout property (tight per-bucket extents on BOTH
   * dimensions of the Morton code — the lake-side replacement for the
   * reference's composite B-tree indexes, `sql/schema.sql:295-305`);
-  * this operator makes the skipping OPERATIONAL: [[ensure]] lands
-  * lineitem physically clustered by z(l_partkey, l_orderkey)
-  * ([[Layout.clusterByZ]] — range-partition + sort, 64 files) and
-  * records an exact per-FILE zone map (min/max of both dimensions,
-  * computed from the written files themselves — KB of metadata, the
-  * same maintained-artifact discipline as the sketch table). A 2-D box
-  * query then consults the zone map on the driver, reads ONLY the
-  * overlapping files, and applies the residual predicate inside the
-  * scan. Pruning is sound by construction — per-file bounds are exact
-  * over the non-null population, and NULL keys cannot satisfy the box
-  * predicate — regardless of how well clustered the files are;
-  * clustering quality only decides HOW MANY files survive (ZIndexSpec
-  * pins ~1/16 of the corpus for a 1%-of-z-space box; an i.i.d. layout
-  * would read everything, which is exactly why the engine creates the
-  * correlation it skips on).
+  * this engine makes the skipping OPERATIONAL and GENERIC: [[ensure]]
+  * lands any [[ZTable]] physically clustered by z(xCol, yCol)
+  * ([[Layout.clusterByZ]] — range-partition + sort) and records an
+  * exact per-FILE zone map read from the written files' parquet
+  * FOOTERS — for every supported column of the schema, typed by the
+  * schema ([[zoneKind]]), KB of metadata per thousand files. Three
+  * consumers share ONE memoized entry resolution ([[resolveEntries]]):
+  * the driver-side consult (q172 2-D cell, q174 1-D strip) and Spark's
+  * own scan planning ([[graft.plans.ZoneMapFileIndex]], q175 + the
+  * catalog face). Pruning is sound by construction — per-file bounds
+  * are exact over the non-null population, files without usable
+  * statistics are always kept — regardless of how well clustered the
+  * files are; clustering quality only decides HOW MANY files survive
+  * (ZIndexSpec pins ~1/16 of the corpus for a 1%-of-z-space box).
   *
   * Maintenance follows the KmvTable contract: consumed-file identity,
   * generation dirs with atomic `_COMMITTED`, crash-leftover sweep,
@@ -53,8 +68,11 @@ import graft.sources.Tables
   */
 object ZIndex {
 
-  /** Files written per full cluster (q99's 8×8 z-grid resolution). */
+  /** The lineitem demo layout (q99's 8×8 z-grid resolution). */
   private[graft] val NFiles = 64
+  private[graft] val Lineitem = ZTable("lineitem",
+    d => s"$d/lineitem.parquet", Tables.lineitem _,
+    "l_partkey", "l_orderkey", NFiles)
 
   /** Spec observables. */
   private[graft] val zBuilds = new AtomicLong // full (re)clusters
@@ -64,6 +82,13 @@ object ZIndex {
   /** Feed part files read by maintenance in this JVM (the KmvTable
     * convention: an append must scan exactly the appended files). */
   private[graft] val zFeedFilesScanned = new AtomicLong
+  /** The index behind the LAST [[zFrame]] relation built in this JVM —
+    * the q175 spec surface. The COUNTERS are per-index (two live
+    * relations never clobber each other); this reference only names
+    * the most recent one for specs that call the query function
+    * rather than [[zFrame]]. */
+  private[graft] val lastPlannedIndex =
+    new AtomicReference[Option[ZoneMapFileIndex]](None)
 
   /** (root → (feed stamp, committed gen)) — a repeat [[ensure]] on an
     * unchanged corpus pays one feed listStatus. */
@@ -78,94 +103,159 @@ object ZIndex {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  private def root(spark: SparkSession, dir: String): String =
-    spark.conf.getOption("spark.graft.zindex.dir")
-      .getOrElse(sys.props("java.io.tmpdir") + s"/graft_zindex/${md5hex(dir)}")
+  private def root(spark: SparkSession, dir: String, t: ZTable): String =
+    spark.conf.getOption("spark.graft.zindex.dir") match {
+      case Some(base) if t.name == "lineitem" => base // spec back-compat
+      case Some(base) => s"$base/${t.name}"
+      case None => sys.props("java.io.tmpdir") +
+        s"/graft_zindex2/${t.name}_${md5hex(dir)}"
+    }
 
   // file-identity listing shared with every derived artifact
   // ([[KmvTable.partsOf]] — one implementation of the stamp discipline)
-  private def listFeed(spark: SparkSession, dir: String): Seq[KmvTable.PartFile] =
-    KmvTable.partsOf(spark, s"$dir/lineitem.parquet")
+  private def listFeed(spark: SparkSession, dir: String, t: ZTable)
+      : Seq[KmvTable.PartFile] = KmvTable.partsOf(spark, t.feedOf(dir))
 
   private def stampOf(feed: Seq[KmvTable.PartFile]): String =
     feed.map(f => s"${f.name}\t${f.len}\t${f.mtime}").mkString("\n")
 
+  /** Which zone encoding a schema type gets — `None` is not recorded
+    * (and therefore never refutes). Long carries bigint, int, date
+    * (days) and timestamp (micros): the same physical value Spark's
+    * pushed literals carry for those types. */
+  private[graft] def zoneKind(t: DataType): Option[String] = t match {
+    case LongType | IntegerType | ShortType | ByteType | DateType |
+         TimestampType | TimestampNTZType => Some("long")
+    case DoubleType | FloatType => Some("double")
+    case StringType => Some("string")
+    case _ => None
+  }
+
+  private def kindType(kind: String): DataType = kind match {
+    case "long" => LongType
+    case "double" => DoubleType
+    case "string" => StringType
+  }
+
   /** Cluster `rows` into `n` z-sorted files under `genDir/files` and
-    * return the zone-map rows (gen-relative file path + exact per-file
-    * bounds + row count) read FROM THE PARQUET FOOTERS of the written
-    * files — parquet already wrote exact per-row-group min/max for
-    * these INT64 columns, so the zone map costs n footer reads (KB
-    * each), never a second pass over the data. Conservative semantics
-    * when a footer carries no usable statistics for a column: the
-    * bounds widen to (Long.Min, Long.Max) so the file is ALWAYS kept —
-    * pruning soundness never rests on statistics being present. A
-    * column that is all-null in a file yields null bounds (the file
-    * cannot satisfy a predicate on it). */
+    * return the zone-map rows — gen-relative file path, row count, and
+    * per-column `<c>__min`/`<c>__max`/`<c>__nulls` for EVERY supported
+    * column of the schema — read FROM THE PARQUET FOOTERS of the
+    * written files: parquet already wrote exact per-row-group min/max
+    * for these types, so the zone map costs n footer reads (KB each),
+    * never a second pass over the data. Conservative semantics when a
+    * footer carries no usable statistics for a column: min/max/nulls
+    * all NULL → the file is ALWAYS kept — pruning soundness never
+    * rests on statistics being present. A column that is all-null in a
+    * file yields (NULL, NULL, nulls=rows): the file cannot satisfy a
+    * predicate on it. A known-bounds file whose null COUNT the footer
+    * did not carry records nulls = -1 (bounds prune, IsNull cannot). */
   private def clusterAndMap(spark: SparkSession, rows: DataFrame,
-      genName: String, genDir: String, n: Int): DataFrame = {
-    Layout.clusterByZ(rows, "l_partkey", "l_orderkey", n)
+      genName: String, genDir: String, n: Int, t: ZTable): DataFrame = {
+    Layout.clusterByZ(rows, t.xCol, t.yCol, n)
       .write.mode("overwrite").parquet(s"$genDir/files")
     val conf = spark.sparkContext.hadoopConfiguration
     val fdir = new org.apache.hadoop.fs.Path(s"$genDir/files")
     val files = fdir.getFileSystem(conf).listStatus(fdir)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
+    val recorded: Seq[(String, String)] = rows.schema.fields.toSeq
+      .flatMap(f => zoneKind(f.dataType).map(k => (f.name, k)))
+    val mapSchema = StructType(
+      StructField("file", StringType, nullable = false) +:
+      StructField("np", LongType, nullable = false) +:
+      recorded.flatMap { case (c, kind) => Seq(
+        StructField(s"${c}__min", kindType(kind)),
+        StructField(s"${c}__max", kindType(kind)),
+        StructField(s"${c}__nulls", LongType))
+      })
     import scala.jdk.CollectionConverters._
-    val mapRows = files.toSeq.map { st =>
+    val mapRows: Seq[Row] = files.toSeq.map { st =>
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
       val blocks = try reader.getFooter.getBlocks.asScala.toSeq
         finally reader.close()
       val np = blocks.map(_.getRowCount).sum
-      // per-column fold over row-group statistics:
-      //   None                  → no usable stats → (Min, Max) keep-all
-      //   Some(None)            → all row groups all-null → null bounds
-      //   Some(Some((lo, hi)))  → exact bounds
-      def bounds(colName: String): Option[Option[(Long, Long)]] = {
+      // per-column fold over row-group statistics → the storage
+      // encoding (min, max, nulls):
+      //   (null, null, null)  → no usable stats → keep-all
+      //   (null, null, n)     → all row groups all-null → refutable
+      //   (lo, hi, n | -1)    → exact bounds, n = -1 when unknown
+      def colCells(c: String, kind: String): Seq[Any] = {
+        def value(o: Any): Option[Any] = (kind, o) match {
+          case ("long", v: java.lang.Long) => Some(v.longValue)
+          case ("long", v: java.lang.Integer) => Some(v.longValue)
+          case ("double", v: java.lang.Double) => Some(v.doubleValue)
+          case ("double", v: java.lang.Float) => Some(v.doubleValue)
+          case ("string", v: org.apache.parquet.io.api.Binary) =>
+            Some(v.toStringUsingUTF8)
+          case _ => None // e.g. INT96 timestamps: no interpretable stats
+        }
+        // per block: None = unknown (poisons the column to keep-all),
+        // Some(None) = all-null block, Some(Some((lo, hi, nulls)))
         val perBlock = blocks.map { b =>
-          b.getColumns.asScala.find(
-            _.getPath.toDotString == colName) match {
-            case None => None // column absent from the file: no stats
-            case Some(c) =>
-              val s = c.getStatistics
-              if (s == null || s.isEmpty) None // stats not written
+          b.getColumns.asScala.find(_.getPath.toDotString == c) match {
+            case None => None
+            case Some(cc) =>
+              val s = cc.getStatistics
+              if (s == null || s.isEmpty) None
               else if (!s.hasNonNullValue && s.getNumNulls > 0)
-                Some(None) // row group is all-null for this column
-              else if (!s.hasNonNullValue) None // empty/unknown: keep
-              else Some(Some((
-                s.genericGetMin.asInstanceOf[java.lang.Long].longValue,
-                s.genericGetMax.asInstanceOf[java.lang.Long].longValue)))
+                Some(None)
+              else if (!s.hasNonNullValue) None
+              else (value(s.genericGetMin), value(s.genericGetMax)) match {
+                case (Some(lo), Some(hi)) => Some(Some((lo, hi,
+                  if (s.isNumNullsSet) s.getNumNulls else -1L)))
+                case _ => None
+              }
           }
         }
-        if (perBlock.exists(_.isEmpty)) None // any unknown poisons to keep-all
+        if (perBlock.exists(_.isEmpty)) Seq(null, null, null)
         else {
           val defined = perBlock.flatten.flatten
-          if (defined.isEmpty) Some(None)
-          else Some(Some((defined.map(_._1).min, defined.map(_._2).max)))
+          if (defined.isEmpty) Seq(null, null, Long.box(np))
+          else {
+            def fold(vs: Seq[Any], mn: Boolean): Any = kind match {
+              case "long" =>
+                val l = vs.map(_.asInstanceOf[Long])
+                Long.box(if (mn) l.min else l.max)
+              case "double" =>
+                val d = vs.map(_.asInstanceOf[Double])
+                Double.box(if (mn) d.min else d.max)
+              case "string" =>
+                val s = vs.map(_.asInstanceOf[String])
+                if (mn) s.min else s.max
+            }
+            // -1 (unknown) when any block's count is unset, or when
+            // all-null blocks would need per-block row counts to sum
+            // exactly — IsNull refutation needs only nulls == 0, and a
+            // file with an all-null block has nulls > 0 regardless
+            val allNullBlocks = perBlock.flatten.count(_.isEmpty)
+            val nulls =
+              if (defined.exists(_._3 < 0) || allNullBlocks > 0) -1L
+              else defined.map(_._3).sum
+            Seq(fold(defined.map(_._1), mn = true),
+              fold(defined.map(_._2), mn = false), Long.box(nulls))
+          }
         }
       }
-      def cols(b: Option[Option[(Long, Long)]]): (Option[Long], Option[Long]) =
-        b match {
-          case None => (Some(Long.MinValue), Some(Long.MaxValue))
-          case Some(None) => (None, None)
-          case Some(Some((lo, hi))) => (Some(lo), Some(hi))
-        }
-      val (pmin, pmax) = cols(bounds("l_partkey"))
-      val (omin, omax) = cols(bounds("l_orderkey"))
-      (s"$genName/files/${st.getPath.getName}", np, pmin, pmax, omin, omax)
+      Row.fromSeq(
+        s"$genName/files/${st.getPath.getName}" +: Long.box(np) +:
+        recorded.flatMap { case (c, k) => colCells(c, k) })
     }
-    import spark.implicits._
-    mapRows.toDF("file", "np", "pmin", "pmax", "omin", "omax")
+    spark.createDataFrame(mapRows.asJava, mapSchema)
   }
 
   private val GenRe = "gen-(\\d+)".r
 
   /** Land-or-refresh the clustered layout; returns (root, committed
     * gen). One feed listStatus on the memo-hit path. */
-  def ensure(spark: SparkSession, dir: String): (String, Long) = {
-    val r = root(spark, dir)
+  def ensure(spark: SparkSession, dir: String): (String, Long) =
+    ensure(spark, dir, Lineitem)
+
+  def ensure(spark: SparkSession, dir: String, t: ZTable): (String, Long) = {
+    val r = root(spark, dir, t)
     rootLocks.computeIfAbsent(r, _ => new Object).synchronized {
-      val feed = listFeed(spark, dir)
+      val feed = listFeed(spark, dir, t)
       val stamp = stampOf(feed)
       val rp = new org.apache.hadoop.fs.Path(r)
       val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -227,13 +317,13 @@ object ZIndex {
           // clustering quality (see object doc)
           zBuilds.incrementAndGet()
           zFeedFilesScanned.addAndGet(feed.size)
-          clusterAndMap(spark, Tables.lineitem(spark, dir), genName, genDir,
-            NFiles)
+          clusterAndMap(spark, t.load(spark, dir), genName, genDir,
+            t.nFiles, t)
         } else {
           zAppends.incrementAndGet()
           zFeedFilesScanned.addAndGet(newFeed.size)
           val newRows = spark.read.parquet(newFeed.map(_.path): _*)
-            .select(Tables.lineitem(spark, dir).columns.map(col): _*)
+            .select(t.load(spark, dir).columns.map(col): _*)
             .cache()
           try {
             // proportionally many files for the delta (≥1): appended
@@ -241,10 +331,10 @@ object ZIndex {
             // are as tight as the delta allows
             val baseRows = priorMap.get.agg(sum(col("np")))
               .collect()(0).getLong(0)
-            val k = math.max(1L, math.min(NFiles.toLong,
-              math.round(NFiles.toDouble * newRows.count() /
+            val k = math.max(1L, math.min(t.nFiles.toLong,
+              math.round(t.nFiles.toDouble * newRows.count() /
                 math.max(1L, baseRows)))).toInt
-            clusterAndMap(spark, newRows, genName, genDir, k)
+            clusterAndMap(spark, newRows, genName, genDir, k, t)
               .unionByName(priorMap.get)
           } finally { newRows.unpersist(); () }
         }
@@ -262,29 +352,133 @@ object ZIndex {
       val newLive: Set[Long] = liveGens ++ latest.toSet + nextN
       committed.filterNot(newLive.contains).foreach(g =>
         fs.delete(new org.apache.hadoop.fs.Path(s"$r/gen-$g"), true))
+      // entries memoized for superseded generations can never be
+      // re-resolved (resolveEntries always lands on the latest commit)
+      // — evict them so a long-lived JVM with many maintenance commits
+      // keeps the memo at one entry per root
+      entryMemo.keySet.removeIf(k => k._1 == r && k._2 != nextN)
       memo.put(r, (stamp, nextN))
       (r, nextN)
     }
   }
 
+  /** (root, gen) → zone entries with resolved FileStatus. A committed
+    * generation's CONTENT is immutable (maintenance only ever writes
+    * new generations), so the memo never goes stale — it retires the
+    * ~(files + 1) metadata RPCs a per-call rebuild would pay;
+    * [[ensure]] evicts superseded generations at commit. */
+  private val entryMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), IndexedSeq[ZoneFile]]()
+
+  /** Resolve the latest committed generation's zone entries — the ONE
+    * zone-map read implementation behind q172, q174, q175 and the
+    * catalog face (memoized per immutable (root, gen) —
+    * [[entryMemo]]). Decoding is driven by the zone map's own SCHEMA:
+    * every `<c>__min`/`<c>__max`/`<c>__nulls` triple becomes a typed
+    * [[graft.plans.ColZone]], so a layout over ANY table shape
+    * round-trips without table-specific code. */
+  private[graft] def resolveEntries(spark: SparkSession, dir: String)
+      : IndexedSeq[ZoneFile] = resolveEntries(spark, dir, Lineitem)
+
+  private[graft] def resolveEntries(spark: SparkSession, dir: String,
+      t: ZTable): IndexedSeq[ZoneFile] = {
+    val (r, gen) = ensure(spark, dir, t)
+    val conf = spark.sparkContext.hadoopConfiguration
+    entryMemo.computeIfAbsent((r, gen), _ => {
+      val zdf = spark.read.parquet(s"$r/gen-$gen/zonemap")
+      val cols: Seq[(String, String)] = zdf.schema.fields.toSeq.collect {
+        case f if f.name.endsWith("__min") =>
+          (f.name.dropRight(5), f.dataType match {
+            case LongType => "long"
+            case DoubleType => "double"
+            case _ => "string"
+          })
+      }
+      val zm = zdf.collect()
+      require(zm.nonEmpty, "zone map of a non-empty table cannot be empty")
+      zm.map { row =>
+        def cell(c: String): Option[Any] = {
+          val i = row.fieldIndex(c)
+          if (row.isNullAt(i)) None else Some(row.get(i))
+        }
+        val zones: Map[String, ColZone] = cols.map { case (c, kind) =>
+          val nulls = cell(s"${c}__nulls").map(_.asInstanceOf[Long])
+          val z = (cell(s"${c}__min"), cell(s"${c}__max")) match {
+            case (Some(lo), Some(hi)) => kind match {
+              case "long" => LongZone(lo.asInstanceOf[Long],
+                hi.asInstanceOf[Long], nulls.getOrElse(-1L))
+              case "double" => DoubleZone(lo.asInstanceOf[Double],
+                hi.asInstanceOf[Double], nulls.getOrElse(-1L))
+              case _ => StringZone(lo.asInstanceOf[String],
+                hi.asInstanceOf[String], nulls.getOrElse(-1L))
+            }
+            case _ if nulls.isDefined => AllNullZone
+            case _ => KeepAllZone
+          }
+          c.toLowerCase -> z
+        }.toMap
+        val p = new org.apache.hadoop.fs.Path(s"$r/${row.getAs[String]("file")}")
+        ZoneFile(p.getFileSystem(conf).getFileStatus(p),
+          row.getAs[Long]("np"), zones)
+      }.toIndexedSeq
+    })
+  }
+
+  /** The table-wide [lo, hi] of a long-zoned column, from the zone map
+    * alone (exact: min-of-file-mins == the table min over the non-null
+    * population). A keep-all entry — a file whose footer carried no
+    * stats — would make the zone-derived range a LOWER bound, so that
+    * rare case falls back to one min/max scan of the corpus rather
+    * than silently diverging from the oracle's arithmetic. */
+  private def globalLong(spark: SparkSession, dir: String, t: ZTable,
+      entries: IndexedSeq[ZoneFile], c: String): (Long, Long) = {
+    val zs = entries.map(_.cols.get(c.toLowerCase))
+    if (zs.exists(_.contains(KeepAllZone))) {
+      val b = t.load(spark, dir).agg(min(col(c)), max(col(c))).collect()(0)
+      (b.getLong(0), b.getLong(1))
+    } else {
+      val b = zs.flatten.collect { case LongZone(lo, hi, _) => (lo, hi) }
+      (b.map(_._1).min, b.map(_._2).max)
+    }
+  }
+
+  /** May the file hold a row inside [lo, hiExcl) on long-zoned column
+    * `c`? All-null files are refutable; unrecorded or stat-less ones
+    * are kept ([[graft.plans.ZoneMapFileIndex]] applies the same rule
+    * from pushed expressions — one semantics, two entry points). */
+  private def overlapLong(e: ZoneFile, c: String, lo: Long, hiExcl: Long)
+      : Boolean = e.cols.get(c.toLowerCase) match {
+    case Some(LongZone(zlo, zhi, _)) => zlo < hiExcl && zhi >= lo
+    case Some(AllNullZone) => false
+    case _ => true
+  }
+
+  /** Measurement-arm knob shared by q172 AND q174: `mode` wins;
+    * the legacy boolean `spark.graft.zindex.prune=false` maps to
+    * `all`. */
+  private def zMode(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.zindex.mode")
+      .getOrElse(if (spark.conf.getOption("spark.graft.zindex.prune")
+        .contains("false")) "all" else "pruned")
+
   /** The 2-D query box, derived from the zone map's own global bounds
-    * (exact: min-of-file-mins == the table min over the non-null
-    * population) — decile 2 of BOTH ranges, ~1% of the z-space. The
-    * SAME decile on both dimensions deliberately: replicated corpora
-    * (ScaleUp offsets every key family per copy) correlate the two
-    * keys along the diagonal, so an off-diagonal box would be empty at
-    * replica scale while a diagonal one is populated at every scale —
-    * and a correlated key space is precisely where z-clustering
-    * prunes hardest. Long division truncates toward zero on the
-    * non-negative ranges here, exactly DuckDB's `//`. */
+    * — decile 2 of BOTH ranges, ~1% of the z-space. The SAME decile on
+    * both dimensions deliberately: replicated corpora (ScaleUp offsets
+    * every key family per copy) correlate the two keys along the
+    * diagonal, so an off-diagonal box would be empty at replica scale
+    * while a diagonal one is populated at every scale — and a
+    * correlated key space is precisely where z-clustering prunes
+    * hardest. Long division truncates toward zero on the non-negative
+    * ranges here, exactly DuckDB's `//`. */
   private[graft] def box(plo: Long, phi: Long, olo: Long, ohi: Long)
       : (Long, Long, Long, Long) =
     (plo + (phi - plo) / 10, plo + (phi - plo) * 2 / 10,
       olo + (ohi - olo) / 10, olo + (ohi - olo) * 2 / 10)
 
   /** q172 — the box aggregate over the pruned scan: consult the zone
-    * map (KB, driver), open ONLY the overlapping files, apply the
-    * residual predicate inside the scan.
+    * map (KB, driver, memoized per committed generation), open ONLY
+    * the overlapping files, apply the residual predicate inside the
+    * scan.
     *
     * Measurement arms (`spark.graft.zindex.mode`): `pruned` (default)
     * consults the zone map; `all` opens every layout file (the
@@ -298,45 +492,34 @@ object ZIndex {
     * whole table. The `raw` arm derives the box from the table's own
     * bounds (one min/max pass), exactly the oracle's arithmetic. */
   def q172ZorderPrune(spark: SparkSession, dir: String): DataFrame = {
-    val mode = spark.conf.getOption("spark.graft.zindex.mode")
-      .getOrElse(if (!spark.conf.getOption("spark.graft.zindex.prune")
-        .contains("false")) "pruned" else "all")
+    val mode = zMode(spark)
     if (mode == "raw") return q172Raw(spark, dir)
-    val (r, gen) = ensure(spark, dir)
-    val zm = spark.read.parquet(s"$r/gen-$gen/zonemap").collect()
-    zFilesTotal.set(zm.length)
-    require(zm.nonEmpty, "zone map of a non-empty table cannot be empty")
-    def lmin(c: String): Long = zm.iterator.filter(!_.isNullAt(
-      zm.head.fieldIndex(c))).map(_.getAs[Long](c)).min
-    def lmax(c: String): Long = zm.iterator.filter(!_.isNullAt(
-      zm.head.fieldIndex(c))).map(_.getAs[Long](c)).max
-    val (xlo, xhi, ylo, yhi) =
-      box(lmin("pmin"), lmax("pmax"), lmin("omin"), lmax("omax"))
-    val prune = mode == "pruned"
-    val keep = zm.filter { row =>
-      def l(c: String): Option[Long] =
-        if (row.isNullAt(row.fieldIndex(c))) None else Some(row.getAs[Long](c))
-      // a file whose bounds are null on either dimension holds no row
-      // that can satisfy the box predicate (NULL keys compare false)
-      !prune || (for { pmin <- l("pmin"); pmax <- l("pmax")
-             omin <- l("omin"); omax <- l("omax") }
-        yield pmin < xhi && pmax >= xlo && omin < yhi && omax >= ylo)
-        .getOrElse(false)
-    }.map(row => s"$r/${row.getAs[String]("file")}")
+    val entries = resolveEntries(spark, dir, Lineitem)
+    zFilesTotal.set(entries.length)
+    val (plo, phi) = globalLong(spark, dir, Lineitem, entries, "l_partkey")
+    val (olo, ohi) = globalLong(spark, dir, Lineitem, entries, "l_orderkey")
+    val (xlo, xhi, ylo, yhi) = box(plo, phi, olo, ohi)
+    val keep = entries.filter(e => mode != "pruned" ||
+      (overlapLong(e, "l_partkey", xlo, xhi) &&
+        overlapLong(e, "l_orderkey", ylo, yhi)))
     zFilesRead.set(keep.length)
     // attribution line (the RunOne/Bench stderr convention): wall-time
     // parity between pruned and all on a warm local disk is expected —
     // THIS is the number that scales
     System.err.println(s"[zindex] mode=$mode files_read=${keep.length} " +
-      s"files_total=${zm.length}")
+      s"files_total=${entries.length}")
     val boxed =
       if (keep.isEmpty)
         // schema-faithful empty frame: one footer, zero row groups read
-        spark.read.parquet(s"$r/${zm.head.getAs[String]("file")}")
+        spark.read.parquet(entries.head.status.getPath.toString)
           .filter(lit(false))
-      else spark.read.parquet(keep.toIndexedSeq: _*)
-    boxed
-      .filter(col("l_partkey") >= xlo && col("l_partkey") < xhi &&
+      else spark.read.parquet(keep.map(_.status.getPath.toString): _*)
+    boxAgg(boxed, xlo, xhi, ylo, yhi)
+  }
+
+  private def boxAgg(df: DataFrame, xlo: Long, xhi: Long, ylo: Long,
+      yhi: Long): DataFrame =
+    df.filter(col("l_partkey") >= xlo && col("l_partkey") < xhi &&
         col("l_orderkey") >= ylo && col("l_orderkey") < yhi)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_rows"),
@@ -344,7 +527,6 @@ object ZIndex {
           .as("sum_qty"),
         countDistinct(col("l_suppkey")).as("n_supp"))
       .orderBy(col("l_returnflag"))
-  }
 
   /** The `raw` measurement arm: the oracle's computation verbatim on
     * the unclustered corpus table — bounds pass + filtered scan, no
@@ -356,14 +538,7 @@ object ZIndex {
     val (xlo, xhi, ylo, yhi) =
       box(b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
     System.err.println(s"[zindex] mode=raw (unclustered scan)")
-    li.filter(col("l_partkey") >= xlo && col("l_partkey") < xhi &&
-        col("l_orderkey") >= ylo && col("l_orderkey") < yhi)
-      .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n_rows"),
-        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
-          .as("sum_qty"),
-        countDistinct(col("l_suppkey")).as("n_supp"))
-      .orderBy(col("l_returnflag"))
+    boxAgg(li, xlo, xhi, ylo, yhi)
   }
 
   /** q174's one-dimensional range — decile 3 of the ORDERKEY range,
@@ -387,8 +562,7 @@ object ZIndex {
     * for q172's 2-D cell — the classic z-order strip-vs-cell
     * geometry). Same `raw` arm convention for the no-layout baseline. */
   def q174ZorderOnedim(spark: SparkSession, dir: String): DataFrame = {
-    val mode = spark.conf.getOption("spark.graft.zindex.mode")
-      .getOrElse("pruned")
+    val mode = zMode(spark)
     if (mode == "raw") {
       val li = Tables.lineitem(spark, dir)
       val b = li.agg(min(col("l_orderkey")), max(col("l_orderkey"))).collect()(0)
@@ -396,30 +570,20 @@ object ZIndex {
       System.err.println(s"[zindex] q174 mode=raw (unclustered scan)")
       return bandAgg(li, ylo, yhi)
     }
-    val (r, gen) = ensure(spark, dir)
-    val zm = spark.read.parquet(s"$r/gen-$gen/zonemap").collect()
-    zFilesTotal.set(zm.length)
-    require(zm.nonEmpty, "zone map of a non-empty table cannot be empty")
-    def lmin(c: String): Long = zm.iterator.filter(!_.isNullAt(
-      zm.head.fieldIndex(c))).map(_.getAs[Long](c)).min
-    def lmax(c: String): Long = zm.iterator.filter(!_.isNullAt(
-      zm.head.fieldIndex(c))).map(_.getAs[Long](c)).max
-    val (ylo, yhi) = band(lmin("omin"), lmax("omax"))
-    val prune = mode == "pruned"
-    val keep = zm.filter { row =>
-      def l(c: String): Option[Long] =
-        if (row.isNullAt(row.fieldIndex(c))) None else Some(row.getAs[Long](c))
-      !prune || (for { omin <- l("omin"); omax <- l("omax") }
-        yield omin < yhi && omax >= ylo).getOrElse(false)
-    }.map(row => s"$r/${row.getAs[String]("file")}")
+    val entries = resolveEntries(spark, dir, Lineitem)
+    zFilesTotal.set(entries.length)
+    val (olo, ohi) = globalLong(spark, dir, Lineitem, entries, "l_orderkey")
+    val (ylo, yhi) = band(olo, ohi)
+    val keep = entries.filter(e => mode != "pruned" ||
+      overlapLong(e, "l_orderkey", ylo, yhi))
     zFilesRead.set(keep.length)
     System.err.println(s"[zindex] q174 mode=$mode files_read=${keep.length} " +
-      s"files_total=${zm.length}")
+      s"files_total=${entries.length}")
     val banded =
       if (keep.isEmpty)
-        spark.read.parquet(s"$r/${zm.head.getAs[String]("file")}")
+        spark.read.parquet(entries.head.status.getPath.toString)
           .filter(lit(false))
-      else spark.read.parquet(keep.toIndexedSeq: _*)
+      else spark.read.parquet(keep.map(_.status.getPath.toString): _*)
     bandAgg(banded, ylo, yhi)
   }
 
@@ -432,6 +596,28 @@ object ZIndex {
         countDistinct(col("l_suppkey")).as("n_supp"))
       .orderBy(col("l_returnflag"))
 
+  /** The z-layout as an UNFILTERED relation over
+    * [[graft.plans.ZoneMapFileIndex]], plus its index — the spec
+    * surface for planner-side pruning with arbitrary predicates. */
+  private[graft] def zFrame(spark: SparkSession, dir: String)
+      : (DataFrame, ZoneMapFileIndex) = zFrame(spark, dir, Lineitem)
+
+  private[graft] def zFrame(spark: SparkSession, dir: String, t: ZTable)
+      : (DataFrame, ZoneMapFileIndex) = {
+    val r = root(spark, dir, t)
+    val index = new ZoneMapFileIndex(
+      new org.apache.hadoop.fs.Path(r),
+      () => resolveEntries(spark, dir, t))
+    lastPlannedIndex.set(Some(index))
+    val schema = t.load(spark, dir).schema
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      index, new StructType(), schema, None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      Map.empty[String, String])(cs)
+    (cs.baseRelationToDataFrame(rel), index)
+  }
+
   /** q175 — the zone map inside SPARK'S OWN scan planning: the same
     * box aggregate as q172, but expressed as ordinary DataFrame
     * filters over a relation backed by
@@ -443,62 +629,12 @@ object ZIndex {
     * filters are deliberately spelled in BOTH literal orientations
     * (col ⊗ lit and lit ⊗ col) to exercise the index's normalization.
     * Oracle: [[q172Sql]] — identical semantics, different plumbing. */
-  /** The z-layout as an UNFILTERED relation over
-    * [[graft.plans.ZoneMapFileIndex]], plus its zone entries — the
-    * spec surface for planner-side pruning with arbitrary predicates. */
-  /** (root, gen) → zone entries with resolved FileStatus. A committed
-    * generation's CONTENT is immutable (maintenance only ever writes
-    * new generations), so the memo never goes stale — it retires the
-    * ~(files + 1) metadata RPCs a per-call rebuild would pay. */
-  private val entryMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long), IndexedSeq[graft.plans.ZoneEntry]]()
-
-  /** Resolve the latest committed generation's zone entries (memoized
-    * per immutable (root, gen) — see [[entryMemo]]). */
-  private def resolveEntries(spark: SparkSession, dir: String)
-      : IndexedSeq[graft.plans.ZoneEntry] = {
-    val (r, gen) = ensure(spark, dir)
-    val conf = spark.sparkContext.hadoopConfiguration
-    entryMemo.computeIfAbsent((r, gen), _ => {
-      val zm = spark.read.parquet(s"$r/gen-$gen/zonemap").collect()
-      require(zm.nonEmpty, "zone map of a non-empty table cannot be empty")
-      zm.map { row =>
-        def l(c: String): Option[Long] =
-          if (row.isNullAt(row.fieldIndex(c))) None else Some(row.getAs[Long](c))
-        val p = new org.apache.hadoop.fs.Path(s"$r/${row.getAs[String]("file")}")
-        graft.plans.ZoneEntry(p.getFileSystem(conf).getFileStatus(p),
-          l("pmin"), l("pmax"), l("omin"), l("omax"))
-      }.toIndexedSeq
-    })
-  }
-
-  private[graft] def zFrame(spark: SparkSession, dir: String)
-      : (DataFrame, graft.plans.ZoneMapFileIndex) = {
-    val r = root(spark, dir)
-    val index = new graft.plans.ZoneMapFileIndex(
-      new org.apache.hadoop.fs.Path(r),
-      () => resolveEntries(spark, dir))
-    val entries = index.currentEntries
-    val schema = spark.read.parquet(entries.head.status.getPath.toString).schema
-    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-      index, new org.apache.spark.sql.types.StructType(), schema, None,
-      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
-      Map.empty[String, String])(cs)
-    (cs.baseRelationToDataFrame(rel), index)
-  }
-
   def q175ZorderFileIndex(spark: SparkSession, dir: String): DataFrame = {
     val (df, index) = zFrame(spark, dir)
     val entries = index.currentEntries
-    // keep-all sentinel bounds (stats unavailable at map-build time)
-    // must not poison the global range the box derives from
-    def gmin(f: graft.plans.ZoneEntry => Option[Long]): Long =
-      entries.flatMap(f(_)).filter(_ != Long.MinValue).min
-    def gmax(f: graft.plans.ZoneEntry => Option[Long]): Long =
-      entries.flatMap(f(_)).filter(_ != Long.MaxValue).max
-    val (xlo, xhi, ylo, yhi) =
-      box(gmin(_.pmin), gmax(_.pmax), gmin(_.omin), gmax(_.omax))
+    val (plo, phi) = globalLong(spark, dir, Lineitem, entries, "l_partkey")
+    val (olo, ohi) = globalLong(spark, dir, Lineitem, entries, "l_orderkey")
+    val (xlo, xhi, ylo, yhi) = box(plo, phi, olo, ohi)
     df
       .filter(col("l_partkey") >= xlo && lit(xhi) > col("l_partkey") &&
         col("l_orderkey") >= ylo && lit(yhi) > col("l_orderkey"))

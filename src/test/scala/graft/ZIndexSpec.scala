@@ -156,19 +156,27 @@ class ZIndexSpec extends SparkSpec {
     withConfs("spark.graft.zindex.dir" -> TempDirs.create("graft_zidx_root4")) {
       ZIndex.clearMemo()
       val (r, g) = ZIndex.ensure(spark, dir)
+      // the v2 wide schema records <col>__min/__max/__nulls for every
+      // supported column; pin the two clustered LONG dimensions AND a
+      // STRING zone column against the per-file aggregate truth
       val zm = spark.read.parquet(s"$r/gen-$g/zonemap").collect()
         .map(row => row.getAs[String]("file") -> (
           row.getAs[Long]("np"),
-          if (row.isNullAt(row.fieldIndex("pmin"))) None
-          else Some(row.getAs[Long]("pmin")),
-          if (row.isNullAt(row.fieldIndex("pmax"))) None
-          else Some(row.getAs[Long]("pmax")),
-          row.getAs[Long]("omin"), row.getAs[Long]("omax"))).toMap
+          if (row.isNullAt(row.fieldIndex("l_partkey__min"))) None
+          else Some(row.getAs[Long]("l_partkey__min")),
+          if (row.isNullAt(row.fieldIndex("l_partkey__max"))) None
+          else Some(row.getAs[Long]("l_partkey__max")),
+          row.getAs[Long]("l_orderkey__min"),
+          row.getAs[Long]("l_orderkey__max"),
+          row.getAs[String]("l_returnflag__min"),
+          row.getAs[String]("l_returnflag__max"))).toMap
       val truth = spark.read.parquet(s"$r/gen-$g/files")
         .groupBy(input_file_name().as("f"))
         .agg(count(lit(1)).as("np"),
           min(col("l_partkey")).as("pmin"), max(col("l_partkey")).as("pmax"),
-          min(col("l_orderkey")).as("omin"), max(col("l_orderkey")).as("omax"))
+          min(col("l_orderkey")).as("omin"), max(col("l_orderkey")).as("omax"),
+          min(col("l_returnflag")).as("fmin"),
+          max(col("l_returnflag")).as("fmax"))
         .collect()
         .map(row => (s"gen-$g/files/" +
             row.getAs[String]("f").split("/").last) -> (
@@ -177,7 +185,8 @@ class ZIndexSpec extends SparkSpec {
           else Some(row.getAs[Long]("pmin")),
           if (row.isNullAt(row.fieldIndex("pmax"))) None
           else Some(row.getAs[Long]("pmax")),
-          row.getAs[Long]("omin"), row.getAs[Long]("omax"))).toMap
+          row.getAs[Long]("omin"), row.getAs[Long]("omax"),
+          row.getAs[String]("fmin"), row.getAs[String]("fmax"))).toMap
       assert(zm === truth,
         "the zone map read from parquet footers must equal the " +
           "per-file aggregate computed from the data (incl. null-bound " +
