@@ -48,6 +48,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // BROADCAST hint (post-hoc resolution — SubqueryAlias names are
     // erased before the optimizer phase). Off by default.
     ext.injectPostHocResolutionRule(_ => graft.plans.SketchBroadcastHint)
+    // z-layout catalog face: scans of ZCatalog-registered tables are
+    // swapped onto the zone-mapped FileIndex (no-op until a table is
+    // registered; plain sessions reach the same rule via
+    // experimental.extraOptimizations — see ZCatalog.ensureRegistered)
+    ext.injectOptimizerRule(_ => graft.plans.ZoneMapScanSwap)
   }
 }
 

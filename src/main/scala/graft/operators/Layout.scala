@@ -2042,6 +2042,7 @@ object Layout {
     "q172_zorder_prune" -> (ZIndex.q172ZorderPrune _),
     "q174_zorder_onedim" -> (ZIndex.q174ZorderOnedim _),
     "q175_zorder_fileindex" -> (ZIndex.q175ZorderFileIndex _),
+    "q176_zorder_sql" -> (ZCatalog.q176ZorderSql _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2076,5 +2077,6 @@ object Layout {
     "q175_zorder_fileindex" -> ZIndex.q172Sql, // same contract: q172's
       // box semantics — only the pruning's INTEGRATION point moved
       // (driver-side consult → Spark's own FileIndex planning)
+    "q176_zorder_sql" -> ZCatalog.q176Sql,
   )
 }

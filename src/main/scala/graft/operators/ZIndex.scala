@@ -430,7 +430,7 @@ object ZIndex {
     * stats — would make the zone-derived range a LOWER bound, so that
     * rare case falls back to one min/max scan of the corpus rather
     * than silently diverging from the oracle's arithmetic. */
-  private def globalLong(spark: SparkSession, dir: String, t: ZTable,
+  private[graft] def globalLong(spark: SparkSession, dir: String, t: ZTable,
       entries: IndexedSeq[ZoneFile], c: String): (Long, Long) = {
     val zs = entries.map(_.cols.get(c.toLowerCase))
     if (zs.exists(_.contains(KeepAllZone))) {
