@@ -21,7 +21,14 @@ case class ZTable(name: String,
     feedOf: String => String,
     load: (SparkSession, String) => DataFrame,
     xCol: String, yCol: String,
-    nFiles: Int)
+    nFiles: Int,
+    /** Override when the cluster key is DERIVED (e.g. a string postal
+      * code cast to its numeric sort key): physically arranges the
+      * rows into `n` files in place of the default
+      * [[Layout.clusterByZ]] on (xCol, yCol). The zone map is
+      * unaffected — it records the REAL columns' footer stats, so
+      * predicates on them prune however the locality was produced. */
+    clusterWith: Option[(DataFrame, Int) => DataFrame] = None)
 
 /** q172/q174/q175 — zone-map data skipping over a DURABLE z-clustered
   * layout: the scan-pruning consumer that closes the loop on q99's
@@ -152,8 +159,19 @@ object ZIndex {
     * did not carry records nulls = -1 (bounds prune, IsNull cannot). */
   private def clusterAndMap(spark: SparkSession, rows: DataFrame,
       genName: String, genDir: String, n: Int, t: ZTable): DataFrame = {
-    Layout.clusterByZ(rows, t.xCol, t.yCol, n)
+    // layout files are written as TIMESTAMP_MICROS, never INT96:
+    // INT96 footers carry no min/max, so timestamp zones would be
+    // keep-all and time-window serve predicates couldn't skip
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val tsPrior = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try t.clusterWith.map(f => f(rows, n))
+      .getOrElse(Layout.clusterByZ(rows, t.xCol, t.yCol, n))
       .write.mode("overwrite").parquet(s"$genDir/files")
+    finally tsPrior match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
+    }
     val conf = spark.sparkContext.hadoopConfiguration
     val fdir = new org.apache.hadoop.fs.Path(s"$genDir/files")
     val files = fdir.getFileSystem(conf).listStatus(fdir)
@@ -199,7 +217,12 @@ object ZIndex {
             case Some(cc) =>
               val s = cc.getStatistics
               if (s == null || s.isEmpty) None
-              else if (!s.hasNonNullValue && s.getNumNulls > 0)
+              // an all-null block ONLY when the null count equals the
+              // block's rows: formats that suppress min/max but still
+              // record a null count (INT96 timestamps) would otherwise
+              // read as all-null and let IsNotNull refute live rows
+              else if (!s.hasNonNullValue &&
+                  s.isNumNullsSet && s.getNumNulls == b.getRowCount)
                 Some(None)
               else if (!s.hasNonNullValue) None
               else (value(s.genericGetMin), value(s.genericGetMax)) match {

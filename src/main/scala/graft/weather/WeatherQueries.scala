@@ -132,11 +132,23 @@ object WeatherQueries {
     WeatherPipeline.forecastAccuracy(goldObs(s, d).union(goldFc(s, d)))
       .orderBy(col("postal_code"), col("forecast_issue_time"), col("forecast_target_time"))
 
+  /** The reference's single `weather_data_gold` table (observations +
+    * forecasts, discriminated by data_type) — the frame
+    * [[WeatherZServe]] lands for the z-clustered serve layout. */
+  private[graft] def goldUnified(s: SparkSession, d: String): DataFrame =
+    goldObs(s, d).unionByName(goldFc(s, d))
+
+  // The three API serve queries (latest snapshots + history) read gold
+  // through the z-clustered FileIndex relation (WeatherZServe): the
+  // scan is the reference's B-tree serve path re-expressed as zone-map
+  // skipping; the RESULTS are pinned unchanged (same oracles, and
+  // WeatherZServeSpec asserts parity with the in-memory frames).
   def latestObs(s: SparkSession, d: String): DataFrame =
-    WeatherPipeline.latestObservations(goldObs(s, d)).orderBy(col("postal_code"))
+    WeatherPipeline.latestObservations(WeatherZServe.zGold(s, d))
+      .orderBy(col("postal_code"))
 
   def latestFc(s: SparkSession, d: String): DataFrame =
-    WeatherPipeline.latestForecasts(goldFc(s, d))
+    WeatherPipeline.latestForecasts(WeatherZServe.zGold(s, d))
       .orderBy(col("postal_code"), col("target_time"))
 
   def nearest(s: SparkSession, d: String): DataFrame =
@@ -144,7 +156,8 @@ object WeatherQueries {
       .orderBy(col("postal_code"), col("rank"))
 
   def history(s: SparkSession, d: String): DataFrame =
-    WeatherPipeline.history(goldObs(s, d), "10003", 72, 24).orderBy(col("timestamp"))
+    WeatherPipeline.history(WeatherZServe.zGold(s, d), "10003", 72, 24)
+      .orderBy(col("timestamp"))
 
   def temporal(s: SparkSession, d: String): DataFrame =
     WeatherPipeline.temporalConsistency(stgObs(s, d)).orderBy(col("station_id"))
