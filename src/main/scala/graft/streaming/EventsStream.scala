@@ -333,6 +333,18 @@ object EventsStream {
     spark.sql(s"CREATE TABLE IF NOT EXISTS $tbl " +
       s"(c_custkey BIGINT, c_mktsegment STRING) USING parquet " +
       s"LOCATION '$dir/customer.parquet'")
+    // the memo key carries the shared state but the table NAME only the
+    // corpus hash: within one catalog that is a bijection, and this
+    // require keeps it one — a hash-colliding second corpus (or an
+    // externally created table squatting on the name) fails loudly
+    // instead of silently serving another table's statistics
+    require(new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)).location)
+        .toUri.getPath.stripSuffix("/")
+        == new org.apache.hadoop.fs.Path(s"$dir/customer.parquet")
+        .toUri.getPath.stripSuffix("/"),
+      s"catalog table $tbl exists with a different location than $dir")
     // refresh BEFORE the synopsis build: on the stamp-miss path
     // (corpus regenerated in place) the cached relation still serves
     // the OLD file listing — the build would scan deleted files or
