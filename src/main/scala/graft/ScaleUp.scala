@@ -24,13 +24,21 @@ import org.apache.spark.sql.functions._
   *     vectors are distinct (pure scaling would leave cosine signs — and
   *     hence every LSH bucket — exactly duplicated).
   *
-  * Usage: runMain graft.ScaleUp <srcDir> <outDir> <factor>
+  * Usage: runMain graft.ScaleUp <srcDir> <outDir> <factor> [tables]
+  * — `tables` (optional, comma-separated) restricts the replica to a
+  * subset, e.g. `events` for the sf30 stats-wall measurement corpus:
+  * a full sf30 replica is tens of GB of tables the measurement never
+  * reads.
   */
 object ScaleUp {
   private val Stride = 10000000L
 
   def main(args: Array[String]): Unit = {
-    val Array(srcDir, outDir, factorS) = args
+    val (srcDir, outDir, factorS) = (args(0), args(1), args(2))
+    val tableFilter: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet)
+      else None
+    def wanted(t: String): Boolean = tableFilter.forall(_.contains(t))
     val factor = factorS.toInt
     val spark = SparkSession.builder()
       .master("local[16]")
@@ -63,7 +71,7 @@ object ScaleUp {
     def off(c: String): org.apache.spark.sql.Column =
       col(c) + col("__r") * Stride
 
-    def write(df: DataFrame, t: String): Unit = {
+    def write(df: DataFrame, t: String): Unit = if (wanted(t)) {
       df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
       println(s"[scaleup] $t: ${spark.read.parquet(s"$outDir/$t.parquet").count()} rows")
     }
@@ -74,7 +82,8 @@ object ScaleUp {
       "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
       "events" -> Seq("event_id", "user_id"),
       "documents" -> Seq("doc_id"), "embeddings" -> Seq("vec_id")
-    ).foreach { case (t, ks) => assertKeysUnderStride(t, ks) }
+    ).filter(p => wanted(p._1))
+      .foreach { case (t, ks) => assertKeysUnderStride(t, ks) }
 
     write(src("region"), "region")
     write(src("nation"), "nation")

@@ -140,6 +140,54 @@ class ZCatalogSpec extends SparkSpec {
     }
   }
 
+  test("a SECOND z-table (orders) rides the same machinery: schema-" +
+      "driven zones for its own columns, catalog face, and counters " +
+      "independent of the lineitem relation's") {
+    val dir = TempDirs.create("graft_zcat_corp5")
+    li(0 until 6000).write.mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    import spark.implicits._
+    (0 until 6000).map { i =>
+      ((i.toLong * 7919) % 50000, (i.toLong * 104729) % 9000,
+        Seq("F", "O", "P")(i % 3))
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    withConfs("spark.graft.zindex.dir" -> TempDirs.create("graft_zcat_root5")) {
+      ZIndex.clearMemo()
+      val ordersT = graft.operators.ZTable("orders",
+        d => s"$d/orders.parquet",
+        (s, d) => s.read.parquet(s"$d/orders.parquet"),
+        "o_custkey", "o_orderkey", 16)
+      val tbl = ZCatalog.ensureRegistered(spark, dir, ordersT)
+      val liTbl = ZCatalog.ensureRegistered(spark, dir)
+      try {
+        val raw = spark.read.parquet(s"$dir/orders.parquet")
+        val cut = raw.agg(max(col("o_custkey"))).collect()(0).getLong(0) / 10
+        val df = spark.sql(s"SELECT COUNT(*) AS n FROM $tbl " +
+          s"WHERE o_custkey < $cut AND o_orderstatus = 'F'")
+        val n = df.collect()(0).getLong(0)
+        val oIdx = zoneIndexOf(df)
+        assert(n === raw.filter(col("o_custkey") < cut &&
+          col("o_orderstatus") === "F").count())
+        assert(oIdx.lastKept.get() < oIdx.lastTotal.get(),
+          s"a 10% custkey range over the orders layout must prune " +
+            s"(kept ${oIdx.lastKept.get()} of ${oIdx.lastTotal.get()})")
+        // the lineitem relation keeps ITS OWN counters: a full listing
+        // there must not clobber the orders observables just read
+        val liDf = spark.sql(s"SELECT COUNT(*) AS n FROM $liTbl")
+        liDf.collect()
+        val liIdx = zoneIndexOf(liDf)
+        assert(liIdx.lastKept.get() === liIdx.lastTotal.get(),
+          "an unfiltered scan lists every lineitem file")
+        assert(oIdx.lastKept.get() < oIdx.lastTotal.get(),
+          "the orders index's counters must survive the lineitem query")
+      } finally {
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        spark.sql(s"DROP TABLE IF EXISTS $liTbl"); ()
+      }
+    }
+  }
+
   test("the swap rule leaves unregistered tables untouched") {
     val dir = TempDirs.create("graft_zcat_corp3")
     li(0 until 4000).write.mode("overwrite")
