@@ -329,6 +329,21 @@ object WeatherOracle {
        |  ORDER BY timestamp DESC LIMIT 24)
        |ORDER BY timestamp""".stripMargin)
 
+  /** q177 — postal-prefix region rollup over gold observations (the
+    * z-serve layer's StartsWith + time-range consumer). Aggregates are
+    * exact selections/integer sums, so no float discipline needed
+    * beyond gold's own rounded columns. */
+  val regionHistorySql: String = withCtes(
+    s"""SELECT postal_code, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  MAX(temperature_max) AS max_temp,
+       |  MIN(temperature_min) AS min_temp,
+       |  CAST(SUM(num_stations) AS BIGINT) AS sum_stations
+       |FROM gold_obs
+       |WHERE postal_code LIKE '1001%'
+       |  AND timestamp >= TIMESTAMP '$asOf' - INTERVAL 72 HOURS
+       |GROUP BY postal_code
+       |ORDER BY postal_code""".stripMargin)
+
   /** True-geodesic KNN — haversine formula mirrored op-for-op from
     * GeoFunctions.haversineKm (1-ulp trig noise absorbed by two-stage
     * rounding; ordering gaps ≥1e-7 on the synthetic grid).

@@ -159,6 +159,28 @@ object WeatherQueries {
     WeatherPipeline.history(WeatherZServe.zGold(s, d), "10003", 72, 24)
       .orderBy(col("timestamp"))
 
+  /** q177 — the region endpoint the reference CANNOT index-serve: a
+    * postal-PREFIX rollup ("all of district 1001x, last 72h"). Its
+    * B-tree on (postal_code, timestamp) serves prefix predicates only
+    * via an index range scan the planner rarely picks for LIKE; here
+    * the prefix pushes as StartsWith and the zone map's string bounds
+    * refute whole files ([[graft.plans.ZoneMapFileIndex]]'s prefix
+    * rule), composing with the hour range on the SAME z-layout.
+    * Exact aggregates only (count / min / max value selection /
+    * integer sum) — cross-engine deterministic by construction. */
+  def regionHistory(s: SparkSession, d: String): DataFrame =
+    WeatherZServe.zGold(s, d)
+      .filter(col("data_type") === "observation" &&
+        col("postal_code").startsWith("1001") &&
+        col("timestamp") >= lit(WeatherPipeline.AsOf).cast("timestamp") -
+          expr("INTERVAL 72 HOURS"))
+      .groupBy(col("postal_code"))
+      .agg(count(lit(1)).as("n_rows"),
+        max(col("temperature_max")).as("max_temp"),
+        min(col("temperature_min")).as("min_temp"),
+        sum(col("num_stations").cast("long")).as("sum_stations"))
+      .orderBy(col("postal_code"))
+
   def temporal(s: SparkSession, d: String): DataFrame =
     WeatherPipeline.temporalConsistency(stgObs(s, d)).orderBy(col("station_id"))
 
@@ -247,6 +269,7 @@ object WeatherQueries {
     "q59_haversine_knn"      -> (haversineKnn _),
     "q62_grid_spatial_join"  -> (gridSpatialJoin _),
     "q63_accuracy_rmse"      -> (accuracyRmse _),
+    "q177_weather_region_history" -> (regionHistory _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -265,5 +288,6 @@ object WeatherQueries {
     "q59_haversine_knn"      -> WeatherOracle.haversineKnnSql,
     "q62_grid_spatial_join"  -> WeatherOracle.gridSpatialJoinSql,
     "q63_accuracy_rmse"      -> WeatherOracle.accuracyRmseSql,
+    "q177_weather_region_history" -> WeatherOracle.regionHistorySql,
   )
 }

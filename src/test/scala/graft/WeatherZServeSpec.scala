@@ -49,6 +49,30 @@ class WeatherZServeSpec extends SparkSpec {
       "the serve scan must run over the zone-mapped FileIndex")
   }
 
+  test("q177 region rollup: the postal PREFIX pushes as StartsWith, " +
+      "prunes files, and equals the in-memory computation") {
+    val (zdf, idx) = WeatherZServe.zGoldWithIndex(spark, dir)
+    def rollup(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("data_type") === "observation" &&
+        col("postal_code").startsWith("1001") &&
+        col("timestamp") >= lit(WeatherPipeline.AsOf).cast("timestamp") -
+          expr("INTERVAL 72 HOURS"))
+      .groupBy(col("postal_code"))
+      .agg(count(lit(1)).as("n_rows"),
+        max(col("temperature_max")).as("max_temp"),
+        min(col("temperature_min")).as("min_temp"),
+        sum(col("num_stations").cast("long")).as("sum_stations"))
+      .orderBy(col("postal_code"))
+    val zRows = rollup(zdf).collect().toSeq
+    val (total, kept) = (idx.lastTotal.get(), idx.lastKept.get())
+    assert(zRows.nonEmpty)
+    assert(zRows === rollup(WeatherQueries.goldUnified(spark, dir))
+      .collect().toSeq)
+    assert(kept < total,
+      s"the 1001x prefix + 72h window must refute at least some files " +
+        s"(opened $kept of $total)")
+  }
+
   test("q24/q25 latest snapshots off the z-relation equal the " +
       "in-memory frames") {
     val zdf = WeatherZServe.zGold(spark, dir)
