@@ -28,7 +28,12 @@ case class ZTable(name: String,
       * [[Layout.clusterByZ]] on (xCol, yCol). The zone map is
       * unaffected — it records the REAL columns' footer stats, so
       * predicates on them prune however the locality was produced. */
-    clusterWith: Option[(DataFrame, Int) => DataFrame] = None)
+    clusterWith: Option[(DataFrame, Int) => DataFrame] = None,
+    /** Row-level selection the layout applies to the feed (e.g. one
+      * data_type of a discriminated table). Applied on BOTH the full
+      * build and the append delta, so the layout's content contract
+      * holds however maintenance lands rows. */
+    prep: Option[DataFrame => DataFrame] = None)
 
 /** q172/q174/q175 — zone-map data skipping over a DURABLE z-clustered
   * layout: the scan-pruning consumer that closes the loop on q99's
@@ -340,13 +345,15 @@ object ZIndex {
           // clustering quality (see object doc)
           zBuilds.incrementAndGet()
           zFeedFilesScanned.addAndGet(feed.size)
-          clusterAndMap(spark, t.load(spark, dir), genName, genDir,
-            t.nFiles, t)
+          val rows = t.prep.foldLeft(t.load(spark, dir))((df, f) => f(df))
+          clusterAndMap(spark, rows, genName, genDir, t.nFiles, t)
         } else {
           zAppends.incrementAndGet()
           zFeedFilesScanned.addAndGet(newFeed.size)
-          val newRows = spark.read.parquet(newFeed.map(_.path): _*)
-            .select(t.load(spark, dir).columns.map(col): _*)
+          val newRows = t.prep.foldLeft(
+            spark.read.parquet(newFeed.map(_.path): _*)
+              .select(t.load(spark, dir).columns.map(col): _*))(
+            (df, f) => f(df))
             .cache()
           try {
             // proportionally many files for the delta (≥1): appended

@@ -138,17 +138,19 @@ object WeatherQueries {
   private[graft] def goldUnified(s: SparkSession, d: String): DataFrame =
     goldObs(s, d).unionByName(goldFc(s, d))
 
-  // The three API serve queries (latest snapshots + history) read gold
-  // through the z-clustered FileIndex relation (WeatherZServe): the
-  // scan is the reference's B-tree serve path re-expressed as zone-map
-  // skipping; the RESULTS are pinned unchanged (same oracles, and
-  // WeatherZServeSpec asserts parity with the in-memory frames).
+  // The API serve queries (latest snapshots + history + region) read
+  // gold through the z-clustered FileIndex relations (WeatherZServe):
+  // the scan is the reference's B-tree serve path re-expressed as
+  // zone-map skipping — the latest snapshots additionally take their
+  // global max FROM the zone map and push it as a literal, so the
+  // two-pass agg+rescan becomes one pruned read. RESULTS are pinned
+  // unchanged (same oracles, and WeatherZServeSpec asserts parity with
+  // the in-memory frames).
   def latestObs(s: SparkSession, d: String): DataFrame =
-    WeatherPipeline.latestObservations(WeatherZServe.zGold(s, d))
-      .orderBy(col("postal_code"))
+    WeatherZServe.latestObsServed(s, d)._1.orderBy(col("postal_code"))
 
   def latestFc(s: SparkSession, d: String): DataFrame =
-    WeatherPipeline.latestForecasts(WeatherZServe.zGold(s, d))
+    WeatherZServe.latestFcServed(s, d)._1
       .orderBy(col("postal_code"), col("target_time"))
 
   def nearest(s: SparkSession, d: String): DataFrame =

@@ -70,37 +70,106 @@ object WeatherZServe {
       path
     }
 
-  /** Gold's layout contract: cluster by the DERIVED pair (numeric
-    * postal sort key, hour epoch) — the composite the reference
-    * B-trees — while the zone map records the real postal_code /
-    * timestamp / data_type columns for refutation. */
-  private def goldZTable(s: SparkSession, d: String): ZTable = {
+  /** Gold's layout contract, ONE LAYOUT PER data_type (the
+    * reference's gold is one table with a discriminator; splitting the
+    * physical layout by it makes every per-type zone — in particular
+    * the timestamp maxima the latest-snapshot serves ride — exact for
+    * that type): cluster by the DERIVED pair (numeric postal sort key,
+    * hour epoch) — the composite the reference B-trees — while the
+    * zone map records the real postal_code / timestamp /
+    * forecast_timestamp / data_type columns for refutation. */
+  private def goldZTable(s: SparkSession, d: String,
+      which: String): ZTable = {
     val path = landedGold(s, d)
-    ZTable("weather_gold",
+    ZTable(s"weather_gold_${which.take(3)}",
       _ => path,
       (s2, _) => s2.read.parquet(path),
       "postal_code", "timestamp", // informational; clusterWith overrides
-      nFiles = 32,
+      nFiles = 16,
       clusterWith = Some((df, n) => Layout.clusterByZ(
         df.withColumn("__zx", col("postal_code").cast("long"))
           .withColumn("__zy", unix_timestamp(col("timestamp"))),
-        "__zx", "__zy", n).drop("__zx", "__zy")))
+        "__zx", "__zy", n).drop("__zx", "__zy")),
+      prep = Some(_.filter(col("data_type") === which)))
   }
 
-  /** The serve relation: unified gold behind the zone-mapped
-    * FileIndex. Every predicate the serve queries push — postal
-    * equality, time-window range, data_type equality — gets per-file
-    * refutation from the planner. */
-  private[graft] def zGoldWithIndex(s: SparkSession, d: String)
-      : (DataFrame, ZoneMapFileIndex) =
-    ZIndex.zFrame(s, d, goldZTable(s, d))
+  /** The serve relation: unified gold (obs ∪ fc layouts) behind
+    * zone-mapped FileIndexes. Every predicate the serve queries push —
+    * postal equality/prefix, time-window range, data_type equality —
+    * gets per-file refutation from the planner; a data_type-specific
+    * query refutes the OTHER type's entire layout off its constant
+    * data_type string zone. */
+  private[graft] def zGoldWithIndexes(s: SparkSession, d: String)
+      : (DataFrame, Seq[ZoneMapFileIndex]) = {
+    val (o, oi) = ZIndex.zFrame(s, d, goldZTable(s, d, "observation"))
+    val (f, fi) = ZIndex.zFrame(s, d, goldZTable(s, d, "forecast"))
+    (o.unionByName(f), Seq(oi, fi))
+  }
 
   def zGold(s: SparkSession, d: String): DataFrame =
-    zGoldWithIndex(s, d)._1
+    zGoldWithIndexes(s, d)._1
 
-  /** Bench prewarm: land gold + build the layout outside the serve
+  /** Exact table-wide max of a long-zoned column from the zone map
+    * alone (max ignores nulls, so all-null files drop out); None —
+    * fall back to an aggregate scan — if any file's footer carried no
+    * stats, or no file holds a non-null value. */
+  private def zoneMax(entries: Seq[graft.plans.ZoneFile], c: String)
+      : Option[Long] = {
+    val zs = entries.map(_.cols.get(c.toLowerCase))
+    if (zs.exists(z => z.isEmpty ||
+        z.contains(graft.plans.KeepAllZone))) None
+    else zs.flatten.collect {
+      case graft.plans.LongZone(_, hi, _) => hi
+    } match {
+      case Seq() => None
+      case hs => Some(hs.max)
+    }
+  }
+
+  /** q24 served FROM THE INDEX: the view's "rows at the single global
+    * max timestamp" (`sql/schema.sql:312-328`) with the max taken from
+    * the obs layout's timestamp zones — exact footer statistics, KB on
+    * the driver — and pushed as a LITERAL equality, so the scan opens
+    * only the file(s) whose bounds admit it. This is the reference's
+    * ORDER-BY-DESC-LIMIT-via-B-tree serve (O1) re-expressed: the
+    * runtime two-pass (agg + re-scan) becomes one consult + one pruned
+    * read. Stats-less files → the sound fallback IS the two-pass. */
+  private[graft] def latestObsServed(s: SparkSession, d: String)
+      : (DataFrame, ZoneMapFileIndex) = {
+    val (df, idx) = ZIndex.zFrame(s, d, goldZTable(s, d, "observation"))
+    val served = zoneMax(idx.currentEntries, "timestamp") match {
+      case Some(m) => df
+        .filter(col("timestamp") === timestamp_micros(lit(m)))
+        .select(col("postal_code"), col("timestamp"),
+          col("temperature_avg"), col("precipitation_sum"),
+          col("wind_speed_avg"), col("cloud_cover_avg"),
+          col("num_stations"), col("avg_quality_score"))
+      case None => WeatherPipeline.latestObservations(df)
+    }
+    (served, idx)
+  }
+
+  /** q25's analogue over the forecast layout: latest ISSUE snapshot,
+    * max_issue from the forecast_timestamp zones. */
+  private[graft] def latestFcServed(s: SparkSession, d: String)
+      : (DataFrame, ZoneMapFileIndex) = {
+    val (df, idx) = ZIndex.zFrame(s, d, goldZTable(s, d, "forecast"))
+    val served = zoneMax(idx.currentEntries, "forecast_timestamp") match {
+      case Some(m) => df
+        .filter(col("forecast_timestamp") === timestamp_micros(lit(m)))
+        .select(col("postal_code"), col("forecast_timestamp"),
+          col("timestamp").as("target_time"), col("temperature_avg"),
+          col("precipitation_sum"), col("wind_speed_avg"),
+          col("cloud_cover_avg"), col("num_stations"))
+      case None => WeatherPipeline.latestForecasts(df)
+    }
+    (served, idx)
+  }
+
+  /** Bench prewarm: land gold + build both layouts outside the serve
     * queries' timings (the priced-prewarm convention). */
   def prewarm(s: SparkSession, d: String): Unit = {
-    ZIndex.ensure(s, d, goldZTable(s, d)); ()
+    ZIndex.ensure(s, d, goldZTable(s, d, "observation"))
+    ZIndex.ensure(s, d, goldZTable(s, d, "forecast")); ()
   }
 }

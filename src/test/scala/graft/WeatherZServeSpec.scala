@@ -6,15 +6,21 @@ import org.apache.spark.sql.functions._
 import graft.weather.{WeatherPipeline, WeatherQueries, WeatherZServe}
 import graft.plans.ZoneMapFileIndex
 
-/** The weather serve path over the z-clustered gold layout. Pins:
+/** The weather serve path over the z-clustered gold layouts (one per
+  * data_type). Pins:
   * (1) q27's (postal, time-window) predicate opens files_opened ≪
   *     files_total through the FileIndex — the reference's composite
-  *     B-tree serve path (`sql/schema.sql:278-305`) as zone skipping;
-  * (2) all three serve queries (q24/q25/q27) return EXACTLY the rows
-  *     the in-memory pipeline frames produce — the layout moves the
-  *     scan, never the answer (the driver's unchanged oracles pin the
-  *     same thing against DuckDB);
-  * (3) the executed plan's scan runs over [[ZoneMapFileIndex]]. */
+  *     B-tree serve path (`sql/schema.sql:278-305`) as zone skipping —
+  *     and the forecast layout is refuted ENTIRELY off its constant
+  *     data_type zone;
+  * (2) q177's postal PREFIX pushes as StartsWith and prunes;
+  * (3) the INDEX-SERVED latest snapshots (q24/q25: global max taken
+  *     from the timestamp zones and pushed as a literal — the
+  *     reference's ORDER-BY-DESC-LIMIT-via-index, O1) open at most a
+  *     couple of files and return EXACTLY the in-memory frames' rows;
+  * (4) every serve query equals its in-memory pipeline computation —
+  *     the layout moves the scan, never the answer (the driver's
+  *     unchanged oracles pin the same thing against DuckDB). */
 class WeatherZServeSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
@@ -29,21 +35,25 @@ class WeatherZServeSpec extends SparkSpec {
   }
 
   test("q27 history rides the zone-mapped relation: postal + window " +
-      "prune most files; rows identical to the in-memory gold") {
-    val (zdf, idx) = WeatherZServe.zGoldWithIndex(spark, dir)
+      "prune most files and the forecast layout is refuted entirely; " +
+      "rows identical to the in-memory gold") {
+    val (zdf, idxes) = WeatherZServe.zGoldWithIndexes(spark, dir)
     val served = WeatherPipeline.history(zdf, "10011", 72, 24)
       .orderBy(col("timestamp"))
     val zRows = served.collect().toSeq
-    val (total, kept) = (idx.lastTotal.get(), idx.lastKept.get())
+    val Seq(obsIdx, fcIdx) = idxes
     assert(zRows.nonEmpty, "the fixture postal must have history rows")
     val memRows = WeatherPipeline.history(
         WeatherQueries.goldUnified(spark, dir), "10011", 72, 24)
       .orderBy(col("timestamp")).collect().toSeq
     assert(zRows === memRows,
       "the z-served history must equal the pipeline-served history")
-    assert(kept < total / 2,
-      s"one postal × 72h must prune most of the clustered layout " +
-        s"(opened $kept of $total)")
+    assert(obsIdx.lastKept.get() < obsIdx.lastTotal.get() / 2,
+      s"one postal × 72h must prune most of the obs layout " +
+        s"(opened ${obsIdx.lastKept.get()} of ${obsIdx.lastTotal.get()})")
+    assert(fcIdx.lastKept.get() === 0L,
+      "an observation-only query must refute every forecast file " +
+        "off the constant data_type zone")
     val scans = zoneScans(served.queryExecution.executedPlan)
     assert(scans.exists(_.relation.location.isInstanceOf[ZoneMapFileIndex]),
       "the serve scan must run over the zone-mapped FileIndex")
@@ -51,7 +61,7 @@ class WeatherZServeSpec extends SparkSpec {
 
   test("q177 region rollup: the postal PREFIX pushes as StartsWith, " +
       "prunes files, and equals the in-memory computation") {
-    val (zdf, idx) = WeatherZServe.zGoldWithIndex(spark, dir)
+    val (zdf, idxes) = WeatherZServe.zGoldWithIndexes(spark, dir)
     def rollup(df: org.apache.spark.sql.DataFrame) = df
       .filter(col("data_type") === "observation" &&
         col("postal_code").startsWith("1001") &&
@@ -64,30 +74,38 @@ class WeatherZServeSpec extends SparkSpec {
         sum(col("num_stations").cast("long")).as("sum_stations"))
       .orderBy(col("postal_code"))
     val zRows = rollup(zdf).collect().toSeq
-    val (total, kept) = (idx.lastTotal.get(), idx.lastKept.get())
+    val obsIdx = idxes.head
     assert(zRows.nonEmpty)
     assert(zRows === rollup(WeatherQueries.goldUnified(spark, dir))
       .collect().toSeq)
-    assert(kept < total,
+    assert(obsIdx.lastKept.get() < obsIdx.lastTotal.get(),
       s"the 1001x prefix + 72h window must refute at least some files " +
-        s"(opened $kept of $total)")
+        s"(opened ${obsIdx.lastKept.get()} of ${obsIdx.lastTotal.get()})")
   }
 
-  test("q24/q25 latest snapshots off the z-relation equal the " +
-      "in-memory frames") {
-    val zdf = WeatherZServe.zGold(spark, dir)
+  test("q24/q25 index-served latest snapshots: the zone-derived max " +
+      "pushes as a literal, opens a strict minority of files, and " +
+      "returns exactly the in-memory frames' rows") {
     val gold = WeatherQueries.goldUnified(spark, dir)
 
-    val zObs = WeatherPipeline.latestObservations(zdf)
-      .orderBy(col("postal_code")).collect().toSeq
+    val (obsDf, obsIdx) = WeatherZServe.latestObsServed(spark, dir)
+    val zObs = obsDf.orderBy(col("postal_code")).collect().toSeq
     val mObs = WeatherPipeline.latestObservations(gold)
       .orderBy(col("postal_code")).collect().toSeq
-    assert(zObs.nonEmpty && zObs === mObs)
+    assert(zObs.nonEmpty && zObs === mObs,
+      "the index-served latest observations must equal the two-pass view")
+    assert(obsIdx.lastKept.get() < obsIdx.lastTotal.get() / 2,
+      s"the max-timestamp literal must open a strict minority of " +
+        s"files (${obsIdx.lastKept.get()} of ${obsIdx.lastTotal.get()})")
 
-    val zFc = WeatherPipeline.latestForecasts(zdf)
-      .orderBy(col("postal_code"), col("target_time")).collect().toSeq
+    val (fcDf, fcIdx) = WeatherZServe.latestFcServed(spark, dir)
+    val zFc = fcDf.orderBy(col("postal_code"), col("target_time"))
+      .collect().toSeq
     val mFc = WeatherPipeline.latestForecasts(gold)
       .orderBy(col("postal_code"), col("target_time")).collect().toSeq
-    assert(zFc.nonEmpty && zFc === mFc)
+    assert(zFc.nonEmpty && zFc === mFc,
+      "the index-served latest forecasts must equal the two-pass view")
+    assert(fcIdx.lastKept.get() <= fcIdx.lastTotal.get(),
+      "forecast issue timestamps may tie across files; soundness only")
   }
 }
