@@ -81,14 +81,20 @@ object WeatherZServe {
   private def goldZTable(s: SparkSession, d: String,
       which: String): ZTable = {
     val path = landedGold(s, d)
+    // each layout clusters on the time axis ITS serve predicates hit:
+    // obs → target hour (q27's window, q24's max-hour literal), fc →
+    // issue timestamp (q25's max-issue literal) — the zone map still
+    // records BOTH time columns either way
+    val tsCol = if (which == "forecast") "forecast_timestamp"
+      else "timestamp"
     ZTable(s"weather_gold_${which.take(3)}",
       _ => path,
       (s2, _) => s2.read.parquet(path),
-      "postal_code", "timestamp", // informational; clusterWith overrides
+      "postal_code", tsCol, // informational; clusterWith overrides
       nFiles = 16,
       clusterWith = Some((df, n) => Layout.clusterByZ(
         df.withColumn("__zx", col("postal_code").cast("long"))
-          .withColumn("__zy", unix_timestamp(col("timestamp"))),
+          .withColumn("__zy", unix_timestamp(col(tsCol))),
         "__zx", "__zy", n).drop("__zx", "__zy")),
       prep = Some(_.filter(col("data_type") === which)))
   }

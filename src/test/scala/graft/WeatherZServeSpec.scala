@@ -105,7 +105,9 @@ class WeatherZServeSpec extends SparkSpec {
       .orderBy(col("postal_code"), col("target_time")).collect().toSeq
     assert(zFc.nonEmpty && zFc === mFc,
       "the index-served latest forecasts must equal the two-pass view")
-    assert(fcIdx.lastKept.get() <= fcIdx.lastTotal.get(),
-      "forecast issue timestamps may tie across files; soundness only")
+    assert(fcIdx.lastKept.get() < fcIdx.lastTotal.get(),
+      s"the fc layout clusters on the ISSUE axis, so the max-issue " +
+        s"literal must refute at least some files " +
+        s"(${fcIdx.lastKept.get()} of ${fcIdx.lastTotal.get()})")
   }
 }
