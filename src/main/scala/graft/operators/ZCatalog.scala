@@ -48,6 +48,19 @@ object ZCatalog {
     if (!spark.experimental.extraOptimizations.contains(ZoneMapScanSwap))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ ZoneMapScanSwap
+    // a table created under an OLDER layout-root conf points at a
+    // superseded location: re-point by drop + create (metadata only —
+    // the WeatherStats.ensureTable discipline). The location only
+    // matters to rule-less readers; the swap rule resolves the live
+    // root either way.
+    def normalize(p: Any): String =
+      new org.apache.hadoop.fs.Path(p.toString).toUri.getPath
+        .stripSuffix("/")
+    if (spark.catalog.tableExists(tbl) &&
+        normalize(spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)).location)
+          != normalize(root))
+      spark.sql(s"DROP TABLE $tbl")
     if (!spark.catalog.tableExists(tbl)) {
       val ddl = t.load(spark, dir).schema.toDDL
       spark.sql(s"CREATE TABLE IF NOT EXISTS $tbl ($ddl) " +

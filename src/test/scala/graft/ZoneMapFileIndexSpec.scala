@@ -126,6 +126,20 @@ class ZoneMapFileIndexSpec extends SparkSpec {
         "a 3-value IN over the clustered dimension must prune")
       assert(c1 === raw.filter(col("l_partkey").isin(ins: _*)).count())
 
+      // a >10-element list optimizer-compiles to INSET — same kept-set
+      // contract as IN
+      val bigIns = (0 until 12).map(k => 3L + 131L * k)
+      val c1b = frame.filter(col("l_partkey").isin(bigIns: _*)).count()
+      val expect1b = entries.count(e => e.cols("l_partkey") match {
+        case LongZone(lo, hi, _) => bigIns.exists(v => lo <= v && v <= hi)
+        case AllNullZone => false
+        case _ => true
+      })
+      assert(idx.lastKept.get() === expect1b.toLong,
+        s"INSET must keep exactly the bounds-hit files " +
+          s"(${idx.lastKept.get()} vs $expect1b)")
+      assert(c1b === raw.filter(col("l_partkey").isin(bigIns: _*)).count())
+
       // IsNull on the null-bearing partkey: only files whose footer
       // counted zero nulls are refutable
       val c2 = frame.filter(col("l_partkey").isNull).count()
