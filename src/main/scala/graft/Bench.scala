@@ -92,7 +92,8 @@ object Bench {
     // the durable z-clustered layout (q172/q174), same convention
     var prewarmZ = 0.0
     if (Seq("q172_zorder_prune", "q174_zorder_onedim",
-        "q175_zorder_fileindex", "q176_zorder_sql").exists(selected)) {
+        "q175_zorder_fileindex", "q176_zorder_sql", "q178_zonemap_agg")
+        .exists(selected)) {
       val tw = System.nanoTime()
       graft.operators.ZIndex.ensure(spark, sfDir)
       prewarmZ = (System.nanoTime() - tw) / 1e9

@@ -53,6 +53,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // registered; plain sessions reach the same rule via
     // experimental.extraOptimizations — see ZCatalog.ensureRegistered)
     ext.injectOptimizerRule(_ => graft.plans.ZoneMapScanSwap)
+    // metadata-only MIN/MAX/COUNT over registered z-tables, answered
+    // from the zone map with zero tasks (exactness-guarded)
+    ext.injectOptimizerRule(_ => graft.plans.ZoneAggServe)
   }
 }
 

@@ -2043,6 +2043,7 @@ object Layout {
     "q174_zorder_onedim" -> (ZIndex.q174ZorderOnedim _),
     "q175_zorder_fileindex" -> (ZIndex.q175ZorderFileIndex _),
     "q176_zorder_sql" -> (ZCatalog.q176ZorderSql _),
+    "q178_zonemap_agg" -> (ZCatalog.q178ZonemapAgg _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2078,5 +2079,6 @@ object Layout {
       // box semantics — only the pruning's INTEGRATION point moved
       // (driver-side consult → Spark's own FileIndex planning)
     "q176_zorder_sql" -> ZCatalog.q176Sql,
+    "q178_zonemap_agg" -> ZCatalog.q178Sql,
   )
 }

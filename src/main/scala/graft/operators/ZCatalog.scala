@@ -48,6 +48,10 @@ object ZCatalog {
     if (!spark.experimental.extraOptimizations.contains(ZoneMapScanSwap))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ ZoneMapScanSwap
+    if (!spark.experimental.extraOptimizations.contains(
+        graft.plans.ZoneAggServe))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.ZoneAggServe
     // a table created under an OLDER layout-root conf points at a
     // superseded location: re-point by drop + create (metadata only —
     // the WeatherStats.ensureTable discipline). The location only
@@ -100,6 +104,38 @@ object ZCatalog {
          |GROUP BY l_returnflag
          |ORDER BY l_returnflag""".stripMargin)
   }
+
+  /** q178 — METADATA-ONLY aggregates: un-grouped MIN/MAX/COUNT over
+    * the catalog table, answered entirely from the zone map by
+    * [[graft.plans.ZoneAggServe]] — zero tasks, zero file opens, the
+    * reference's `SELECT MIN(..), MAX(..), COUNT(*)` warehouse
+    * heartbeat served the way Delta serves COUNT(*) from its log.
+    * Exactness-guarded: any file without usable footer stats for a
+    * referenced column leaves the plan untouched and the pruned scan
+    * runs instead (the answer never moves — ZoneAggServeSpec pins the
+    * served plan containing NO file scan AND result equality).
+    * Timestamp columns deliberately stay out of the DECLARED query
+    * (cross-engine timestamp rendering is pinned elsewhere); the spec
+    * covers a timestamp MIN in-JVM. */
+  def q178ZonemapAgg(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = ensureRegistered(spark, dir)
+    spark.sql(
+      s"""SELECT MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+         |  MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok,
+         |  MIN(l_returnflag) AS min_flag, MAX(l_returnflag) AS max_flag,
+         |  COUNT(*) AS n_rows, COUNT(l_partkey) AS n_pk
+         |FROM $tbl""".stripMargin)
+  }
+
+  /** DuckDB oracle for [[q178ZonemapAgg]]: the same aggregates off the
+    * raw table. */
+  val q178Sql: String =
+    """SELECT MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+      |  MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok,
+      |  MIN(l_returnflag) AS min_flag, MAX(l_returnflag) AS max_flag,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(l_partkey) AS BIGINT) AS n_pk
+      |FROM lineitem""".stripMargin
 
   /** DuckDB oracle: identical decile arithmetic (`//` == Long
     * truncation on these non-negative ranges) straight off the raw

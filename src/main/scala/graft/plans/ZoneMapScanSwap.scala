@@ -38,6 +38,11 @@ object ZoneMapScanSwap extends Rule[LogicalPlan] {
   private[graft] def register(table: String, dir: String, t: ZTable): Unit =
     registry.put(table.toLowerCase, (dir, t))
 
+  private[graft] def lookup(table: String): Option[(String, ZTable)] =
+    Option(registry.get(table.toLowerCase))
+
+  private[graft] def isEmpty: Boolean = registry.isEmpty
+
   /** Spec/test hygiene: drop every registration. */
   def clear(): Unit = registry.clear()
 
