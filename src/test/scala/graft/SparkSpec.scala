@@ -33,6 +33,12 @@ object TempDirs {
     dirs.add(p)
     p.toString
   }
+
+  /** Suites run in PARALLEL on ONE shared session, so a test that
+    * set/unsets a session conf (the z-layout suites all steer
+    * `spark.graft.zindex.dir`) races every other suite's read of the
+    * same key — hold this lock across the whole conf window. */
+  val zConfLock = new Object
 }
 
 abstract class SparkSpec extends AnyFunSuite {

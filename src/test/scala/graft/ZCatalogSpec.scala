@@ -20,10 +20,14 @@ import graft.plans.{AllNullZone, LongZone, StringZone, ZoneMapFileIndex,
   *     the raw table — the face serves ANY consumer, not one query. */
 class ZCatalogSpec extends SparkSpec {
 
-  private def withConfs[T](pairs: (String, String)*)(f: => T): T = {
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try f finally pairs.foreach { case (k, _) => spark.conf.unset(k) }
-  }
+  // zConfLock: the z-layout suites all steer spark.graft.zindex.dir on
+  // the ONE shared session while suites run in parallel — hold the
+  // JVM-wide lock across the whole conf window (see TempDirs.zConfLock)
+  private def withConfs[T](pairs: (String, String)*)(f: => T): T =
+    TempDirs.zConfLock.synchronized {
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try f finally pairs.foreach { case (k, _) => spark.conf.unset(k) }
+    }
 
   private def li(ids: Range) = {
     import spark.implicits._
@@ -173,12 +177,16 @@ class ZCatalogSpec extends SparkSpec {
           s"a 10% custkey range over the orders layout must prune " +
             s"(kept ${oIdx.lastKept.get()} of ${oIdx.lastTotal.get()})")
         // the lineitem relation keeps ITS OWN counters: a full listing
-        // there must not clobber the orders observables just read
-        val liDf = spark.sql(s"SELECT COUNT(*) AS n FROM $liTbl")
+        // there must not clobber the orders observables just read.
+        // (A bare COUNT(*) would be METADATA-SERVED by ZoneAggServe —
+        // no scan at all — so use an always-true residual predicate to
+        // force a real listing.)
+        val liDf = spark.sql(
+          s"SELECT COUNT(*) AS n FROM $liTbl WHERE l_suppkey >= 0")
         liDf.collect()
         val liIdx = zoneIndexOf(liDf)
         assert(liIdx.lastKept.get() === liIdx.lastTotal.get(),
-          "an unfiltered scan lists every lineitem file")
+          "an unrefutable predicate lists every lineitem file")
         assert(oIdx.lastKept.get() < oIdx.lastTotal.get(),
           "the orders index's counters must survive the lineitem query")
       } finally {

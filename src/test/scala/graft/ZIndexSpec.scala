@@ -19,10 +19,14 @@ import graft.operators.ZIndex
   * files are prunable on their non-null bounds alone. */
 class ZIndexSpec extends SparkSpec {
 
-  private def withConfs[T](pairs: (String, String)*)(f: => T): T = {
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try f finally pairs.foreach { case (k, _) => spark.conf.unset(k) }
-  }
+  // zConfLock: the z-layout suites all steer spark.graft.zindex.dir on
+  // the ONE shared session while suites run in parallel — hold the
+  // JVM-wide lock across the whole conf window (see TempDirs.zConfLock)
+  private def withConfs[T](pairs: (String, String)*)(f: => T): T =
+    TempDirs.zConfLock.synchronized {
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try f finally pairs.foreach { case (k, _) => spark.conf.unset(k) }
+    }
 
   /** Deterministic pseudo-scattered rows; null partkeys on a residue. */
   private def li(ids: Range, partMod: Int = 2000, orderMod: Int = 15000) = {

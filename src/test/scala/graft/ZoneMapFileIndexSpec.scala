@@ -20,10 +20,14 @@ import graft.plans.{AllNullZone, LongZone, StringZone}
   *     table on every one. Counters are PER INDEX. */
 class ZoneMapFileIndexSpec extends SparkSpec {
 
-  private def withConfs[T](pairs: (String, String)*)(f: => T): T = {
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try f finally pairs.foreach { case (k, _) => spark.conf.unset(k) }
-  }
+  // zConfLock: the z-layout suites all steer spark.graft.zindex.dir on
+  // the ONE shared session while suites run in parallel — hold the
+  // JVM-wide lock across the whole conf window (see TempDirs.zConfLock)
+  private def withConfs[T](pairs: (String, String)*)(f: => T): T =
+    TempDirs.zConfLock.synchronized {
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try f finally pairs.foreach { case (k, _) => spark.conf.unset(k) }
+    }
 
   private def li(ids: Range) = {
     import spark.implicits._
