@@ -344,6 +344,16 @@ object WeatherOracle {
        |GROUP BY postal_code
        |ORDER BY postal_code""".stripMargin)
 
+  /** q179 — gold-observations stats heartbeat (metadata-served Spark-
+    * side; the oracle recomputes over the gold CTE). */
+  val goldStatsSql: String = withCtes(
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  MIN(postal_code) AS min_postal, MAX(postal_code) AS max_postal,
+      |  CAST(COUNT(temperature_avg) AS BIGINT) AS n_temp,
+      |  MIN(num_stations) AS min_stations,
+      |  MAX(num_stations) AS max_stations
+      |FROM gold_obs""".stripMargin)
+
   /** True-geodesic KNN — haversine formula mirrored op-for-op from
     * GeoFunctions.haversineKm (1-ulp trig noise absorbed by two-stage
     * rounding; ordering gaps ≥1e-7 on the synthetic grid).

@@ -272,6 +272,7 @@ object WeatherQueries {
     "q62_grid_spatial_join"  -> (gridSpatialJoin _),
     "q63_accuracy_rmse"      -> (accuracyRmse _),
     "q177_weather_region_history" -> (regionHistory _),
+    "q179_weather_gold_stats" -> (WeatherZServe.q179GoldStats _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -291,5 +292,6 @@ object WeatherQueries {
     "q62_grid_spatial_join"  -> WeatherOracle.gridSpatialJoinSql,
     "q63_accuracy_rmse"      -> WeatherOracle.accuracyRmseSql,
     "q177_weather_region_history" -> WeatherOracle.regionHistorySql,
+    "q179_weather_gold_stats" -> WeatherOracle.goldStatsSql,
   )
 }

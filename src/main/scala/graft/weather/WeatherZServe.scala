@@ -80,16 +80,19 @@ object WeatherZServe {
     * forecast_timestamp / data_type columns for refutation. */
   private def goldZTable(s: SparkSession, d: String,
       which: String): ZTable = {
-    val path = landedGold(s, d)
     // each layout clusters on the time axis ITS serve predicates hit:
     // obs → target hour (q27's window, q24's max-hour literal), fc →
     // issue timestamp (q25's max-issue literal) — the zone map still
     // records BOTH time columns either way
     val tsCol = if (which == "forecast") "forecast_timestamp"
       else "timestamp"
+    // feed/load resolve the landing LAZILY (per ensure/scan, one memo
+    // probe): a registry-held instance (the q179 catalog face) must
+    // follow a regenerated corpus to its fresh stamp-addressed landing
+    // instead of pinning the path captured at registration
     ZTable(s"weather_gold_${which.take(3)}",
-      _ => path,
-      (s2, _) => s2.read.parquet(path),
+      _ => landedGold(s, d),
+      (s2, _) => s2.read.parquet(landedGold(s2, d)),
       "postal_code", tsCol, // informational; clusterWith overrides
       nFiles = 16,
       clusterWith = Some((df, n) => Layout.clusterByZ(
@@ -170,6 +173,28 @@ object WeatherZServe {
       case None => WeatherPipeline.latestForecasts(df)
     }
     (served, idx)
+  }
+
+  /** q179 — the DERIVED table's stats heartbeat, metadata-served: the
+    * gold-observations layout registered through the same catalog face
+    * as lineitem ([[graft.operators.ZCatalog]]), and an un-grouped
+    * COUNT/MIN/MAX answered by [[graft.plans.ZoneAggServe]] from its
+    * zone map — zero tasks over a table the engine itself maintains.
+    * COUNT(temperature_avg) exercises the null-aware path on REAL
+    * derived nulls (the IDW shared-denominator trap's NULLs survive
+    * into gold); if any footer ever lacked stats the rule falls back
+    * to the ordinary scan, same answer. Oracle: the same aggregates
+    * over the oracle's own gold_obs CTE. */
+  def q179GoldStats(s: SparkSession, d: String): DataFrame = {
+    val tbl = graft.operators.ZCatalog.ensureRegistered(
+      s, d, goldZTable(s, d, "observation"))
+    s.sql(
+      s"""SELECT COUNT(*) AS n_rows,
+         |  MIN(postal_code) AS min_postal, MAX(postal_code) AS max_postal,
+         |  COUNT(temperature_avg) AS n_temp,
+         |  MIN(num_stations) AS min_stations,
+         |  MAX(num_stations) AS max_stations
+         |FROM $tbl""".stripMargin)
   }
 
   /** Bench prewarm: land gold + build both layouts outside the serve

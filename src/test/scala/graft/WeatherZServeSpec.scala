@@ -83,6 +83,30 @@ class WeatherZServeSpec extends SparkSpec {
         s"(opened ${obsIdx.lastKept.get()} of ${obsIdx.lastTotal.get()})")
   }
 
+  test("q179 gold stats heartbeat is metadata-served: no file scan, " +
+      "answers equal the in-memory aggregate incl. the null-aware " +
+      "COUNT over derived NULL temperatures") {
+    val df = WeatherZServe.q179GoldStats(spark, dir)
+    val rows = df.collect().toSeq
+    assert(zoneScans(df.queryExecution.executedPlan).isEmpty,
+      "the stats heartbeat must fold to the zone map — no scan")
+    val truth = WeatherQueries.goldUnified(spark, dir)
+      .filter(col("data_type") === "observation")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("postal_code")).as("min_postal"),
+        max(col("postal_code")).as("max_postal"),
+        count(col("temperature_avg")).as("n_temp"),
+        min(col("num_stations")).as("min_stations"),
+        max(col("num_stations")).as("max_stations"))
+      .collect().toSeq
+    assert(rows === truth)
+    assert(rows.head.getAs[Long]("n_temp") <
+      rows.head.getAs[Long]("n_rows"),
+      "the fixture's derived NULL temperatures must make COUNT(col) " +
+        "strictly smaller — the null-aware path is exercised on real " +
+        "pipeline output")
+  }
+
   test("q24/q25 index-served latest snapshots: the zone-derived max " +
       "pushes as a literal, opens a strict minority of files, and " +
       "returns exactly the in-memory frames' rows") {
