@@ -102,6 +102,30 @@ class ZoneAggServeSpec extends SparkSpec {
     }
   }
 
+  test("the metadata answer never goes stale: an appended feed is a " +
+      "stamp miss, the next served aggregate reads the new generation") {
+    val dir = TempDirs.create("graft_zagg_corp4")
+    li(0 until 5000).write.mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    withConfs("spark.graft.zindex.dir" -> TempDirs.create("graft_zagg_root4")) {
+      ZIndex.clearMemo()
+      val tbl = ZCatalog.ensureRegistered(spark, dir)
+      def count(): Long = {
+        val df = spark.sql(s"SELECT COUNT(*) AS n FROM $tbl")
+        val n = df.collect()(0).getLong(0)
+        assert(scans(df.queryExecution.executedPlan).isEmpty,
+          "both counts must be metadata-served")
+        n
+      }
+      assert(count() === 5000L)
+      li(5000 until 6500).write.mode("append")
+        .parquet(s"$dir/lineitem.parquet")
+      assert(count() === 6500L,
+        "the served count must track the appended generation — the " +
+          "per-query ensure() is the freshness contract")
+    }
+  }
+
   test("exactness guards: WHERE or DISTINCT keeps the ordinary plan " +
       "and the unchanged answer") {
     val dir = TempDirs.create("graft_zagg_corp3")
