@@ -99,6 +99,16 @@ object Bench {
       prewarmZ = (System.nanoTime() - tw) / 1e9
       System.err.println(s"[bench] prewarm_zindex ${fmt(prewarmZ)}")
     }
+    // the decimal-measure layout (q180/q181) is its own durable
+    // artifact — same priced-prewarm convention
+    if (Seq("q180_zdecimal_sql", "q181_zdecimal_stats").exists(selected)) {
+      val tw = System.nanoTime()
+      graft.operators.ZIndex.ensure(spark, sfDir,
+        graft.operators.ZIndex.LineitemDec)
+      val w = (System.nanoTime() - tw) / 1e9
+      prewarmZ += w
+      System.err.println(s"[bench] prewarm_zindex_dec ${fmt(w)}")
+    }
     // the z-clustered weather-gold serve layout (q24/q25/q27), same
     // convention — the landing also forces the gold build, so the cost
     // is priced here instead of on whichever serve query runs first
@@ -225,13 +235,20 @@ object Bench {
       .filter(n => selected(n) && SparkEntry.queries.contains(n))
       .map { n =>
         val fn = SparkEntry.queries(n)
+        // each isolated rerun carries its OWN box indicators (r14
+        // verdict #4: a divergent isolated number — q94's 22.9 vs 12.0
+        // — needed builder prose to adjudicate; now loadavg at both
+        // ends and the JVM's gc delta ride in the artifact)
+        val l0 = loadAvg(); val g0 = gcSec()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
         val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        val gc = gcSec() - g0; val l1 = loadAvg()
         graft.util.Harness.sweep(spark)
-        System.err.println(s"[bench] ${n}_isolated ${fmt(sec)}")
-        n.split("_")(0) -> sec
+        System.err.println(s"[bench] ${n}_isolated ${fmt(sec)} " +
+          s"load=${fmt(l0)}->${fmt(l1)} gc=${fmt(gc)}")
+        n.split("_")(0) -> ((sec, l0, l1, gc))
       }
     // the one-time LSH-pairs artifact build is first-class in the JSON
     // (its own key + counted in the total) so cross-engine comparisons
@@ -268,7 +285,9 @@ object Bench {
       .map { case (k, (_, r1)) => s"\"" + k.split("_")(0) + "\":" + fmt(r1) }
       .mkString("{", ",", "}")
     System.err.println(s"[bench] rep1 $r1s")
-    val iso = isolated.map { case (k, v) => s"\"$k\":" + fmt(v) }
+    val iso = isolated.map { case (k, (v, l0, l1, gc)) =>
+      s"\"$k\":{\"sec\":${fmt(v)},\"load0\":${fmt(l0)}," +
+        s"\"load1\":${fmt(l1)},\"gc\":${fmt(gc)}}" }
       .mkString("{", ",", "}")
     // rep1_total (the r12-comparable statistic: first-run cost incl.
     // memo builds) and the machine-load/GC indicators make the summary

@@ -2044,6 +2044,8 @@ object Layout {
     "q175_zorder_fileindex" -> (ZIndex.q175ZorderFileIndex _),
     "q176_zorder_sql" -> (ZCatalog.q176ZorderSql _),
     "q178_zonemap_agg" -> (ZCatalog.q178ZonemapAgg _),
+    "q180_zdecimal_sql" -> (ZCatalog.q180ZdecimalSql _),
+    "q181_zdecimal_stats" -> (ZCatalog.q181ZdecimalStats _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2080,5 +2082,7 @@ object Layout {
       // (driver-side consult → Spark's own FileIndex planning)
     "q176_zorder_sql" -> ZCatalog.q176Sql,
     "q178_zonemap_agg" -> ZCatalog.q178Sql,
+    "q180_zdecimal_sql" -> ZCatalog.q180Sql,
+    "q181_zdecimal_stats" -> ZCatalog.q181Sql,
   )
 }

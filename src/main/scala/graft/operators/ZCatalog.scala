@@ -13,14 +13,18 @@ import graft.plans.ZoneMapScanSwap
   *
   * [[ensureRegistered]] lands the durable layout ([[ZIndex.ensure]]),
   * creates an external parquet table over the layout root with the
-  * corpus's explicit schema (pure metadata — no listing, no scan), and
-  * registers it with [[graft.plans.ZoneMapScanSwap]], which swaps the
-  * table's scans onto the zone-mapped FileIndex at optimization time.
-  * Without the rule the table face is inert metadata (its root holds
-  * only generation directories, which a flat listing ignores) — the
-  * face REQUIRES the graft planner injection, exactly like the
-  * radius-join rewrite; with it, any predicate over any recorded
-  * column prunes files before a single task launches.
+  * LAYOUT's own schema, and records the registration IN THE TABLE'S
+  * METADATA — `graft.zindex.dir` / `graft.zindex.root` /
+  * `graft.zindex.contract` TBLPROPERTIES — so any session that can see
+  * the table can re-arm the scan swap from the catalog alone (r14
+  * verdict #1: the registry is a cache, the properties are the source
+  * of truth). [[graft.plans.ZoneMapScanSwap]] swaps the table's scans
+  * onto the zone-mapped FileIndex at optimization time; without the
+  * rule the table face is inert metadata (its root holds only
+  * generation directories, which a flat listing ignores) — the face
+  * REQUIRES the graft planner injection, exactly like the radius-join
+  * rewrite; with it, any predicate over any recorded column prunes
+  * files before a single task launches.
   *
   * At 100 TB this is the operational shape: the layout is maintained
   * once (appends are O(delta)), every ad-hoc SQL consumer shares the
@@ -36,15 +40,19 @@ object ZCatalog {
   private[graft] def zTableName(dir: String, t: ZTable): String =
     s"graft_z_${t.name}_${md5hex(dir).take(8)}"
 
-  /** Land the layout, create the catalog table, arm the scan-swap rule
+  /** Land the layout, create the catalog table (TBLPROPERTIES carry
+    * the durable registration record), arm the scan-swap rule
     * (idempotent; plain sessions get it via extraOptimizations, the
     * extensions path injects it once for the whole session). Returns
     * the table name. */
   def ensureRegistered(spark: SparkSession, dir: String,
       t: ZTable = ZIndex.Lineitem): String = {
-    val (root, _) = ZIndex.ensure(spark, dir, t)
+    val (root, gen) = ZIndex.ensure(spark, dir, t)
     val tbl = zTableName(dir, t)
-    ZoneMapScanSwap.register(tbl, dir, t)
+    // the contract must be resolvable by name for metadata-driven
+    // re-arming; an instance closure is a valid factory for contracts
+    // whose ZTable is already (session, dir)-pure
+    ZoneMapScanSwap.registerContract(t.name, (_, _) => t)
     if (!spark.experimental.extraOptimizations.contains(ZoneMapScanSwap))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ ZoneMapScanSwap
@@ -53,23 +61,43 @@ object ZCatalog {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.ZoneAggServe
     // a table created under an OLDER layout-root conf points at a
-    // superseded location: re-point by drop + create (metadata only —
-    // the WeatherStats.ensureTable discipline). The location only
-    // matters to rule-less readers; the swap rule resolves the live
-    // root either way.
+    // superseded location, and a pre-properties table (an earlier
+    // build's registration) lacks the durable record: re-point by
+    // drop + create (metadata only — the WeatherStats.ensureTable
+    // discipline). Only an EXTERNAL table may be dropped (r14 ADVICE:
+    // dropping a same-named MANAGED squatter would delete its data) —
+    // a managed collision fails loudly instead.
     def normalize(p: Any): String =
       new org.apache.hadoop.fs.Path(p.toString).toUri.getPath
         .stripSuffix("/")
+    def meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl))
     if (spark.catalog.tableExists(tbl) &&
-        normalize(spark.sessionState.catalog.getTableMetadata(
-          org.apache.spark.sql.catalyst.TableIdentifier(tbl)).location)
-          != normalize(root))
+        (normalize(meta.location) != normalize(root) ||
+          !meta.properties.contains(ZoneMapScanSwap.PropContract))) {
+      require(meta.tableType ==
+          org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+        s"table $tbl exists as a ${meta.tableType.name} table at " +
+          s"${meta.location} — refusing to drop a non-EXTERNAL table " +
+          s"to re-point the z-layout face")
       spark.sql(s"DROP TABLE $tbl")
-    if (!spark.catalog.tableExists(tbl)) {
-      val ddl = t.load(spark, dir).schema.toDDL
-      spark.sql(s"CREATE TABLE IF NOT EXISTS $tbl ($ddl) " +
-        s"USING parquet LOCATION '$root'")
     }
+    if (!spark.catalog.tableExists(tbl)) {
+      // schema from the LAYOUT's own files (one footer read of data the
+      // layout wrote), not from a feed scan: the layout is the contract
+      // the table serves — prep-applied casts and projections included
+      val ddl = spark.read.parquet(s"$root/gen-$gen/files").schema.toDDL
+      spark.sql(s"CREATE TABLE IF NOT EXISTS $tbl ($ddl) " +
+        s"USING parquet LOCATION '$root' TBLPROPERTIES (" +
+        s"'${ZoneMapScanSwap.PropDir}' = '$dir', " +
+        s"'${ZoneMapScanSwap.PropRoot}' = '$root', " +
+        s"'${ZoneMapScanSwap.PropContract}' = '${t.name}')")
+    }
+    // warm the cache under the QUALIFIED key (same entry a fresh
+    // session would derive from the properties; the recorded root pins
+    // the layout independent of this session's confs)
+    ZoneMapScanSwap.register(meta, dir,
+      if (t.rootOverride.isDefined) t else t.copy(rootOverride = Some(root)))
     tbl
   }
 
@@ -135,6 +163,102 @@ object ZCatalog {
       |  MIN(l_returnflag) AS min_flag, MAX(l_returnflag) AS max_flag,
       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
       |  CAST(COUNT(l_partkey) AS BIGINT) AS n_pk
+      |FROM lineitem""".stripMargin
+
+  /** Cents (unscaled scale-2) rendering of a decimal literal for SQL
+    * text — exact, no float in the loop. */
+  private def centsTxt(c: Long): String = {
+    require(c >= 0, s"non-negative cents expected, got $c")
+    s"${c / 100}.${"%02d".format(c % 100)}"
+  }
+
+  /** q180 — a selective DECIMAL-range predicate over the decimal
+    * z-layout ([[ZIndex.LineitemDec]]), spelled as plain SQL against
+    * the catalog face: the measure-range shape the reference
+    * range-checks its DECIMAL(5,2) weather measures with
+    * (`cleaning.py:95-101`) and r14's zone maps could not prune
+    * (DECIMAL columns were un-zoned). The price band is deciles 2..3
+    * of the zone map's own global bounds, computed in exact CENTS
+    * arithmetic (Long — DuckDB `//` twin), rendered as decimal
+    * literals so the pushed predicate stays DECIMAL-typed end to end
+    * and [[graft.plans.ZoneMapFileIndex]]'s DecimalZone arm refutes
+    * whole files (ZDecimalSpec pins files_opened ≪ files_total and
+    * kept-set equality with the driver consult). */
+  def q180ZdecimalSql(spark: SparkSession, dir: String): DataFrame = {
+    val t = ZIndex.LineitemDec
+    val entries = ZIndex.resolveEntries(spark, dir, t)
+    val (plo, phi) = ZIndex.globalDec(spark, dir, t, entries,
+      "l_extendedprice")
+    val lo = plo.movePointRight(2).longValueExact()
+    val hi = phi.movePointRight(2).longValueExact()
+    val ylo = lo + (hi - lo) * 2 / 10
+    val yhi = lo + (hi - lo) * 3 / 10
+    val tbl = ensureRegistered(spark, dir, t)
+    spark.sql(
+      s"""SELECT l_returnflag, COUNT(*) AS n_rows,
+         |  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+         |  CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+         |  CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+         |  COUNT(DISTINCT l_suppkey) AS n_supp
+         |FROM $tbl
+         |WHERE l_extendedprice BETWEEN ${centsTxt(ylo)} AND ${centsTxt(yhi)}
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** DuckDB oracle: identical cents arithmetic off the raw table (the
+    * double→DECIMAL(18,2) cast is this corpus's proven-exact transform
+    * — q169/q176 hash-green on it). */
+  val q180Sql: String =
+    """WITH li AS (
+      |  SELECT l_returnflag, l_suppkey,
+      |    CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+      |  FROM lineitem),
+      |b AS (
+      |  SELECT CAST(MIN(price) * 100 AS BIGINT) AS lo,
+      |         CAST(MAX(price) * 100 AS BIGINT) AS hi FROM li),
+      |x AS (
+      |  SELECT lo + (hi - lo) * 2 // 10 AS ylo,
+      |         lo + (hi - lo) * 3 // 10 AS yhi FROM b)
+      |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(qty) AS DOUBLE) AS sum_qty,
+      |  CAST(MIN(price) AS DOUBLE) AS min_price,
+      |  CAST(MAX(price) AS DOUBLE) AS max_price,
+      |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+      |FROM li, x
+      |WHERE price * 100 BETWEEN ylo AND yhi
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** q181 — the decimal measures' stats heartbeat, METADATA-SERVED:
+    * MIN/MAX over DECIMAL columns folded from the zone map's exact
+    * unscaled footer bounds, with the surrounding `CAST(... AS
+    * DOUBLE)` evaluated on the driver after substitution
+    * ([[graft.plans.ZoneAggServe]]'s generalized output evaluation) —
+    * zero tasks over the measure columns r14 could not serve.
+    * Cross-engine the DOUBLE rendering sidesteps decimal text
+    * formatting differences; exactness is untouched (cast of the exact
+    * bound). */
+  def q181ZdecimalStats(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = ensureRegistered(spark, dir, ZIndex.LineitemDec)
+    spark.sql(
+      s"""SELECT COUNT(*) AS n_rows, COUNT(l_extendedprice) AS n_price,
+         |  CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+         |  CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+         |  CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+         |  CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+         |FROM $tbl""".stripMargin)
+  }
+
+  /** DuckDB oracle for [[q181ZdecimalStats]]. */
+  val q181Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(l_extendedprice) AS BIGINT) AS n_price,
+      |  CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+      |  CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
+      |  CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_qty,
+      |  CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty
       |FROM lineitem""".stripMargin
 
   /** DuckDB oracle: identical decile arithmetic (`//` == Long

@@ -6,8 +6,8 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.plans.{AllNullZone, ColZone, DoubleZone, KeepAllZone, LongZone,
-  StringZone, ZoneFile, ZoneMapFileIndex}
+import graft.plans.{AllNullZone, ColZone, DecimalZone, DoubleZone, KeepAllZone,
+  LongZone, StringZone, ZoneFile, ZoneMapFileIndex}
 import graft.sources.Tables
 
 /** A table's z-layout contract: where its feed lives, how to load the
@@ -33,7 +33,15 @@ case class ZTable(name: String,
       * data_type of a discriminated table). Applied on BOTH the full
       * build and the append delta, so the layout's content contract
       * holds however maintenance lands rows. */
-    prep: Option[DataFrame => DataFrame] = None)
+    prep: Option[DataFrame => DataFrame] = None,
+    /** Pin the layout root to a fixed location instead of deriving it
+      * from the session conf: the durable-catalog posture (a table's
+      * TBLPROPERTIES record the root, and re-arming in a fresh session
+      * must resolve the SAME layout regardless of that session's
+      * confs — r14 verdict #1), and the fix for the weather layouts
+      * landing in whichever temp root a parallel suite had steered the
+      * conf to (r14 ADVICE). */
+    rootOverride: Option[String] = None)
 
 /** q172/q174/q175 — zone-map data skipping over a DURABLE z-clustered
   * layout: the scan-pruning consumer that closes the loop on q99's
@@ -86,6 +94,29 @@ object ZIndex {
     d => s"$d/lineitem.parquet", Tables.lineitem _,
     "l_partkey", "l_orderkey", NFiles)
 
+  /** The DECIMAL-measure layout (q180/q181, r14 verdict #2): lineitem
+    * with its measures as exact DECIMAL(18,2) — the type every
+    * TPC-style measure and the reference's temperature/quantity
+    * columns carry (`cleaning.py:95-101` range-checks them) —
+    * clustered by (price, orderkey) so a selective price-range
+    * predicate prunes a strip of files off the DecimalZone bounds.
+    * The double→DECIMAL(18,2) cast is the corpus's proven-exact
+    * cross-engine transform (q169/q176 hash-green on it). */
+  private[graft] val LineitemDec = ZTable("lineitem_dec",
+    d => s"$d/lineitem.parquet", Tables.lineitem _,
+    "l_extendedprice", "l_orderkey", NFiles,
+    clusterWith = Some((df, n) => Layout.clusterByZ(
+      df.withColumn("__zx", col("l_extendedprice").cast("long")),
+      "__zx", "l_orderkey", n).drop("__zx")),
+    // the cast lives in prep, not load: prep is applied to BOTH the
+    // full build and the append delta, so appended files land with the
+    // same decimal schema as the standing generations
+    prep = Some(df => df.select(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+      col("l_quantity").cast("decimal(18,2)").as("l_quantity"),
+      col("l_extendedprice").cast("decimal(18,2)").as("l_extendedprice"),
+      col("l_returnflag"))))
+
   /** Spec observables. */
   private[graft] val zBuilds = new AtomicLong // full (re)clusters
   private[graft] val zAppends = new AtomicLong // incremental appends
@@ -115,13 +146,14 @@ object ZIndex {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  private def root(spark: SparkSession, dir: String, t: ZTable): String =
-    spark.conf.getOption("spark.graft.zindex.dir") match {
-      case Some(base) if t.name == "lineitem" => base // spec back-compat
-      case Some(base) => s"$base/${t.name}"
-      case None => sys.props("java.io.tmpdir") +
-        s"/graft_zindex2/${t.name}_${md5hex(dir)}"
-    }
+  private[graft] def root(spark: SparkSession, dir: String, t: ZTable): String =
+    t.rootOverride.getOrElse(
+      spark.conf.getOption("spark.graft.zindex.dir") match {
+        case Some(base) if t.name == "lineitem" => base // spec back-compat
+        case Some(base) => s"$base/${t.name}"
+        case None => sys.props("java.io.tmpdir") +
+          s"/graft_zindex2/${t.name}_${md5hex(dir)}"
+      })
 
   // file-identity listing shared with every derived artifact
   // ([[KmvTable.partsOf]] — one implementation of the stamp discipline)
@@ -134,20 +166,34 @@ object ZIndex {
   /** Which zone encoding a schema type gets — `None` is not recorded
     * (and therefore never refutes). Long carries bigint, int, date
     * (days) and timestamp (micros): the same physical value Spark's
-    * pushed literals carry for those types. */
+    * pushed literals carry for those types. Decimal columns (r14
+    * verdict #2 — every TPC-style measure) carry exact BigDecimal
+    * bounds decoded from the footer's unscaled int32/int64/binary
+    * statistics; the kind string records (precision, scale) so the
+    * zone map's own schema round-trips the type. */
   private[graft] def zoneKind(t: DataType): Option[String] = t match {
     case LongType | IntegerType | ShortType | ByteType | DateType |
          TimestampType | TimestampNTZType => Some("long")
     case DoubleType | FloatType => Some("double")
     case StringType => Some("string")
+    case d: DecimalType => Some(s"dec:${d.precision}:${d.scale}")
     case _ => None
   }
+
+  private val DecKind = "dec:(\\d+):(\\d+)".r
 
   private def kindType(kind: String): DataType = kind match {
     case "long" => LongType
     case "double" => DoubleType
     case "string" => StringType
+    case DecKind(p, s) => DecimalType(p.toInt, s.toInt)
   }
+
+  /** The outputTimestampType set/restore window below is SESSION-wide:
+    * serialize it across ALL roots (r14 ADVICE — two concurrent
+    * ensure() calls on different roots could interleave set/unset and
+    * write one layout as INT96 or leave the session conf altered). */
+  private val writeConfLock = new Object
 
   /** Cluster `rows` into `n` z-sorted files under `genDir/files` and
     * return the zone-map rows — gen-relative file path, row count, and
@@ -167,15 +213,24 @@ object ZIndex {
     // layout files are written as TIMESTAMP_MICROS, never INT96:
     // INT96 footers carry no min/max, so timestamp zones would be
     // keep-all and time-window serve predicates couldn't skip
-    val tsKey = "spark.sql.parquet.outputTimestampType"
-    val tsPrior = spark.conf.getOption(tsKey)
-    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try t.clusterWith.map(f => f(rows, n))
-      .getOrElse(Layout.clusterByZ(rows, t.xCol, t.yCol, n))
-      .write.mode("overwrite").parquet(s"$genDir/files")
-    finally tsPrior match {
-      case Some(v) => spark.conf.set(tsKey, v)
-      case None => spark.conf.unset(tsKey)
+    writeConfLock.synchronized {
+      val tsKey = "spark.sql.parquet.outputTimestampType"
+      val tsPrior = spark.conf.getOption(tsKey)
+      spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+      try t.clusterWith.map(f => f(rows, n))
+        .getOrElse(Layout.clusterByZ(rows, t.xCol, t.yCol, n))
+        .write.mode("overwrite")
+        // pin statistics to FULL length (r14 ADVICE): a deployment-level
+        // parquet.statistics.truncate.length would truncate binary maxima
+        // UPWARD — still sound for pruning, but ZoneAggServe serves these
+        // bounds as ANSWERS, and a truncated max is a value not in the data
+        .option("parquet.statistics.truncate.length",
+          Integer.MAX_VALUE.toString)
+        .parquet(s"$genDir/files")
+      finally tsPrior match {
+        case Some(v) => spark.conf.set(tsKey, v)
+        case None => spark.conf.unset(tsKey)
+      }
     }
     val conf = spark.sparkContext.hadoopConfiguration
     val fdir = new org.apache.hadoop.fs.Path(s"$genDir/files")
@@ -205,6 +260,13 @@ object ZIndex {
       //   (null, null, n)     → all row groups all-null → refutable
       //   (lo, hi, n | -1)    → exact bounds, n = -1 when unknown
       def colCells(c: String, kind: String): Seq[Any] = {
+        // decimal stats carry the UNSCALED value in the physical type's
+        // statistics: int32/int64 for precision ≤ 18, big-endian
+        // two's-complement binary for FIXED_LEN_BYTE_ARRAY
+        val decScale = kind match {
+          case DecKind(_, s) => s.toInt
+          case _ => 0
+        }
         def value(o: Any): Option[Any] = (kind, o) match {
           case ("long", v: java.lang.Long) => Some(v.longValue)
           case ("long", v: java.lang.Integer) => Some(v.longValue)
@@ -212,6 +274,13 @@ object ZIndex {
           case ("double", v: java.lang.Float) => Some(v.doubleValue)
           case ("string", v: org.apache.parquet.io.api.Binary) =>
             Some(v.toStringUsingUTF8)
+          case (DecKind(_, _), v: java.lang.Long) =>
+            Some(java.math.BigDecimal.valueOf(v.longValue, decScale))
+          case (DecKind(_, _), v: java.lang.Integer) =>
+            Some(java.math.BigDecimal.valueOf(v.longValue, decScale))
+          case (DecKind(_, _), v: org.apache.parquet.io.api.Binary) =>
+            Some(new java.math.BigDecimal(
+              new java.math.BigInteger(v.getBytes), decScale))
           case _ => None // e.g. INT96 timestamps: no interpretable stats
         }
         // per block: None = unknown (poisons the column to keep-all),
@@ -252,6 +321,10 @@ object ZIndex {
               case "string" =>
                 val s = vs.map(_.asInstanceOf[String])
                 if (mn) s.min else s.max
+              case DecKind(_, _) =>
+                vs.map(_.asInstanceOf[java.math.BigDecimal])
+                  .reduce((a, b) =>
+                    if ((a.compareTo(b) <= 0) == mn) a else b)
             }
             // -1 (unknown) when any block's count is unset, or when
             // all-null blocks would need per-block row counts to sum
@@ -421,6 +494,7 @@ object ZIndex {
           (f.name.dropRight(5), f.dataType match {
             case LongType => "long"
             case DoubleType => "double"
+            case _: DecimalType => "dec"
             case _ => "string"
           })
       }
@@ -439,6 +513,9 @@ object ZIndex {
                 hi.asInstanceOf[Long], nulls.getOrElse(-1L))
               case "double" => DoubleZone(lo.asInstanceOf[Double],
                 hi.asInstanceOf[Double], nulls.getOrElse(-1L))
+              case "dec" => DecimalZone(
+                lo.asInstanceOf[java.math.BigDecimal],
+                hi.asInstanceOf[java.math.BigDecimal], nulls.getOrElse(-1L))
               case _ => StringZone(lo.asInstanceOf[String],
                 hi.asInstanceOf[String], nulls.getOrElse(-1L))
             }
@@ -469,6 +546,26 @@ object ZIndex {
     } else {
       val b = zs.flatten.collect { case LongZone(lo, hi, _) => (lo, hi) }
       (b.map(_._1).min, b.map(_._2).max)
+    }
+  }
+
+  /** [[globalLong]]'s decimal analogue (q180's cut derivation): the
+    * table-wide [lo, hi] of a decimal-zoned column from the zone map,
+    * with the same fallback-to-scan rule when any file lacks stats.
+    * The fallback applies the contract's prep (the decimal cast lives
+    * there) so both paths bound the SAME population. */
+  private[graft] def globalDec(spark: SparkSession, dir: String, t: ZTable,
+      entries: IndexedSeq[ZoneFile], c: String)
+      : (java.math.BigDecimal, java.math.BigDecimal) = {
+    val zs = entries.map(_.cols.get(c.toLowerCase))
+    if (zs.exists(_.contains(KeepAllZone))) {
+      val rows = t.prep.foldLeft(t.load(spark, dir))((df, f) => f(df))
+      val b = rows.agg(min(col(c)), max(col(c))).collect()(0)
+      (b.getDecimal(0), b.getDecimal(1))
+    } else {
+      val b = zs.flatten.collect { case DecimalZone(lo, hi, _) => (lo, hi) }
+      (b.map(_._1).reduce((a, x) => if (a.compareTo(x) <= 0) a else x),
+        b.map(_._2).reduce((a, x) => if (a.compareTo(x) >= 0) a else x))
     }
   }
 

@@ -1,11 +1,13 @@
 package graft.plans
 
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
-  AttributeReference, Literal, NamedExpression}
+  AttributeReference, Expression, ExprId, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
-  Complete, Count, Max, Min}
+  AggregateFunction, Complete, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation,
   LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -13,12 +15,11 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** METADATA-ONLY aggregate serving off the zone map: an un-grouped,
-  * un-filtered `MIN` / `MAX` / `COUNT` over a
-  * [[graft.operators.ZCatalog]]-registered table is answered from the
-  * per-file footer statistics the layout already maintains — ZERO
-  * tasks, zero file opens, a KB driver consult folded into a
-  * [[LocalRelation]] at optimization time.
+/** METADATA-ONLY aggregate serving off the zone map: a `MIN` / `MAX` /
+  * `COUNT` aggregate over a [[graft.operators.ZCatalog]]-registered
+  * table is answered from the per-file footer statistics the layout
+  * already maintains — ZERO tasks, zero file opens, a KB driver
+  * consult folded into a [[LocalRelation]] at optimization time.
   *
   * This is Spark's own `OptimizeMetadataOnlyQuery` (partition-column
   * aggregates from the catalog) extended to DATA columns, exactly the
@@ -26,25 +27,38 @@ import org.apache.spark.unsafe.types.UTF8String
   * zone map's bounds are EXACT per file over the non-null population
   * (MIN/MAX ignore nulls — same semantics), `np` row counts are exact,
   * and null counts make `COUNT(col)` exact when the footers carried
-  * them. Anything the map cannot answer EXACTLY — a stats-less
-  * (keep-all) file under a MIN/MAX, an unknown null count under a
-  * COUNT(col), a DISTINCT, a FILTER clause, a WHERE between the
-  * aggregate and the scan, a grouped aggregate — leaves the plan
-  * untouched and the ordinary pruned scan runs. Conservative exactness
-  * first: the rewrite changes the PLAN, never the answer
-  * (ZoneAggServeSpec pins result equality against the raw table and
-  * the absence of any file scan in the served plan). */
+  * them. Two shapes serve:
+  *
+  *  - UN-GROUPED aggregates (q178/q179/q181): every output expression
+  *    folds to a literal — including expressions AROUND the aggregate
+  *    (`CAST(MIN(price) AS DOUBLE)`, arithmetic), which are evaluated
+  *    on the driver after the aggregate value is substituted.
+  *  - GROUP BY a SINGLE-VALUED column (q182, r14 verdict #5): when
+  *    every file's zone on the group key is a CONSTANT with zero nulls
+  *    (or the file is all-null on it — the NULL group), the files
+  *    partition exactly by group and each group's aggregates fold from
+  *    its own files — the per-type heartbeat over a type-clustered
+  *    layout becomes zero-task.
+  *
+  * Anything the map cannot answer EXACTLY — a stats-less (keep-all)
+  * file under a MIN/MAX, an unknown null count under a COUNT(col), a
+  * DISTINCT, a FILTER clause, a WHERE between the aggregate and the
+  * scan, a group key with a non-constant zone or unknown nulls —
+  * leaves the plan untouched and the ordinary pruned scan runs.
+  * Conservative exactness first: the rewrite changes the PLAN, never
+  * the answer (ZoneAggServeSpec pins result equality against the raw
+  * table and the absence of any file scan in the served plan). */
 object ZoneAggServe extends Rule[LogicalPlan] {
 
   /** The registered z-relation beneath an optional column-pruning
-    * Project: (corpus dir, table contract). */
+    * Project: (corpus dir, table contract) — resolved through the
+    * TBLPROPERTIES-or-registry path, same as the scan swap. */
   private def zChild(plan: LogicalPlan)
       : Option[(String, graft.operators.ZTable)] = plan match {
     case Project(projectList, child) if projectList.forall(
         _.isInstanceOf[AttributeReference]) => zChild(child)
     case lr: LogicalRelation =>
-      lr.catalogTable.flatMap(ct =>
-        ZoneMapScanSwap.lookup(ct.identifier.table))
+      lr.catalogTable.flatMap(ZoneMapScanSwap.resolve)
     case _ => None
   }
 
@@ -60,80 +74,164 @@ object ZoneAggServe extends Rule[LogicalPlan] {
     case (d: Double, DoubleType) => Some(d)
     case (d: Double, FloatType) => Some(d.toFloat)
     case (s: String, StringType) => Some(UTF8String.fromString(s))
+    case (bd: java.math.BigDecimal, dt: DecimalType) =>
+      val d = Decimal(bd)
+      if (d.changePrecision(dt.precision, dt.scale)) Some(d) else None
     case _ => None
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (ZoneMapScanSwap.isEmpty) return plan
-    plan.transform {
-      case agg: Aggregate if agg.groupingExpressions.isEmpty &&
-          agg.aggregateExpressions.nonEmpty &&
-          zChild(agg.child).isDefined =>
-        val aggExprs: Seq[NamedExpression] = agg.aggregateExpressions
-        val (dir, t) = zChild(agg.child).get
-        val spark = SparkSession.active
-        val entries =
-          graft.operators.ZIndex.resolveEntries(spark, dir, t)
-        def zonesOf(a: Attribute): Option[Seq[ColZone]] = {
-          val zs = entries.map(_.cols.get(a.name.toLowerCase))
-          if (zs.exists(z => z.isEmpty || z.contains(KeepAllZone))) None
-          else Some(zs.flatten)
+  /** Zones of `a` across `entries`; None when any file lacks a usable
+    * zone for it (keep-all) — the map cannot speak for that column. */
+  private def zonesOf(a: Attribute, entries: Seq[ZoneFile])
+      : Option[Seq[ColZone]] = {
+    val zs = entries.map(_.cols.get(a.name.toLowerCase))
+    if (zs.exists(z => z.isEmpty || z.contains(KeepAllZone))) None
+    else Some(zs.flatten)
+  }
+
+  /** Exact MIN/MAX of `a` over `entries` as an internal-row value
+    * (NULL when every file is all-null — the aggregate's own
+    * semantics); None = not servable exactly. */
+  private def bound(a: Attribute, mn: Boolean, entries: Seq[ZoneFile])
+      : Option[Any] =
+    zonesOf(a, entries).flatMap { zs =>
+      val longs = zs.collect { case LongZone(lo, hi, _) =>
+        if (mn) lo else hi }
+      val dbls = zs.collect { case DoubleZone(lo, hi, _) =>
+        if (mn) lo else hi }
+      val strs = zs.collect { case StringZone(lo, hi, _) =>
+        if (mn) lo else hi }
+      val decs = zs.collect { case DecimalZone(lo, hi, _) =>
+        if (mn) lo else hi }
+      val v: Option[Any] =
+        if (longs.nonEmpty) Some(if (mn) longs.min else longs.max)
+        else if (dbls.nonEmpty) Some(if (mn) dbls.min else dbls.max)
+        else if (strs.nonEmpty) Some(if (mn) strs.min else strs.max)
+        else if (decs.nonEmpty) Some(decs.reduce((x, y) =>
+          if ((x.compareTo(y) <= 0) == mn) x else y))
+        else None // every file all-null: the aggregate is NULL
+      v match {
+        case None => Some(null) // exact: MIN/MAX of all-NULL
+        case Some(x) => internal(x, a.dataType)
+      }
+    }
+
+  /** The servable aggregate functions, evaluated over one group's
+    * files: exact value as an internal-row literal, None = bail. */
+  private def aggValue(f: AggregateFunction, entries: Seq[ZoneFile])
+      : Option[Any] = f match {
+    case Min(a: Attribute) => bound(a, mn = true, entries)
+    case Max(a: Attribute) => bound(a, mn = false, entries)
+    case Count(Seq(Literal(_, _))) =>
+      Some(entries.map(_.rows).sum): Option[Any]
+    case Count(Seq(a: Attribute)) => zonesOf(a, entries).flatMap { _ =>
+      // per file: all-null → 0 non-null rows exactly; a typed zone
+      // needs its EXACT null count (-1 = unknown → bail)
+      val perFile = entries.map(e => e.cols(a.name.toLowerCase) match {
+        case AllNullZone => 0L
+        case LongZone(_, _, n) => if (n < 0) -1L else e.rows - n
+        case DoubleZone(_, _, n) => if (n < 0) -1L else e.rows - n
+        case StringZone(_, _, n) => if (n < 0) -1L else e.rows - n
+        case DecimalZone(_, _, n) => if (n < 0) -1L else e.rows - n
+        case KeepAllZone => -1L
+      })
+      if (perFile.exists(_ < 0)) None
+      else Some(perFile.sum): Option[Any]
+    }
+    case _ => None
+  }
+
+  /** One output expression folded to its served value for one group:
+    * aggregates substitute their zone-derived literals (top-down, so
+    * an aggregate's INPUT attributes stay intact for [[aggValue]]),
+    * the group key substitutes its constant, and whatever expression
+    * surrounds them (casts, arithmetic, alias) is evaluated on the
+    * driver. None = some piece is not servable exactly. */
+  private def servedValue(ne: NamedExpression, entries: Seq[ZoneFile],
+      groupLit: Map[ExprId, Literal]): Option[Any] = {
+    var ok = true
+    val replaced = ne.transformDown {
+      case ae @ AggregateExpression(f, Complete, false, None, _) =>
+        aggValue(f, entries) match {
+          case Some(v) => Literal(v, ae.dataType)
+          case None => ok = false; ae
         }
-        def bound(a: Attribute, mn: Boolean): Option[Any] =
-          zonesOf(a).flatMap { zs =>
-            val longs = zs.collect { case LongZone(lo, hi, _) =>
-              if (mn) lo else hi }
-            val dbls = zs.collect { case DoubleZone(lo, hi, _) =>
-              if (mn) lo else hi }
-            val strs = zs.collect { case StringZone(lo, hi, _) =>
-              if (mn) lo else hi }
-            val v: Option[Any] =
-              if (longs.nonEmpty) Some(if (mn) longs.min else longs.max)
-              else if (dbls.nonEmpty) Some(if (mn) dbls.min else dbls.max)
-              else if (strs.nonEmpty) Some(if (mn) strs.min else strs.max)
-              else None // every file all-null: the aggregate is NULL
-            v match {
-              case None => Some(null) // exact: MIN/MAX of all-NULL
-              case Some(x) => internal(x, a.dataType)
-            }
-          }
-        // every output expression must be servable EXACTLY, else bail
-        val served: Option[Seq[Any]] = {
-          val vals = aggExprs.map {
-            case Alias(AggregateExpression(f, Complete, false, None, _),
-                _) => f match {
-              case Min(a: Attribute) => bound(a, mn = true)
-              case Max(a: Attribute) => bound(a, mn = false)
-              case Count(Seq(Literal(_, _))) =>
-                Some(entries.map(_.rows).sum): Option[Any]
-              case Count(Seq(a: Attribute)) => zonesOf(a).flatMap { _ =>
-                // per file: all-null → 0 non-null rows exactly; a typed
-                // zone needs its EXACT null count (-1 = unknown → bail)
-                val perFile = entries.map(e =>
-                  e.cols(a.name.toLowerCase) match {
-                    case AllNullZone => 0L
-                    case LongZone(_, _, n) => if (n < 0) -1L else e.rows - n
-                    case DoubleZone(_, _, n) => if (n < 0) -1L else e.rows - n
-                    case StringZone(_, _, n) => if (n < 0) -1L else e.rows - n
-                    case KeepAllZone => -1L
-                  })
-                if (perFile.exists(_ < 0)) None
-                else Some(perFile.sum): Option[Any]
-              }
-              case _ => None
-            }
-            case _ => None
-          }
-          if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None
-        }
-        served match {
-          case Some(row) =>
-            ZoneAggServe.servedCount.incrementAndGet()
-            LocalRelation(agg.output, Seq(InternalRow.fromSeq(row)))
-          case None => agg
-        }
+      case ae: AggregateExpression => ok = false; ae
+      case a: AttributeReference if groupLit.contains(a.exprId) =>
+        groupLit(a.exprId)
+    }
+    val body = replaced match {
+      case Alias(c, _) => c
+      case e => e
+    }
+    if (!ok || !body.deterministic ||
+        body.exists(e => e.isInstanceOf[Attribute] ||
+          e.isInstanceOf[AggregateExpression])) None
+    else try Some(body.eval(InternalRow.empty))
+    catch { case NonFatal(_) => None } // e.g. overflow in an outer cast
+  }
+
+  /** The group key's constant over one file's zone: None = not
+    * single-valued (bail); Some(None) = the file's rows are ALL NULL
+    * on the key (the NULL group); Some(Some(raw)) = every row carries
+    * `raw`. Exactness needs nulls == 0 — a file mixing a constant with
+    * NULLs would need a per-aggregate row split the map cannot do. */
+  private def constOf(z: ColZone): Option[Option[Any]] = z match {
+    case AllNullZone => Some(None)
+    case LongZone(lo, hi, 0) if lo == hi => Some(Some(lo))
+    case DoubleZone(lo, hi, 0) if lo == hi => Some(Some(lo))
+    case StringZone(lo, hi, 0) if lo == hi => Some(Some(lo))
+    case DecimalZone(lo, hi, 0) if lo.compareTo(hi) == 0 => Some(Some(lo))
+    case _ => None
+  }
+
+  private def serve(agg: Aggregate, dir: String,
+      t: graft.operators.ZTable): Option[LogicalPlan] = {
+    val spark = SparkSession.active
+    val all = graft.operators.ZIndex.resolveEntries(spark, dir, t)
+    // zero-row files contribute to no group and no aggregate
+    val entries = all.filter(_.rows > 0)
+    val groups: Option[Seq[(Map[ExprId, Literal], Seq[ZoneFile])]] =
+      agg.groupingExpressions match {
+        case Seq() => Some(Seq((Map.empty[ExprId, Literal], entries)))
+        case Seq(g: AttributeReference) =>
+          val perFile = entries.map(e =>
+            e.cols.get(g.name.toLowerCase).flatMap(constOf).flatMap {
+              case None => Some(null)
+              case Some(raw) => internal(raw, g.dataType)
+            }.map(v => (v, e)))
+          if (perFile.exists(_.isEmpty)) None
+          else Some(perFile.flatten
+            .groupBy(_._1).toSeq
+            .map { case (v, es) =>
+              (Map(g.exprId -> Literal(v, g.dataType)), es.map(_._2)) })
+        case _ => None
+      }
+    groups.flatMap { gs =>
+      val rows = gs.map { case (groupLit, es) =>
+        val vals = agg.aggregateExpressions
+          .map(ne => servedValue(ne, es, groupLit))
+        if (vals.forall(_.isDefined))
+          Some(InternalRow.fromSeq(vals.map(_.get)))
+        else None
+      }
+      if (rows.forall(_.isDefined)) {
+        servedCount.incrementAndGet()
+        Some(LocalRelation(agg.output, rows.map(_.get)))
+      } else None
     }
   }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transform {
+      case agg: Aggregate if agg.aggregateExpressions.nonEmpty &&
+          agg.groupingExpressions.forall(
+            _.isInstanceOf[AttributeReference]) &&
+          agg.groupingExpressions.size <= 1 &&
+          zChild(agg.child).isDefined =>
+        val (dir, t) = zChild(agg.child).get
+        serve(agg, dir, t).getOrElse(agg)
+    }
 
   /** Spec observable: metadata-only rewrites applied in this JVM. */
   private[graft] val servedCount =

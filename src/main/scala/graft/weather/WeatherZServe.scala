@@ -39,6 +39,15 @@ object WeatherZServe {
     java.nio.file.Files.createTempDirectory("graft_wx_gold_")
       .toAbsolutePath.toString
 
+  // the gold layout contracts are resolvable BY NAME for
+  // TBLPROPERTIES-driven re-arming (ZoneMapScanSwap.arm): a session
+  // that sees the q179 catalog table but never called the registration
+  // rebuilds the contract from (its own session, the recorded dir)
+  graft.plans.ZoneMapScanSwap.registerContract("weather_gold_obs",
+    (s, d) => goldZTable(s, d, "observation"))
+  graft.plans.ZoneMapScanSwap.registerContract("weather_gold_for",
+    (s, d) => goldZTable(s, d, "forecast"))
+
   /** Stamp-addressed land dirs already written in this JVM. */
   private val landed = scala.collection.mutable.Set.empty[String]
 
@@ -99,7 +108,14 @@ object WeatherZServe {
         df.withColumn("__zx", col("postal_code").cast("long"))
           .withColumn("__zy", unix_timestamp(col(tsCol))),
         "__zx", "__zy", n).drop("__zx", "__zy")),
-      prep = Some(_.filter(col("data_type") === which)))
+      prep = Some(_.filter(col("data_type") === which)),
+      // the weather layouts live under the JVM's own gold root,
+      // INDEPENDENT of spark.graft.zindex.dir (r14 ADVICE: a layout
+      // landed while a parallel z-suite steered that conf used to
+      // resolve into — and rebuild across — the other suite's temp
+      // root); stable per (corpus dir, data_type) within the JVM
+      rootOverride = Some(
+        s"$goldRoot/${md5hex(d).take(8)}/z_${which.take(3)}"))
   }
 
   /** The serve relation: unified gold (obs ∪ fc layouts) behind
