@@ -354,6 +354,19 @@ object WeatherOracle {
       |  MAX(num_stations) AS max_stations
       |FROM gold_obs""".stripMargin)
 
+  /** q182 — the per-type heartbeat over UNIFIED gold (grouped
+    * metadata-serve Spark-side; the oracle recomputes over the gold
+    * CTEs). Hour-truncated timestamps render identically cross-engine
+    * (the q24 convention). */
+  val goldHeartbeatSql: String = withCtes(
+    """SELECT data_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  MIN(timestamp) AS min_hour, MAX(timestamp) AS max_hour,
+      |  CAST(COUNT(temperature_avg) AS BIGINT) AS n_temp,
+      |  MIN(postal_code) AS min_postal, MAX(postal_code) AS max_postal
+      |FROM (SELECT * FROM gold_obs UNION ALL SELECT * FROM gold_fc)
+      |GROUP BY data_type
+      |ORDER BY data_type""".stripMargin)
+
   /** True-geodesic KNN — haversine formula mirrored op-for-op from
     * GeoFunctions.haversineKm (1-ulp trig noise absorbed by two-stage
     * rounding; ordering gaps ≥1e-7 on the synthetic grid).

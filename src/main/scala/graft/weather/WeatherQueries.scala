@@ -273,6 +273,7 @@ object WeatherQueries {
     "q63_accuracy_rmse"      -> (accuracyRmse _),
     "q177_weather_region_history" -> (regionHistory _),
     "q179_weather_gold_stats" -> (WeatherZServe.q179GoldStats _),
+    "q182_weather_gold_heartbeat" -> (WeatherZServe.q182GoldHeartbeat _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -293,5 +294,6 @@ object WeatherQueries {
     "q63_accuracy_rmse"      -> WeatherOracle.accuracyRmseSql,
     "q177_weather_region_history" -> WeatherOracle.regionHistorySql,
     "q179_weather_gold_stats" -> WeatherOracle.goldStatsSql,
+    "q182_weather_gold_heartbeat" -> WeatherOracle.goldHeartbeatSql,
   )
 }

@@ -47,6 +47,8 @@ object WeatherZServe {
     (s, d) => goldZTable(s, d, "observation"))
   graft.plans.ZoneMapScanSwap.registerContract("weather_gold_for",
     (s, d) => goldZTable(s, d, "forecast"))
+  graft.plans.ZoneMapScanSwap.registerContract("weather_gold_all",
+    (s, d) => goldAllZTable(s, d))
 
   /** Stamp-addressed land dirs already written in this JVM. */
   private val landed = scala.collection.mutable.Set.empty[String]
@@ -116,6 +118,58 @@ object WeatherZServe {
       // root); stable per (corpus dir, data_type) within the JVM
       rootOverride = Some(
         s"$goldRoot/${md5hex(d).take(8)}/z_${which.take(3)}"))
+  }
+
+  /** The UNIFIED gold layout — the reference's single
+    * `weather_data_gold` table as ONE catalog object, physically
+    * type-pure per file: each data_type z-clusters on (postal, its own
+    * serve time axis) into its half of the files, and the union's
+    * partitions concatenate, so every written file carries exactly one
+    * data_type. That makes the data_type zone SINGLE-VALUED
+    * (lo == hi, nulls == 0) in every file — the precondition for
+    * [[graft.plans.ZoneAggServe]]'s grouped metadata serve (q182) —
+    * while postal/time predicates still prune within each type's
+    * stripe. */
+  private def goldAllZTable(s: SparkSession, d: String): ZTable = {
+    def half(df: DataFrame, which: String, tsCol: String, n: Int) =
+      Layout.clusterByZ(
+        df.filter(col("data_type") === which)
+          .withColumn("__zx", col("postal_code").cast("long"))
+          .withColumn("__zy", unix_timestamp(col(tsCol))),
+        "__zx", "__zy", n).drop("__zx", "__zy")
+    ZTable("weather_gold_all",
+      _ => landedGold(s, d),
+      (s2, _) => s2.read.parquet(landedGold(s2, d)),
+      "postal_code", "timestamp", // informational; clusterWith overrides
+      nFiles = 16,
+      clusterWith = Some((df, n) =>
+        half(df, "observation", "timestamp", math.max(1, n / 2))
+          .unionByName(half(df, "forecast", "forecast_timestamp",
+            math.max(1, n - n / 2)))),
+      rootOverride = Some(s"$goldRoot/${md5hex(d).take(8)}/z_all"))
+  }
+
+  /** q182 — the per-type heartbeat the reference's layer report runs
+    * (`README.md:144-153`: row counts and freshness per gold layer/
+    * type), METADATA-SERVED as a GROUPED aggregate: `GROUP BY
+    * data_type` over the unified gold table, where every file's
+    * data_type zone is a constant — the files partition exactly by
+    * group and each group's COUNT/MIN/MAX folds from its own footer
+    * statistics. Zero tasks for the monitoring query a multi-type
+    * table gets hit with most (GoldHeartbeatSpec pins the scan-free
+    * plan, the bail path on the mixed-type layout, and result
+    * equality; the driver oracles it at three scales). */
+  def q182GoldHeartbeat(s: SparkSession, d: String): DataFrame = {
+    val tbl = graft.operators.ZCatalog.ensureRegistered(
+      s, d, goldAllZTable(s, d))
+    s.sql(
+      s"""SELECT data_type, COUNT(*) AS n_rows,
+         |  MIN(timestamp) AS min_hour, MAX(timestamp) AS max_hour,
+         |  COUNT(temperature_avg) AS n_temp,
+         |  MIN(postal_code) AS min_postal, MAX(postal_code) AS max_postal
+         |FROM $tbl
+         |GROUP BY data_type
+         |ORDER BY data_type""".stripMargin)
   }
 
   /** The serve relation: unified gold (obs ∪ fc layouts) behind
@@ -217,6 +271,7 @@ object WeatherZServe {
     * queries' timings (the priced-prewarm convention). */
   def prewarm(s: SparkSession, d: String): Unit = {
     ZIndex.ensure(s, d, goldZTable(s, d, "observation"))
-    ZIndex.ensure(s, d, goldZTable(s, d, "forecast")); ()
+    ZIndex.ensure(s, d, goldZTable(s, d, "forecast"))
+    ZIndex.ensure(s, d, goldAllZTable(s, d)); ()
   }
 }

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Layout, ZCatalog, ZTable}
+import graft.plans.ZoneAggServe
+import graft.weather.{WeatherQueries, WeatherZServe}
+
+/** q182 — the GROUPED metadata serve (r14 verdict #5): `GROUP BY
+  * data_type` over the unified gold z-table folds entirely from the
+  * zone map because every file's data_type zone is single-valued (the
+  * layout clusters each type into its own files). Pins:
+  * (1) the served plan contains NO file scan and equals the in-memory
+  *     gold computation — counts, hour bounds, null-aware COUNT(col),
+  *     per group;
+  * (2) the bail path: grouping by a NON-constant zone (postal_code)
+  *     keeps the ordinary plan and the unchanged answer;
+  * (3) the NULL group: files all-null on the group key form their own
+  *     exact group (COUNT(key) = 0 there). */
+class GoldHeartbeatSpec extends SparkSpec {
+
+  private def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      scans(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      scans(q.plan)
+    case s: FileSourceScanExec => Seq(s)
+    case other => other.children.flatMap(scans)
+  }
+
+  test("q182: GROUP BY data_type over the unified gold layout is " +
+      "metadata-served — no scan, exact per-type counts and bounds") {
+    val n0 = ZoneAggServe.servedCount.get()
+    val df = WeatherZServe.q182GoldHeartbeat(spark, Sf)
+    val rows = df.collect().toSeq
+    assert(rows.size === 2, s"one row per data_type, got ${rows.size}")
+    assert(scans(df.queryExecution.executedPlan).isEmpty,
+      "the grouped heartbeat must contain NO file scan")
+    assert(ZoneAggServe.servedCount.get() > n0,
+      "the grouped metadata-serve rewrite must have fired")
+    val truth = WeatherQueries.goldUnified(spark, Sf)
+      .groupBy(col("data_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("timestamp")).as("min_hour"),
+        max(col("timestamp")).as("max_hour"),
+        count(col("temperature_avg")).as("n_temp"),
+        min(col("postal_code")).as("min_postal"),
+        max(col("postal_code")).as("max_postal"))
+      .orderBy(col("data_type")).collect().toSeq
+    assert(rows === truth)
+  }
+
+  test("bail path: grouping by a non-constant zone (postal_code) " +
+      "keeps the ordinary plan and the unchanged answer") {
+    // re-use q182's registration (idempotent), then address the table
+    WeatherZServe.q182GoldHeartbeat(spark, Sf).collect()
+    val real = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_z_weather_gold_all"))
+      .headOption.getOrElse(fail("unified gold table not registered"))
+    val df = spark.sql(s"SELECT postal_code, COUNT(*) AS n FROM $real " +
+      s"GROUP BY postal_code ORDER BY postal_code")
+    val rows = df.collect().toSeq
+    assert(scans(df.queryExecution.executedPlan).nonEmpty,
+      "a non-constant group key must NOT be metadata-served")
+    val truth = WeatherQueries.goldUnified(spark, Sf)
+      .groupBy(col("postal_code")).agg(count(lit(1)).as("n"))
+      .orderBy(col("postal_code")).collect().toSeq
+    assert(rows === truth)
+  }
+
+  test("the NULL group: files all-null on the key form their own " +
+      "exact group with COUNT(key) = 0") {
+    import spark.implicits._
+    val dir = TempDirs.create("graft_hb_mini")
+    (0 until 4000).map { i =>
+      (i.toLong, (i.toLong * 7919) % 5000,
+        if (i % 3 == 0) None else Some("x"))
+    }.toDF("k", "v", "g").write.mode("overwrite")
+      .parquet(s"$dir/mini.parquet")
+    val t = ZTable("hb_mini",
+      d => s"$d/mini.parquet",
+      (s, d) => s.read.parquet(s"$d/mini.parquet"),
+      "k", "v", 4,
+      clusterWith = Some((df, _) =>
+        Layout.clusterByZ(df.filter(col("g").isNull), "k", "v", 2)
+          .unionByName(
+            Layout.clusterByZ(df.filter(col("g").isNotNull), "k", "v", 2))),
+      rootOverride = Some(TempDirs.create("graft_hb_mini_root") + "/z"))
+    val tbl = ZCatalog.ensureRegistered(spark, dir, t)
+    try {
+      val df = spark.sql(s"SELECT g, COUNT(*) AS n_rows, COUNT(g) AS n_g, " +
+        s"MIN(k) AS min_k, MAX(v) AS max_v FROM $tbl GROUP BY g ORDER BY g")
+      val rows = df.collect().toSeq
+      assert(scans(df.queryExecution.executedPlan).isEmpty,
+        "the null-partitioned group key must be metadata-served")
+      val truth = spark.read.parquet(s"$dir/mini.parquet")
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n_rows"), count(col("g")).as("n_g"),
+          min(col("k")).as("min_k"), max(col("v")).as("max_v"))
+        .orderBy(col("g")).collect().toSeq
+      assert(rows === truth)
+      val nullRow = rows.find(_.isNullAt(0)).getOrElse(
+        fail("expected a NULL group"))
+      assert(nullRow.getAs[Long]("n_g") === 0L)
+      assert(nullRow.getAs[Long]("n_rows") > 0L)
+    } finally { spark.sql(s"DROP TABLE IF EXISTS $tbl"); () }
+  }
+}
