@@ -408,65 +408,131 @@ object StatsJoin {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val id8 = md5hex(dir).take(8)
     val types = partitions.keysIterator.map(_._1).toSeq.distinct.sorted
-    def safe(t: String): String =
-      t.map(ch => if (ch.isLetterOrDigit) ch else '_').toLowerCase
     require(types.map(safe).distinct.size == types.size,
       s"event types collide after identifier sanitization: $types")
-    // URI-normalized compare: catalog locations come back as file:/…
-    // (or file:///…) URIs while the manifest holds plain paths
-    def normalize(loc: String): String =
-      new org.apache.hadoop.fs.Path(loc).toUri.getPath.stripSuffix("/")
     // a type that vanished on a corpus MUTATION must lose its table —
     // its partition locations point at generations the sweep reclaims.
     // The listing is PATTERN-SCOPED to this corpus's name family (the
     // r12 verdict nit: the unscoped listTables().collect() paid
     // O(session catalog) metadata on every call) and only runs on this
     // re-sync path — a fresh-stamp call memo-returns above it.
-    val liveNames = types.map(t => s"graft_ev_${safe(t)}_$id8").toSet
+    val liveSafe = types.map(safe).toSet
+    val liveNames = liveSafe.map(t => s"graft_ev_${t}_$id8")
+    // a calibrated alias (graft_ev_<dim>__for_<fact>_<id8>) stays live
+    // as long as BOTH its dim and its fact types are live — it rides
+    // the dim's partitions and the fact's calibration
+    def liveAlias(n: String): Boolean = {
+      val core = n.stripPrefix("graft_ev_").stripSuffix(s"_$id8")
+      core.split("__for_", 2) match {
+        case Array(dim, fact) => liveSafe(dim) && liveSafe(fact)
+        case _ => false
+      }
+    }
     spark.sessionState.catalog
       .listTables(spark.catalog.currentDatabase, s"graft_ev_*_$id8")
       .map(_.table)
-      .filterNot(liveNames.contains)
+      .filterNot(n => liveNames.contains(n) || liveAlias(n))
       .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
     val out = types.map { t =>
       val tbl = s"graft_ev_${safe(t)}_$id8"
-      if (!spark.catalog.tableExists(tbl)) {
-        val base = s"$root/tables/${safe(t)}"
-        fs.mkdirs(new org.apache.hadoop.fs.Path(base))
-        spark.sql(
-          s"""CREATE TABLE $tbl (user_id BIGINT, d DATE, v BIGINT, pd STRING)
-             |USING parquet PARTITIONED BY (pd) LOCATION '$base'""".stripMargin)
-      }
-      val id = org.apache.spark.sql.catalyst.TableIdentifier(tbl)
-      val catalog = spark.sessionState.catalog
-      val want: Map[String, String] = partitions.collect {
-        case ((tt, dd), loc) if tt == t => dd -> loc }
-      val have = catalog.listPartitions(id)
-        .map(p => p.spec("pd") -> p).toMap
-      val toDrop = have.keySet -- want.keySet
-      if (toDrop.nonEmpty)
-        spark.sql(s"ALTER TABLE $tbl DROP IF EXISTS " +
-          toDrop.toSeq.sorted.map(d => s"PARTITION (pd='$d')").mkString(", "))
-      val toAdd = want.filter { case (dd, _) => !have.contains(dd) }
-      if (toAdd.nonEmpty)
-        spark.sql(s"ALTER TABLE $tbl ADD IF NOT EXISTS " +
-          toAdd.toSeq.sorted.map { case (dd, loc) =>
-            s"PARTITION (pd='$dd') LOCATION '$loc'" }.mkString(" "))
-      // re-points batch through ONE alterPartitions call — an append
-      // can touch every partition (the worst case), and one catalog
-      // call beats O(partitions) sequential ALTER statements
-      val toRepoint = want.toSeq.flatMap { case (dd, loc) =>
-        have.get(dd).filter(p => normalize(p.location.toString) != normalize(loc))
-          .map(p => p.copy(storage = p.storage.copy(
-            locationUri = Some(new java.net.URI(
-              new org.apache.hadoop.fs.Path(loc).toUri.toString)))))
-      }
-      if (toRepoint.nonEmpty) catalog.alterPartitions(id, toRepoint)
-      spark.catalog.refreshTable(tbl)
+      syncTypeTable(spark, partitions, root, t, tbl)
       t -> tbl
     }.toMap
     regMemo.put(memoKey, (stamp, out))
     (stamp, out)
+  }
+
+  private def safe(t: String): String =
+    t.map(ch => if (ch.isLetterOrDigit) ch else '_').toLowerCase
+
+  /** Create-if-absent and partition-sync ONE catalog table over a
+    * type's live layout partitions (metadata only — no data moves).
+    * Shared by the per-type tables and the per-(dim, fact) calibrated
+    * aliases, which are additional catalog entries over the SAME
+    * partition dirs. */
+  private def syncTypeTable(spark: SparkSession,
+      partitions: Map[(String, String), String], root: String,
+      t: String, tbl: String): Unit = {
+    // URI-normalized compare: catalog locations come back as file:/…
+    // (or file:///…) URIs while the manifest holds plain paths
+    def normalize(loc: String): String =
+      new org.apache.hadoop.fs.Path(loc).toUri.getPath.stripSuffix("/")
+    if (!spark.catalog.tableExists(tbl)) {
+      val base = s"$root/tables/${safe(t)}"
+      new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .mkdirs(new org.apache.hadoop.fs.Path(base))
+      spark.sql(
+        s"""CREATE TABLE $tbl (user_id BIGINT, d DATE, v BIGINT, pd STRING)
+           |USING parquet PARTITIONED BY (pd) LOCATION '$base'""".stripMargin)
+    }
+    val id = org.apache.spark.sql.catalyst.TableIdentifier(tbl)
+    val catalog = spark.sessionState.catalog
+    val want: Map[String, String] = partitions.collect {
+      case ((tt, dd), loc) if tt == t => dd -> loc }
+    val have = catalog.listPartitions(id)
+      .map(p => p.spec("pd") -> p).toMap
+    val toDrop = have.keySet -- want.keySet
+    if (toDrop.nonEmpty)
+      spark.sql(s"ALTER TABLE $tbl DROP IF EXISTS " +
+        toDrop.toSeq.sorted.map(d => s"PARTITION (pd='$d')").mkString(", "))
+    val toAdd = want.filter { case (dd, _) => !have.contains(dd) }
+    if (toAdd.nonEmpty)
+      spark.sql(s"ALTER TABLE $tbl ADD IF NOT EXISTS " +
+        toAdd.toSeq.sorted.map { case (dd, loc) =>
+          s"PARTITION (pd='$dd') LOCATION '$loc'" }.mkString(" "))
+    // re-points batch through ONE alterPartitions call — an append
+    // can touch every partition (the worst case), and one catalog
+    // call beats O(partitions) sequential ALTER statements
+    val toRepoint = want.toSeq.flatMap { case (dd, loc) =>
+      have.get(dd).filter(p => normalize(p.location.toString) != normalize(loc))
+        .map(p => p.copy(storage = p.storage.copy(
+          locationUri = Some(new java.net.URI(
+            new org.apache.hadoop.fs.Path(loc).toUri.toString)))))
+    }
+    if (toRepoint.nonEmpty) catalog.alterPartitions(id, toRepoint)
+    spark.catalog.refreshTable(tbl)
+  }
+
+  /** Per-(dim, fact) calibrated ALIASES (r14 verdict #3): one
+    * additional catalog entry per pair, over the SAME layout
+    * partitions as the dim's base table (pure metadata — no data
+    * moves), injected with that pair's EXACT effective cardinality —
+    * no MAX accumulation, because each alias records exactly one
+    * calibration. A consumer that joins the dimension against ONE
+    * fact addresses `<dim>__for_<fact>` and plans against exact
+    * numbers; the BASE table keeps the conservative MAX for consumers
+    * that genuinely share one entry — a single query joining the dim
+    * to several facts (q170's star) has ONE relation node and can
+    * carry only one Statistics, which is precisely why the MAX exists
+    * (the honest limit recorded with the sf300 parity run, PLANS
+    * §r14). Call per query: each call re-syncs the alias's partitions
+    * to the live layout and re-injects the calibration from the
+    * maintained sketch table — the same per-call freshness contract
+    * as the stats-planned runner. Returns fact → alias table name. */
+  def registerCalibratedAliases(spark: SparkSession, dir: String,
+      dim: String, facts: Seq[String]): Map[String, String] = {
+    val partitions = ensureTypedLayout(spark, dir)
+    val root = layoutRoot(spark, dir)
+    val id8 = md5hex(dir).take(8)
+    val t = KmvTable.maintain(spark, dir)
+    val keySyns = JoinSynopsis.fromTable(spark, dir, Some(t))
+    val valSyns = ValueSynopsis.fromTable(spark, dir, Some(t))
+    val uv = KmvTable.uvPopulations(t)
+    require(keySyns.contains(dim),
+      s"corpus has no '$dim' type to alias: ${keySyns.keys.toSeq.sorted}")
+    facts.map { f =>
+      require(keySyns.contains(f),
+        s"corpus has no '$f' fact to calibrate against")
+      val tbl = s"graft_ev_${safe(dim)}__for_${safe(f)}_$id8"
+      syncTypeTable(spark, partitions, root, dim, tbl)
+      // injectFor resets the alias's calibration epoch and records the
+      // single (alias, fact) entry — the MAX over one entry IS the
+      // exact per-pair rows_eff
+      injectFor(spark, tbl, keySyns(dim), valSyns.get(dim), uv.get(dim),
+        Seq(keySyns(f)))
+      f -> tbl
+    }.toMap
   }
 
   /** value >= 200.00 — ~1.6% of purchase rows at every gate scale:

@@ -203,6 +203,85 @@ class StatsStarCboSpec extends SparkSpec {
     }
   }
 
+  /** Skewed fixture for the alias pins. The user index derives from
+    * i/4, DECOUPLED from the i%4 type cycle (the replica-geometry
+    * trap: residue-coupled keys make cross-type joins empty by
+    * parity). error is hot on keys 0..7; view uniform over 0..39;
+    * signup leans 75% onto error's hot keys — so signup's effective
+    * cardinality against error (skew-aligned) provably exceeds its
+    * calibration against view (near-uniform). */
+  private def evSkew(ids: Range, day: Int) = {
+    import spark.implicits._
+    ids.map { i =>
+      val t = Seq("error", "signup", "view", "view")(i % 4)
+      val j = i / 4
+      val u = t match {
+        case "error" => (j % 8).toLong
+        case "view" => (j % 40).toLong
+        case _ => if (j % 4 != 0) (j % 8).toLong else (j % 40).toLong
+      }
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-03-$day%02d 10:00:00"),
+        Some(u): Option[Long], t,
+        if (i % 7 == 0) None else Some(i / 10.0))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  test("per-(dim,fact) calibrated aliases carry each pair's EXACT " +
+      "rows_eff while the shared base table keeps the MAX; a chain " +
+      "consumer over an alias executes the filtered side first") {
+    val dir = TempDirs.create("graft_star_alias_corp")
+    withConfs(
+      "spark.graft.kmv.tableDir" -> TempDirs.create("graft_star_alias_tbl"),
+      "spark.graft.evlayout.dir" -> TempDirs.create("graft_star_alias_lay")) {
+      try {
+        StatsJoin.clearMemo()
+        evSkew(1 to 4000, 1).coalesce(1).write.parquet(s"$dir/events.parquet")
+        val aliases = StatsJoin.registerCalibratedAliases(
+          spark, dir, "signup", Seq("error", "view"))
+        val keySyns = JoinSynopsis.fromTable(spark, dir)
+        val we = rowsEff(keySyns("signup"), keySyns("error"))
+        val wv = rowsEff(keySyns("signup"), keySyns("view"))
+        assert(we != wv,
+          s"fixture must make the two calibrations differ, got $we/$wv")
+        // each alias carries ITS pair's exact number — no MAX
+        assert(catalogRowCount(aliases("error")) === Some(we))
+        assert(catalogRowCount(aliases("view")) === Some(wv))
+        // the base table, after the shared star consumer, carries the
+        // conservative MAX across both facts
+        StatsJoin.q170StatsStarOrder(spark, dir).count()
+        val tbls = StatsJoin.registerTypedTables(spark, dir)
+        assert(catalogRowCount(tbls("signup")) === Some(math.max(we, wv)))
+        // and the aliases' exact numbers survived the base injection
+        // (separate catalog entries, separate calibration epochs)
+        assert(catalogRowCount(aliases("error")) === Some(we))
+        assert(catalogRowCount(aliases("view")) === Some(wv))
+        // executed-plan pin: a single-fact chain addressed at the alias
+        // (error ⋈ signup__for_error ⋈ filtered-error) schedules the
+        // FILTERED side first under CBO — planned entirely from the
+        // alias's exact per-pair statistics
+        val s = spark.newSession()
+        s.conf.set("spark.sql.cbo.enabled", "true")
+        s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        (Seq(tbls("error"), tbls("view"), aliases("error"),
+          aliases("view"))).foreach(t => s.catalog.refreshTable(t))
+        val q = s.sql(
+          s"""SELECT s.d AS d, COUNT(*) AS n
+             |FROM ${tbls("error")} e
+             |JOIN ${aliases("error")} s ON e.user_id = s.user_id
+             |JOIN ${tbls("error")} e2 ON s.user_id = e2.user_id
+             |WHERE e2.v >= 100
+             |GROUP BY s.d ORDER BY d""".stripMargin)
+        val inner = innermostJoinTables(q)
+        assert(q.count() > 0)
+        assert(inner.exists(_.contains("__for_error")),
+          s"the chain over the alias must join through the alias, got $inner")
+      } finally {
+        graft.plans.SynopsisStats.clearRefresh()
+        StatsJoin.clearMemo()
+      }
+    }
+  }
+
   test("q170 sf10: executed join order schedules the filtered view first " +
       "(prewarmed replica)") {
     val sf10 = "/tmp/sf10"
