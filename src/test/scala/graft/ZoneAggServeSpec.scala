@@ -126,6 +126,37 @@ class ZoneAggServeSpec extends SparkSpec {
     }
   }
 
+  test("outer expressions fold on the driver: arithmetic AROUND the " +
+      "aggregates serves; a non-deterministic outer bails to the scan") {
+    val dir = TempDirs.create("graft_zagg_corp5")
+    li(0 until 5000).write.mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    withConfs("spark.graft.zindex.dir" -> TempDirs.create("graft_zagg_root5")) {
+      ZIndex.clearMemo()
+      val tbl = ZCatalog.ensureRegistered(spark, dir)
+      // span + ratio: Cast/Subtract/Divide around MIN/MAX/COUNT — the
+      // r15 generalized evaluator substitutes the aggregate literals
+      // and evaluates the rest on the driver
+      val df = spark.sql(
+        s"""SELECT MAX(l_orderkey) - MIN(l_orderkey) AS span,
+           |  CAST(COUNT(l_partkey) AS DOUBLE) / COUNT(*) AS nn_ratio
+           |FROM $tbl""".stripMargin)
+      val served = servedRows(df)
+      val raw = spark.read.parquet(s"$dir/lineitem.parquet")
+      val truth = raw.agg(
+        (max(col("l_orderkey")) - min(col("l_orderkey"))).as("span"),
+        (count(col("l_partkey")).cast("double") / count(lit(1)))
+          .as("nn_ratio")).collect().toSeq
+      assert(served === truth)
+      // a non-deterministic expression around the aggregate must bail
+      val nd = spark.sql(
+        s"SELECT MAX(l_orderkey) + rand() AS r FROM $tbl")
+      assert(scans(nd.queryExecution.executedPlan).nonEmpty,
+        "a non-deterministic outer expression must NOT be metadata-served")
+      assert(nd.collect().length === 1)
+    }
+  }
+
   test("exactness guards: WHERE or DISTINCT keeps the ordinary plan " +
       "and the unchanged answer") {
     val dir = TempDirs.create("graft_zagg_corp3")
