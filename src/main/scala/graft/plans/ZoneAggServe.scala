@@ -39,26 +39,42 @@ import org.apache.spark.unsafe.types.UTF8String
   *    partition exactly by group and each group's aggregates fold from
   *    its own files — the per-type heartbeat over a type-clustered
   *    layout becomes zero-task.
+  *  - WHERE over SINGLE-VALUED columns (q183): a filter whose every
+  *    referenced column is single-valued per file evaluates to the
+  *    same verdict for every row of a file — each file is admitted or
+  *    excluded WHOLE (exactly; a NULL predicate keeps no rows), and
+  *    the aggregates fold over the admitted set. The per-type
+  *    freshness probe (`WHERE data_type = 'observation'`) costs zero
+  *    tasks.
   *
   * Anything the map cannot answer EXACTLY — a stats-less (keep-all)
   * file under a MIN/MAX, an unknown null count under a COUNT(col), a
-  * DISTINCT, a FILTER clause, a WHERE between the aggregate and the
-  * scan, a group key with a non-constant zone or unknown nulls —
-  * leaves the plan untouched and the ordinary pruned scan runs.
+  * DISTINCT, a FILTER clause, a WHERE touching any column that is not
+  * single-valued per file, a group key with a non-constant zone or
+  * unknown nulls — leaves the plan untouched and the ordinary pruned
+  * scan runs.
   * Conservative exactness first: the rewrite changes the PLAN, never
   * the answer (ZoneAggServeSpec pins result equality against the raw
   * table and the absence of any file scan in the served plan). */
 object ZoneAggServe extends Rule[LogicalPlan] {
 
-  /** The registered z-relation beneath an optional column-pruning
-    * Project: (corpus dir, table contract) — resolved through the
-    * TBLPROPERTIES-or-registry path, same as the scan swap. */
-  private def zChild(plan: LogicalPlan)
-      : Option[(String, graft.operators.ZTable)] = plan match {
+  /** The registered z-relation beneath optional column-pruning
+    * Projects and Filters: (corpus dir, table contract, filter
+    * conjuncts bottom-up) — resolved through the
+    * TBLPROPERTIES-or-registry path, same as the scan swap. Filters
+    * are only SERVABLE when every referenced column's zone is
+    * single-valued per file (see [[fileAdmits]]); collecting them here
+    * lets the WHERE'd heartbeat (q183) fold too, with the same
+    * bail-to-scan guarantee. */
+  private def zChild(plan: LogicalPlan): Option[
+      (String, graft.operators.ZTable, Seq[Expression])] = plan match {
     case Project(projectList, child) if projectList.forall(
         _.isInstanceOf[AttributeReference]) => zChild(child)
+    case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child) =>
+      zChild(child).map { case (d, t, cs) => (d, t, cs :+ cond) }
     case lr: LogicalRelation =>
       lr.catalogTable.flatMap(ZoneMapScanSwap.resolve)
+        .map { case (d, t) => (d, t, Nil) }
     case _ => None
   }
 
@@ -185,12 +201,47 @@ object ZoneAggServe extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Whether a filter conjunct ADMITS a file's rows, decided EXACTLY:
+    * every referenced attribute must be single-valued in the file
+    * (constant with zero nulls, or all-null → the attribute is NULL
+    * for every row), so the predicate evaluates to the same value for
+    * every row — substitute and eval on the driver. Some(true) = all
+    * rows pass; Some(false) = none do (false OR null result — a null
+    * predicate keeps no rows); None = not decidable → the whole
+    * rewrite bails to the scan. */
+  private def fileAdmits(cond: Expression, e: ZoneFile): Option[Boolean] = {
+    var ok = true
+    val replaced = cond.transformDown {
+      case a: AttributeReference =>
+        e.cols.get(a.name.toLowerCase).flatMap(constOf) match {
+          case Some(None) => Literal(null, a.dataType)
+          case Some(Some(raw)) => internal(raw, a.dataType) match {
+            case Some(v) => Literal(v, a.dataType)
+            case None => ok = false; a
+          }
+          case None => ok = false; a
+        }
+    }
+    if (!ok || !replaced.deterministic ||
+        replaced.exists(_.isInstanceOf[Attribute])) None
+    else try Some(replaced.eval(InternalRow.empty) == true)
+    catch { case NonFatal(_) => None }
+  }
+
   private def serve(agg: Aggregate, dir: String,
-      t: graft.operators.ZTable): Option[LogicalPlan] = {
+      t: graft.operators.ZTable,
+      filters: Seq[Expression]): Option[LogicalPlan] = {
     val spark = SparkSession.active
     val all = graft.operators.ZIndex.resolveEntries(spark, dir, t)
-    // zero-row files contribute to no group and no aggregate
-    val entries = all.filter(_.rows > 0)
+    // zero-row files contribute to no group and no aggregate; WHERE
+    // conjuncts admit or exclude whole files (exactly, or bail)
+    val admitted = all.filter(_.rows > 0).map { e =>
+      val verdicts = filters.map(c => fileAdmits(c, e))
+      if (verdicts.exists(_.isEmpty)) None
+      else Some((e, verdicts.forall(_.contains(true))))
+    }
+    if (admitted.exists(_.isEmpty)) return None
+    val entries = admitted.flatten.collect { case (e, true) => e }
     val groups: Option[Seq[(Map[ExprId, Literal], Seq[ZoneFile])]] =
       agg.groupingExpressions match {
         case Seq() => Some(Seq((Map.empty[ExprId, Literal], entries)))
@@ -229,8 +280,8 @@ object ZoneAggServe extends Rule[LogicalPlan] {
             _.isInstanceOf[AttributeReference]) &&
           agg.groupingExpressions.size <= 1 &&
           zChild(agg.child).isDefined =>
-        val (dir, t) = zChild(agg.child).get
-        serve(agg, dir, t).getOrElse(agg)
+        val (dir, t, filters) = zChild(agg.child).get
+        serve(agg, dir, t, filters).getOrElse(agg)
     }
 
   /** Spec observable: metadata-only rewrites applied in this JVM. */

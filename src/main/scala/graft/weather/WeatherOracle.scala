@@ -367,6 +367,17 @@ object WeatherOracle {
       |GROUP BY data_type
       |ORDER BY data_type""".stripMargin)
 
+  /** q183 — the filtered freshness probe (metadata-served Spark-side
+    * off whole-file predicate verdicts; the oracle recomputes over the
+    * observation CTE — the WHERE'd union and gold_obs are the same
+    * population). */
+  val goldFreshnessSql: String = withCtes(
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  MIN(timestamp) AS min_hour, MAX(timestamp) AS max_hour,
+      |  CAST(COUNT(temperature_avg) AS BIGINT) AS n_temp,
+      |  MIN(postal_code) AS min_postal, MAX(postal_code) AS max_postal
+      |FROM gold_obs""".stripMargin)
+
   /** True-geodesic KNN — haversine formula mirrored op-for-op from
     * GeoFunctions.haversineKm (1-ulp trig noise absorbed by two-stage
     * rounding; ordering gaps ≥1e-7 on the synthetic grid).

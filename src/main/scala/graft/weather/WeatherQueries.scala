@@ -274,6 +274,7 @@ object WeatherQueries {
     "q177_weather_region_history" -> (regionHistory _),
     "q179_weather_gold_stats" -> (WeatherZServe.q179GoldStats _),
     "q182_weather_gold_heartbeat" -> (WeatherZServe.q182GoldHeartbeat _),
+    "q183_weather_gold_freshness" -> (WeatherZServe.q183GoldFreshness _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -295,5 +296,6 @@ object WeatherQueries {
     "q177_weather_region_history" -> WeatherOracle.regionHistorySql,
     "q179_weather_gold_stats" -> WeatherOracle.goldStatsSql,
     "q182_weather_gold_heartbeat" -> WeatherOracle.goldHeartbeatSql,
+    "q183_weather_gold_freshness" -> WeatherOracle.goldFreshnessSql,
   )
 }

@@ -172,6 +172,28 @@ object WeatherZServe {
          |ORDER BY data_type""".stripMargin)
   }
 
+  /** q183 — the FILTERED freshness probe, metadata-served: the same
+    * unified gold table, `WHERE data_type = 'observation'` — the
+    * question an operator actually asks ("how fresh are the
+    * observations?") over the multi-type table. Every file's
+    * data_type zone is single-valued, so the predicate admits or
+    * excludes whole files exactly and the aggregates fold over the
+    * admitted half ([[graft.plans.ZoneAggServe]]'s filtered serve) —
+    * zero tasks; a predicate touching any non-single-valued column
+    * bails to the ordinary pruned scan, same answer (GoldHeartbeatSpec
+    * pins both). Oracle: the same aggregates over the gold_obs CTE. */
+  def q183GoldFreshness(s: SparkSession, d: String): DataFrame = {
+    val tbl = graft.operators.ZCatalog.ensureRegistered(
+      s, d, goldAllZTable(s, d))
+    s.sql(
+      s"""SELECT COUNT(*) AS n_rows,
+         |  MIN(timestamp) AS min_hour, MAX(timestamp) AS max_hour,
+         |  COUNT(temperature_avg) AS n_temp,
+         |  MIN(postal_code) AS min_postal, MAX(postal_code) AS max_postal
+         |FROM $tbl
+         |WHERE data_type = 'observation'""".stripMargin)
+  }
+
   /** The serve relation: unified gold (obs ∪ fc layouts) behind
     * zone-mapped FileIndexes. Every predicate the serve queries push —
     * postal equality/prefix, time-window range, data_type equality —

@@ -70,6 +70,40 @@ class GoldHeartbeatSpec extends SparkSpec {
     assert(rows === truth)
   }
 
+  test("q183: a WHERE over a single-valued zone column admits files " +
+      "whole — metadata-served; a predicate on a non-constant column " +
+      "bails to the scan with the unchanged answer") {
+    val n0 = ZoneAggServe.servedCount.get()
+    val df = WeatherZServe.q183GoldFreshness(spark, Sf)
+    val rows = df.collect().toSeq
+    assert(scans(df.queryExecution.executedPlan).isEmpty,
+      "the filtered freshness probe must contain NO file scan")
+    assert(ZoneAggServe.servedCount.get() > n0,
+      "the filtered metadata-serve must have fired")
+    val truth = WeatherQueries.goldUnified(spark, Sf)
+      .filter(col("data_type") === "observation")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("timestamp")).as("min_hour"),
+        max(col("timestamp")).as("max_hour"),
+        count(col("temperature_avg")).as("n_temp"),
+        min(col("postal_code")).as("min_postal"),
+        max(col("postal_code")).as("max_postal"))
+      .collect().toSeq
+    assert(rows === truth)
+    // bail: a predicate over postal_code (non-constant zones) must
+    // keep the ordinary plan — and the pruned scan's answer is the same
+    val real = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_z_weather_gold_all"))
+      .headOption.getOrElse(fail("unified gold table not registered"))
+    val bail = spark.sql(s"SELECT COUNT(*) AS n FROM $real " +
+      s"WHERE postal_code = '10003'")
+    val n = bail.collect()(0).getLong(0)
+    assert(scans(bail.queryExecution.executedPlan).nonEmpty,
+      "a non-single-valued filter column must NOT be metadata-served")
+    assert(n === WeatherQueries.goldUnified(spark, Sf)
+      .filter(col("postal_code") === "10003").count())
+  }
+
   test("the NULL group: files all-null on the key form their own " +
       "exact group with COUNT(key) = 0") {
     import spark.implicits._
