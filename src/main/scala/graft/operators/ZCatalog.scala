@@ -96,8 +96,29 @@ object ZCatalog {
     // warm the cache under the QUALIFIED key (same entry a fresh
     // session would derive from the properties; the recorded root pins
     // the layout independent of this session's confs)
-    ZoneMapScanSwap.register(meta, dir,
-      if (t.rootOverride.isDefined) t else t.copy(rootOverride = Some(root)))
+    val tReg =
+      if (t.rootOverride.isDefined) t else t.copy(rootOverride = Some(root))
+    ZoneMapScanSwap.register(meta, dir, tReg)
+    // the zone map is also the table's ANALYZE (r15): exact rowCount
+    // (Σ np) and physical size (Σ file length) cost zero scans — as
+    // catalog statistics they give every plain-SQL JOIN over the face
+    // exact planner inputs (CBO rowCount; broadcast sizeInBytes —
+    // without them the unswapped CatalogFileIndex sizes the root's
+    // generation dirs, which over- or under-counts across retained
+    // generations). Written only when they moved (one metastore write
+    // per committed generation, not per query).
+    val entries = ZIndex.resolveEntries(spark, dir, tReg)
+    val rows = entries.map(_.rows).sum
+    val bytes = math.max(1L, entries.map(_.status.getLen).sum)
+    val id = org.apache.spark.sql.catalyst.TableIdentifier(tbl)
+    val cur = spark.sessionState.catalog.getTableMetadata(id).stats
+    if (!cur.exists(s => s.rowCount.contains(BigInt(rows)) &&
+        s.sizeInBytes == BigInt(bytes))) {
+      spark.sessionState.catalog.alterTableStats(id, Some(
+        org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
+          sizeInBytes = BigInt(bytes), rowCount = Some(BigInt(rows)))))
+      spark.catalog.refreshTable(tbl)
+    }
     tbl
   }
 

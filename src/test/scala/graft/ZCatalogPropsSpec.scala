@@ -153,6 +153,37 @@ class ZCatalogPropsSpec extends SparkSpec {
     } finally { spark.sql(s"DROP TABLE IF EXISTS $tbl"); () }
   }
 
+  test("the zone map is the table's ANALYZE: registration injects " +
+      "exact rowCount/sizeInBytes from the footers and tracks appends") {
+    val dir = TempDirs.create("graft_zprops_corp5")
+    li(spark, 0 until 7000).write.mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    val t = ZIndex.Lineitem.copy(
+      rootOverride = Some(TempDirs.create("graft_zprops_root5") + "/z"))
+    val tbl = graft.operators.ZCatalog.ensureRegistered(spark, dir, t)
+    def stats() = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl)).stats
+        .getOrElse(fail("registration must inject catalog statistics"))
+    def zoneSums() = {
+      val es = ZIndex.resolveEntries(spark, dir, t)
+      (es.map(_.rows).sum, es.map(_.status.getLen).sum)
+    }
+    try {
+      val (r0, b0) = zoneSums()
+      assert(r0 === 7000L)
+      assert(stats().rowCount === Some(BigInt(r0)))
+      assert(stats().sizeInBytes === BigInt(b0))
+      li(spark, 7000 until 9000).write.mode("append")
+        .parquet(s"$dir/lineitem.parquet")
+      graft.operators.ZCatalog.ensureRegistered(spark, dir, t)
+      val (r1, b1) = zoneSums()
+      assert(r1 === 9000L)
+      assert(stats().rowCount === Some(BigInt(r1)),
+        "re-registration must track the appended generation's rowCount")
+      assert(stats().sizeInBytes === BigInt(b1))
+    } finally { spark.sql(s"DROP TABLE IF EXISTS $tbl"); () }
+  }
+
   test("registrations key on the qualified identifier: a same-named " +
       "table in another database is never swapped") {
     val dir = TempDirs.create("graft_zprops_corp4")
