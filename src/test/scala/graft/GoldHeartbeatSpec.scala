@@ -102,6 +102,16 @@ class GoldHeartbeatSpec extends SparkSpec {
       "a non-single-valued filter column must NOT be metadata-served")
     assert(n === WeatherQueries.goldUnified(spark, Sf)
       .filter(col("postal_code") === "10003").count())
+    // composition: WHERE + GROUP BY on the same single-valued column
+    // serve together (one admitted group)
+    val combo = spark.sql(s"SELECT data_type, COUNT(*) AS n FROM $real " +
+      s"WHERE data_type = 'forecast' GROUP BY data_type")
+    val comboRows = combo.collect().toSeq
+    assert(scans(combo.queryExecution.executedPlan).isEmpty,
+      "filtered + grouped must compose metadata-only")
+    assert(comboRows.map(r => (r.getString(0), r.getLong(1))) ===
+      Seq(("forecast", WeatherQueries.goldUnified(spark, Sf)
+        .filter(col("data_type") === "forecast").count())))
   }
 
   test("the NULL group: files all-null on the key form their own " +
