@@ -109,6 +109,16 @@ object Bench {
       prewarmZ += w
       System.err.println(s"[bench] prewarm_zindex_dec ${fmt(w)}")
     }
+    // the durable LSH signature index (q184), same convention — the
+    // cold build shingles + signs the standing corpus once
+    if (selected("q184_lsh_incremental")) {
+      val tw = System.nanoTime()
+      graft.operators.ZIndex.ensure(spark, sfDir,
+        graft.operators.LshIndex.Sigs)
+      val w = (System.nanoTime() - tw) / 1e9
+      prewarmZ += w
+      System.err.println(s"[bench] prewarm_lsh_index ${fmt(w)}")
+    }
     // the z-clustered weather-gold serve layout (q24/q25/q27), same
     // convention — the landing also forces the gold build, so the cost
     // is priced here instead of on whichever serve query runs first

@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** q184 — the near-dup family's PRODUCTION shape: a DURABLE,
+  * INCREMENTALLY-maintained MinHash signature index, so a new batch of
+  * documents finds its near-duplicates against the standing corpus
+  * WITHOUT recomputing the corpus (the nightly-dedup question q135
+  * answers for ANN and q86 for exact fingerprints, closed here for
+  * MinHash/LSH — the last of the three dedup modalities whose index
+  * was a per-JVM memo, reference dedup family at
+  * `transform/cleaning.py` / SURVEY §9).
+  *
+  * The index is a plain parquet table of per-document signatures
+  * (doc_id, h0..h15 — 16 md5-permutation min-hashes), persisted and
+  * maintained by the [[ZIndex]] generation machinery (consumed-file
+  * identity, `_COMMITTED` generations, crash sweep, mutation →
+  * rebuild): an APPEND to the documents feed shingles and signs ONLY
+  * the new files — O(delta), LshIndexSpec pins the append counters —
+  * because the signature is deliberately DOC-LOCAL: raw distinct
+  * 3-gram shingles, no corpus-wide df-cap (the cap is a property of
+  * the pair-verification family q44/q45; a signature that depended on
+  * global document frequencies could not be incrementally
+  * maintained). Band hashes are DERIVED from the stored signature
+  * (md5 over each 4-hash slice), so the index stores one row per doc
+  * and serves both sides of the candidate join.
+  *
+  * The declared query plays q86's split (doc_id % 10 == 0 is the
+  * incoming batch, the rest the standing corpus): batch docs sign in
+  * flight, candidates come from band equality against the STORED
+  * standing signatures, and verification is the signature-agreement
+  * estimate (agree/16 ≥ 0.5) — bounded per-pair work with no corpus
+  * re-read, the at-scale trade the exact-Jaccard verify (q45) cannot
+  * make. Everything is md5 arithmetic, so the DuckDB oracle replays
+  * it exactly.
+  *
+  * At 100 TB: the index is KB per thousand docs × O(corpus/1000),
+  * appends touch only new files, the candidate join shuffles band
+  * hashes (4 rows/doc), and the verify is a projection of the two
+  * signature rows — no shingle sets move after signing. */
+object LshIndex {
+
+  private val NumHashes = 16
+  private val BandSize = 4
+  private val NumBands = NumHashes / BandSize
+  /** agree/16 ≥ 0.5 — the q45 threshold re-expressed on the
+    * signature-agreement estimator. */
+  private val MinAgree = 8
+
+  /** Doc-local signatures: raw distinct 3-gram shingles (NO df-cap —
+    * see object doc), 16 md5-permutation min-hashes. Documents too
+    * short to shingle (< 3 tokens) carry no signature and never
+    * match. */
+  private[graft] def docSigs(df: DataFrame): DataFrame = {
+    val sh = df
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("sh", explode(expr(
+        "transform(sequence(1, greatest(size(toks) - 2, 0)), " +
+          "i -> concat_ws(' ', slice(toks, i, 3)))")))
+      .select(col("doc_id"), col("sh")).distinct()
+    val sigCols = (0 until NumHashes).map(i =>
+      min(md5(concat(lit(s"$i|"), col("sh")))).as(s"h$i"))
+    sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** The standing corpus's signature index as a [[ZIndex]] layout
+    * contract: the transform lives in `prep` (applied to the full
+    * build AND to each append delta), so maintenance signs exactly
+    * the files it consumes. */
+  private[graft] val Sigs = ZTable("doc_lsh_sigs",
+    d => s"$d/documents.parquet",
+    (s, d) => Tables.documents(s, d),
+    "doc_id", "doc_id", 16,
+    clusterWith = Some((df, n) =>
+      df.repartitionByRange(n, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))),
+    prep = Some(df => docSigs(df.filter(col("doc_id") % 10 =!= 0))))
+
+  /** Band rows derived from a signature frame: (id, band_id,
+    * band_hash) — md5 over each 4-hash slice, the q45 construction. */
+  private def bandsOf(df: DataFrame, idAs: String): DataFrame =
+    df.select(col("doc_id").as(idAs), explode(array(
+      (0 until NumBands).map { b =>
+        struct(lit(b).as("band_id"),
+          md5(concat_ws("|",
+            (0 until BandSize).map(r => col(s"h${b * BandSize + r}")): _*))
+            .as("band_hash"))
+      }: _*)).as("band"))
+      .select(col(idAs), col("band.band_id"), col("band.band_hash"))
+
+  /** The standing index's rows (resolving maintains the layout —
+    * per-query freshness, the ZIndex contract). */
+  private[graft] def standingSigs(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val entries = ZIndex.resolveEntries(spark, dir, Sigs)
+    spark.read.parquet(entries.map(_.status.getPath.toString): _*)
+  }
+
+  /** q184 — see object doc. Output: one row per (batch doc, standing
+    * near-dup) with the agreement count and the estimated Jaccard. */
+  def q184LshIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val standing = standingSigs(spark, dir)
+    val batch = docSigs(
+      Tables.documents(spark, dir).filter(col("doc_id") % 10 === 0))
+    val cand = bandsOf(batch, "doc_id")
+      .join(bandsOf(standing, "match_id"), Seq("band_id", "band_hash"))
+      .select(col("doc_id"), col("match_id")).distinct()
+    val agree: Column = (0 until NumHashes).map(i =>
+      when(col(s"b.h$i") === col(s"s.h$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand
+      .join(batch.as("b"), "doc_id")
+      .join(standing.as("s").withColumnRenamed("doc_id", "match_id"),
+        "match_id")
+      .withColumn("n_agree", agree)
+      .filter(col("n_agree") >= MinAgree)
+      .withColumn("est_jaccard",
+        col("n_agree").cast("double") / NumHashes)
+      .select(col("doc_id"), col("match_id"), col("n_agree"),
+        col("est_jaccard"))
+      .orderBy(col("doc_id"), col("match_id"))
+  }
+
+  /** DuckDB oracle: the identical md5 signature/band arithmetic, with
+    * the standing side recomputed from the raw table (the layout is a
+    * projection of it). */
+  val q184Sql: String = {
+    val sigCols = (0 until NumHashes)
+      .map(i => s"MIN(md5('$i|' || sh)) AS h$i").mkString(",\n      |    ")
+    def bandRows(src: String, idAs: String) =
+      (0 until NumBands).map { b =>
+        val cols = (0 until BandSize).map(r => s"h${b * BandSize + r}")
+          .mkString(" || '|' || ")
+        s"SELECT doc_id AS $idAs, $b AS band_id, md5($cols) AS band_hash FROM $src"
+      }.mkString("\n      |  UNION ALL ")
+    val agree = (0 until NumHashes)
+      .map(i => s"(CASE WHEN b.h$i = s.h$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH shingled AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+      |        i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      |    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      |          FROM documents))),
+      |sig AS (
+      |  SELECT doc_id,
+      |    $sigCols
+      |  FROM shingled GROUP BY doc_id),
+      |standing AS (SELECT * FROM sig WHERE doc_id % 10 <> 0),
+      |batch AS (SELECT * FROM sig WHERE doc_id % 10 = 0),
+      |sb AS (
+      |  ${bandRows("standing", "match_id")}),
+      |bb AS (
+      |  ${bandRows("batch", "doc_id")}),
+      |cand AS (
+      |  SELECT DISTINCT bb.doc_id, sb.match_id
+      |  FROM bb JOIN sb ON bb.band_id = sb.band_id
+      |    AND bb.band_hash = sb.band_hash)
+      |SELECT c.doc_id AS doc_id, c.match_id AS match_id,
+      |  CAST($agree AS BIGINT) AS n_agree,
+      |  CAST($agree AS DOUBLE) / $NumHashes AS est_jaccard
+      |FROM cand c JOIN batch b ON c.doc_id = b.doc_id
+      |  JOIN standing s ON c.match_id = s.doc_id
+      |WHERE $agree >= $MinAgree
+      |ORDER BY c.doc_id, c.match_id""".stripMargin
+  }
+}

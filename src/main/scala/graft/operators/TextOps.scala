@@ -2739,6 +2739,7 @@ object TextOps {
     "q97_repetition"       -> (q97Repetition _),
     "q85_tfidf"          -> (q85Tfidf _),
     "q86_incr_dedup"     -> (q86IncrementalDedup _),
+    "q184_lsh_incremental" -> (LshIndex.q184LshIncremental _),
     "q101_stratified_sample" -> (q101StratifiedSample _),
     "q103_dedup_apply"   -> (q103DedupApply _),
     "q110_chunking"      -> (q110Chunking _),
@@ -2779,6 +2780,7 @@ object TextOps {
     "q97_repetition"       -> q97Sql,
     "q85_tfidf"          -> q85Sql,
     "q86_incr_dedup"     -> q86Sql,
+    "q184_lsh_incremental" -> LshIndex.q184Sql,
     "q101_stratified_sample" -> q101Sql,
     "q103_dedup_apply"   -> q103Sql,
     "q110_chunking"      -> q110Sql,
