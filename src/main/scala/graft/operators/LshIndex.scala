@@ -57,8 +57,13 @@ object LshIndex {
   private[graft] def docSigs(df: DataFrame): DataFrame = {
     val sh = df
       .withColumn("toks", split(trim(col("text")), "\\s+"))
+      // the short-doc guard must be a FILTER, not the greatest(...)
+      // clamp alone: sequence(1, 0) is [1, 0] (Spark defaults the step
+      // to -1 when start > stop) and slice(toks, 0, 3) THROWS — a
+      // 1-2-token document would crash the index build (review r15)
+      .filter(size(col("toks")) >= 3)
       .withColumn("sh", explode(expr(
-        "transform(sequence(1, greatest(size(toks) - 2, 0)), " +
+        "transform(sequence(1, size(toks) - 2), " +
           "i -> concat_ws(' ', slice(toks, i, 3)))")))
       .select(col("doc_id"), col("sh")).distinct()
     val sigCols = (0 until NumHashes).map(i =>

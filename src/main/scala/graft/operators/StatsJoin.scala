@@ -410,6 +410,12 @@ object StatsJoin {
     val types = partitions.keysIterator.map(_._1).toSeq.distinct.sorted
     require(types.map(safe).distinct.size == types.size,
       s"event types collide after identifier sanitization: $types")
+    // "__for_" is the alias namespace's separator: a TYPE whose
+    // sanitized name contains it would collide with a calibrated
+    // alias table and the sweep's alias classifier — fail loudly
+    require(!types.exists(t => safe(t).contains("__for_")),
+      s"event type name collides with the calibrated-alias namespace " +
+        s"('__for_'): $types")
     // a type that vanished on a corpus MUTATION must lose its table —
     // its partition locations point at generations the sweep reclaims.
     // The listing is PATTERN-SCOPED to this corpus's name family (the
@@ -521,9 +527,13 @@ object StatsJoin {
     val uv = KmvTable.uvPopulations(t)
     require(keySyns.contains(dim),
       s"corpus has no '$dim' type to alias: ${keySyns.keys.toSeq.sorted}")
+    require(!safe(dim).contains("__for_"),
+      s"dim '$dim' collides with the alias namespace separator")
     facts.map { f =>
       require(keySyns.contains(f),
         s"corpus has no '$f' fact to calibrate against")
+      require(!safe(f).contains("__for_"),
+        s"fact '$f' collides with the alias namespace separator")
       val tbl = s"graft_ev_${safe(dim)}__for_${safe(f)}_$id8"
       syncTypeTable(spark, partitions, root, dim, tbl)
       // injectFor resets the alias's calibration epoch and records the

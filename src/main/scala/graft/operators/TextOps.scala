@@ -193,9 +193,15 @@ object TextOps {
         // cache the raw shingle set: it feeds BOTH the hot-list aggregate
         // and the anti-join probe, and the explode+distinct is the most
         // expensive text stage — without the cache it runs twice
+        // short-doc guard as a FILTER (review r15): sequence(1, 0) is
+        // [1, 0] — the default step is -1 when start > stop — and
+        // slice(toks, 0, 3) throws, so a 1-2-token document would
+        // crash the shingle build; the filter drops it (no shingles)
+        // exactly like the oracle's empty generate_series(1, 0)
         val sh = withToks(Tables.documents(spark, dir))
+          .filter(size(col("toks")) >= 3)
           .withColumn("sh", explode(expr(
-            "transform(sequence(1, greatest(size(toks) - 2, 0)), i -> concat_ws(' ', slice(toks, i, 3)))")))
+            "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))")))
           .select(col("doc_id"), col("sh")).distinct().cache()
         val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
           .filter(col("df") > MaxShingleDf).select(col("sh"))

@@ -557,14 +557,20 @@ object ZIndex {
   private[graft] def globalDec(spark: SparkSession, dir: String, t: ZTable,
       entries: IndexedSeq[ZoneFile], c: String)
       : (java.math.BigDecimal, java.math.BigDecimal) = {
+    // an entirely-NULL column has no bounds — (0, 0) keeps the cut
+    // arithmetic total and the BETWEEN predicate vacuous, which is
+    // exactly the oracle's outcome (NULL cuts match no rows)
+    val zero = (java.math.BigDecimal.ZERO, java.math.BigDecimal.ZERO)
     val zs = entries.map(_.cols.get(c.toLowerCase))
     if (zs.exists(_.contains(KeepAllZone))) {
       val rows = t.prep.foldLeft(t.load(spark, dir))((df, f) => f(df))
       val b = rows.agg(min(col(c)), max(col(c))).collect()(0)
-      (b.getDecimal(0), b.getDecimal(1))
+      if (b.isNullAt(0) || b.isNullAt(1)) zero
+      else (b.getDecimal(0), b.getDecimal(1))
     } else {
       val b = zs.flatten.collect { case DecimalZone(lo, hi, _) => (lo, hi) }
-      (b.map(_._1).reduce((a, x) => if (a.compareTo(x) <= 0) a else x),
+      if (b.isEmpty) zero
+      else (b.map(_._1).reduce((a, x) => if (a.compareTo(x) <= 0) a else x),
         b.map(_._2).reduce((a, x) => if (a.compareTo(x) >= 0) a else x))
     }
   }

@@ -278,10 +278,12 @@ object ZoneAggServe extends Rule[LogicalPlan] {
       case agg: Aggregate if agg.aggregateExpressions.nonEmpty &&
           agg.groupingExpressions.forall(
             _.isInstanceOf[AttributeReference]) &&
-          agg.groupingExpressions.size <= 1 &&
-          zChild(agg.child).isDefined =>
-        val (dir, t, filters) = zChild(agg.child).get
-        serve(agg, dir, t, filters).getOrElse(agg)
+          agg.groupingExpressions.size <= 1 =>
+        zChild(agg.child) match {
+          case Some((dir, t, filters)) =>
+            serve(agg, dir, t, filters).getOrElse(agg)
+          case None => agg
+        }
     }
 
   /** Spec observable: metadata-only rewrites applied in this JVM. */

@@ -72,10 +72,40 @@ object ZoneMapScanSwap extends Rule[LogicalPlan] {
   def registerContract(name: String,
       f: (SparkSession, String) => ZTable): Unit = { contracts.put(name, f); () }
 
+  /** The registration path for INSTANCE closures
+    * ([[graft.operators.ZCatalog.ensureRegistered]]): never clobber a
+    * proper (session, dir)-parameterized factory a providing module
+    * registered — an instance whose feed/load CAPTURE their corpus
+    * (the weather gold tables) is only a valid factory for its own
+    * (session, dir) pair, and overwriting the real factory with it
+    * would arm a foreign corpus's table onto this instance's data
+    * (review r15). */
+  private[graft] def registerContractIfAbsent(name: String,
+      f: (SparkSession, String) => ZTable): Unit = {
+    contracts.putIfAbsent(name, f); ()
+  }
+
+  /** Spec observable: the registered factory for a contract name. */
+  private[graft] def contractFor(name: String)
+      : Option[(SparkSession, String) => ZTable] = Option(contracts.get(name))
+
   // built-in contracts of this package (weather gold contracts register
-  // from graft.weather.WeatherZServe's initializer)
+  // from graft.weather.WeatherZServe's initializer; [[arm]] force-loads
+  // the provider on a miss so a cold session needs no prior call)
   registerContract("lineitem", (_, _) => ZIndex.Lineitem)
   registerContract("lineitem_dec", (_, _) => ZIndex.LineitemDec)
+
+  /** Contract PROVIDERS outside this package, loaded reflectively on a
+    * contract miss: their object initializers register factories, and
+    * a fresh session re-arming purely from TBLPROPERTIES must not
+    * depend on some earlier call having touched the class (review
+    * r15). Reflective by name to avoid a plans → weather compile
+    * dependency. */
+  private val providers = Seq("graft.weather.WeatherZServe$")
+  private def loadProviders(): Unit = providers.foreach { c =>
+    try { Class.forName(c, true, getClass.getClassLoader); () }
+    catch { case _: ClassNotFoundException => () }
+  }
 
   /** Qualified registry key for a catalog table. */
   private[graft] def keyOf(ct: CatalogTable): String =
@@ -85,17 +115,26 @@ object ZoneMapScanSwap extends Rule[LogicalPlan] {
   private[graft] def register(ct: CatalogTable, dir: String,
       t: ZTable): Unit = { registry.put(keyOf(ct), (dir, t)); () }
 
-  /** The layout behind a catalog table: the registry cache, else the
-    * table's own TBLPROPERTIES ([[arm]]). None for tables that carry
-    * neither — ordinary tables pass through untouched. */
+  /** The layout behind a catalog table: the registry cache — kept only
+    * while it AGREES with the table's own TBLPROPERTIES (a re-pointed
+    * table, dropped and recreated with a new dir/root by another
+    * session, must re-arm, not serve the superseded layout from this
+    * JVM's cache — review r15) — else the properties ([[arm]]). None
+    * for tables that carry neither: ordinary tables pass through
+    * untouched. */
   private[graft] def resolve(ct: CatalogTable): Option[(String, ZTable)] =
-    Option(registry.get(keyOf(ct))).orElse(arm(ct))
+    Option(registry.get(keyOf(ct))).filter { case (d, t) =>
+      ct.properties.get(PropDir).forall(_ == d) &&
+        ct.properties.get(PropRoot).forall(r =>
+          t.rootOverride.forall(_ == r))
+    }.orElse(arm(ct))
 
   private def arm(ct: CatalogTable): Option[(String, ZTable)] =
     for {
       dir <- ct.properties.get(PropDir)
       name <- ct.properties.get(PropContract)
     } yield {
+      if (!contracts.containsKey(name)) loadProviders()
       val f = contracts.get(name)
       require(f != null,
         s"table ${ct.identifier} declares z-layout contract '$name' in " +
@@ -119,12 +158,10 @@ object ZoneMapScanSwap extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transform {
-      case lr: LogicalRelation if lr.catalogTable.isDefined &&
-          resolve(lr.catalogTable.get).isDefined =>
-        lr.relation match {
-          case fs: HadoopFsRelation
+      case lr: LogicalRelation if lr.catalogTable.isDefined =>
+        (resolve(lr.catalogTable.get), lr.relation) match {
+          case (Some((dir, t)), fs: HadoopFsRelation)
               if !fs.location.isInstanceOf[ZoneMapFileIndex] =>
-            val (dir, t) = resolve(lr.catalogTable.get).get
             val spark = SparkSession.active
             val index = new ZoneMapFileIndex(
               fs.location.rootPaths.headOption.getOrElse(

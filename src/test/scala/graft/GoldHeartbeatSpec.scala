@@ -21,14 +21,7 @@ import graft.weather.{WeatherQueries, WeatherZServe}
   *     exact group (COUNT(key) = 0 there). */
 class GoldHeartbeatSpec extends SparkSpec {
 
-  private def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-      scans(a.executedPlan)
-    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-      scans(q.plan)
-    case s: FileSourceScanExec => Seq(s)
-    case other => other.children.flatMap(scans)
-  }
+  private def scans(p: SparkPlan): Seq[FileSourceScanExec] = fileScans(p)
 
   test("q182: GROUP BY data_type over the unified gold layout is " +
       "metadata-served — no scan, exact per-type counts and bounds") {

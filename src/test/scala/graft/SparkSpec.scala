@@ -45,6 +45,19 @@ abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSession.spark
   val Sf = "/root/testdata/sf0.001"
 
+  /** AQE-aware FileSourceScanExec collection — the ONE plan walker the
+    * zone-map/metadata-serve suites pin "no scan" / "which index" with
+    * (a new AQE node shape gets handled here, not in five copies). */
+  def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      fileScans(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      fileScans(q.plan)
+    case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+    case other => other.children.flatMap(fileScans)
+  }
+
   /** Run `f` against a freshly-built session (same SparkContext, its own
     * SessionState) whose builder is shaped by `customize`, restoring the
     * shared session as active/default afterwards. The new session stays on

@@ -31,14 +31,7 @@ class ZCatalogPropsSpec extends SparkSpec {
       "l_returnflag")
   }
 
-  private def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-      scans(a.executedPlan)
-    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-      scans(q.plan)
-    case s: FileSourceScanExec => Seq(s)
-    case other => other.children.flatMap(scans)
-  }
+  private def scans(p: SparkPlan): Seq[FileSourceScanExec] = fileScans(p)
 
   /** Land the layout at a conf-independent root, create the table by
     * DDL with the properties only — the path an external catalog

@@ -41,14 +41,7 @@ class ZCatalogSpec extends SparkSpec {
       "l_returnflag")
   }
 
-  private def zoneScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-      zoneScans(a.executedPlan)
-    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-      zoneScans(q.plan)
-    case s: FileSourceScanExec => Seq(s)
-    case other => other.children.flatMap(zoneScans)
-  }
+  private def zoneScans(p: SparkPlan): Seq[FileSourceScanExec] = fileScans(p)
 
   private def zoneIndexOf(df: DataFrame): ZoneMapFileIndex = {
     val scans = zoneScans(df.queryExecution.executedPlan)

@@ -43,14 +43,7 @@ class ZDecimalSpec extends SparkSpec {
       "l_extendedprice", "l_returnflag")
   }
 
-  private def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-      scans(a.executedPlan)
-    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-      scans(q.plan)
-    case s: FileSourceScanExec => Seq(s)
-    case other => other.children.flatMap(scans)
-  }
+  private def scans(p: SparkPlan): Seq[FileSourceScanExec] = fileScans(p)
 
   private def zoneIndexOf(df: DataFrame): ZoneMapFileIndex = {
     val ss = scans(df.queryExecution.executedPlan)

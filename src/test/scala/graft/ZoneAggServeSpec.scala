@@ -41,14 +41,7 @@ class ZoneAggServeSpec extends SparkSpec {
       "l_returnflag", "l_shipdate")
   }
 
-  private def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-      scans(a.executedPlan)
-    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-      scans(q.plan)
-    case s: FileSourceScanExec => Seq(s)
-    case other => other.children.flatMap(scans)
-  }
+  private def scans(p: SparkPlan): Seq[FileSourceScanExec] = fileScans(p)
 
   private def servedRows(df: DataFrame): Seq[org.apache.spark.sql.Row] = {
     val rows = df.collect().toSeq
