@@ -2046,6 +2046,7 @@ object Layout {
     "q178_zonemap_agg" -> (ZCatalog.q178ZonemapAgg _),
     "q180_zdecimal_sql" -> (ZCatalog.q180ZdecimalSql _),
     "q181_zdecimal_stats" -> (ZCatalog.q181ZdecimalStats _),
+    "q185_stats_alias_order" -> (StatsJoin.q185StatsAliasOrder _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2084,5 +2085,6 @@ object Layout {
     "q178_zonemap_agg" -> ZCatalog.q178Sql,
     "q180_zdecimal_sql" -> ZCatalog.q180Sql,
     "q181_zdecimal_stats" -> ZCatalog.q181Sql,
+    "q185_stats_alias_order" -> StatsJoin.q185Sql,
   )
 }

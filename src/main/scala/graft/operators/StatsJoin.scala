@@ -517,7 +517,8 @@ object StatsJoin {
     * maintained sketch table — the same per-call freshness contract
     * as the stats-planned runner. Returns fact → alias table name. */
   def registerCalibratedAliases(spark: SparkSession, dir: String,
-      dim: String, facts: Seq[String]): Map[String, String] = {
+      dim: String, facts: Seq[String],
+      inject: Boolean = true): Map[String, String] = {
     val partitions = ensureTypedLayout(spark, dir)
     val root = layoutRoot(spark, dir)
     val id8 = md5hex(dir).take(8)
@@ -536,11 +537,20 @@ object StatsJoin {
         s"fact '$f' collides with the alias namespace separator")
       val tbl = s"graft_ev_${safe(dim)}__for_${safe(f)}_$id8"
       syncTypeTable(spark, partitions, root, dim, tbl)
-      // injectFor resets the alias's calibration epoch and records the
-      // single (alias, fact) entry — the MAX over one entry IS the
-      // exact per-pair rows_eff
-      injectFor(spark, tbl, keySyns(dim), valSyns.get(dim), uv.get(dim),
-        Seq(keySyns(f)))
+      if (inject)
+        // injectFor resets the alias's calibration epoch and records
+        // the single (alias, fact) entry — the MAX over one entry IS
+        // the exact per-pair rows_eff
+        injectFor(spark, tbl, keySyns(dim), valSyns.get(dim), uv.get(dim),
+          Seq(keySyns(f)))
+      else {
+        // the stats-off A/B arm: the alias table exists (partitions
+        // synced) but carries NO statistics — the same clearing
+        // contract runStatsPlanned applies to the typed tables
+        spark.sessionState.catalog.alterTableStats(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl), None)
+        spark.catalog.refreshTable(tbl)
+      }
       f -> tbl
     }.toMap
   }
@@ -856,4 +866,62 @@ object StatsJoin {
        |  ON v.user_id = e.user_id
        |WHERE e.v >= $ThresholdCents
        |GROUP BY v.d ORDER BY d""".stripMargin
+
+  /** q185 — the per-(dim, fact) calibrated ALIAS as a DECLARED
+    * consumer (r15; the spec pinned the mechanism, this makes it a
+    * component): a single-fact chain — error ⋈ signup ⋈ error — where
+    * the shared dimension is addressed through
+    * `signup__for_error`, whose injected rows_eff is that pair's
+    * EXACT effective cardinality (no MAX over other facts' skew).
+    * The query is again WRITTEN in the bad literal order (unfiltered
+    * error ⋈ alias first; the ~1.6%-selective error filter joins
+    * last); with the alias's exact calibration + error's plain
+    * injection, CostBasedJoinReorder schedules the filtered side
+    * first, and stats-off the literal order stands — the same A/B
+    * contract as q169/q170, with the alias's statistics cleared on
+    * the off arm too (StatsStarCboSpec pins the alias's exact
+    * numbers; the oracle recomputes off the raw feed). */
+  private[graft] def q185Query(eT: String, sT: String): String =
+    s"""SELECT e.d AS d, COUNT(*) AS n_rows,
+       |  COUNT(DISTINCT e.user_id) AS n_users,
+       |  SUM(e2.v) AS sum_error_cents
+       |FROM $eT e
+       |JOIN $sT s ON e.user_id = s.user_id
+       |JOIN $eT e2 ON s.user_id = e2.user_id
+       |WHERE e2.v >= $ThresholdCents
+       |GROUP BY e.d
+       |ORDER BY d""".stripMargin
+
+  def q185StatsAliasOrder(spark: SparkSession, dir: String): DataFrame = {
+    // the alias follows the same per-call freshness + A/B contract as
+    // the typed tables: stats-on it re-syncs and re-injects its exact
+    // per-pair calibration; stats-off it exists with NO statistics
+    val aliases = registerCalibratedAliases(spark, dir, "signup",
+      Seq("error"), inject = statsCboOn(spark))
+    runStatsPlanned(spark, dir, "q185",
+      needed = Seq("error", "signup"),
+      plain = Seq("error"),
+      calibrated = Nil,
+      sql = t => q185Query(t("error"), aliases("error")))
+  }
+
+  /** DuckDB oracle: the identical chain computed straight off the raw
+    * feed (the alias is metadata over the same signup population). */
+  val q185Sql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, user_id, CAST(ts AS DATE) AS d,
+       |    CASE WHEN value IS NOT NULL
+       |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END AS v
+       |  FROM events WHERE user_id IS NOT NULL
+       |    AND event_type IS NOT NULL AND ts IS NOT NULL)
+       |SELECT e.d AS d, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       |  CAST(SUM(e2.v) AS BIGINT) AS sum_error_cents
+       |FROM (SELECT * FROM ev WHERE event_type = 'error') e
+       |JOIN (SELECT * FROM ev WHERE event_type = 'signup') s
+       |  ON e.user_id = s.user_id
+       |JOIN (SELECT * FROM ev WHERE event_type = 'error') e2
+       |  ON s.user_id = e2.user_id
+       |WHERE e2.v >= $ThresholdCents
+       |GROUP BY e.d ORDER BY d""".stripMargin
 }

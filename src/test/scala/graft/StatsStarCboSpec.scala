@@ -282,6 +282,62 @@ class StatsStarCboSpec extends SparkSpec {
     }
   }
 
+  /** q185's chain is a SELF-join of error through the alias, so the
+    * innermost join's table set is identical in both orders — the
+    * discriminator is whether the innermost join carries the
+    * threshold FILTER (the filtered instance joined first). */
+  private def innermostHasThreshold(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    joins.find(j => j.children.forall(c =>
+        c.collect { case x: Join => x }.isEmpty))
+      .exists(_.children.exists(c =>
+        c.collect { case f: LFilter => f }.exists(_.condition.collectFirst {
+          case l @ Literal(v: Long, _)
+            if v == StatsJoin.ThresholdCents => l
+        }.nonEmpty)))
+  }
+
+  test("q185: the DECLARED alias consumer — stats-on schedules the " +
+      "filtered error instance first (through the alias's exact " +
+      "calibration); stats-off keeps the literal order; results equal") {
+    withConfs(
+      "spark.graft.kmv.tableDir" -> TempDirs.create("graft_q185_tbl"),
+      "spark.graft.evlayout.dir" -> TempDirs.create("graft_q185_lay")) {
+      try {
+        StatsJoin.clearMemo()
+        val dfOn = StatsJoin.q185StatsAliasOrder(spark, Sf)
+        val rowsOn = dfOn.collect().toSeq
+        assert(rowsOn.nonEmpty)
+        assert(innermostHasThreshold(dfOn),
+          "stats-on must schedule the FILTERED error instance first")
+        // the query's dim relation is the alias, and it carries its
+        // exact single-fact calibration (no MAX)
+        val aliasTbl = dfOn.queryExecution.analyzed.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+              if r.catalogTable.exists(_.identifier.table
+                .contains("__for_error")) =>
+            r.catalogTable.get.identifier.table
+        }.headOption.getOrElse(fail("q185 must read through the alias"))
+        val keySyns = JoinSynopsis.fromTable(spark, Sf)
+        assert(catalogRowCount(aliasTbl) ===
+          Some(rowsEff(keySyns("signup"), keySyns("error"))))
+        val (offHasThresholdFirst, rowsOff) =
+          withConfs("spark.graft.stats.cbo" -> "false") {
+            val d = StatsJoin.q185StatsAliasOrder(spark, Sf)
+            (innermostHasThreshold(d), d.collect().toSeq)
+          }
+        assert(!offHasThresholdFirst,
+          "stats-off must keep the literal (unfiltered-first) order")
+        assert(rowsOn === rowsOff, "the reorder must not change the result")
+      } finally {
+        graft.plans.SynopsisStats.clearRefresh()
+        StatsJoin.clearMemo()
+      }
+    }
+  }
+
   test("q170 sf10: executed join order schedules the filtered view first " +
       "(prewarmed replica)") {
     val sf10 = "/tmp/sf10"
