@@ -298,7 +298,13 @@ object Bench {
       .map { case (k, (_, r1)) => s"\"" + k.split("_")(0) + "\":" + fmt(r1) }
       .mkString("{", ",", "}")
     System.err.println(s"[bench] rep1 $r1s")
-    val iso = isolated.map { case (k, (v, l0, l1, gc)) =>
+    // "isolated" keeps the r12-era SCALAR shape (cross-round scripts
+    // compare it directly — r15 ADVICE: the r15 object-valued shape
+    // broke consumers); the box indicators ride the SIBLING key
+    // "isolated_env" so the artifact still self-attributes divergences
+    val iso = isolated.map { case (k, (v, _, _, _)) =>
+      s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
+    val isoEnv = isolated.map { case (k, (v, l0, l1, gc)) =>
       s"\"$k\":{\"sec\":${fmt(v)},\"load0\":${fmt(l0)}," +
         s"\"load1\":${fmt(l1)},\"gc\":${fmt(gc)}}" }
       .mkString("{", ",", "}")
@@ -306,7 +312,7 @@ object Bench {
     // memo builds) and the machine-load/GC indicators make the summary
     // self-attributing: min-based totals that drift while gc/load sit
     // in band indict the plans; a drift that tracks load_end/gc does not
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"prewarm_lsh_pairs":${fmt(prewarmLsh)},"prewarm_kmv_table":${fmt(prewarmKmv)},"prewarm_typed_layout":${fmt(prewarmLayout)},"prewarm_ivf_index":${fmt(prewarmIvf)},"prewarm_zindex":${fmt(prewarmZ)},"prewarm_weather_zserve":${fmt(prewarmWxZ)},"batch_total":${fmt(batchTotal)},"streaming_total":${fmt(streamTotal)},"rep1_total":${fmt(rep1Total)},"load_start":${fmt(loadStart)},"load_end":${fmt(loadAvg())},"gc_sec":${fmt(gcSec() - gcStart)},"isolated":$iso,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"prewarm_lsh_pairs":${fmt(prewarmLsh)},"prewarm_kmv_table":${fmt(prewarmKmv)},"prewarm_typed_layout":${fmt(prewarmLayout)},"prewarm_ivf_index":${fmt(prewarmIvf)},"prewarm_zindex":${fmt(prewarmZ)},"prewarm_weather_zserve":${fmt(prewarmWxZ)},"batch_total":${fmt(batchTotal)},"streaming_total":${fmt(streamTotal)},"rep1_total":${fmt(rep1Total)},"load_start":${fmt(loadStart)},"load_end":${fmt(loadAvg())},"gc_sec":${fmt(gcSec() - gcStart)},"isolated":$iso,"isolated_env":$isoEnv,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

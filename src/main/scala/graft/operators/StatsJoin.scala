@@ -92,12 +92,26 @@ object StatsJoin {
     * treatments and must not skip on each other's stamps. */
   private val statsMemo = new java.util.concurrent.ConcurrentHashMap[
     (AnyRef, String, String), String]()
+  /** (sharedState, layoutRoot, dim, facts) → (feedStamp, injected?,
+    * alias map) at the last [[registerCalibratedAliases]] call — the
+    * same freshness short-circuit runStatsPlanned rides (r15 ADVICE:
+    * the unconditional maintain + two synopsis builds duplicated the
+    * runner's own work inside every q185 call, ~0.4 s each at sf10).
+    * The injected FLAG is part of the hit condition, not the key: an
+    * A/B arm flip (inject on ↔ off) must always re-run — a key'd-by-
+    * flag memo would let the on-arm skip re-injection after the
+    * off-arm cleared the alias's statistics, and vice versa. */
+  private val aliasMemo = new java.util.concurrent.ConcurrentHashMap[
+    (AnyRef, String, String, Seq[String]),
+    (String, Boolean, Map[String, String])]()
 
   /** Spec/teardown hook: drop the stamp memos so the next call re-syncs
     * and re-injects (a spec that perturbs catalog stats or drops tables
     * must clear first — the CacheManager-lesson discipline applied to
     * this memo tier). */
-  def clearMemo(): Unit = { regMemo.clear(); statsMemo.clear() }
+  def clearMemo(): Unit = {
+    regMemo.clear(); statsMemo.clear(); aliasMemo.clear()
+  }
 
   /** Layout maintenance serializes per layout ROOT, not JVM-globally: a
     * cold corpus-scale build (~23 s at sf10) must not block concurrent
@@ -434,9 +448,10 @@ object StatsJoin {
         case _ => false
       }
     }
-    spark.sessionState.catalog
+    val family = spark.sessionState.catalog
       .listTables(spark.catalog.currentDatabase, s"graft_ev_*_$id8")
       .map(_.table)
+    family
       .filterNot(n => liveNames.contains(n) || liveAlias(n))
       .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
     val out = types.map { t =>
@@ -444,6 +459,19 @@ object StatsJoin {
       syncTypeTable(spark, partitions, root, t, tbl)
       t -> tbl
     }.toMap
+    // surviving calibrated aliases ride their dim's partitions: re-sync
+    // them on THIS path too (r15 ADVICE medium — previously only
+    // registerCalibratedAliases re-pointed them, so a plain-SQL
+    // consumer addressing an alias between a corpus mutation and the
+    // next register call read superseded or swept generation dirs).
+    // Statistics refresh stays with registerCalibratedAliases (the
+    // declared consumer's per-call contract); this keeps the DATA live.
+    family.filter(liveAlias).foreach { n =>
+      val dimSafe = n.stripPrefix("graft_ev_").stripSuffix(s"_$id8")
+        .split("__for_", 2)(0)
+      types.find(safe(_) == dimSafe).foreach(t =>
+        syncTypeTable(spark, partitions, root, t, n))
+    }
     regMemo.put(memoKey, (stamp, out))
     (stamp, out)
   }
@@ -519,6 +547,19 @@ object StatsJoin {
   def registerCalibratedAliases(spark: SparkSession, dir: String,
       dim: String, facts: Seq[String],
       inject: Boolean = true): Map[String, String] = {
+    // stamp short-circuit (r15 ADVICE): one memoized feed listing on
+    // the warm path — same contract as runStatsPlanned. A hit needs
+    // the same stamp AND the same inject arm AND the alias tables
+    // still present (point existence probes, the regMemo discipline).
+    val (stamp, _) = registerTypedTablesStamped(spark, dir)
+    val memoKey = (spark.sharedState: AnyRef, layoutRoot(spark, dir),
+      dim, facts)
+    Option(aliasMemo.get(memoKey)) match {
+      case Some((s, inj, m)) if s == stamp && inj == inject &&
+          m.values.forall(spark.catalog.tableExists) =>
+        return m
+      case _ => ()
+    }
     val partitions = ensureTypedLayout(spark, dir)
     val root = layoutRoot(spark, dir)
     val id8 = md5hex(dir).take(8)
@@ -530,7 +571,7 @@ object StatsJoin {
       s"corpus has no '$dim' type to alias: ${keySyns.keys.toSeq.sorted}")
     require(!safe(dim).contains("__for_"),
       s"dim '$dim' collides with the alias namespace separator")
-    facts.map { f =>
+    val out = facts.map { f =>
       require(keySyns.contains(f),
         s"corpus has no '$f' fact to calibrate against")
       require(!safe(f).contains("__for_"),
@@ -553,6 +594,8 @@ object StatsJoin {
       }
       f -> tbl
     }.toMap
+    aliasMemo.put(memoKey, (stamp, inject, out))
+    out
   }
 
   /** value >= 200.00 — ~1.6% of purchase rows at every gate scale:

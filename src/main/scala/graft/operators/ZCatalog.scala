@@ -50,14 +50,12 @@ object ZCatalog {
     val (root, gen) = ZIndex.ensure(spark, dir, t)
     val tbl = zTableName(dir, t)
     // the contract must be resolvable by name for metadata-driven
-    // re-arming. IF-ABSENT: a providing module's real (session, dir)
-    // factory must never be clobbered by this call's instance closure
-    // (an instance capturing its corpus would arm a FOREIGN corpus's
-    // table onto this one's data — review r15); the closure only
-    // backstops ad-hoc contracts that never registered a factory, and
-    // those are valid exactly when their feed/load honor the dir
-    // argument (the ZTable contract for dir-parameterized tables).
-    ZoneMapScanSwap.registerContractIfAbsent(t.name, (_, _) => t)
+    // re-arming. The instance closure registers under the (name, dir)
+    // key: it may capture this corpus's data in its feed/load, so it
+    // is a valid factory for exactly this corpus — a same-named table
+    // over another dir resolves its own registration or fails loudly,
+    // never this instance (r15 verdict nit closed by construction).
+    ZoneMapScanSwap.registerContractIfAbsent(t.name, dir, (_, _) => t)
     if (!spark.experimental.extraOptimizations.contains(ZoneMapScanSwap))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ ZoneMapScanSwap

@@ -195,7 +195,15 @@ object ZoneAggServe extends Rule[LogicalPlan] {
   private def constOf(z: ColZone): Option[Option[Any]] = z match {
     case AllNullZone => Some(None)
     case LongZone(lo, hi, 0) if lo == hi => Some(Some(lo))
-    case DoubleZone(lo, hi, 0) if lo == hi => Some(Some(lo))
+    // bit-exact compare (r15 ADVICE): a file mixing -0.0 and +0.0 has
+    // footer (min -0.0, max 0.0) which primitive == calls equal — it
+    // is NOT single-valued (a served group key of -0.0 vs Spark's
+    // normalized 0.0 would split groups). Double.compare distinguishes
+    // the zeros; the NaN guard keeps compare's NaN==NaN from claiming
+    // a constant parquet stats never soundly record
+    case DoubleZone(lo, hi, 0)
+        if java.lang.Double.compare(lo, hi) == 0 && !lo.isNaN =>
+      Some(Some(lo))
     case StringZone(lo, hi, 0) if lo == hi => Some(Some(lo))
     case DecimalZone(lo, hi, 0) if lo.compareTo(hi) == 0 => Some(Some(lo))
     case _ => None
@@ -224,6 +232,12 @@ object ZoneAggServe extends Rule[LogicalPlan] {
     }
     if (!ok || !replaced.deterministic ||
         replaced.exists(_.isInstanceOf[Attribute])) None
+    // a THROWING predicate (ANSI division by zero in the WHERE) bails
+    // the serve rather than surfacing the error here — deliberate
+    // asymmetry: the scan this falls back to evaluates the same
+    // predicate on the same rows and raises the error itself, so the
+    // observable behavior is identical and the driver never turns an
+    // executor-side error into a plan-time one (r15 verdict note)
     else try Some(replaced.eval(InternalRow.empty) == true)
     catch { case NonFatal(_) => None }
   }

