@@ -73,7 +73,8 @@ object Bench {
         "q166_key_stats", "q168_table_histogram",
         "q162_selfjoin_moment", "q169_stats_join_order",
         "q170_stats_star_order", "q171_stats_broadcast",
-        "q185_stats_alias_order").exists(selected)) {
+        "q185_stats_alias_order", "q186_stats_star_alias")
+        .exists(selected)) {
       val tw = System.nanoTime()
       graft.operators.KmvTable.maintain(spark, sfDir).count()
       prewarmKmv = (System.nanoTime() - tw) / 1e9
@@ -84,8 +85,8 @@ object Bench {
     // repartition inside the first timed rep — priced as its own key
     var prewarmLayout = 0.0
     if (Seq("q169_stats_join_order", "q170_stats_star_order",
-        "q171_stats_broadcast", "q185_stats_alias_order")
-        .exists(selected)) {
+        "q171_stats_broadcast", "q185_stats_alias_order",
+        "q186_stats_star_alias").exists(selected)) {
       val tw = System.nanoTime()
       graft.operators.StatsJoin.ensureTypedLayout(spark, sfDir)
       prewarmLayout = (System.nanoTime() - tw) / 1e9

@@ -2047,6 +2047,7 @@ object Layout {
     "q180_zdecimal_sql" -> (ZCatalog.q180ZdecimalSql _),
     "q181_zdecimal_stats" -> (ZCatalog.q181ZdecimalStats _),
     "q185_stats_alias_order" -> (StatsJoin.q185StatsAliasOrder _),
+    "q186_stats_star_alias" -> (StatsJoin.q186StatsStarAlias _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2086,5 +2087,6 @@ object Layout {
     "q180_zdecimal_sql" -> ZCatalog.q180Sql,
     "q181_zdecimal_stats" -> ZCatalog.q181Sql,
     "q185_stats_alias_order" -> StatsJoin.q185Sql,
+    "q186_stats_star_alias" -> StatsJoin.q186Sql,
   )
 }

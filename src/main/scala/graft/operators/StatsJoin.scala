@@ -701,7 +701,14 @@ object StatsJoin {
   private def runStatsPlanned(spark: SparkSession, dir: String,
       name: String, needed: Seq[String], plain: Seq[String],
       calibrated: Seq[(String, Seq[String])],
-      sql: Map[String, String] => String): DataFrame = {
+      sql: Map[String, String] => String,
+      // q186's knobs: Catalyst's own reorder off + the alias-aware
+      // star rule armed in the child session (the rule supplies the
+      // per-(dim, fact)-exact ordering Catalyst's one-Statistics-per-
+      // node model cannot); `refreshAlso` refreshes non-`needed`
+      // tables (the aliases) through the child's relation cache
+      joinReorder: Boolean = true, starAlias: Boolean = false,
+      refreshAlso: Seq[String] = Nil): DataFrame = {
     consumers.add(name)
     val (stamp, tbls) = registerTypedTablesStamped(spark, dir)
     require(needed.forall(tbls.contains),
@@ -755,8 +762,11 @@ object StatsJoin {
     val s = spark.newSession()
     if (statsCboOn(spark)) {
       s.conf.set("spark.sql.cbo.enabled", "true")
-      s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", joinReorder.toString)
     }
+    if (starAlias)
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.StarAliasReorder
     // a fresh session seeds its SQLConf from the SparkConf, NOT from
     // the caller's runtime confs — carry the broadcast threshold over
     // so the physical-strategy knob (q171's A/B axis, and RunOne's
@@ -766,7 +776,7 @@ object StatsJoin {
       spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
     // the child session resolves the tables through its own relation
     // cache — refresh so it sees this call's layout + statistics
-    needed.map(tbls).foreach(t => s.catalog.refreshTable(t))
+    (needed.map(tbls) ++ refreshAlso).foreach(t => s.catalog.refreshTable(t))
     s.sql(sql(tbls))
   }
 
@@ -947,6 +957,65 @@ object StatsJoin {
       calibrated = Nil,
       sql = t => q185Query(t("error"), aliases("error")))
   }
+
+  /** q186 — ALIAS-AWARE STAR PLANNING as a declared consumer (r15
+    * verdict #2): q170's exact star shape — the shared signup dim
+    * joined to BOTH facts, written in the bad literal order against
+    * the BASE tables (unmodified star SQL — nothing in the query
+    * addresses an alias) — planned by
+    * [[graft.plans.StarAliasReorder]]: Catalyst's own join reorder is
+    * OFF in the child session (its one-Statistics-per-node model can
+    * only see the MAX), and the rule reads each edge's EXACT per-pair
+    * rows_eff from the registered alias tables, joins the cheapest
+    * edge first, and substitutes the dim's relation with that edge's
+    * alias so Spark's own estimates flow from the pair's numbers.
+    * Stats-off: aliases exist with NO statistics, the rule bails, the
+    * literal order stands — the family's A/B contract
+    * (StarAliasReorderSpec pins the executed order, the chosen alias
+    * in the plan, the per-edge exact numbers, and result equality both
+    * arms; the oracle recomputes off the raw feed). */
+  private[graft] def q186Query(eT: String, sT: String, vT: String): String =
+    s"""SELECT e.d AS d, COUNT(*) AS n_rows,
+       |  COUNT(DISTINCT s.user_id) AS n_users,
+       |  SUM(v.v) AS sum_view_cents
+       |FROM $eT e
+       |JOIN $sT s ON e.user_id = s.user_id
+       |JOIN $vT v ON s.user_id = v.user_id
+       |WHERE v.v >= $ThresholdCents
+       |GROUP BY e.d
+       |ORDER BY d""".stripMargin
+
+  def q186StatsStarAlias(spark: SparkSession, dir: String): DataFrame = {
+    val aliases = registerCalibratedAliases(spark, dir, "signup",
+      Seq("error", "view"), inject = statsCboOn(spark))
+    runStatsPlanned(spark, dir, "q186",
+      needed = Seq("error", "signup", "view"),
+      plain = Seq("error", "view"),
+      calibrated = Seq("signup" -> Seq("error", "view")),
+      sql = t => q186Query(t("error"), t("signup"), t("view")),
+      joinReorder = false, starAlias = true,
+      refreshAlso = aliases.values.toSeq.sorted)
+  }
+
+  /** DuckDB oracle: the identical star computed straight off the raw
+    * feed (the aliases are metadata over the same signup population). */
+  val q186Sql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, user_id, CAST(ts AS DATE) AS d,
+       |    CASE WHEN value IS NOT NULL
+       |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END AS v
+       |  FROM events WHERE user_id IS NOT NULL
+       |    AND event_type IS NOT NULL AND ts IS NOT NULL)
+       |SELECT e.d AS d, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS n_users,
+       |  CAST(SUM(v.v) AS BIGINT) AS sum_view_cents
+       |FROM (SELECT * FROM ev WHERE event_type = 'error') e
+       |JOIN (SELECT * FROM ev WHERE event_type = 'signup') s
+       |  ON e.user_id = s.user_id
+       |JOIN (SELECT * FROM ev WHERE event_type = 'view') v
+       |  ON s.user_id = v.user_id
+       |WHERE v.v >= $ThresholdCents
+       |GROUP BY e.d ORDER BY d""".stripMargin
 
   /** DuckDB oracle: the identical chain computed straight off the raw
     * feed (the alias is metadata over the same signup population). */
