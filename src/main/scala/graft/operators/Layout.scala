@@ -88,6 +88,40 @@ object Layout {
       .drop("__z", "__xlo", "__xhi", "__ylo", "__yhi")
   }
 
+  /** Physically partition `df` so every output partition (→ written
+    * file) holds rows of EXACTLY ONE distinct combination of `keys` —
+    * the purity the grouped metadata serve
+    * ([[graft.plans.ZoneAggServe]]) needs: a file single-valued on
+    * every key folds its aggregates per composite group with zero
+    * tasks. Hash or range repartitioning cannot guarantee this (hash
+    * collides groups into one partition; range straddles boundaries),
+    * so this is the one justified RDD drop-down: an EXACT partitioner
+    * over the driver-collected distinct group list (O(groups) driver
+    * memory — days × types, never rows) in a single shuffle.
+    * `subSplits` > 1 spreads each group over that many files (same
+    * purity, row-hash spread) — the production knob when one group's
+    * volume exceeds a sane file size. */
+  def partitionPureBy(df: DataFrame, keys: Seq[String],
+      subSplits: Int = 1): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema
+    val groups: Map[Seq[Any], Int] = df.select(keys.map(col): _*)
+      .distinct().collect().map(_.toSeq).zipWithIndex.toMap
+    if (groups.isEmpty) return df.repartition(1)
+    val keyIdx = keys.map(schema.fieldIndex)
+    val n = groups.size * subSplits
+    val part = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = n
+      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    }
+    val splits = subSplits // avoid serializing `this`
+    val rdd = df.rdd
+      .map(r => (groups(keyIdx.map(r.get)) * splits +
+        (if (splits == 1) 0 else math.floorMod(r.hashCode, splits)), r))
+      .partitionBy(part).values
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** q99 — the z-order bucket→bounds map over lineitem (l_partkey ×
     * l_orderkey): top-6-bit z-buckets (an 8×8 grid) with each bucket's
     * min/max on both source dimensions and the extent fraction of the

@@ -33,12 +33,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *    folds to a literal — including expressions AROUND the aggregate
   *    (`CAST(MIN(price) AS DOUBLE)`, arithmetic), which are evaluated
   *    on the driver after the aggregate value is substituted.
-  *  - GROUP BY a SINGLE-VALUED column (q182, r14 verdict #5): when
-  *    every file's zone on the group key is a CONSTANT with zero nulls
-  *    (or the file is all-null on it — the NULL group), the files
-  *    partition exactly by group and each group's aggregates fold from
-  *    its own files — the per-type heartbeat over a type-clustered
-  *    layout becomes zero-task.
+  *  - GROUP BY SINGLE-VALUED columns — one key (q182, r14 verdict #5)
+  *    or a TUPLE of keys (q187, r15 verdict #3): when every file's
+  *    zone on EVERY group key is a CONSTANT with zero nulls (or the
+  *    file is all-null on it — the NULL group), the files partition
+  *    exactly by the composite group and each group's aggregates fold
+  *    from its own files — the per-type heartbeat over a
+  *    type-clustered layout and the per-(type, day) rollup over a
+  *    (type, day)-pure layout both become zero-task.
   *  - WHERE over SINGLE-VALUED columns (q183): a filter whose every
   *    referenced column is single-valued per file evaluates to the
   *    same verdict for every row of a file — each file is admitted or
@@ -259,17 +261,27 @@ object ZoneAggServe extends Rule[LogicalPlan] {
     val groups: Option[Seq[(Map[ExprId, Literal], Seq[ZoneFile])]] =
       agg.groupingExpressions match {
         case Seq() => Some(Seq((Map.empty[ExprId, Literal], entries)))
-        case Seq(g: AttributeReference) =>
-          val perFile = entries.map(e =>
-            e.cols.get(g.name.toLowerCase).flatMap(constOf).flatMap {
-              case None => Some(null)
-              case Some(raw) => internal(raw, g.dataType)
-            }.map(v => (v, e)))
+        // a TUPLE of single-valued columns partitions files exactly by
+        // the composite group (r15 verdict #3): each key must be
+        // constant-with-zero-nulls or all-null in EVERY file — one
+        // non-constant zone on any key bails the whole serve
+        case gs if gs.forall(_.isInstanceOf[AttributeReference]) =>
+          val attrs = gs.map(_.asInstanceOf[AttributeReference])
+          val perFile: Seq[Option[(Seq[Any], ZoneFile)]] = entries.map { e =>
+            val vals = attrs.map(a =>
+              e.cols.get(a.name.toLowerCase).flatMap(constOf).flatMap {
+                case None => Some(null)
+                case Some(raw) => internal(raw, a.dataType)
+              })
+            if (vals.exists(_.isEmpty)) None
+            else Some((vals.map(_.get), e))
+          }
           if (perFile.exists(_.isEmpty)) None
           else Some(perFile.flatten
             .groupBy(_._1).toSeq
-            .map { case (v, es) =>
-              (Map(g.exprId -> Literal(v, g.dataType)), es.map(_._2)) })
+            .map { case (vs, es) =>
+              (attrs.zip(vs).map { case (a, v) =>
+                a.exprId -> Literal(v, a.dataType) }.toMap, es.map(_._2)) })
         case _ => None
       }
     groups.flatMap { gs =>
@@ -291,8 +303,7 @@ object ZoneAggServe extends Rule[LogicalPlan] {
     plan.transform {
       case agg: Aggregate if agg.aggregateExpressions.nonEmpty &&
           agg.groupingExpressions.forall(
-            _.isInstanceOf[AttributeReference]) &&
-          agg.groupingExpressions.size <= 1 =>
+            _.isInstanceOf[AttributeReference]) =>
         zChild(agg.child) match {
           case Some((dir, t, filters)) =>
             serve(agg, dir, t, filters).getOrElse(agg)

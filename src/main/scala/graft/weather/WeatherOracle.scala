@@ -378,6 +378,20 @@ object WeatherOracle {
       |  MIN(postal_code) AS min_postal, MAX(postal_code) AS max_postal
       |FROM gold_obs""".stripMargin)
 
+  /** q187 — the daily per-type rollup (metadata-served Spark-side off
+    * the (type, day)-pure layout; the oracle recomputes over the gold
+    * CTEs — `CAST(ts AS DATE)` is exactly the layout's to_date(prep)
+    * on these UTC hour-truncated timestamps). */
+  val goldDailySql: String = withCtes(
+    """SELECT data_type, CAST(timestamp AS DATE) AS day,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  MIN(timestamp) AS min_hour, MAX(timestamp) AS max_hour,
+      |  CAST(COUNT(temperature_avg) AS BIGINT) AS n_temp,
+      |  MIN(postal_code) AS min_postal, MAX(postal_code) AS max_postal
+      |FROM (SELECT * FROM gold_obs UNION ALL SELECT * FROM gold_fc)
+      |GROUP BY data_type, CAST(timestamp AS DATE)
+      |ORDER BY data_type, day""".stripMargin)
+
   /** True-geodesic KNN — haversine formula mirrored op-for-op from
     * GeoFunctions.haversineKm (1-ulp trig noise absorbed by two-stage
     * rounding; ordering gaps ≥1e-7 on the synthetic grid).

@@ -275,6 +275,7 @@ object WeatherQueries {
     "q179_weather_gold_stats" -> (WeatherZServe.q179GoldStats _),
     "q182_weather_gold_heartbeat" -> (WeatherZServe.q182GoldHeartbeat _),
     "q183_weather_gold_freshness" -> (WeatherZServe.q183GoldFreshness _),
+    "q187_weather_gold_daily" -> (WeatherZServe.q187GoldDailyRollup _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -297,5 +298,6 @@ object WeatherQueries {
     "q179_weather_gold_stats" -> WeatherOracle.goldStatsSql,
     "q182_weather_gold_heartbeat" -> WeatherOracle.goldHeartbeatSql,
     "q183_weather_gold_freshness" -> WeatherOracle.goldFreshnessSql,
+    "q187_weather_gold_daily" -> WeatherOracle.goldDailySql,
   )
 }

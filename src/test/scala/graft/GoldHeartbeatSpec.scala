@@ -107,6 +107,51 @@ class GoldHeartbeatSpec extends SparkSpec {
         .filter(col("data_type") === "forecast").count())))
   }
 
+  test("q187: GROUP BY data_type, day over the (type, day)-pure daily " +
+      "layout is metadata-served — multi-key groups, no scan") {
+    val n0 = ZoneAggServe.servedCount.get()
+    val df = WeatherZServe.q187GoldDailyRollup(spark, Sf)
+    val rows = df.collect().toSeq
+    assert(rows.size > 2, s"expected per-(type, day) rows, got ${rows.size}")
+    assert(scans(df.queryExecution.executedPlan).isEmpty,
+      "the multi-key grouped rollup must contain NO file scan")
+    assert(ZoneAggServe.servedCount.get() > n0,
+      "the multi-key grouped metadata-serve must have fired")
+    val truth = WeatherQueries.goldUnified(spark, Sf)
+      .withColumn("day", to_date(col("timestamp")))
+      .groupBy(col("data_type"), col("day"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("timestamp")).as("min_hour"),
+        max(col("timestamp")).as("max_hour"),
+        count(col("temperature_avg")).as("n_temp"),
+        min(col("postal_code")).as("min_postal"),
+        max(col("postal_code")).as("max_postal"))
+      .orderBy(col("data_type"), col("day")).collect().toSeq
+    assert(rows === truth)
+  }
+
+  test("multi-key bail: one key non-constant in any file keeps the " +
+      "ordinary plan and the unchanged answer") {
+    WeatherZServe.q187GoldDailyRollup(spark, Sf).collect()
+    // the UNIFIED (hour-clustered) layout's files are type-pure but
+    // NOT day-pure: the same composite GROUP BY must bail to the scan
+    WeatherZServe.q182GoldHeartbeat(spark, Sf).collect()
+    val real = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_z_weather_gold_all"))
+      .headOption.getOrElse(fail("unified gold table not registered"))
+    val df = spark.sql(s"SELECT data_type, CAST(timestamp AS DATE) AS d, " +
+      s"COUNT(*) AS n FROM $real GROUP BY data_type, CAST(timestamp AS " +
+      s"DATE) ORDER BY data_type, d")
+    val rows = df.collect().toSeq
+    assert(scans(df.queryExecution.executedPlan).nonEmpty,
+      "a day-impure layout must NOT serve the (type, day) group")
+    val truth = WeatherQueries.goldUnified(spark, Sf)
+      .groupBy(col("data_type"), to_date(col("timestamp")).as("d"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("data_type"), col("d")).collect().toSeq
+    assert(rows === truth)
+  }
+
   test("the NULL group: files all-null on the key form their own " +
       "exact group with COUNT(key) = 0") {
     import spark.implicits._
