@@ -35,9 +35,20 @@ import graft.plans.ZoneMapFileIndex
   * query is the difference between an API and a batch job. */
 object WeatherZServe {
 
-  private lazy val goldRoot: String =
-    java.nio.file.Files.createTempDirectory("graft_wx_gold_")
-      .toAbsolutePath.toString
+  /** The gold landing + layout root — DURABLE (r15 verdict #4): a
+    * fixed conf-rooted location (`spark.graft.weather.goldDir`,
+    * default a stable path under the system tmpdir), not a per-JVM
+    * temp dir, so the TBLPROPERTIES record a weather z-table carries
+    * survives the JVM: a fresh session whose corpus stamp matches
+    * re-arms q182/q183/q187 from the committed layouts on disk —
+    * no gold re-land, no recluster (WeatherGoldDurableSpec pins the
+    * zero-build re-resolve). Landings are stamp-addressed (corpus
+    * regeneration lands to a new subdir) and committed by the parquet
+    * `_SUCCESS` marker; the z-layouts above them ride ZIndex's own
+    * `_COMMITTED` generation contract. */
+  private def goldRoot(s: SparkSession): String =
+    s.conf.getOption("spark.graft.weather.goldDir")
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft_wx_gold")
 
   // the gold layout contracts are resolvable BY NAME for
   // TBLPROPERTIES-driven re-arming (ZoneMapScanSwap.arm): a session
@@ -52,8 +63,15 @@ object WeatherZServe {
   graft.plans.ZoneMapScanSwap.registerContract("weather_gold_daily",
     (s, d) => goldDailyZTable(s, d))
 
-  /** Stamp-addressed land dirs already written in this JVM. */
+  /** Stamp-addressed land dirs already probed-or-written in this JVM
+    * (a memo over the durable `_SUCCESS` probe, not the truth). */
   private val landed = scala.collection.mutable.Set.empty[String]
+  /** Spec observables: gold landings actually WRITTEN in this JVM, and
+    * the fresh-JVM simulation hook. */
+  private[graft] val landWrites =
+    new java.util.concurrent.atomic.AtomicLong
+  private[graft] def clearLanded(): Unit =
+    landed.synchronized { landed.clear() }
 
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -73,11 +91,20 @@ object WeatherZServe {
   private def landedGold(s: SparkSession, d: String): String =
     landed.synchronized {
       val stamp = sourceStamp(s, d)
-      val dir = s"$goldRoot/${md5hex(d).take(8)}/${md5hex(stamp).take(8)}"
+      val dir =
+        s"${goldRoot(s)}/${md5hex(d).take(8)}/${md5hex(stamp).take(8)}"
       val path = s"$dir/gold.parquet"
       if (!landed(path)) {
-        WeatherQueries.goldUnified(s, d)
-          .write.mode("overwrite").parquet(path)
+        // the root is durable: a COMPLETE landing from a prior JVM
+        // (parquet's own `_SUCCESS` commit marker) is reused as-is; a
+        // crash leftover (no marker) is overwritten whole
+        val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+        val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker)) {
+          landWrites.incrementAndGet()
+          WeatherQueries.goldUnified(s, d)
+            .write.mode("overwrite").parquet(path)
+        }
         landed += path
       }
       path
@@ -119,7 +146,7 @@ object WeatherZServe {
       // resolve into — and rebuild across — the other suite's temp
       // root); stable per (corpus dir, data_type) within the JVM
       rootOverride = Some(
-        s"$goldRoot/${md5hex(d).take(8)}/z_${which.take(3)}"))
+        s"${goldRoot(s)}/${md5hex(d).take(8)}/z_${which.take(3)}"))
   }
 
   /** The UNIFIED gold layout — the reference's single
@@ -148,7 +175,7 @@ object WeatherZServe {
         half(df, "observation", "timestamp", math.max(1, n / 2))
           .unionByName(half(df, "forecast", "forecast_timestamp",
             math.max(1, n - n / 2)))),
-      rootOverride = Some(s"$goldRoot/${md5hex(d).take(8)}/z_all"))
+      rootOverride = Some(s"${goldRoot(s)}/${md5hex(d).take(8)}/z_all"))
   }
 
   /** The DAILY-ROLLUP layout (r15 verdict #3's consumer): unified gold
@@ -170,7 +197,7 @@ object WeatherZServe {
         graft.operators.Layout.partitionPureBy(
           df, Seq("data_type", "day"))),
       prep = Some(df => df.withColumn("day", to_date(col("timestamp")))),
-      rootOverride = Some(s"$goldRoot/${md5hex(d).take(8)}/z_daily"))
+      rootOverride = Some(s"${goldRoot(s)}/${md5hex(d).take(8)}/z_daily"))
 
   /** q187 — the MULTI-KEY grouped metadata serve (r15 verdict #3): the
     * daily layer report — `GROUP BY data_type, day` — over the
@@ -333,6 +360,11 @@ object WeatherZServe {
          |  MAX(num_stations) AS max_stations
          |FROM $tbl""".stripMargin)
   }
+
+  /** Spec accessor for the unified layout contract (the durability
+    * spec resolves generations through it). */
+  private[graft] def goldAllTable(s: SparkSession, d: String): ZTable =
+    goldAllZTable(s, d)
 
   /** Bench prewarm: land gold + build both layouts outside the serve
     * queries' timings (the priced-prewarm convention). */
