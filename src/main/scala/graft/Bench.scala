@@ -129,7 +129,8 @@ object Bench {
     if (Seq("q24_weather_latest_obs", "q25_weather_latest_fc",
         "q27_weather_history", "q177_weather_region_history",
         "q179_weather_gold_stats", "q182_weather_gold_heartbeat",
-        "q183_weather_gold_freshness", "q187_weather_gold_daily")
+        "q183_weather_gold_freshness", "q187_weather_gold_daily",
+        "q188_weather_gold_days")
         .exists(selected)) {
       val tw = System.nanoTime()
       graft.weather.WeatherZServe.prewarm(spark, sfDir)

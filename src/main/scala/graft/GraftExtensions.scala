@@ -56,6 +56,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // metadata-only MIN/MAX/COUNT over registered z-tables, answered
     // from the zone map with zero tasks (exactness-guarded)
     ext.injectOptimizerRule(_ => graft.plans.ZoneAggServe)
+    // alias-aware star planning: a multi-fact star over the typed
+    // event tables joins its cheapest edge first using the EXACT
+    // per-(dim, fact) calibrated aliases (no-op until aliases are
+    // registered; spark.graft.stats.starReorder=false disables). Runs
+    // AFTER Catalyst's own reorder batch, so with CBO on the exact
+    // numbers have the last word.
+    ext.injectOptimizerRule(_ => graft.plans.StarAliasReorder)
   }
 }
 

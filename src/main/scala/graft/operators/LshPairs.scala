@@ -339,6 +339,16 @@ object LshPairs {
     readUnion(spark, r, readLive(spark, r, g), "pairs_delta")
   }
 
+  /** The df-capped shingle index (doc_id, sh) — the store's own
+    * verify input, exposed so q44's inverted-index join loads it
+    * instead of re-shingling per JVM (same content as the pre-r16
+    * in-memory build: raw distinct 3-grams minus the over-cap hot
+    * set, over the full corpus). */
+  def shingles(spark: SparkSession, dir: String): DataFrame = {
+    val (r, g) = ensure(spark, dir)
+    readUnion(spark, r, readLive(spark, r, g), "shingles_delta")
+  }
+
   /** Spec observable: durable label-artifact computations. */
   private[graft] val labelBuilds = new AtomicLong
 

@@ -180,42 +180,27 @@ object TextOps {
   // ------------------------------------------------------------------
   val MaxShingleDf = 100
 
-  // q44 and q45 share the (exploded + df-capped) inverted index; memoize +
-  // cache per (session, dir) so it builds once, not once per query.
-  // Evict via clear() — same library contract as WeatherQueries.
+  // q44 and q45 share the (exploded + df-capped) inverted index; since
+  // r16 it is the durable store's own capped shingle table
+  // ([[LshPairs]] persists it per generation for the incremental
+  // verify), so this is a LOAD — the explode+distinct+cap runs only on
+  // a first-ever corpus, inside the store build. Memoize + cache per
+  // (session, dir); evict via clear() — same contract as
+  // WeatherQueries.
   private val memo =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
-  private val memoAux = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
     memo.synchronized {
       memo.getOrElseUpdate((spark, dir), {
-        // cache the raw shingle set: it feeds BOTH the hot-list aggregate
-        // and the anti-join probe, and the explode+distinct is the most
-        // expensive text stage — without the cache it runs twice
-        // short-doc guard as a FILTER (review r15): sequence(1, 0) is
-        // [1, 0] — the default step is -1 when start > stop — and
-        // slice(toks, 0, 3) throws, so a 1-2-token document would
-        // crash the shingle build; the filter drops it (no shingles)
-        // exactly like the oracle's empty generate_series(1, 0)
-        val sh = withToks(Tables.documents(spark, dir))
-          .filter(size(col("toks")) >= 3)
-          .withColumn("sh", explode(expr(
-            "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))")))
-          .select(col("doc_id"), col("sh")).distinct().cache()
-        val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > MaxShingleDf).select(col("sh"))
-        memoAux += sh // released by clear()
-        sh.join(broadcast(hot), Seq("sh"), "left_anti").cache()
+        LshPairs.shingles(spark, dir).cache()
       })
     }
 
   /** Unpersist + drop memoized frames (see [[graft.weather.WeatherQueries.clear]]). */
   def clear(): Unit = memo.synchronized {
     memo.values.foreach(graft.util.Checkpoints.release) // caches AND checkpoints
-    memoAux.foreach(df => df.unpersist(blocking = false))
     memo.clear()
-    memoAux.clear()
   }
 
   private val docShinglesSqlCte: String =

@@ -159,6 +159,25 @@ object ZoneAggServe extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** COUNT(DISTINCT col) over one group's files — exact when the
+    * column is SINGLE-VALUED per file (constant with zero nulls, or
+    * all-null): the distinct non-null constants are countable from
+    * the zones alone (all-null files contribute nothing — DISTINCT
+    * ignores nulls; files sharing a constant count once). Any
+    * non-constant zone bails. */
+  private def distinctCount(a: Attribute, entries: Seq[ZoneFile])
+      : Option[Long] = {
+    val consts = entries.map(e =>
+      e.cols.get(a.name.toLowerCase).flatMap(constOf))
+    if (consts.exists(_.isEmpty)) None
+    else {
+      val internals = consts.flatten
+        .collect { case Some(raw) => internal(raw, a.dataType) }
+      if (internals.exists(_.isEmpty)) None
+      else Some(internals.flatten.distinct.size.toLong)
+    }
+  }
+
   /** One output expression folded to its served value for one group:
     * aggregates substitute their zone-derived literals (top-down, so
     * an aggregate's INPUT attributes stay intact for [[aggValue]]),
@@ -171,6 +190,16 @@ object ZoneAggServe extends Rule[LogicalPlan] {
     val replaced = ne.transformDown {
       case ae @ AggregateExpression(f, Complete, false, None, _) =>
         aggValue(f, entries) match {
+          case Some(v) => Literal(v, ae.dataType)
+          case None => ok = false; ae
+        }
+      // COUNT(DISTINCT col) over a single-valued column (q188): the
+      // single-distinct shape survives logical optimization intact
+      // (RewriteDistinctAggregates only expands multi-distinct, which
+      // lands on the catch-all bail below)
+      case ae @ AggregateExpression(Count(Seq(a: Attribute)), Complete,
+          true, None, _) =>
+        distinctCount(a, entries) match {
           case Some(v) => Literal(v, ae.dataType)
           case None => ok = false; ae
         }

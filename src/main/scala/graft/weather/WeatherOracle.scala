@@ -392,6 +392,18 @@ object WeatherOracle {
       |GROUP BY data_type, CAST(timestamp AS DATE)
       |ORDER BY data_type, day""".stripMargin)
 
+  /** q188 — the per-type day inventory (COUNT(DISTINCT day) served
+    * from the file constants Spark-side; the oracle recomputes). */
+  val goldDayInventorySql: String = withCtes(
+    """SELECT data_type,
+      |  CAST(COUNT(DISTINCT CAST(timestamp AS DATE)) AS BIGINT) AS n_days,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  MIN(CAST(timestamp AS DATE)) AS first_day,
+      |  MAX(CAST(timestamp AS DATE)) AS last_day
+      |FROM (SELECT * FROM gold_obs UNION ALL SELECT * FROM gold_fc)
+      |GROUP BY data_type
+      |ORDER BY data_type""".stripMargin)
+
   /** True-geodesic KNN — haversine formula mirrored op-for-op from
     * GeoFunctions.haversineKm (1-ulp trig noise absorbed by two-stage
     * rounding; ordering gaps ≥1e-7 on the synthetic grid).

@@ -276,6 +276,7 @@ object WeatherQueries {
     "q182_weather_gold_heartbeat" -> (WeatherZServe.q182GoldHeartbeat _),
     "q183_weather_gold_freshness" -> (WeatherZServe.q183GoldFreshness _),
     "q187_weather_gold_daily" -> (WeatherZServe.q187GoldDailyRollup _),
+    "q188_weather_gold_days" -> (WeatherZServe.q188GoldDayInventory _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -299,5 +300,6 @@ object WeatherQueries {
     "q182_weather_gold_heartbeat" -> WeatherOracle.goldHeartbeatSql,
     "q183_weather_gold_freshness" -> WeatherOracle.goldFreshnessSql,
     "q187_weather_gold_daily" -> WeatherOracle.goldDailySql,
+    "q188_weather_gold_days" -> WeatherOracle.goldDayInventorySql,
   )
 }

@@ -221,6 +221,26 @@ object WeatherZServe {
          |ORDER BY data_type, day""".stripMargin)
   }
 
+  /** q188 — the day INVENTORY, metadata-served including
+    * COUNT(DISTINCT): over the (type, day)-pure daily layout, every
+    * file's `day` zone is a constant, so the per-type distinct-day
+    * count is the number of distinct file constants — with the
+    * first/last-day bounds and the row count, the "which days do we
+    * actually have" completeness probe costs zero tasks. A DISTINCT
+    * over any non-constant column (postal_code) bails to the scan
+    * with the same answer (GoldHeartbeatSpec pins both). */
+  def q188GoldDayInventory(s: SparkSession, d: String): DataFrame = {
+    val tbl = graft.operators.ZCatalog.ensureRegistered(
+      s, d, goldDailyZTable(s, d))
+    s.sql(
+      s"""SELECT data_type, COUNT(DISTINCT day) AS n_days,
+         |  COUNT(*) AS n_rows,
+         |  MIN(day) AS first_day, MAX(day) AS last_day
+         |FROM $tbl
+         |GROUP BY data_type
+         |ORDER BY data_type""".stripMargin)
+  }
+
   /** q182 — the per-type heartbeat the reference's layer report runs
     * (`README.md:144-153`: row counts and freshness per gold layer/
     * type), METADATA-SERVED as a GROUPED aggregate: `GROUP BY

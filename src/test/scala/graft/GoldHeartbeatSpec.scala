@@ -130,6 +130,40 @@ class GoldHeartbeatSpec extends SparkSpec {
     assert(rows === truth)
   }
 
+  test("q188: COUNT(DISTINCT day) over the day-pure layout is " +
+      "metadata-served; DISTINCT over a non-constant column bails") {
+    val n0 = ZoneAggServe.servedCount.get()
+    val df = WeatherZServe.q188GoldDayInventory(spark, Sf)
+    val rows = df.collect().toSeq
+    assert(rows.size === 2)
+    assert(scans(df.queryExecution.executedPlan).isEmpty,
+      "the day inventory must contain NO file scan")
+    assert(ZoneAggServe.servedCount.get() > n0,
+      "the COUNT(DISTINCT) metadata-serve must have fired")
+    val truth = WeatherQueries.goldUnified(spark, Sf)
+      .withColumn("day", to_date(col("timestamp")))
+      .groupBy(col("data_type"))
+      .agg(countDistinct(col("day")).as("n_days"),
+        count(lit(1)).as("n_rows"),
+        min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+      .orderBy(col("data_type")).collect().toSeq
+    assert(rows === truth)
+    // DISTINCT over a column that is NOT single-valued per file must
+    // bail to the scan — with the unchanged answer
+    val real = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_z_weather_gold_daily"))
+      .headOption.getOrElse(fail("daily gold table not registered"))
+    val bail = spark.sql(s"SELECT data_type, COUNT(DISTINCT postal_code) " +
+      s"AS n FROM $real GROUP BY data_type ORDER BY data_type")
+    val bailRows = bail.collect().toSeq
+    assert(scans(bail.queryExecution.executedPlan).nonEmpty,
+      "a non-single-valued DISTINCT column must NOT be metadata-served")
+    assert(bailRows === WeatherQueries.goldUnified(spark, Sf)
+      .groupBy(col("data_type"))
+      .agg(countDistinct(col("postal_code")).as("n"))
+      .orderBy(col("data_type")).collect().toSeq)
+  }
+
   test("multi-key bail: one key non-constant in any file keeps the " +
       "ordinary plan and the unchanged answer") {
     WeatherZServe.q187GoldDailyRollup(spark, Sf).collect()
