@@ -216,9 +216,14 @@ object LshPairs {
         fs.create(new org.apache.hadoop.fs.Path(s"$genDir/_COMMITTED"),
           false).close()
         // one-prior retention (the ZIndex rule): gens the NEW live list
-        // references, plus the immediately prior committed gen (whose
-        // live list an in-flight reader may hold), survive
-        val keep: Set[Long] = newLiveGens.toSet ++ latest.toSet + nextN
+        // references, plus the prior committed gen AND everything ITS
+        // live list references (an in-flight reader holding the prior
+        // list must still find every delta it names — on a full
+        // rebuild the new list references only nextN, so without the
+        // prior's references the whole standing chain would vanish
+        // under that reader; r16 self-review), survive
+        val keep: Set[Long] =
+          newLiveGens.toSet ++ liveGens.toSet ++ latest.toSet + nextN
         committed.filterNot(keep.contains).foreach(g =>
           fs.delete(new org.apache.hadoop.fs.Path(s"$r/gen-$g"), true))
         memo.put(r, (stamp, nextN))

@@ -246,6 +246,22 @@ class LshPairsSpec extends SparkSpec {
       assert(LshPairs.fullBuilds.get() === builds0 + 1,
         "a mutated feed must rebuild")
       assert(p === refPairs(spark.read.parquet(s"$dir/documents.parquet")))
+      // one-prior retention (r16 self-review): the rebuild keeps the
+      // prior generation AND its referenced deltas for in-flight
+      // readers; the NEXT commit reclaims them
+      val root = new java.io.File(LshPairs.root(spark, dir))
+      def gens(): Set[String] = root.listFiles().toSeq
+        .filter(_.isDirectory).map(_.getName).filter(_.startsWith("gen-"))
+        .toSet
+      assert(gens() === Set("gen-0", "gen-1"),
+        s"the prior generation must survive its successor's commit, " +
+          s"got ${gens()}")
+      docs(500 until 560).coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      stored(dir)
+      assert(gens() === Set("gen-1", "gen-2"),
+        s"the second commit must reclaim the twice-superseded " +
+          s"generation, got ${gens()}")
     }
   }
 }
