@@ -57,6 +57,15 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
   * and the substituted alias carries the SAME partitions, so not a
   * byte of data moves).
   *
+  * Estimate inputs: the aliases' rowCount/NDV come straight from the
+  * CATALOG (independent of conf); a FILTERED fact's estimated row
+  * count needs `spark.sql.cbo.enabled=true` (size-only estimation
+  * propagates no rowCount through a Filter) — without it the rule
+  * bails and the plan is untouched, the same quiet degradation as
+  * every other missing piece. The q186 runner sets it; extension
+  * deployments that want the rewrite on filtered stars enable CBO,
+  * which the statistics catalog exists to feed anyway.
+  *
   * At 100 TB the rewrite is KB of catalog metadata per edge; what it
   * moves is the wrong-first-join penalty — an intermediate sized by a
   * foreign fact's skew can be orders of magnitude over the true edge,
