@@ -114,7 +114,8 @@ object Bench {
     }
     // the durable LSH signature index (q184), same convention — the
     // cold build shingles + signs the standing corpus once
-    if (selected("q184_lsh_incremental")) {
+    if (Seq("q184_lsh_incremental", "q189_stream_neardup")
+        .exists(selected)) {
       val tw = System.nanoTime()
       graft.operators.ZIndex.ensure(spark, sfDir,
         graft.operators.LshIndex.Sigs)

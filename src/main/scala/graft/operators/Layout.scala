@@ -2082,6 +2082,7 @@ object Layout {
     "q181_zdecimal_stats" -> (ZCatalog.q181ZdecimalStats _),
     "q185_stats_alias_order" -> (StatsJoin.q185StatsAliasOrder _),
     "q186_stats_star_alias" -> (StatsJoin.q186StatsStarAlias _),
+    "q189_stream_neardup" -> (LshIndex.q189StreamNearDup _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2122,5 +2123,8 @@ object Layout {
     "q181_zdecimal_stats" -> ZCatalog.q181Sql,
     "q185_stats_alias_order" -> StatsJoin.q185Sql,
     "q186_stats_star_alias" -> StatsJoin.q186Sql,
+    "q189_stream_neardup" -> LshIndex.q184Sql, // same contract: the
+      // q184 split's batch half against the standing index — only the
+      // EXECUTION model moved (one-shot batch -> AvailableNow stream)
   )
 }

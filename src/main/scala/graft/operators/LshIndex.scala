@@ -129,6 +129,101 @@ object LshIndex {
       .orderBy(col("doc_id"), col("match_id"))
   }
 
+  /** Band rows that CARRY the full signature (prefixed columns) — the
+    * streaming gate's join shape: verification needs both sides'
+    * signatures on the joined row, and a stream cannot re-join itself
+    * to fetch them (that would be a stream-stream join). 4 rows/doc ×
+    * 16 hex columns — wider than [[bandsOf]], still KB-per-doc. */
+  private def bandsWithSigs(df: DataFrame, idAs: String,
+      pfx: String): DataFrame =
+    df.select(col("doc_id") +: explode(array(
+      (0 until NumBands).map { b =>
+        struct(lit(b).as("band_id"),
+          md5(concat_ws("|",
+            (0 until BandSize).map(r => col(s"h${b * BandSize + r}")): _*))
+            .as("band_hash"))
+      }: _*)).as("band") +:
+      (0 until NumHashes).map(i => col(s"h$i")): _*)
+      .select(col("doc_id").as(idAs) +: col("band.band_id") +:
+        col("band.band_hash") +:
+        (0 until NumHashes).map(i => col(s"h$i").as(s"$pfx$i")): _*)
+
+  /** q189 — the near-dup gate as a STREAM: q184's question ("which
+    * standing documents does this incoming batch near-duplicate?") run
+    * continuously — the production crawl-dedup gate, where documents
+    * arrive as files and each micro-batch must be checked against the
+    * standing corpus WITHOUT re-reading it.
+    *
+    * The whole gate is STATELESS per row except the final pair dedup:
+    * the MinHash signature needs no aggregation — `array_min` over the
+    * in-row shingle array IS the per-doc min (duplicates cannot change
+    * a min, so the batch path's DISTINCT is unnecessary here) — so the
+    * stream stays in Append mode with no watermark; bands explode per
+    * row; candidates come from a stream-STATIC equi-join against the
+    * durable index's band rows (the static side is the q184 layout —
+    * KB-per-thousand-docs, resolved once per run); verification is
+    * the signature-agreement estimate computed on the joined row
+    * (both signatures ride the band rows — [[bandsWithSigs]]); and
+    * `dropDuplicates` collapses multi-band matches (the q73 streaming
+    * dedup shape, state bounded by emitted pairs).
+    *
+    * The bounded feed (the q184 split's batch half) drains under
+    * `Trigger.AvailableNow`, so the gate's output equals the batch
+    * query exactly — the oracle is [[q184Sql]] verbatim, and
+    * LshIndexSpec pins row equality against [[q184LshIncremental]].
+    * At 100 TB: per-batch cost is O(batch docs × 4 band rows) against
+    * a band table the planner can broadcast from the index's honest
+    * size — no corpus re-read at any stream volume. */
+  def q189StreamNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_lsh_stream_").toString
+    val (feedDir, ckpt, outPath) = (s"$base/feed", s"$base/ckpt", s"$base/out")
+    val docs = Tables.documents(spark, dir)
+    docs.filter(col("doc_id") % 10 === 0)
+      .write.mode("overwrite").parquet(feedDir)
+    val standing = standingSigs(spark, dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(feedDir)
+    val sigCols = (0 until NumHashes).map(i =>
+      expr(s"array_min(transform(__sh, s -> md5(concat('$i|', s))))")
+        .as(s"h$i"))
+    val signed = stream
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      // the r15 short-doc trap again: the filter, not a clamp
+      .filter(size(col("toks")) >= 3)
+      .withColumn("__sh", expr(
+        "transform(sequence(1, size(toks) - 2), " +
+          "i -> concat_ws(' ', slice(toks, i, 3)))"))
+      .select(col("doc_id") +: sigCols: _*)
+    val agree: Column = (0 until NumHashes).map(i =>
+      when(col(s"b$i") === col(s"s$i"), 1L).otherwise(0L)).reduce(_ + _)
+    val gated = bandsWithSigs(signed, "doc_id", "b")
+      .join(bandsWithSigs(standing, "match_id", "s"),
+        Seq("band_id", "band_hash"))
+      .withColumn("n_agree", agree)
+      .filter(col("n_agree") >= MinAgree)
+      .withColumn("est_jaccard",
+        col("n_agree").cast("double") / NumHashes)
+      .select(col("doc_id"), col("match_id"), col("n_agree"),
+        col("est_jaccard"))
+      .dropDuplicates("doc_id", "match_id")
+    val q = gated.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.read.parquet(outPath)
+      .orderBy(col("doc_id"), col("match_id"))
+      .localCheckpoint(true)
+    graft.util.Checkpoints.track(out)
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    out
+  }
+
   /** DuckDB oracle: the identical md5 signature/band arithmetic, with
     * the standing side recomputed from the raw table (the layout is a
     * projection of it). */

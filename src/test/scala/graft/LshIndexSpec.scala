@@ -63,6 +63,25 @@ class LshIndexSpec extends SparkSpec {
     }
   }
 
+  test("q189: the streaming near-dup gate emits exactly the batch " +
+      "query's pairs (per-row signatures, stream-static band join)") {
+    val dir = TempDirs.create("graft_lshidx_corp3")
+    docs(0 until 300).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    withConfs("spark.graft.zindex.dir" ->
+        TempDirs.create("graft_lshidx_root3")) {
+      ZIndex.clearMemo()
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getDouble(3))).toSeq.sorted
+      val batch = rows(LshIndex.q184LshIncremental(spark, dir))
+      val stream = rows(LshIndex.q189StreamNearDup(spark, dir))
+      assert(batch.nonEmpty, "the planted families must match")
+      assert(stream === batch,
+        "the AvailableNow gate must equal the batch query exactly")
+    }
+  }
+
   test("an appended feed is an O(delta) index APPEND whose new " +
       "standing docs become visible matches") {
     val dir = TempDirs.create("graft_lshidx_corp2")
