@@ -608,7 +608,8 @@ object Extras {
     "q93_stream_recovery", "q94_stream_join_recovery",
     "q98_stream_bronze_ingest", "q150_stream_kmv", "q153_stream_psample",
     "q160_stream_quantile", "q167_stream_key_freq",
-    "q173_stream_stats_enrich", "q189_stream_neardup")
+    "q173_stream_stats_enrich", "q189_stream_neardup",
+    "q190_stream_novelty")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_stream_psample"     -> (q153StreamPsample _),

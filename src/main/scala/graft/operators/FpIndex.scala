@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** q190 — the EXACT-dedup modality's durable index and its streaming
+  * gate, completing the set q184/q189 built for MinHash: q86's scaladoc
+  * claimed "at 100 TB the corpus side is the persisted fingerprint
+  * INDEX" — this makes that index real (one md5 per standing doc,
+  * fp-range-clustered under the [[ZIndex]] generation contract:
+  * consumed-file identity, `_COMMITTED`, O(delta) appends, mutation →
+  * rebuild) and runs the reference's ON-CONFLICT-DO-NOTHING admission
+  * (`sql/schema.sql` DO NOTHING upserts / S6) as a CONTINUOUS gate:
+  * a stream of incoming documents fingerprints per row (stateless md5
+  * — Append mode, no watermark, no state at all) and anti-joins
+  * stream-static against the standing index; only NOVEL documents
+  * pass.
+  *
+  * Deliberate contract: the gate filters on STANDING membership only.
+  * Within-batch duplicates both pass — collapsing them (q86's
+  * min-doc_id-per-fp) belongs to the admission step that also appends
+  * the index, and a streaming collapse would key on nondeterministic
+  * micro-batch arrival order. The oracle replays exactly this
+  * semantics.
+  *
+  * At 100 TB: the index is 16 bytes per standing doc, fp-clustered so
+  * a batch probe prunes by fingerprint range; appends hash only new
+  * feed files; the per-batch cost is one hash projection plus the
+  * anti-join probe — the corpus text is never re-read. */
+object FpIndex {
+
+  /** The standing fingerprint index layout: fp-range-clustered (the
+    * probe side's prune axis), DISTINCT within each maintenance unit
+    * (cross-generation duplicate fps are harmless for membership). */
+  private[graft] val Fps = ZTable("doc_fp_index",
+    d => s"$d/documents.parquet",
+    (s, d) => Tables.documents(s, d),
+    "doc_id", "doc_id", 16, // informational; clusterWith overrides
+    clusterWith = Some((df, n) =>
+      df.repartitionByRange(n, col("fp")).sortWithinPartitions(col("fp"))),
+    prep = Some(df => df.filter(col("doc_id") % 10 =!= 0)
+      .select(md5(col("text")).as("fp")).distinct()))
+
+  private[graft] def standingFps(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val entries = ZIndex.resolveEntries(spark, dir, Fps)
+    spark.read.parquet(entries.map(_.status.getPath.toString): _*)
+  }
+
+  /** q190 — see object doc. Output: the batch docs (doc_id % 10 == 0,
+    * the q86 split) whose fingerprint is NOT in the standing index. */
+  def q190StreamNoveltyGate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_fp_stream_").toString
+    val (feedDir, ckpt, outPath) = (s"$base/feed", s"$base/ckpt", s"$base/out")
+    val docs = Tables.documents(spark, dir)
+    docs.filter(col("doc_id") % 10 === 0)
+      .write.mode("overwrite").parquet(feedDir)
+    val standing = standingFps(spark, dir)
+    val gated = spark.readStream.schema(docs.schema).parquet(feedDir)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .join(standing, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+    val q = gated.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.read.parquet(outPath)
+      .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    graft.util.Checkpoints.track(out)
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    out
+  }
+
+  /** DuckDB oracle: the same standing-membership filter off the raw
+    * table (see object doc for the deliberate within-batch contract). */
+  val q190Sql: String =
+    """WITH d AS (SELECT doc_id, md5(text) AS fp FROM documents),
+      |corpus AS (SELECT DISTINCT fp FROM d WHERE doc_id % 10 <> 0)
+      |SELECT doc_id, fp FROM d b
+      |WHERE doc_id % 10 = 0
+      |  AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
+      |ORDER BY doc_id""".stripMargin
+}

@@ -2083,6 +2083,7 @@ object Layout {
     "q185_stats_alias_order" -> (StatsJoin.q185StatsAliasOrder _),
     "q186_stats_star_alias" -> (StatsJoin.q186StatsStarAlias _),
     "q189_stream_neardup" -> (LshIndex.q189StreamNearDup _),
+    "q190_stream_novelty" -> (FpIndex.q190StreamNoveltyGate _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2126,5 +2127,6 @@ object Layout {
     "q189_stream_neardup" -> LshIndex.q184Sql, // same contract: the
       // q184 split's batch half against the standing index — only the
       // EXECUTION model moved (one-shot batch -> AvailableNow stream)
+    "q190_stream_novelty" -> FpIndex.q190Sql,
   )
 }

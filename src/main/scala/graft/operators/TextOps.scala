@@ -859,9 +859,13 @@ object TextOps {
   // min doc_id per fingerprint; the cross-corpus check is a left-anti
   // join against the corpus's fingerprint column. At 100 TB the corpus
   // side is the persisted fingerprint INDEX (one md5 per kept doc,
-  // bucketed by fp) — the daily batch shuffles only itself plus a
-  // fp-bucketed probe; the corpus is never rescanned, which is the whole
-  // point of running curation incrementally.
+  // bucketed by fp) — since r16 that index is REAL ([[FpIndex.Fps]],
+  // fp-range-clustered under the ZIndex generation contract, O(delta)
+  // appends) and q190 runs this admission as a continuous stream-static
+  // gate against it; the batch formulation here stays the oracle-exact
+  // declaration (min-doc_id-per-fp collapse included). Either way the
+  // corpus text is never rescanned, which is the whole point of running
+  // curation incrementally.
   // ------------------------------------------------------------------
   def q86IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
