@@ -132,6 +132,15 @@ object Bench {
       prewarmZ += w
       System.err.println(s"[bench] prewarm_fp_index ${fmt(w)}")
     }
+    // the durable sign-LSH embedding index (q191), same convention
+    if (selected("q191_stream_vec_gate")) {
+      val tw = System.nanoTime()
+      graft.operators.ZIndex.ensure(spark, sfDir,
+        graft.operators.VecGate.Lsh)
+      val w = (System.nanoTime() - tw) / 1e9
+      prewarmZ += w
+      System.err.println(s"[bench] prewarm_vec_lsh_index ${fmt(w)}")
+    }
     // the z-clustered weather-gold serve layout (q24/q25/q27), same
     // convention — the landing also forces the gold build, so the cost
     // is priced here instead of on whichever serve query runs first

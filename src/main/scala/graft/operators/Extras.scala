@@ -609,7 +609,7 @@ object Extras {
     "q98_stream_bronze_ingest", "q150_stream_kmv", "q153_stream_psample",
     "q160_stream_quantile", "q167_stream_key_freq",
     "q173_stream_stats_enrich", "q189_stream_neardup",
-    "q190_stream_novelty")
+    "q190_stream_novelty", "q191_stream_vec_gate")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_stream_psample"     -> (q153StreamPsample _),

@@ -2084,6 +2084,7 @@ object Layout {
     "q186_stats_star_alias" -> (StatsJoin.q186StatsStarAlias _),
     "q189_stream_neardup" -> (LshIndex.q189StreamNearDup _),
     "q190_stream_novelty" -> (FpIndex.q190StreamNoveltyGate _),
+    "q191_stream_vec_gate" -> (VecGate.q191StreamVecGate _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2128,5 +2129,6 @@ object Layout {
       // q184 split's batch half against the standing index — only the
       // EXECUTION model moved (one-shot batch -> AvailableNow stream)
     "q190_stream_novelty" -> FpIndex.q190Sql,
+    "q191_stream_vec_gate" -> VecGate.q191Sql,
   )
 }

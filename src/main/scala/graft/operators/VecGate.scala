@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions
+import graft.sources.Tables
+
+/** q191 — the EMBEDDING modality's streaming near-dup gate, completing
+  * the continuous-dedup trio (exact fingerprints q190, MinHash text
+  * q189, embedding cosine here): a stream of incoming vectors is
+  * checked for near-duplicates (cos ≥ 0.4 — the q47/q81 contract)
+  * against the standing corpus through the q49 multi-table multi-probe
+  * sign-LSH, with the standing side a DURABLE index layout under the
+  * [[ZIndex]] generation contract — O(delta) appends (the bucket
+  * projection is vector-local: fixed md5-derived hyperplanes, no
+  * corpus statistics), mutation → rebuild, and the gate never re-reads
+  * the corpus embeddings.
+  *
+  * Stateless per row except the final pair dedup: the L=6 bucket keys
+  * are pure sign projections against literal hyperplanes (the
+  * [[VectorOps.bucketExprSpark]] expressions — Append mode, no
+  * watermark), multi-probe fans each row to its bucket plus the B
+  * one-bit flips, candidates come from the stream-static (t, bucket)
+  * equi-join against the stored index rows (vectors ride the index, so
+  * the exact-cosine verify is a projection of the joined row), and
+  * `dropDuplicates` collapses multi-probe matches.
+  *
+  * The THRESHOLD shape is deliberate: top-k per query (q49's output)
+  * is an aggregation a no-watermark stream cannot legally run; the
+  * dedup-gate question — "is this vector a near-duplicate of anything
+  * standing?" — is a threshold filter, stateless by nature. The index
+  * pins B = [[VectorOps.DefaultLshBits]] (the B(N) floor every test
+  * scale resolves to — the oracle is static SQL at that width); a
+  * production reshard to a wider B is a rebuild, exactly like the
+  * periodic recluster every clustered layout amortizes.
+  *
+  * At 100 TB: the index is L rows per standing vector partitioned by
+  * (t, bucket); a batch fans to L·(B+1) probe keys per vector and the
+  * join touches only matching buckets (≈ TargetBucket rows each) — no
+  * stream-side state, no corpus scan, at any stream volume. */
+object VecGate {
+
+  private val SimThreshold = 0.4
+
+  /** The standing sign-LSH index rows of an embeddings frame:
+    * (vec_id, v, nrm, t, bucket) — the q49 construction at the pinned
+    * bit width, vectors riding the rows (the measured-faster shape:
+    * the slim-index/rejoin variant shipped every candidate through two
+    * more exchanges). */
+  private def indexRows(df: DataFrame): DataFrame = {
+    VectorExpressions.register(df.sparkSession)
+    val bucketCols = (0 until VectorOps.LshTables)
+      .map(t => VectorOps.bucketExprSpark(t, VectorOps.DefaultLshBits))
+    df.withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", sqrt(VectorExpressions.dot(col("v"), col("v"))))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        posexplode(array(bucketCols: _*)).as(Seq("t", "bucket")))
+  }
+
+  /** The durable standing index: (t, bucket)-range-clustered — the
+    * probe join's partition axis. */
+  private[graft] val Lsh = ZTable("vec_lsh_index",
+    d => s"$d/embeddings.parquet",
+    (s, d) => Tables.embeddings(s, d),
+    "vec_id", "vec_id", 12, // informational; clusterWith overrides
+    clusterWith = Some((df, n) => df.repartitionByRange(n,
+      col("t"), col("bucket")).sortWithinPartitions(col("t"), col("bucket"))),
+    prep = Some(df => indexRows(df.filter(col("vec_id") % 10 =!= 0))))
+
+  private[graft] def standingIndex(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val entries = ZIndex.resolveEntries(spark, dir, Lsh)
+    spark.read.parquet(entries.map(_.status.getPath.toString): _*)
+  }
+
+  private def standingSide(spark: SparkSession, dir: String): DataFrame =
+    standingIndex(spark, dir)
+      .select(col("vec_id").as("b_id"), col("v").as("b_v"),
+        col("nrm").as("b_nrm"), col("t"), col("bucket"))
+
+  private def querySide(incoming: DataFrame): DataFrame =
+    indexRows(incoming)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+        col("nrm").as("q_nrm"), col("t"), col("bucket"))
+
+  /** The gate plan shared by the stream and its batch twin: multi-probe
+    * fan-out (own bucket + the B one-bit flips), (t, bucket) equi-join,
+    * exact-cosine threshold, multi-probe pair dedup. */
+  private def gatePlan(signed: DataFrame, standing: DataFrame): DataFrame = {
+    val bits = VectorOps.DefaultLshBits
+    val probeCols: Seq[Column] = col("bucket") +:
+      (0 until bits).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
+    val probes = signed.select(col("q_id"), col("q_v"), col("q_nrm"),
+      col("t"), explode(array(probeCols: _*)).as("bucket"))
+    probes.join(standing, Seq("t", "bucket"))
+      .withColumn("sim6", VectorOps.roundSafe6(
+        VectorOps.cosine("q_v", "b_v", "q_nrm", "b_nrm")))
+      .filter(col("sim6") >= SimThreshold)
+      .select(col("q_id"), col("b_id"), col("sim6"))
+      .dropDuplicates("q_id", "b_id")
+  }
+
+  /** The gate's batch twin — identical probes, join, threshold, and
+    * dedup over the same standing index, executed as one batch query
+    * (VecGateSpec pins stream == batch). */
+  private[graft] def batchGate(spark: SparkSession, dir: String): DataFrame =
+    gatePlan(
+      querySide(Tables.embeddings(spark, dir)
+        .filter(col("vec_id") % 10 === 0)),
+      standingSide(spark, dir))
+
+  /** q191 — see object doc. Output: one row per (incoming vector,
+    * standing near-duplicate) at cos ≥ 0.4, with the rounded cosine. */
+  def q191StreamVecGate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_vec_stream_").toString
+    val (feedDir, ckpt, outPath) = (s"$base/feed", s"$base/ckpt", s"$base/out")
+    val emb = Tables.embeddings(spark, dir)
+    emb.filter(col("vec_id") % 10 === 0)
+      .write.mode("overwrite").parquet(feedDir)
+    val gated = gatePlan(
+      querySide(spark.readStream.schema(emb.schema).parquet(feedDir)),
+      standingSide(spark, dir))
+    val q = gated.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.read.parquet(outPath)
+      .orderBy(col("q_id"), col("b_id"))
+      .localCheckpoint(true)
+    graft.util.Checkpoints.track(out)
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    out
+  }
+
+  /** DuckDB oracle: the identical split, buckets, probes, and
+    * threshold off the raw table (B pinned at the floor — the same
+    * static-width convention as [[VectorOps.q49Sql]]). */
+  val q191Sql: String = {
+    val tables = (0 until VectorOps.LshTables).map { t =>
+      s"SELECT vec_id, v, nrm, $t AS t, " +
+        s"${VectorOps.bucketExprSqlDuck(t, VectorOps.DefaultLshBits)} " +
+        s"AS bucket FROM v"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH ${VectorOps.SqlVecs},
+       |bucketed AS (
+       |  $tables),
+       |standing AS (SELECT * FROM bucketed WHERE vec_id % 10 <> 0),
+       |probes AS (
+       |  SELECT vec_id, v, nrm, t,
+       |    unnest(list_concat([bucket],
+       |      list_transform(generate_series(0, ${VectorOps.DefaultLshBits - 1}),
+       |        j -> xor(bucket, CAST(1 << j AS BIGINT))))) AS bucket
+       |  FROM bucketed WHERE vec_id % 10 = 0)
+       |SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS b_id,
+       |  round((list_dot_product(a.v, b.v)/(a.nrm*b.nrm))*1e6)/1e6 + 0.0 AS sim6
+       |FROM probes a JOIN standing b ON a.t = b.t AND a.bucket = b.bucket
+       |WHERE round((list_dot_product(a.v, b.v)/(a.nrm*b.nrm))*1e6)/1e6
+       |  >= $SimThreshold
+       |ORDER BY q_id, b_id""".stripMargin
+  }
+}

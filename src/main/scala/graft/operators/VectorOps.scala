@@ -25,7 +25,7 @@ import graft.sources.Tables
   */
 object VectorOps {
 
-  private def roundSafe6(c: Column): Column = round(c * 1e6, 0) / 1e6 + 0.0
+  private[operators] def roundSafe6(c: Column): Column = round(c * 1e6, 0) / 1e6 + 0.0
 
   /** embeddings with exact float→double cast, per-row L2 norm, renamed for
     * self-join (`<p>id`, `<p>v`, `<p>nrm`, `<p>label`).
@@ -39,10 +39,10 @@ object VectorOps {
         col("nrm").as(s"${p}nrm"), col("label").as(s"${p}label"))
   }
 
-  private def cosine(av: String, bv: String, an: String, bn: String): Column =
+  private[operators] def cosine(av: String, bv: String, an: String, bn: String): Column =
     VectorExpressions.dot(col(av), col(bv)) / (col(an) * col(bn))
 
-  private val SqlVecs =
+  private[operators] val SqlVecs =
     """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label,
       |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
       |  FROM embeddings)""".stripMargin
@@ -120,7 +120,7 @@ object VectorOps {
   // Hyperplane signs derive from md5 high-nibbles of "t|j|i" (identical
   // constants in both engines, no RNG).
   // ------------------------------------------------------------------
-  private val LshTables = 6
+  private[operators] val LshTables = 6
   /** Floor (and every-test-scale value) of the B(N) rule. */
   val DefaultLshBits = 8
   /** Per-table bucket-size target the B(N) rule holds: bucket ≈ N/2^B. */
@@ -162,13 +162,13 @@ object VectorOps {
       }
     })
 
-  private def bucketExprSpark(t: Int, bits: Int): Column =
+  private[operators] def bucketExprSpark(t: Int, bits: Int): Column =
     (0 until bits).map { j =>
       when(VectorExpressions.dot(col("v"), typedLit(planes(bits)(t)(j))) >= 0,
         lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  private def bucketExprSqlDuck(t: Int, bits: Int): String = {
+  private[operators] def bucketExprSqlDuck(t: Int, bits: Int): String = {
     val terms = (0 until bits).map { j =>
       val fold = s"list_sum(list_transform(generate_series(0, ${Dim - 1}), " +
         s"i -> v[i + 1] * (CASE WHEN instr('89abcdef', substring(md5('$t|$j|' || CAST(i AS VARCHAR)), 1, 1)) > 0 THEN 1.0 ELSE -1.0 END)))"
