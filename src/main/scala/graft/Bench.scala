@@ -136,7 +136,7 @@ object Bench {
     if (selected("q191_stream_vec_gate")) {
       val tw = System.nanoTime()
       graft.operators.ZIndex.ensure(spark, sfDir,
-        graft.operators.VecGate.Lsh)
+        graft.operators.VecGate.lshFor(spark, sfDir))
       val w = (System.nanoTime() - tw) / 1e9
       prewarmZ += w
       System.err.println(s"[bench] prewarm_vec_lsh_index ${fmt(w)}")

@@ -29,66 +29,84 @@ import graft.sources.Tables
   * The THRESHOLD shape is deliberate: top-k per query (q49's output)
   * is an aggregation a no-watermark stream cannot legally run; the
   * dedup-gate question — "is this vector a near-duplicate of anything
-  * standing?" — is a threshold filter, stateless by nature. The index
-  * pins B = [[VectorOps.DefaultLshBits]] (the B(N) floor every test
-  * scale resolves to — the oracle is static SQL at that width); a
-  * production reshard to a wider B is a rebuild, exactly like the
-  * periodic recluster every clustered layout amortizes.
+  * standing?" — is a threshold filter, stateless by nature.
+  *
+  * The index width follows the [[VectorOps.lshBitsFor]] B(N) rule
+  * (every verify/bench corpus resolves to the floor B=8, which is what
+  * lets the static DuckDB oracle pin that width); the width is stamped
+  * into the LAYOUT NAME, so a corpus growing past a rule boundary
+  * reshards into a fresh layout — a full rebuild, exactly the periodic
+  * recluster every clustered layout amortizes — while same-width
+  * appends stay O(delta) against the standing generations.
   *
   * At 100 TB: the index is L rows per standing vector partitioned by
-  * (t, bucket); a batch fans to L·(B+1) probe keys per vector and the
-  * join touches only matching buckets (≈ TargetBucket rows each) — no
-  * stream-side state, no corpus scan, at any stream volume. */
+  * (t, bucket) at a width that keeps buckets ≈32 rows; a batch fans to
+  * L·(B+1) probe keys per vector and the join touches only matching
+  * buckets — no stream-side state, no corpus scan, at any stream
+  * volume. */
 object VecGate {
 
   private val SimThreshold = 0.4
 
   /** The standing sign-LSH index rows of an embeddings frame:
-    * (vec_id, v, nrm, t, bucket) — the q49 construction at the pinned
+    * (vec_id, v, nrm, t, bucket) — the q49 construction at the given
     * bit width, vectors riding the rows (the measured-faster shape:
     * the slim-index/rejoin variant shipped every candidate through two
     * more exchanges). */
-  private def indexRows(df: DataFrame): DataFrame = {
+  private def indexRows(df: DataFrame, bits: Int): DataFrame = {
     VectorExpressions.register(df.sparkSession)
     val bucketCols = (0 until VectorOps.LshTables)
-      .map(t => VectorOps.bucketExprSpark(t, VectorOps.DefaultLshBits))
+      .map(t => VectorOps.bucketExprSpark(t, bits))
     df.withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm", sqrt(VectorExpressions.dot(col("v"), col("v"))))
       .select(col("vec_id"), col("v"), col("nrm"),
         posexplode(array(bucketCols: _*)).as(Seq("t", "bucket")))
   }
 
-  /** The durable standing index: (t, bucket)-range-clustered — the
-    * probe join's partition axis. */
-  private[graft] val Lsh = ZTable("vec_lsh_index",
+  /** The durable standing index at a bit width: (t, bucket)-range-
+    * clustered — the probe join's partition axis. The width rides the
+    * layout NAME (see object doc: width change = reshard). */
+  private[graft] def lshTable(bits: Int): ZTable = ZTable(
+    s"vec_lsh_index_b$bits",
     d => s"$d/embeddings.parquet",
     (s, d) => Tables.embeddings(s, d),
     "vec_id", "vec_id", 12, // informational; clusterWith overrides
     clusterWith = Some((df, n) => df.repartitionByRange(n,
       col("t"), col("bucket")).sortWithinPartitions(col("t"), col("bucket"))),
-    prep = Some(df => indexRows(df.filter(col("vec_id") % 10 =!= 0))))
+    prep = Some(df => indexRows(df.filter(col("vec_id") % 10 =!= 0), bits)))
 
-  private[graft] def standingIndex(spark: SparkSession, dir: String)
-      : DataFrame = {
-    val entries = ZIndex.resolveEntries(spark, dir, Lsh)
+  /** The B(N) width for a corpus dir — one metadata-cheap count, the
+    * same resolution q49 performs per query. */
+  private[graft] def bitsFor(spark: SparkSession, dir: String): Int =
+    VectorOps.lshBitsFor(Tables.embeddings(spark, dir).count())
+
+  /** The corpus's current-width index table (Bench prewarm pricing,
+    * gate resolution). */
+  def lshFor(spark: SparkSession, dir: String): ZTable =
+    lshTable(bitsFor(spark, dir))
+
+  private[graft] def standingIndex(spark: SparkSession, dir: String,
+      bits: Int): DataFrame = {
+    val entries = ZIndex.resolveEntries(spark, dir, lshTable(bits))
     spark.read.parquet(entries.map(_.status.getPath.toString): _*)
   }
 
-  private def standingSide(spark: SparkSession, dir: String): DataFrame =
-    standingIndex(spark, dir)
+  private def standingSide(spark: SparkSession, dir: String, bits: Int)
+      : DataFrame =
+    standingIndex(spark, dir, bits)
       .select(col("vec_id").as("b_id"), col("v").as("b_v"),
         col("nrm").as("b_nrm"), col("t"), col("bucket"))
 
-  private def querySide(incoming: DataFrame): DataFrame =
-    indexRows(incoming)
+  private def querySide(incoming: DataFrame, bits: Int): DataFrame =
+    indexRows(incoming, bits)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"),
         col("nrm").as("q_nrm"), col("t"), col("bucket"))
 
   /** The gate plan shared by the stream and its batch twin: multi-probe
     * fan-out (own bucket + the B one-bit flips), (t, bucket) equi-join,
     * exact-cosine threshold, multi-probe pair dedup. */
-  private def gatePlan(signed: DataFrame, standing: DataFrame): DataFrame = {
-    val bits = VectorOps.DefaultLshBits
+  private def gatePlan(signed: DataFrame, standing: DataFrame,
+      bits: Int): DataFrame = {
     val probeCols: Seq[Column] = col("bucket") +:
       (0 until bits).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
     val probes = signed.select(col("q_id"), col("q_v"), col("q_nrm"),
@@ -105,10 +123,14 @@ object VecGate {
     * dedup over the same standing index, executed as one batch query
     * (VecGateSpec pins stream == batch). */
   private[graft] def batchGate(spark: SparkSession, dir: String): DataFrame =
+    batchGateAt(spark, dir, bitsFor(spark, dir))
+
+  private[graft] def batchGateAt(spark: SparkSession, dir: String,
+      bits: Int): DataFrame =
     gatePlan(
       querySide(Tables.embeddings(spark, dir)
-        .filter(col("vec_id") % 10 === 0)),
-      standingSide(spark, dir))
+        .filter(col("vec_id") % 10 === 0), bits),
+      standingSide(spark, dir, bits), bits)
 
   /** q191 — see object doc. Output: one row per (incoming vector,
     * standing near-duplicate) at cos ≥ 0.4, with the rounded cosine. */
@@ -120,9 +142,10 @@ object VecGate {
     val emb = Tables.embeddings(spark, dir)
     emb.filter(col("vec_id") % 10 === 0)
       .write.mode("overwrite").parquet(feedDir)
+    val bits = bitsFor(spark, dir)
     val gated = gatePlan(
-      querySide(spark.readStream.schema(emb.schema).parquet(feedDir)),
-      standingSide(spark, dir))
+      querySide(spark.readStream.schema(emb.schema).parquet(feedDir), bits),
+      standingSide(spark, dir, bits), bits)
     val q = gated.writeStream
       .outputMode(OutputMode.Append)
       .format("parquet")
@@ -142,7 +165,8 @@ object VecGate {
 
   /** DuckDB oracle: the identical split, buckets, probes, and
     * threshold off the raw table (B pinned at the floor — the same
-    * static-width convention as [[VectorOps.q49Sql]]). */
+    * static-width convention as [[VectorOps.q49Sql]]; every test
+    * corpus resolves there). */
   val q191Sql: String = {
     val tables = (0 until VectorOps.LshTables).map { t =>
       s"SELECT vec_id, v, nrm, $t AS t, " +

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{VecGate, ZIndex}
+import graft.operators.{VecGate, VectorOps, ZIndex}
 
 /** q191 — the streaming embedding near-dup gate over the durable
   * sign-LSH index. Pins:
@@ -118,6 +118,32 @@ class VecGateSpec extends SparkSpec {
         "an append must run the incremental index path")
       assert(after.contains((10L, 1001L)),
         s"the newly-standing duplicate must gate incoming id 10: $after")
+    }
+  }
+
+  test("a wider width is a RESHARD into a fresh layout (full build), " +
+      "and the gate keeps its guaranteed recall at the new width") {
+    // every test corpus resolves to the B(N) floor — the precondition
+    // for the static-width DuckDB oracle
+    assert(VectorOps.lshBitsFor(300) === VectorOps.DefaultLshBits)
+    val dir = TempDirs.create("graft_vecgate_corp3")
+    val ids = 0 until 300
+    embs(ids).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    withConfs("spark.graft.zindex.dir" ->
+        TempDirs.create("graft_vecgate_root3")) {
+      ZIndex.clearMemo()
+      rows(VecGate.batchGate(spark, dir)) // arm the B=8 layout
+      val builds0 = ZIndex.zBuilds.get()
+      val wide = rows(VecGate.batchGateAt(spark, dir,
+        VectorOps.DefaultLshBits + 1))
+      assert(ZIndex.zBuilds.get() === builds0 + 1,
+        "a new width must land as a separate full layout build")
+      val dups = ids.filter(_ % 20 == 0)
+        .map(i => (i.toLong, (i + 1).toLong)).toSet
+      val got = wide.map(t => (t._1, t._2)).toSet
+      assert(dups.subsetOf(got),
+        s"exact duplicates missed at the resharded width: ${dups -- got}")
     }
   }
 }
