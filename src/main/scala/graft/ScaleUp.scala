@@ -65,9 +65,13 @@ object ScaleUp {
           s"$t.$c max $m >= stride $Stride: replica keys would collide")
       }
     }
-    // one scan fanned out `factor`× — no shuffle, writers parallelize
+    // one scan fanned out `factor`×; the fan preserves the source's
+    // (often single-file) partitioning, so spread the output across
+    // the box — a one-file replica serializes every reader task and
+    // measures the fixture, not the engine (the r16 q191 lesson)
     def fan(t: String): DataFrame =
       src(t).crossJoin(broadcast(spark.range(factor).toDF("__r")))
+        .repartition(32)
     def off(c: String): org.apache.spark.sql.Column =
       col(c) + col("__r") * Stride
 

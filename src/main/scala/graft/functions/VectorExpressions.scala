@@ -72,9 +72,11 @@ object VectorExpressions {
   private val FnName = "graft_dot_product"
 
   /** Idempotent session registration; returns a Column-level handle. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       FnName, exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    LshSignBuckets.register(spark)
+  }
 
   /** `dot(a, b)` over array<double> columns (register first). */
   def dot(a: Column, b: Column): Column = call_function(FnName, a, b)

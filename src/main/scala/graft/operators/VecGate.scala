@@ -55,24 +55,34 @@ object VecGate {
     * more exchanges). */
   private def indexRows(df: DataFrame, bits: Int): DataFrame = {
     VectorExpressions.register(df.sparkSession)
-    val bucketCols = (0 until VectorOps.LshTables)
-      .map(t => VectorOps.bucketExprSpark(t, bits))
     df.withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm", sqrt(VectorExpressions.dot(col("v"), col("v"))))
       .select(col("vec_id"), col("v"), col("nrm"),
-        posexplode(array(bucketCols: _*)).as(Seq("t", "bucket")))
+        posexplode(graft.functions.LshSignBuckets.buckets(
+          col("v"), VectorOps.LshTables, bits)).as(Seq("t", "bucket")))
   }
 
   /** The durable standing index at a bit width: (t, bucket)-range-
     * clustered — the probe join's partition axis. The width rides the
-    * layout NAME (see object doc: width change = reshard). */
+    * layout NAME (see object doc: width change = reshard).
+    *
+    * The prep (sign + explode) is EXPENSIVE, and range partitioning
+    * evaluates its input twice (the sampling pass scans every row
+    * before the shuffle pass does) — so the build materializes the
+    * signed rows once and range-partitions the materialization. At
+    * cluster scale the same one-evaluation discipline lands on
+    * reliable storage instead of executor blocks. */
   private[graft] def lshTable(bits: Int): ZTable = ZTable(
     s"vec_lsh_index_b$bits",
     d => s"$d/embeddings.parquet",
     (s, d) => Tables.embeddings(s, d),
     "vec_id", "vec_id", 12, // informational; clusterWith overrides
-    clusterWith = Some((df, n) => df.repartitionByRange(n,
-      col("t"), col("bucket")).sortWithinPartitions(col("t"), col("bucket"))),
+    clusterWith = Some { (df, n) =>
+      val once = df.localCheckpoint(true)
+      graft.util.Checkpoints.track(once)
+      once.repartitionByRange(n, col("t"), col("bucket"))
+        .sortWithinPartitions(col("t"), col("bucket"))
+    },
     prep = Some(df => indexRows(df.filter(col("vec_id") % 10 =!= 0), bits)))
 
   /** The B(N) width for a corpus dir — one metadata-cheap count, the
@@ -97,21 +107,42 @@ object VecGate {
       .select(col("vec_id").as("b_id"), col("v").as("b_v"),
         col("nrm").as("b_nrm"), col("t"), col("bucket"))
 
-  private def querySide(incoming: DataFrame, bits: Int): DataFrame =
-    indexRows(incoming, bits)
-      .select(col("vec_id").as("q_id"), col("v").as("q_v"),
-        col("nrm").as("q_nrm"), col("t"), col("bucket"))
-
-  /** The gate plan shared by the stream and its batch twin: multi-probe
-    * fan-out (own bucket + the B one-bit flips), (t, bucket) equi-join,
-    * exact-cosine threshold, multi-probe pair dedup. */
-  private def gatePlan(signed: DataFrame, standing: DataFrame,
+  /** The gate plan shared by the stream's batches and the batch twin,
+    * shaped so NOTHING corpus-scale ever moves (the first cut SMJ'd the
+    * standing index against vector-fat probes — 1.4 GB exchanged + two
+    * sorts per run at the 200k replica; the q173 lesson applied):
+    *
+    *   - SLIM probes: the multi-probe fan-out (own bucket + the B
+    *     one-bit flips) carries (q_id, t, bucket) only — the incoming
+    *     vectors do NOT ride the 6·(B+1)× explode;
+    *   - the probes BROADCAST onto the standing scan: the index files
+    *     stream through a BroadcastHashJoin in place, un-shuffled and
+    *     un-sorted — per-batch cost is one index scan, and the moved
+    *     bytes are O(batch), never O(corpus);
+    *   - the incoming vectors broadcast once more (one row per vector)
+    *     for the inline exact-cosine verify, then threshold, then pair
+    *     dedup (the only exchange, over final pairs).
+    *
+    * Both joins pipeline in one whole-stage-codegen pass over the
+    * index. Broadcast size is bounded by the micro-batch, not the
+    * corpus — maxFilesPerTrigger/maxBytesPerTrigger is the governor at
+    * production volume. */
+  private def gatePlan(incoming: DataFrame, standing: DataFrame,
       bits: Int): DataFrame = {
+    VectorExpressions.register(incoming.sparkSession)
     val probeCols: Seq[Column] = col("bucket") +:
       (0 until bits).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
-    val probes = signed.select(col("q_id"), col("q_v"), col("q_nrm"),
-      col("t"), explode(array(probeCols: _*)).as("bucket"))
-    probes.join(standing, Seq("t", "bucket"))
+    val slimProbes = indexRows(incoming, bits)
+      .select(col("vec_id").as("q_id"), col("t"),
+        explode(array(probeCols: _*)).as("bucket"))
+    val qVecs = incoming
+      .withColumn("q_v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("q_nrm",
+        sqrt(VectorExpressions.dot(col("q_v"), col("q_v"))))
+      .select(col("vec_id").as("q_id"), col("q_v"), col("q_nrm"))
+    standing
+      .join(broadcast(slimProbes), Seq("t", "bucket"))
+      .join(broadcast(qVecs), Seq("q_id"))
       .withColumn("sim6", VectorOps.roundSafe6(
         VectorOps.cosine("q_v", "b_v", "q_nrm", "b_nrm")))
       .filter(col("sim6") >= SimThreshold)
@@ -119,7 +150,7 @@ object VecGate {
       .dropDuplicates("q_id", "b_id")
   }
 
-  /** The gate's batch twin — identical probes, join, threshold, and
+  /** The gate's batch twin — identical probes, joins, threshold, and
     * dedup over the same standing index, executed as one batch query
     * (VecGateSpec pins stream == batch). */
   private[graft] def batchGate(spark: SparkSession, dir: String): DataFrame =
@@ -128,14 +159,21 @@ object VecGate {
   private[graft] def batchGateAt(spark: SparkSession, dir: String,
       bits: Int): DataFrame =
     gatePlan(
-      querySide(Tables.embeddings(spark, dir)
-        .filter(col("vec_id") % 10 === 0), bits),
+      Tables.embeddings(spark, dir).filter(col("vec_id") % 10 === 0),
       standingSide(spark, dir, bits), bits)
 
   /** q191 — see object doc. Output: one row per (incoming vector,
-    * standing near-duplicate) at cos ≥ 0.4, with the rounded cosine. */
+    * standing near-duplicate) at cos ≥ 0.4, with the rounded cosine.
+    *
+    * foreachBatch, deliberately: the probe side must be the BROADCAST
+    * build side (see [[gatePlan]]) and a streaming side can never
+    * broadcast in a stream-static join — inside foreachBatch each
+    * micro-batch is a plain DataFrame, so the flipped plan applies
+    * per batch. Pair dedup per batch equals the global dedup for this
+    * feed: a file-sourced append stream delivers each incoming vector
+    * in exactly one batch, and pairs are keyed by the incoming id. */
   def q191StreamVecGate(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import org.apache.spark.sql.streaming.Trigger
     val base = java.nio.file.Files
       .createTempDirectory("graft_vec_stream_").toString
     val (feedDir, ckpt, outPath) = (s"$base/feed", s"$base/ckpt", s"$base/out")
@@ -143,13 +181,13 @@ object VecGate {
     emb.filter(col("vec_id") % 10 === 0)
       .write.mode("overwrite").parquet(feedDir)
     val bits = bitsFor(spark, dir)
-    val gated = gatePlan(
-      querySide(spark.readStream.schema(emb.schema).parquet(feedDir), bits),
-      standingSide(spark, dir, bits), bits)
-    val q = gated.writeStream
-      .outputMode(OutputMode.Append)
-      .format("parquet")
-      .option("path", outPath)
+    val standing = standingSide(spark, dir, bits)
+    val q = spark.readStream.schema(emb.schema).parquet(feedDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        gatePlan(batch, standing, bits)
+          .write.mode("append").parquet(outPath)
+      }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()

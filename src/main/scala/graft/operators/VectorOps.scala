@@ -162,7 +162,7 @@ object VectorOps {
       }
     })
 
-  private[operators] def bucketExprSpark(t: Int, bits: Int): Column =
+  private[graft] def bucketExprSpark(t: Int, bits: Int): Column =
     (0 until bits).map { j =>
       when(VectorExpressions.dot(col("v"), typedLit(planes(bits)(t)(j))) >= 0,
         lit(1L << j)).otherwise(lit(0L))
@@ -189,12 +189,12 @@ object VectorOps {
     */
   private def lshIndex(spark: SparkSession, dir: String, bits: Int): DataFrame = {
     VectorExpressions.register(spark)
-    val bucketCols = (0 until LshTables).map(t => bucketExprSpark(t, bits))
     Tables.embeddings(spark, dir)
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm", sqrt(VectorExpressions.dot(col("v"), col("v"))))
       .select(col("vec_id"), col("v"), col("nrm"),
-        posexplode(array(bucketCols: _*)).as(Seq("t", "bucket")))
+        posexplode(graft.functions.LshSignBuckets.buckets(
+          col("v"), LshTables, bits)).as(Seq("t", "bucket")))
   }
 
   /** Corpus size for the B(N) rule — one metadata-cheap count per call. */
