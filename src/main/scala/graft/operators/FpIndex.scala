@@ -50,9 +50,18 @@ object FpIndex {
   }
 
   /** q190 — see object doc. Output: the batch docs (doc_id % 10 == 0,
-    * the q86 split) whose fingerprint is NOT in the standing index. */
+    * the q86 split) whose fingerprint is NOT in the standing index.
+    *
+    * foreachBatch, deliberately (the q191 shape): the standing index
+    * is corpus-scale, so the stream-static anti-join would re-shuffle
+    * it EVERY micro-batch — flipped, the batch's fingerprints
+    * broadcast onto one standing scan to find the PRESENT set (≤ batch
+    * rows), and the anti-join against that set is a second broadcast.
+    * Per-batch moved bytes are O(batch), never O(corpus); the
+    * membership-only contract (within-batch duplicates both pass) is
+    * untouched. */
   def q190StreamNoveltyGate(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import org.apache.spark.sql.streaming.Trigger
     val base = java.nio.file.Files
       .createTempDirectory("graft_fp_stream_").toString
     val (feedDir, ckpt, outPath) = (s"$base/feed", s"$base/ckpt", s"$base/out")
@@ -60,14 +69,17 @@ object FpIndex {
     docs.filter(col("doc_id") % 10 === 0)
       .write.mode("overwrite").parquet(feedDir)
     val standing = standingFps(spark, dir)
-    val gated = spark.readStream.schema(docs.schema).parquet(feedDir)
-      .select(col("doc_id"), md5(col("text")).as("fp"))
-      .join(standing, Seq("fp"), "left_anti")
-      .select(col("doc_id"), col("fp"))
-    val q = gated.writeStream
-      .outputMode(OutputMode.Append)
-      .format("parquet")
-      .option("path", outPath)
+    val q = spark.readStream.schema(docs.schema).parquet(feedDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val probes = batch.select(col("doc_id"), md5(col("text")).as("fp"))
+        val present = standing
+          .join(broadcast(probes.select(col("fp"))), Seq("fp"))
+          .select(col("fp")).distinct()
+        probes.join(broadcast(present), Seq("fp"), "left_anti")
+          .select(col("doc_id"), col("fp"))
+          .write.mode("append").parquet(outPath)
+      }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()

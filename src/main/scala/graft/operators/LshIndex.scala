@@ -171,46 +171,62 @@ object LshIndex {
     * `Trigger.AvailableNow`, so the gate's output equals the batch
     * query exactly — the oracle is [[q184Sql]] verbatim, and
     * LshIndexSpec pins row equality against [[q184LshIncremental]].
-    * At 100 TB: per-batch cost is O(batch docs × 4 band rows) against
-    * a band table the planner can broadcast from the index's honest
-    * size — no corpus re-read at any stream volume. */
+    *
+    * foreachBatch, deliberately (the q191 shape): the standing band
+    * table is corpus-scale, so the stream-static equi-join would
+    * re-shuffle it EVERY micro-batch — inside foreachBatch the
+    * micro-batch is a plain DataFrame, and the flipped plan broadcasts
+    * the batch's SLIM band rows (4/doc, no signatures) onto one
+    * standing scan, then broadcasts the batch signatures (one row/doc)
+    * for the agreement verify. Per-batch moved bytes are O(batch),
+    * never O(corpus); per-batch pair dedup equals the global dedup
+    * because a file-sourced feed delivers each doc in exactly one
+    * batch. At 100 TB: per-batch cost is one index scan plus O(batch
+    * docs × 4 band rows) broadcast — no corpus re-read, nothing
+    * corpus-scale moved, at any stream volume. */
   def q189StreamNearDup(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import org.apache.spark.sql.streaming.Trigger
     val base = java.nio.file.Files
       .createTempDirectory("graft_lsh_stream_").toString
     val (feedDir, ckpt, outPath) = (s"$base/feed", s"$base/ckpt", s"$base/out")
     val docs = Tables.documents(spark, dir)
     docs.filter(col("doc_id") % 10 === 0)
       .write.mode("overwrite").parquet(feedDir)
-    val standing = standingSigs(spark, dir)
-    val stream = spark.readStream.schema(docs.schema).parquet(feedDir)
-    val sigCols = (0 until NumHashes).map(i =>
-      expr(s"array_min(transform(__sh, s -> md5(concat('$i|', s))))")
-        .as(s"h$i"))
-    val signed = stream
-      .withColumn("toks", split(trim(col("text")), "\\s+"))
-      // the r15 short-doc trap again: the filter, not a clamp
-      .filter(size(col("toks")) >= 3)
-      .withColumn("__sh", expr(
-        "transform(sequence(1, size(toks) - 2), " +
-          "i -> concat_ws(' ', slice(toks, i, 3)))"))
-      .select(col("doc_id") +: sigCols: _*)
+    val standingBands = bandsWithSigs(standingSigs(spark, dir),
+      "match_id", "s")
     val agree: Column = (0 until NumHashes).map(i =>
       when(col(s"b$i") === col(s"s$i"), 1L).otherwise(0L)).reduce(_ + _)
-    val gated = bandsWithSigs(signed, "doc_id", "b")
-      .join(bandsWithSigs(standing, "match_id", "s"),
-        Seq("band_id", "band_hash"))
-      .withColumn("n_agree", agree)
-      .filter(col("n_agree") >= MinAgree)
-      .withColumn("est_jaccard",
-        col("n_agree").cast("double") / NumHashes)
-      .select(col("doc_id"), col("match_id"), col("n_agree"),
-        col("est_jaccard"))
-      .dropDuplicates("doc_id", "match_id")
-    val q = gated.writeStream
-      .outputMode(OutputMode.Append)
-      .format("parquet")
-      .option("path", outPath)
+    val q = spark.readStream.schema(docs.schema).parquet(feedDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // per-row signing (array_min over the in-row shingle array —
+        // duplicates cannot change a min, so no DISTINCT is needed)
+        val sigCols = (0 until NumHashes).map(i =>
+          expr(s"array_min(transform(__sh, s -> md5(concat('$i|', s))))")
+            .as(s"h$i"))
+        val signed = batch
+          .withColumn("toks", split(trim(col("text")), "\\s+"))
+          // the r15 short-doc trap again: the filter, not a clamp
+          .filter(size(col("toks")) >= 3)
+          .withColumn("__sh", expr(
+            "transform(sequence(1, size(toks) - 2), " +
+              "i -> concat_ws(' ', slice(toks, i, 3)))"))
+          .select(col("doc_id") +: sigCols: _*)
+        val slimBands = bandsOf(signed, "doc_id")
+        val batchSigs = signed.select(col("doc_id") +:
+          (0 until NumHashes).map(i => col(s"h$i").as(s"b$i")): _*)
+        standingBands
+          .join(broadcast(slimBands), Seq("band_id", "band_hash"))
+          .join(broadcast(batchSigs), Seq("doc_id"))
+          .withColumn("n_agree", agree)
+          .filter(col("n_agree") >= MinAgree)
+          .withColumn("est_jaccard",
+            col("n_agree").cast("double") / NumHashes)
+          .select(col("doc_id"), col("match_id"), col("n_agree"),
+            col("est_jaccard"))
+          .dropDuplicates("doc_id", "match_id")
+          .write.mode("append").parquet(outPath)
+      }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
