@@ -66,7 +66,8 @@ object FpIndex {
       .createTempDirectory("graft_fp_stream_").toString
     val (feedDir, ckpt, outPath) = (s"$base/feed", s"$base/ckpt", s"$base/out")
     val docs = Tables.documents(spark, dir)
-    docs.filter(col("doc_id") % 10 === 0)
+    // spread the feed so each micro-batch hashes in parallel
+    docs.filter(col("doc_id") % 10 === 0).repartition(32)
       .write.mode("overwrite").parquet(feedDir)
     val standing = standingFps(spark, dir)
     val q = spark.readStream.schema(docs.schema).parquet(feedDir)

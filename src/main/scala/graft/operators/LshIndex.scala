@@ -190,7 +190,10 @@ object LshIndex {
       .createTempDirectory("graft_lsh_stream_").toString
     val (feedDir, ckpt, outPath) = (s"$base/feed", s"$base/ckpt", s"$base/out")
     val docs = Tables.documents(spark, dir)
-    docs.filter(col("doc_id") % 10 === 0)
+    // spread the feed: a near-single-file feed serializes the signing
+    // tasks of every micro-batch (the md5 minhash is the gate's only
+    // CPU-dense step — it must parallelize)
+    docs.filter(col("doc_id") % 10 === 0).repartition(32)
       .write.mode("overwrite").parquet(feedDir)
     val standingBands = bandsWithSigs(standingSigs(spark, dir),
       "match_id", "s")
@@ -212,6 +215,11 @@ object LshIndex {
             "transform(sequence(1, size(toks) - 2), " +
               "i -> concat_ws(' ', slice(toks, i, 3)))"))
           .select(col("doc_id") +: sigCols: _*)
+          // both broadcasts derive from the signatures — materialize
+          // them ONCE per batch (the md5 minhash is the expensive
+          // step; without this each broadcast re-signs the batch)
+          .localCheckpoint(true)
+        graft.util.Checkpoints.track(signed)
         val slimBands = bandsOf(signed, "doc_id")
         val batchSigs = signed.select(col("doc_id") +:
           (0 until NumHashes).map(i => col(s"h$i").as(s"b$i")): _*)

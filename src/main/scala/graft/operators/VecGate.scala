@@ -178,7 +178,8 @@ object VecGate {
       .createTempDirectory("graft_vec_stream_").toString
     val (feedDir, ckpt, outPath) = (s"$base/feed", s"$base/ckpt", s"$base/out")
     val emb = Tables.embeddings(spark, dir)
-    emb.filter(col("vec_id") % 10 === 0)
+    // spread the feed so each micro-batch signs in parallel
+    emb.filter(col("vec_id") % 10 === 0).repartition(32)
       .write.mode("overwrite").parquet(feedDir)
     val bits = bitsFor(spark, dir)
     val standing = standingSide(spark, dir, bits)
