@@ -174,6 +174,11 @@ object VecGate {
     * in exactly one batch, and pairs are keyed by the incoming id. */
   def q191StreamVecGate(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
+    // register on the MAIN session before the stream starts: the
+    // micro-batch runs under a session CLONE whose function registry
+    // is copied from here — registering only inside the per-batch
+    // plan build is too late when no prior query armed this JVM
+    VectorExpressions.register(spark)
     val base = java.nio.file.Files
       .createTempDirectory("graft_vec_stream_").toString
     val (feedDir, ckpt, outPath) = (s"$base/feed", s"$base/ckpt", s"$base/out")
