@@ -163,9 +163,10 @@ object LshIndex {
     * durable index's band rows (the static side is the q184 layout —
     * KB-per-thousand-docs, resolved once per run); verification is
     * the signature-agreement estimate computed on the joined row
-    * (both signatures ride the band rows — [[bandsWithSigs]]); and
-    * `dropDuplicates` collapses multi-band matches (the q73 streaming
-    * dedup shape, state bounded by emitted pairs).
+    * (the standing signatures ride the band rows — [[bandsWithSigs]] —
+    * and the batch's broadcast once per batch); `dropDuplicates`
+    * collapses multi-band matches within the batch (no streaming
+    * state — see the foreachBatch paragraph below).
     *
     * The bounded feed (the q184 split's batch half) drains under
     * `Trigger.AvailableNow`, so the gate's output equals the batch

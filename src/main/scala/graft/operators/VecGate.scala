@@ -17,14 +17,15 @@ import graft.sources.Tables
   * corpus statistics), mutation → rebuild, and the gate never re-reads
   * the corpus embeddings.
   *
-  * Stateless per row except the final pair dedup: the L=6 bucket keys
-  * are pure sign projections against literal hyperplanes (the
-  * [[VectorOps.bucketExprSpark]] expressions — Append mode, no
-  * watermark), multi-probe fans each row to its bucket plus the B
-  * one-bit flips, candidates come from the stream-static (t, bucket)
-  * equi-join against the stored index rows (vectors ride the index, so
-  * the exact-cosine verify is a projection of the joined row), and
-  * `dropDuplicates` collapses multi-probe matches.
+  * Stateless per row except the per-batch pair dedup: the L=6 bucket
+  * keys are pure sign projections against literal hyperplanes (the
+  * fused [[graft.functions.LshSignBuckets]] expression — no watermark,
+  * no streaming state), multi-probe fans each row to its bucket plus
+  * the B one-bit flips, candidates come from the (t, bucket) equi-join
+  * against the stored index rows (vectors ride the index, so the
+  * exact-cosine verify is a projection of the joined row), and
+  * `dropDuplicates` collapses multi-probe matches within the batch —
+  * see [[q191StreamVecGate]] for why that equals the global dedup.
   *
   * The THRESHOLD shape is deliberate: top-k per query (q49's output)
   * is an aggregation a no-watermark stream cannot legally run; the
@@ -37,12 +38,14 @@ import graft.sources.Tables
   * into the LAYOUT NAME, so a corpus growing past a rule boundary
   * reshards into a fresh layout — a full rebuild, exactly the periodic
   * recluster every clustered layout amortizes — while same-width
-  * appends stay O(delta) against the standing generations.
+  * appends stay O(delta) against the standing generations. (The
+  * superseded width's directory is left for the operator to drop, like
+  * any retired layout generation.)
   *
-  * At 100 TB: the index is L rows per standing vector partitioned by
-  * (t, bucket) at a width that keeps buckets ≈32 rows; a batch fans to
-  * L·(B+1) probe keys per vector and the join touches only matching
-  * buckets — no stream-side state, no corpus scan, at any stream
+  * At 100 TB: the index is L rows per standing vector at a width that
+  * keeps buckets ≈32 rows; per batch the gate pays ONE scan of the
+  * index — the raw embeddings corpus is never re-read — plus O(batch)
+  * broadcast bytes, with no stream-side state, at any stream
   * volume. */
 object VecGate {
 
