@@ -70,7 +70,11 @@ object FpIndex {
     docs.filter(col("doc_id") % 10 === 0).repartition(32)
       .write.mode("overwrite").parquet(feedDir)
     val standing = standingFps(spark, dir)
-    val q = spark.readStream.schema(docs.schema).parquet(feedDir)
+    // production batch-size governor — see VecGate.q191StreamVecGate
+    val reader = spark.readStream.schema(docs.schema)
+    spark.conf.getOption("spark.graft.gate.maxFilesPerTrigger")
+      .foreach(v => reader.option("maxFilesPerTrigger", v))
+    val q = reader.parquet(feedDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val probes = batch.select(col("doc_id"), md5(col("text")).as("fp"))

@@ -200,7 +200,11 @@ object LshIndex {
       "match_id", "s")
     val agree: Column = (0 until NumHashes).map(i =>
       when(col(s"b$i") === col(s"s$i"), 1L).otherwise(0L)).reduce(_ + _)
-    val q = spark.readStream.schema(docs.schema).parquet(feedDir)
+    // production batch-size governor — see VecGate.q191StreamVecGate
+    val reader = spark.readStream.schema(docs.schema)
+    spark.conf.getOption("spark.graft.gate.maxFilesPerTrigger")
+      .foreach(v => reader.option("maxFilesPerTrigger", v))
+    val q = reader.parquet(feedDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // per-row signing (array_min over the in-row shingle array —

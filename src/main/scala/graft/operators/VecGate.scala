@@ -191,7 +191,15 @@ object VecGate {
       .write.mode("overwrite").parquet(feedDir)
     val bits = bitsFor(spark, dir)
     val standing = standingSide(spark, dir, bits)
-    val q = spark.readStream.schema(emb.schema).parquet(feedDir)
+    // the production batch-size governor (bounds the per-batch
+    // broadcast): unset = drain in one batch, the test default.
+    // Per-batch dedup stays equal to global dedup at ANY batching —
+    // each feed file (hence each vector) lands in exactly one batch
+    // (VecGateSpec pins equality at maxFilesPerTrigger=1)
+    val reader = spark.readStream.schema(emb.schema)
+    spark.conf.getOption("spark.graft.gate.maxFilesPerTrigger")
+      .foreach(v => reader.option("maxFilesPerTrigger", v))
+    val q = reader.parquet(feedDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         gatePlan(batch, standing, bits)

@@ -121,6 +121,23 @@ class VecGateSpec extends SparkSpec {
     }
   }
 
+  test("many tiny micro-batches (maxFilesPerTrigger=1) emit exactly " +
+      "the single-batch result — per-batch dedup equals global dedup") {
+    val dir = TempDirs.create("graft_vecgate_corp4")
+    embs(0 until 300).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    withConfs(
+      "spark.graft.zindex.dir" -> TempDirs.create("graft_vecgate_root4"),
+      "spark.graft.gate.maxFilesPerTrigger" -> "1") {
+      ZIndex.clearMemo()
+      val stream = rows(VecGate.q191StreamVecGate(spark, dir))
+      val batch = rows(VecGate.batchGate(spark, dir))
+      assert(stream === batch,
+        "the multi-batch gate must equal the batch twin exactly")
+      assert(batch.nonEmpty)
+    }
+  }
+
   test("a wider width is a RESHARD into a fresh layout (full build), " +
       "and the gate keeps its guaranteed recall at the new width") {
     // every test corpus resolves to the B(N) floor — the precondition
