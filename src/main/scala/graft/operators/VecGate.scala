@@ -71,17 +71,20 @@ object VecGate {
     *
     * The prep (sign + explode) is EXPENSIVE, and range partitioning
     * evaluates its input twice (the sampling pass scans every row
-    * before the shuffle pass does) — so the build materializes the
-    * signed rows once and range-partitions the materialization. At
-    * cluster scale the same one-evaluation discipline lands on
-    * reliable storage instead of executor blocks. */
+    * before the shuffle pass does) — so the build persists the signed
+    * rows DISK_ONLY: the sampling pass materializes them once to
+    * serialized disk blocks (no heap residency — a deserialized
+    * localCheckpoint here OOM'd an 8 GB heap at the 2M-vector
+    * replica), the shuffle pass re-reads them, and the harness sweep
+    * releases the blocks. At cluster scale the same one-evaluation
+    * discipline lands on reliable storage instead of executor disk. */
   private[graft] def lshTable(bits: Int): ZTable = ZTable(
     s"vec_lsh_index_b$bits",
     d => s"$d/embeddings.parquet",
     (s, d) => Tables.embeddings(s, d),
     "vec_id", "vec_id", 12, // informational; clusterWith overrides
     clusterWith = Some { (df, n) =>
-      val once = df.localCheckpoint(true)
+      val once = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       graft.util.Checkpoints.track(once)
       once.repartitionByRange(n, col("t"), col("bucket"))
         .sortWithinPartitions(col("t"), col("bucket"))
