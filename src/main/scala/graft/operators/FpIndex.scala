@@ -39,9 +39,10 @@ object FpIndex {
     (s, d) => Tables.documents(s, d),
     "doc_id", "doc_id", 16, // informational; clusterWith overrides
     clusterWith = Some((df, n) =>
-      df.repartitionByRange(n, col("fp")).sortWithinPartitions(col("fp"))),
+      ZIndex.rangeClusterOnce(df, n, col("fp"))),
     prep = Some(df => df.filter(col("doc_id") % 10 =!= 0)
-      .select(md5(col("text")).as("fp")).distinct()))
+      .select(md5(col("text")).as("fp")).distinct()),
+    prepFan = 32)
 
   private[graft] def standingFps(spark: SparkSession, dir: String)
       : DataFrame = {

@@ -79,10 +79,14 @@ object LshIndex {
     d => s"$d/documents.parquet",
     (s, d) => Tables.documents(s, d),
     "doc_id", "doc_id", 16,
+    // rangeClusterOnce + prepFan: the md5 minhash signing must run
+    // once (not twice via the range sampler) and in parallel (not at
+    // the feed's split count — a one-row-group sf10 feed built this
+    // index on one core for 240 s; fanned + once-evaluated: ~30 s)
     clusterWith = Some((df, n) =>
-      df.repartitionByRange(n, col("doc_id"))
-        .sortWithinPartitions(col("doc_id"))),
-    prep = Some(df => docSigs(df.filter(col("doc_id") % 10 =!= 0))))
+      ZIndex.rangeClusterOnce(df, n, col("doc_id"))),
+    prep = Some(df => docSigs(df.filter(col("doc_id") % 10 =!= 0))),
+    prepFan = 32)
 
   /** Band rows derived from a signature frame: (id, band_id,
     * band_hash) — md5 over each 4-hash slice, the q45 construction. */

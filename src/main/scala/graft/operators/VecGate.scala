@@ -69,27 +69,19 @@ object VecGate {
     * clustered — the probe join's partition axis. The width rides the
     * layout NAME (see object doc: width change = reshard).
     *
-    * The prep (sign + explode) is EXPENSIVE, and range partitioning
-    * evaluates its input twice (the sampling pass scans every row
-    * before the shuffle pass does) — so the build persists the signed
-    * rows DISK_ONLY: the sampling pass materializes them once to
-    * serialized disk blocks (no heap residency — a deserialized
-    * localCheckpoint here OOM'd an 8 GB heap at the 2M-vector
-    * replica), the shuffle pass re-reads them, and the harness sweep
-    * releases the blocks. At cluster scale the same one-evaluation
-    * discipline lands on reliable storage instead of executor disk. */
+    * The prep (sign + explode) is EXPENSIVE: the build fans the feed
+    * (`prepFan`) so signing parallelism never hangs on the feed's
+    * split count, and [[ZIndex.rangeClusterOnce]] keeps range
+    * partitioning from evaluating the signing twice. */
   private[graft] def lshTable(bits: Int): ZTable = ZTable(
     s"vec_lsh_index_b$bits",
     d => s"$d/embeddings.parquet",
     (s, d) => Tables.embeddings(s, d),
     "vec_id", "vec_id", 12, // informational; clusterWith overrides
-    clusterWith = Some { (df, n) =>
-      val once = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      graft.util.Checkpoints.track(once)
-      once.repartitionByRange(n, col("t"), col("bucket"))
-        .sortWithinPartitions(col("t"), col("bucket"))
-    },
-    prep = Some(df => indexRows(df.filter(col("vec_id") % 10 =!= 0), bits)))
+    clusterWith = Some((df, n) =>
+      ZIndex.rangeClusterOnce(df, n, col("t"), col("bucket"))),
+    prep = Some(df => indexRows(df.filter(col("vec_id") % 10 =!= 0), bits)),
+    prepFan = 32)
 
   /** The B(N) width for a corpus dir — one metadata-cheap count, the
     * same resolution q49 performs per query. */

@@ -2,7 +2,7 @@ package graft.operators
 
 import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -41,7 +41,16 @@ case class ZTable(name: String,
       * confs — r14 verdict #1), and the fix for the weather layouts
       * landing in whichever temp root a parallel suite had steered the
       * conf to (r14 ADVICE). */
-    rootOverride: Option[String] = None)
+    rootOverride: Option[String] = None,
+    /** When > 0, repartition the loaded feed (build AND append delta)
+      * to this many partitions BEFORE `prep` runs. For an EXPENSIVE
+      * prep (md5 minhash signing, LSH sign projections) the prep's
+      * parallelism is otherwise bounded by the feed's split count — a
+      * single-row-group feed file runs the whole signing on ONE core
+      * (measured: the sf10 MinHash index built in 240 s wall at 240
+      * core-s). The raw-feed shuffle this costs is tiny next to the
+      * prep it parallelizes; leave 0 for cheap preps. */
+    prepFan: Int = 0)
 
 /** q172/q174/q175 — zone-map data skipping over a DURABLE z-clustered
   * layout: the scan-pruning consumer that closes the loop on q99's
@@ -208,6 +217,20 @@ object ZIndex {
     * file yields (NULL, NULL, nulls=rows): the file cannot satisfy a
     * predicate on it. A known-bounds file whose null COUNT the footer
     * did not carry records nulls = -1 (bounds prune, IsNull cannot). */
+  /** Range-cluster with the producing plan evaluated ONCE: range
+    * partitioning samples its input before shuffling it, so an
+    * expensive producer (index signing) would run twice — persist the
+    * rows as serialized DISK_ONLY blocks (deserialized heap caching
+    * OOM'd an 8 GB heap at the 2M-vector replica), let the sampling
+    * pass materialize them, and leave release to the harness sweep.
+    * The layout-build helper behind the index tables' `clusterWith`. */
+  private[operators] def rangeClusterOnce(df: DataFrame, n: Int,
+      cols: Column*): DataFrame = {
+    val once = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    graft.util.Checkpoints.track(once)
+    once.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*)
+  }
+
   private def clusterAndMap(spark: SparkSession, rows: DataFrame,
       genName: String, genDir: String, n: Int, t: ZTable): DataFrame = {
     // layout files are written as TIMESTAMP_MICROS, never INT96:
@@ -418,15 +441,21 @@ object ZIndex {
           // clustering quality (see object doc)
           zBuilds.incrementAndGet()
           zFeedFilesScanned.addAndGet(feed.size)
-          val rows = t.prep.foldLeft(t.load(spark, dir))((df, f) => f(df))
+          val fed = {
+            val l = t.load(spark, dir)
+            if (t.prepFan > 0) l.repartition(t.prepFan) else l
+          }
+          val rows = t.prep.foldLeft(fed)((df, f) => f(df))
           clusterAndMap(spark, rows, genName, genDir, t.nFiles, t)
         } else {
           zAppends.incrementAndGet()
           zFeedFilesScanned.addAndGet(newFeed.size)
-          val newRows = t.prep.foldLeft(
-            spark.read.parquet(newFeed.map(_.path): _*)
-              .select(t.load(spark, dir).columns.map(col): _*))(
-            (df, f) => f(df))
+          val delta = {
+            val d = spark.read.parquet(newFeed.map(_.path): _*)
+              .select(t.load(spark, dir).columns.map(col): _*)
+            if (t.prepFan > 0) d.repartition(t.prepFan) else d
+          }
+          val newRows = t.prep.foldLeft(delta)((df, f) => f(df))
             .cache()
           try {
             // proportionally many files for the delta (≥1): appended
