@@ -234,6 +234,10 @@ object LshPairs {
         feedFilesScanned.addAndGet(feed.size)
         val docs = Tables.documents(spark, dir)
           .select(col("doc_id"), col("text"))
+          // fan before the expensive shingle explode: the feed may be
+          // one parquet row group, which would tokenize+shingle the
+          // whole corpus on ONE core (the r16 prepFan lesson)
+          .repartition(32)
         val raw = rawShingles(docs).cache()
         try {
           val dfTab = raw.groupBy(col("sh")).agg(count(lit(1)).as("df"))
@@ -269,6 +273,7 @@ object LshPairs {
       // ---------------- incremental append ----------------
       val delta = spark.read.parquet(newFeed.map(_.path): _*)
         .select(col("doc_id"), col("text"))
+        .repartition(32) // same fan as the full build
       val newShRaw = rawShingles(delta).cache()
       try {
         val deltaDf = newShRaw.groupBy(col("sh"))
