@@ -221,15 +221,25 @@ object ZIndex {
     * partitioning samples its input before shuffling it, so an
     * expensive producer (index signing) would run twice — persist the
     * rows as serialized DISK_ONLY blocks (deserialized heap caching
-    * OOM'd an 8 GB heap at the 2M-vector replica), let the sampling
-    * pass materialize them, and leave release to the harness sweep.
-    * The layout-build helper behind the index tables' `clusterWith`. */
+    * OOM'd an 8 GB heap at the 2M-vector replica) and let the sampling
+    * pass materialize them. [[clusterAndMap]] releases the blocks
+    * right after the layout write — deterministic, no harness sweep
+    * needed, and safe because a persist (unlike a localCheckpoint)
+    * keeps its lineage. The layout-build helper behind the index
+    * tables' `clusterWith`. */
   private[operators] def rangeClusterOnce(df: DataFrame, n: Int,
       cols: Column*): DataFrame = {
     val once = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    graft.util.Checkpoints.track(once)
+    buildCaches.add(once)
     once.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*)
   }
+
+  /** DISK_ONLY producers minted by [[rangeClusterOnce]], released by
+    * [[clusterAndMap]] after the write they fed. (A concurrent build
+    * may release another build's entry early — correct either way,
+    * since persists are recomputable.) */
+  private val buildCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
   private def clusterAndMap(spark: SparkSession, rows: DataFrame,
       genName: String, genDir: String, n: Int, t: ZTable): DataFrame = {
@@ -255,6 +265,9 @@ object ZIndex {
         case None => spark.conf.unset(tsKey)
       }
     }
+    // release any rangeClusterOnce producers the write just consumed
+    while (!buildCaches.isEmpty) Option(buildCaches.poll())
+      .foreach(_.unpersist(blocking = false))
     val conf = spark.sparkContext.hadoopConfiguration
     val fdir = new org.apache.hadoop.fs.Path(s"$genDir/files")
     val files = fdir.getFileSystem(conf).listStatus(fdir)
