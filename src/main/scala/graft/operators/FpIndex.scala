@@ -61,7 +61,15 @@ object FpIndex {
     * Per-batch moved bytes are O(batch), never O(corpus); the
     * membership-only contract (within-batch duplicates both pass) is
     * untouched. */
-  def q190StreamNoveltyGate(spark: SparkSession, dir: String): DataFrame = {
+  def q190StreamNoveltyGate(spark: SparkSession, dir: String): DataFrame =
+    // input-derived shuffle partitioning for the gate's per-batch plans
+    // and sink writes (see graft.streaming.StreamTune)
+    graft.streaming.StreamTune.withStatePartitions(
+      spark, Seq(s"$dir/documents.parquet")) {
+      q190Body(spark, dir)
+    }
+
+  private def q190Body(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val base = java.nio.file.Files
       .createTempDirectory("graft_fp_stream_").toString

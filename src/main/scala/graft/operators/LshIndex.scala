@@ -189,7 +189,15 @@ object LshIndex {
     * batch. At 100 TB: per-batch cost is one index scan plus O(batch
     * docs × 4 band rows) broadcast — no corpus re-read, nothing
     * corpus-scale moved, at any stream volume. */
-  def q189StreamNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def q189StreamNearDup(spark: SparkSession, dir: String): DataFrame =
+    // input-derived shuffle partitioning for the gate's per-batch plans
+    // and sink writes (see graft.streaming.StreamTune)
+    graft.streaming.StreamTune.withStatePartitions(
+      spark, Seq(s"$dir/documents.parquet")) {
+      q189Body(spark, dir)
+    }
+
+  private def q189Body(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val base = java.nio.file.Files
       .createTempDirectory("graft_lsh_stream_").toString

@@ -170,7 +170,15 @@ object VecGate {
     * per batch. Pair dedup per batch equals the global dedup for this
     * feed: a file-sourced append stream delivers each incoming vector
     * in exactly one batch, and pairs are keyed by the incoming id. */
-  def q191StreamVecGate(spark: SparkSession, dir: String): DataFrame = {
+  def q191StreamVecGate(spark: SparkSession, dir: String): DataFrame =
+    // input-derived shuffle partitioning for the gate's per-batch plans
+    // and sink writes (see graft.streaming.StreamTune)
+    graft.streaming.StreamTune.withStatePartitions(
+      spark, Seq(s"$dir/embeddings.parquet")) {
+      q191Body(spark, dir)
+    }
+
+  private def q191Body(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     // register on the MAIN session before the stream starts: the
     // micro-batch runs under a session CLONE whose function registry

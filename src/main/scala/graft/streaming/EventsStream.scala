@@ -110,7 +110,9 @@ object EventsStream {
         col("s.n_kept").cast("long").as("n_kept"), col("s.hk").as("hk"))
 
   def runKmvWindowOnce(spark: SparkSession, dir: String, name: String = "stream_kmv"): DataFrame =
-    runToMemory(kmvWindowAgg(spark, readEvents(spark, dir)), OutputMode.Complete, name)
+    StreamTune.withStatePartitions(spark, Seq(s"$dir/events.parquet")) {
+      runToMemory(kmvWindowAgg(spark, readEvents(spark, dir)), OutputMode.Complete, name)
+    }
 
   /** Streaming FREQUENCY-KMV per (hourly window, event_type) —
     * [[graft.functions.KmvFreqSketch]] as a streaming aggregate: one
@@ -134,8 +136,10 @@ object EventsStream {
 
   def runKmvFreqWindowOnce(spark: SparkSession, dir: String,
       name: String = "stream_kmvfreq"): DataFrame =
-    runToMemory(kmvFreqWindowAgg(spark, readEvents(spark, dir)),
-      OutputMode.Complete, name)
+    StreamTune.withStatePartitions(spark, Seq(s"$dir/events.parquet")) {
+      runToMemory(kmvFreqWindowAgg(spark, readEvents(spark, dir)),
+        OutputMode.Complete, name)
+    }
 
   /** Streaming QUANTILE SKETCH per (hourly window, event_type):
     * [[graft.functions.QuantileSketch]] running unchanged as a
@@ -168,8 +172,10 @@ object EventsStream {
 
   def runQuantileWindowOnce(spark: SparkSession, dir: String,
       name: String = "stream_qsketch"): DataFrame =
-    runToMemory(quantileWindowAgg(spark, readEvents(spark, dir)),
-      OutputMode.Complete, name)
+    StreamTune.withStatePartitions(spark, Seq(s"$dir/events.parquet")) {
+      runToMemory(quantileWindowAgg(spark, readEvents(spark, dir)),
+        OutputMode.Complete, name)
+    }
 
   /** Streaming PRIORITY SAMPLE per event_type: a running weighted
     * top-k sample of the stream (weight = exact value cents) held as
@@ -196,8 +202,10 @@ object EventsStream {
 
   def runPrioritySampleOnce(spark: SparkSession, dir: String, k: Int,
       name: String = "stream_psample"): DataFrame =
-    runToMemory(prioritySampleAgg(spark, readEvents(spark, dir), k),
-      OutputMode.Complete, name)
+    StreamTune.withStatePartitions(spark, Seq(s"$dir/events.parquet")) {
+      runToMemory(prioritySampleAgg(spark, readEvents(spark, dir), k),
+        OutputMode.Complete, name)
+    }
 
   /** SLIDING-window per-type aggregation (2h windows every 1h): each event
     * lands in exactly two overlapping windows — the semantics tumbling
@@ -232,12 +240,13 @@ object EventsStream {
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"))
 
-  def runSessionWindowOnce(spark: SparkSession, dir: String, name: String = "stream_session_win"): DataFrame = {
-    val events = readEvents(spark, dir)
-      .unionByName(readEvents(spark, flushPath(spark)))
-    runToMemory(sessionWindowAgg(events), OutputMode.Append, name)
-      .filter(col("user_id") >= 0)
-  }
+  def runSessionWindowOnce(spark: SparkSession, dir: String, name: String = "stream_session_win"): DataFrame =
+    StreamTune.withStatePartitions(spark, Seq(s"$dir/events.parquet")) {
+      val events = readEvents(spark, dir)
+        .unionByName(readEvents(spark, flushPath(spark)))
+      runToMemory(sessionWindowAgg(events), OutputMode.Append, name)
+        .filter(col("user_id") >= 0)
+    }
 
   /** Run a (finite-source) streaming frame to completion into a memory
     * sink and return the sink table — the shared scaffold for every
@@ -262,7 +271,9 @@ object EventsStream {
   }
 
   def runSlidingWindowOnce(spark: SparkSession, dir: String, name: String = "stream_sliding"): DataFrame =
-    runToMemory(slidingWindowAgg(readEvents(spark, dir)), OutputMode.Complete, name)
+    StreamTune.withStatePartitions(spark, Seq(s"$dir/events.parquet")) {
+      runToMemory(slidingWindowAgg(readEvents(spark, dir)), OutputMode.Complete, name)
+    }
 
   /** Stream-STATIC enrichment: the events stream joined to a batch
     * dimension (user → market segment), then window-aggregated per
@@ -283,12 +294,13 @@ object EventsStream {
       .select(col("window.start").as("window_start"), col("c_mktsegment"),
         col("n"), col("sum_value"))
 
-  def runStreamEnrichOnce(spark: SparkSession, dir: String, name: String = "stream_enrich"): DataFrame = {
-    val dim = graft.sources.Tables.customer(spark, dir)
-      .select(col("c_custkey"), col("c_mktsegment"))
-    runToMemory(enrichedWindowAgg(readEvents(spark, dir), dim),
-      OutputMode.Complete, name)
-  }
+  def runStreamEnrichOnce(spark: SparkSession, dir: String, name: String = "stream_enrich"): DataFrame =
+    StreamTune.withStatePartitions(spark, Seq(s"$dir/events.parquet")) {
+      val dim = graft.sources.Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      runToMemory(enrichedWindowAgg(readEvents(spark, dir), dim),
+        OutputMode.Complete, name)
+    }
 
   // ---- q173: the statistics catalog planning a STREAMING join ---------
 
@@ -390,7 +402,10 @@ object EventsStream {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("window.start").as("window_start"), col("c_mktsegment"),
         col("n"), col("sum_value"))
-    val (result, q) = runToMemoryQ(df, OutputMode.Complete, name)
+    val (result, q) = StreamTune.withStatePartitions(
+      spark, Seq(s"$dir/events.parquet")) {
+      runToMemoryQ(df, OutputMode.Complete, name)
+    }
     // capture the last micro-batch's executed plan for the spec pins
     // (StreamingQuery.explain prints — there is no accessor API);
     // best-effort: a capture failure must not fail the QUERY, only the
@@ -410,7 +425,9 @@ object EventsStream {
     * windows are emitted (append would hold back the watermark tail).
     */
   def runWindowAggOnce(spark: SparkSession, dir: String, name: String = "stream_agg"): DataFrame =
-    runToMemory(hourlyWindowAgg(readEvents(spark, dir)), OutputMode.Complete, name)
+    StreamTune.withStatePartitions(spark, Seq(s"$dir/events.parquet")) {
+      runToMemory(hourlyWindowAgg(readEvents(spark, dir)), OutputMode.Complete, name)
+    }
 
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
@@ -559,7 +576,12 @@ object EventsStream {
     * undercount) nor drops the in-watermark late stragglers carried by
     * tranche 2 (their windows would undercount).
     */
-  def runStreamRecoveryOnce(spark: SparkSession, dir: String): DataFrame = {
+  def runStreamRecoveryOnce(spark: SparkSession, dir: String): DataFrame =
+    StreamTune.withStatePartitions(spark, Seq(s"$dir/events.parquet")) {
+      runStreamRecoveryBody(spark, dir)
+    }
+
+  private def runStreamRecoveryBody(spark: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_recovery_").toString
     val (feedDir, ckpt, gold) = (s"$base/feed", s"$base/checkpoint", s"$base/gold")
     val raw = graft.sources.Tables.eventsRawNanos(spark, dir)
@@ -631,7 +653,12 @@ object EventsStream {
     * drop tranche-1 rows of re-touched days), no duplication (a
     * non-keyed append would double replayed rows).
     */
-  def runStreamBronzeIngestOnce(spark: SparkSession, dir: String): DataFrame = {
+  def runStreamBronzeIngestOnce(spark: SparkSession, dir: String): DataFrame =
+    StreamTune.withStatePartitions(spark, Seq(s"$dir/events.parquet")) {
+      runStreamBronzeIngestBody(spark, dir)
+    }
+
+  private def runStreamBronzeIngestBody(spark: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_bronze_ingest_").toString
     val (feedDir, ckpt, bronze) = (s"$base/feed", s"$base/checkpoint", s"$base/bronze")
     val raw = graft.sources.Tables.eventsRawNanos(spark, dir)
@@ -728,7 +755,12 @@ object EventsStream {
     * resumed (the forced cross-tranche pair would be lost), and the sink
     * log kept replays idempotent.
     */
-  def runStreamJoinRecoveryOnce(spark: SparkSession, dir: String): DataFrame = {
+  def runStreamJoinRecoveryOnce(spark: SparkSession, dir: String): DataFrame =
+    StreamTune.withStatePartitions(spark, Seq(s"$dir/events.parquet")) {
+      runStreamJoinRecoveryBody(spark, dir)
+    }
+
+  private def runStreamJoinRecoveryBody(spark: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_join_recovery_").toString
     val (feedDir, ckpt, out) = (s"$base/feed", s"$base/checkpoint", s"$base/out")
     val raw = graft.sources.Tables.eventsRawNanos(spark, dir)
@@ -807,38 +839,42 @@ object EventsStream {
     * the corpus so those null rows actually emit; the sentinel user −1 is
     * filtered back out.
     */
-  def runStreamLeftJoinOnce(spark: SparkSession, dir: String, name: String = "stream_left_join"): DataFrame = {
-    val events = readEvents(spark, dir)
-      .unionByName(readEvents(spark, flushPath(spark)))
-    runToMemory(cpJoin(events, "left_outer"), OutputMode.Append, name)
-      .filter(col("user_id") >= 0)
-      .select(col("user_id"), col("click_id"), col("purchase_id"),
-        expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000").as("lag_s"))
-  }
+  def runStreamLeftJoinOnce(spark: SparkSession, dir: String, name: String = "stream_left_join"): DataFrame =
+    StreamTune.withStatePartitions(spark, Seq(s"$dir/events.parquet")) {
+      val events = readEvents(spark, dir)
+        .unionByName(readEvents(spark, flushPath(spark)))
+      runToMemory(cpJoin(events, "left_outer"), OutputMode.Append, name)
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000").as("lag_s"))
+    }
 
   /** Full-outer variant: unmatched clicks AND unmatched purchases each
     * emit a null-padded row once the opposite side's watermark passes
     * their window. `user_id` must coalesce across sides — it is null on
     * the click side of a purchase-only row.
     */
-  def runStreamFullJoinOnce(spark: SparkSession, dir: String, name: String = "stream_full_join"): DataFrame = {
-    val events = readEvents(spark, dir)
-      .unionByName(readEvents(spark, flushPath(spark)))
-    runToMemory(cpJoin(events, "full_outer"), OutputMode.Append, name)
-      .select(coalesce(col("user_id"), col("p_user_id")).as("user_id"),
-        col("click_id"), col("purchase_id"),
-        expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000").as("lag_s"))
-      .filter(col("user_id") >= 0)
-  }
+  def runStreamFullJoinOnce(spark: SparkSession, dir: String, name: String = "stream_full_join"): DataFrame =
+    StreamTune.withStatePartitions(spark, Seq(s"$dir/events.parquet")) {
+      val events = readEvents(spark, dir)
+        .unionByName(readEvents(spark, flushPath(spark)))
+      runToMemory(cpJoin(events, "full_outer"), OutputMode.Append, name)
+        .select(coalesce(col("user_id"), col("p_user_id")).as("user_id"),
+          col("click_id"), col("purchase_id"),
+          expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000").as("lag_s"))
+        .filter(col("user_id") >= 0)
+    }
 
   /** Run the stream-stream join over the finite source (append mode —
     * inner join emits exactly the matched pairs; single-file source ⇒ one
     * micro-batch, so no cross-batch eviction on this corpus).
     */
   def runStreamJoinOnce(spark: SparkSession, dir: String, name: String = "stream_join"): DataFrame =
-    runToMemory(clickPurchaseJoin(spark, dir), OutputMode.Append, name)
-      .select(col("user_id"), col("click_id"), col("purchase_id"),
-        expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000").as("lag_s"))
+    StreamTune.withStatePartitions(spark, Seq(s"$dir/events.parquet")) {
+      runToMemory(clickPurchaseJoin(spark, dir), OutputMode.Append, name)
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000").as("lag_s"))
+    }
 
   /** Streaming dedup: two copies of the events stream unioned (simulating
     * an at-least-once source replaying the feed), then
@@ -848,15 +884,16 @@ object EventsStream {
     * reproduce the batch distinct exactly, which is what the q73 oracle
     * asserts.
     */
-  def runStreamDedupOnce(spark: SparkSession, dir: String, name: String = "stream_dedup"): DataFrame = {
-    val doubled = readEvents(spark, dir).unionByName(readEvents(spark, dir))
-      .dropDuplicates("event_id")
-    runToMemory(doubled
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value")),
-      OutputMode.Complete, name)
-  }
+  def runStreamDedupOnce(spark: SparkSession, dir: String, name: String = "stream_dedup"): DataFrame =
+    StreamTune.withStatePartitions(spark, Seq(s"$dir/events.parquet")) {
+      val doubled = readEvents(spark, dir).unionByName(readEvents(spark, dir))
+        .dropDuplicates("event_id")
+      runToMemory(doubled
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value")),
+        OutputMode.Complete, name)
+    }
 
   /** Run sessionization over the finite source, return final per-user rows. */
   def runSessionizeOnce(spark: SparkSession, dir: String, name: String = "stream_sessions"): DataFrame = {
@@ -865,7 +902,9 @@ object EventsStream {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[Ev]
     // update mode may emit a row per batch per key; keep the final state
-    val df = runToMemory(sessionize(evs).toDF(), OutputMode.Update, name)
+    val df = StreamTune.withStatePartitions(spark, Seq(s"$dir/events.parquet")) {
+      runToMemory(sessionize(evs).toDF(), OutputMode.Update, name)
+    }
     import org.apache.spark.sql.expressions.Window
     df.withColumn("__rn", row_number().over(
         Window.partitionBy(col("user_id")).orderBy(col("n_events").desc)))
