@@ -55,6 +55,26 @@ object GraphOps {
     */
   def connectedComponentsStar(edges: DataFrame, maxIters: Int = 50): DataFrame = {
     val eAll = edges.toDF("a", "b")
+    // REGIME PICK on |E| (r16 optimization; the q125 broadcast-regime
+    // pattern): each contraction round costs ~5 driver-scheduled jobs
+    // (two star passes, their checkpoints, the exceptAll convergence
+    // probe) — a fixed protocol bill that dwarfs the data at gate
+    // scale (the sf0.1 pairs store's label build spent ~4 s contracting
+    // a KB-sized edge set). Below the threshold the edge list IS
+    // driver-sized metadata: collect once, exact union-find with
+    // component-min labels — the identical unique fixpoint — in one
+    // job. The limit(N+1) probe doubles as the collect, so the small
+    // regime pays ONE pass; an over-threshold graph wastes only the
+    // truncated probe and takes the distributed rounds. 2M edges ≈
+    // 32 MB of longs — comfortable driver metadata; conf-overridable
+    // (0 forces the distributed path, which GraphOpsSpec pins equal).
+    val maxDriver = eAll.sparkSession.conf
+      .getOption("spark.graft.cc.driverMaxEdges")
+      .flatMap(_.toLongOption).getOrElse(2000000L)
+    if (maxDriver > 0 && maxDriver < Int.MaxValue) {
+      val probe = eAll.limit(maxDriver.toInt + 1).collect()
+      if (probe.length <= maxDriver) return driverUnionFind(eAll, probe)
+    }
     // node set from the UNFILTERED list: a node whose only edge is a
     // self-loop must still label itself (parity with connectedComponents)
     val nodes = eAll.select(col("a").as("id"))
@@ -103,6 +123,60 @@ object GraphOps {
     // nodes (their whole component contracted onto them) label themselves
     nodes.join(cur.select(col("v").as("id"), col("u").as("lbl")), Seq("id"), "left")
       .select(col("id"), coalesce(col("lbl"), col("id")).as("label"))
+  }
+
+  /** The small-regime body of [[connectedComponentsStar]]: exact
+    * union-find (path-halving + union by rank) over the collected edge
+    * rows, labels = per-component minimum — the same unique fixpoint
+    * the contraction converges to, so the two regimes are
+    * interchangeable (GraphOpsSpec pins equality with the forced
+    * distributed path). Self-loop-only nodes label themselves, exactly
+    * like the distributed left join's coalesce. */
+  private def driverUnionFind(eAll: DataFrame,
+      rows: Array[org.apache.spark.sql.Row]): DataFrame = {
+    val parent = new java.util.HashMap[Long, Long]()
+    val rank = new java.util.HashMap[Long, Int]()
+    def add(x: Long): Unit =
+      if (!parent.containsKey(x)) { parent.put(x, x); rank.put(x, 0) }
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.get(x) != x) {
+        val g = parent.get(parent.get(x)) // path halving
+        parent.put(x, g)
+        x = g
+      }
+      x
+    }
+    rows.foreach { r =>
+      val a = r.getLong(0); val b = r.getLong(1)
+      add(a); add(b)
+      if (a != b) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          val (hi, lo) =
+            if (rank.get(ra) >= rank.get(rb)) (ra, rb) else (rb, ra)
+          parent.put(lo, hi)
+          if (rank.get(hi) == rank.get(lo))
+            rank.put(hi, rank.get(hi) + 1)
+        }
+      }
+    }
+    val minOf = new java.util.HashMap[Long, Long]()
+    parent.keySet().forEach { id =>
+      val r = find(id)
+      val m = minOf.getOrDefault(r, Long.MaxValue)
+      if (id < m) minOf.put(r, id)
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+    parent.keySet().forEach { id =>
+      out.add(org.apache.spark.sql.Row(id, minOf.get(find(id))))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    eAll.sparkSession.createDataFrame(out, schema)
   }
 
   /** `edges`: two long columns (a, b), undirected. Returns (id, label)

@@ -232,6 +232,14 @@ object LshPairs {
       def fullBuild(): Unit = {
         fullBuilds.incrementAndGet()
         feedFilesScanned.addAndGet(feed.size)
+        // per-stage stderr attribution (the [bench] line convention):
+        // the cold build is a driver-visible prewarm key, so its cost
+        // split must be readable from the log, not re-instrumented
+        var t0 = System.nanoTime()
+        def stamp(s: String): Unit = {
+          System.err.println(f"[lshpairs] $s ${(System.nanoTime() - t0) / 1e9}%.3f")
+          t0 = System.nanoTime()
+        }
         val docs = Tables.documents(spark, dir)
           .select(col("doc_id"), col("text"))
           // fan before the expensive shingle explode: the feed may be
@@ -242,16 +250,19 @@ object LshPairs {
         try {
           val dfTab = raw.groupBy(col("sh")).agg(count(lit(1)).as("df"))
           dfTab.write.mode("overwrite").parquet(s"$genDir/df_delta")
+          stamp("shingle+df")
           val hot = spark.read.parquet(s"$genDir/df_delta")
             .filter(col("df") > TextOps.MaxShingleDf).select(col("sh"))
           raw.join(broadcast(hot), Seq("sh"), "left_anti")
             .write.mode("overwrite").parquet(s"$genDir/shingles_delta")
+          stamp("cap+write_shingles")
         } finally { raw.unpersist(); () }
         // write-then-reread at each stage: the self-joined frames come
         // off the just-written parquet, so nothing recomputes and the
         // durable bytes ARE the bytes every later stage verified against
         val capped = spark.read.parquet(s"$genDir/shingles_delta")
         sigsOf(capped).write.mode("overwrite").parquet(s"$genDir/sigs_delta")
+        stamp("sign")
         val sigs = spark.read.parquet(s"$genDir/sigs_delta")
         val bands = bandsOf(sigs, "doc_id")
         val cand = bands.as("a").join(bands.as("b"),
@@ -262,7 +273,9 @@ object LshPairs {
           .distinct()
         verify(cand, capped)
           .write.mode("overwrite").parquet(s"$genDir/pairs_delta")
+        stamp("candidate+verify")
         commit(Seq(nextN))
+        stamp("commit")
       }
 
       if (latest.isEmpty || mutated || liveGens.size + 1 > maxGens) {

@@ -47,11 +47,40 @@ class GraphOpsSpec extends SparkSpec {
 
   test("star contraction resolves a long chain in few rounds (diameter-independent)") {
     // a 200-link chain has diameter 200; the contraction must converge
-    // well under the 50-iteration cap and label everything with the min
-    val edges = (1L to 200L).sliding(2).map(p => (p(0), p(1))).toSeq.toDF("a", "b")
-    val labels = GraphOps.connectedComponentsStar(edges, maxIters = 12)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(labels.length === 200 && labels.forall(_._2 == 1L))
+    // well under the 50-iteration cap and label everything with the min.
+    // Force the DISTRIBUTED regime: at the default threshold this edge
+    // set would take the r16 driver union-find path, and the pin here
+    // is the contraction's convergence behavior, not the labels
+    TempDirs.zConfLock.synchronized {
+      spark.conf.set("spark.graft.cc.driverMaxEdges", "0")
+      try {
+        val edges = (1L to 200L).sliding(2).map(p => (p(0), p(1))).toSeq.toDF("a", "b")
+        val labels = GraphOps.connectedComponentsStar(edges, maxIters = 12)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        assert(labels.length === 200 && labels.forall(_._2 == 1L))
+      } finally spark.conf.unset("spark.graft.cc.driverMaxEdges")
+    }
+  }
+
+  test("driver union-find regime equals the forced distributed contraction") {
+    // the r16 regime pick: both paths must produce the identical
+    // (id, component-min) labeling on every shape — including
+    // self-loop-only nodes — so the |E| threshold is invisible in
+    // results. Default threshold → driver path; conf 0 → distributed.
+    val pairs = ((for (i <- 1L to 6L; j <- (i + 1) to 6L) yield (i, j)) ++
+      Seq((100L, 101L), (101L, 102L), (5L, 5L), (200L, 200L)) ++
+      (1L to 40L).sliding(2).map(p => (p(0) + 300L, p(1) + 300L)).toSeq)
+    val edges = pairs.toDF("a", "b")
+    val viaDriver = GraphOps.connectedComponentsStar(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val viaCluster = TempDirs.zConfLock.synchronized {
+      spark.conf.set("spark.graft.cc.driverMaxEdges", "0")
+      try GraphOps.connectedComponentsStar(edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      finally spark.conf.unset("spark.graft.cc.driverMaxEdges")
+    }
+    assert(viaDriver === viaCluster)
+    assert(viaDriver.contains((200L, 200L)), "self-loop-only node labels itself")
   }
 
   test("label propagation is orientation-independent") {
