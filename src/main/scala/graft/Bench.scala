@@ -93,53 +93,57 @@ object Bench {
       System.err.println(s"[bench] prewarm_typed_layout ${fmt(prewarmLayout)}")
     }
     // the durable z-clustered layout (q172/q174), same convention
+    // The five durable layout/index builds below (lineitem z-layout,
+    // decimal layout, LSH signature index, fingerprint index, sign-LSH
+    // embedding index) are INDEPENDENT artifacts over disjoint roots,
+    // and each cold build is job-submission-bound at this scale — so
+    // the selected ones fan out under ONE pinned conf window
+    // (optimization r16, guide §2.6): prewarm_zindex becomes the WALL
+    // of the parallel window (serial it was the sum, 13.4 s cold on
+    // this corpus), and each build still stamps its own stderr key.
     var prewarmZ = 0.0
-    if (Seq("q172_zorder_prune", "q174_zorder_onedim",
-        "q175_zorder_fileindex", "q176_zorder_sql", "q178_zonemap_agg")
-        .exists(selected)) {
-      val tw = System.nanoTime()
-      graft.operators.ZIndex.ensure(spark, sfDir)
-      prewarmZ = (System.nanoTime() - tw) / 1e9
-      System.err.println(s"[bench] prewarm_zindex ${fmt(prewarmZ)}")
-    }
-    // the decimal-measure layout (q180/q181) is its own durable
-    // artifact — same priced-prewarm convention
-    if (Seq("q180_zdecimal_sql", "q181_zdecimal_stats").exists(selected)) {
-      val tw = System.nanoTime()
-      graft.operators.ZIndex.ensure(spark, sfDir,
-        graft.operators.ZIndex.LineitemDec)
-      val w = (System.nanoTime() - tw) / 1e9
-      prewarmZ += w
-      System.err.println(s"[bench] prewarm_zindex_dec ${fmt(w)}")
-    }
-    // the durable LSH signature index (q184), same convention — the
-    // cold build shingles + signs the standing corpus once
-    if (Seq("q184_lsh_incremental", "q189_stream_neardup")
-        .exists(selected)) {
-      val tw = System.nanoTime()
-      graft.operators.ZIndex.ensure(spark, sfDir,
-        graft.operators.LshIndex.Sigs)
-      val w = (System.nanoTime() - tw) / 1e9
-      prewarmZ += w
-      System.err.println(s"[bench] prewarm_lsh_index ${fmt(w)}")
-    }
-    // the durable fingerprint index (q190), same convention
-    if (selected("q190_stream_novelty")) {
-      val tw = System.nanoTime()
-      graft.operators.ZIndex.ensure(spark, sfDir,
-        graft.operators.FpIndex.Fps)
-      val w = (System.nanoTime() - tw) / 1e9
-      prewarmZ += w
-      System.err.println(s"[bench] prewarm_fp_index ${fmt(w)}")
-    }
-    // the durable sign-LSH embedding index (q191), same convention
-    if (selected("q191_stream_vec_gate")) {
-      val tw = System.nanoTime()
-      graft.operators.ZIndex.ensure(spark, sfDir,
-        graft.operators.VecGate.lshFor(spark, sfDir))
-      val w = (System.nanoTime() - tw) / 1e9
-      prewarmZ += w
-      System.err.println(s"[bench] prewarm_vec_lsh_index ${fmt(w)}")
+    locally {
+      val family: Seq[(String, Seq[String],
+          () => graft.operators.ZTable)] = Seq(
+        ("prewarm_zindex",
+          Seq("q172_zorder_prune", "q174_zorder_onedim",
+            "q175_zorder_fileindex", "q176_zorder_sql",
+            "q178_zonemap_agg"),
+          () => graft.operators.ZIndex.Lineitem),
+        ("prewarm_zindex_dec",
+          Seq("q180_zdecimal_sql", "q181_zdecimal_stats"),
+          () => graft.operators.ZIndex.LineitemDec),
+        ("prewarm_lsh_index",
+          Seq("q184_lsh_incremental", "q189_stream_neardup"),
+          () => graft.operators.LshIndex.Sigs),
+        ("prewarm_fp_index",
+          Seq("q190_stream_novelty"),
+          () => graft.operators.FpIndex.Fps),
+        ("prewarm_vec_lsh_index",
+          Seq("q191_stream_vec_gate"),
+          () => graft.operators.VecGate.lshFor(spark, sfDir)))
+        .filter(_._2.exists(selected))
+      if (family.nonEmpty) {
+        val tw = System.nanoTime()
+        graft.operators.ZIndex.withPinnedWriteConf(spark) {
+          val errs =
+            new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+          val threads = family.map { case (key, _, tbl) =>
+            val th = new Thread(() => try {
+              val t0 = System.nanoTime()
+              graft.operators.ZIndex.ensure(spark, sfDir, tbl())
+              System.err.println(
+                s"[bench] $key ${fmt((System.nanoTime() - t0) / 1e9)}")
+            } catch { case e: Throwable => errs.add(e) },
+              s"prewarm-$key")
+            th.setDaemon(true); th.start(); th
+          }
+          threads.foreach(_.join())
+          if (!errs.isEmpty) throw errs.peek()
+        }
+        prewarmZ = (System.nanoTime() - tw) / 1e9
+        System.err.println(s"[bench] prewarm_zindex_window ${fmt(prewarmZ)}")
+      }
     }
     // the z-clustered weather-gold serve layout (q24/q25/q27), same
     // convention — the landing also forces the gold build, so the cost

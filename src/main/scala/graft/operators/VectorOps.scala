@@ -496,14 +496,35 @@ object VectorOps {
     * pays its one-time train under its own priced key instead of inside
     * the first consumer's timed rep — q57 read 5.4 s in BENCH_r12 vs
     * 1.0 in r11 and the artifact could not say why. When the index is
-    * already on disk this is four parquet loads, ~0 s. */
+    * already on disk this is four parquet loads, ~0 s.
+    *
+    * The two index families are INDEPENDENT artifact chains (q57's
+    * full index never reads q135's and vice versa; memo keys are
+    * disjoint and loadOrBuild paths distinct), and each chain's
+    * k-means rounds are driver-serialized small jobs that leave most
+    * cores idle — so the chains build CONCURRENTLY inside this one
+    * priced window (the cold window is their MAX, not their sum;
+    * measured 8.7 s serial → see OPTIMIZATION_r16.md). Failures on
+    * either thread rethrow here. */
   def prewarmIvfIndex(spark: SparkSession, dir: String): Unit = {
     val base = vecs(spark, dir, "")
-    val cents = kmeansCents(dir, base)
-    corpusCells(dir, base, cents).count()
-    val old = base.filter(col("id") % 10 =!= 7)
-    incCellCounts(spark, dir, old, incCents(spark, dir, old)).count()
-    ()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def chain(name: String)(body: => Unit): Thread = {
+      val t = new Thread(() =>
+        try body catch { case e: Throwable => errs.add(e) },
+        s"ivf-prewarm-$name")
+      t.setDaemon(true); t.start(); t
+    }
+    val full = chain("full") {
+      val cents = kmeansCents(dir, base)
+      corpusCells(dir, base, cents).count(); ()
+    }
+    val inc = chain("inc") {
+      val old = base.filter(col("id") % 10 =!= 7)
+      incCellCounts(spark, dir, old, incCents(spark, dir, old)).count(); ()
+    }
+    full.join(); inc.join()
+    if (!errs.isEmpty) throw errs.peek()
   }
 
   /** IvfIters rounds of deterministic spherical k-means over `base`

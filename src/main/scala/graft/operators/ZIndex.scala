@@ -204,6 +204,71 @@ object ZIndex {
     * write one layout as INT96 or leave the session conf altered). */
   private val writeConfLock = new Object
 
+  /** True on threads running inside a [[withPinnedWriteConf]] window
+    * (inherited by threads SPAWNED inside the window — the parallel
+    * [[ensureAll]] builders): the session conf is already pinned to
+    * TIMESTAMP_MICROS and held so by the window owner, so the
+    * per-build set/restore (and its serializing lock) must be
+    * skipped. Inheritable-thread-local, not a global flag: a build on
+    * an unrelated thread while someone else's window is open must NOT
+    * skip its own set/restore — the window could close (restoring the
+    * conf) before that build's write job captures the conf. */
+  private val confPinned: InheritableThreadLocal[java.lang.Boolean] =
+    new InheritableThreadLocal[java.lang.Boolean] {
+      override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+    }
+
+  /** Hold the layout-write conf window open across `body`: acquires
+    * the session-wide lock ONCE, pins outputTimestampType, and lets
+    * every layout write inside (including ones on threads spawned by
+    * `body`) run without its own set/restore — the mechanism that
+    * makes INDEPENDENT layout builds overlap instead of serializing
+    * on the conf window (optimization guide §2.6: the cold prewarm
+    * window then costs max(builds), not sum). */
+  def withPinnedWriteConf[A](spark: SparkSession)(body: => A): A =
+    writeConfLock.synchronized {
+      val tsKey = "spark.sql.parquet.outputTimestampType"
+      val tsPrior = spark.conf.getOption(tsKey)
+      spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+      confPinned.set(java.lang.Boolean.TRUE)
+      try body
+      finally {
+        confPinned.set(java.lang.Boolean.FALSE)
+        tsPrior match {
+          case Some(v) => spark.conf.set(tsKey, v)
+          case None => spark.conf.unset(tsKey)
+        }
+      }
+    }
+
+  /** Ensure several INDEPENDENT layouts concurrently under one pinned
+    * conf window — one thread per table (they are few and the builds
+    * are job-submission-bound in local mode; distinct roots never
+    * contend beyond the storage layer, same-root calls serialize on
+    * the per-root ensure lock exactly as before). Returns the
+    * per-table (root, generation) in input order; the first build
+    * failure rethrows after all threads settle. */
+  def ensureAll(spark: SparkSession, dir: String,
+      tables: Seq[ZTable]): Seq[(String, Long)] =
+    withPinnedWriteConf(spark) {
+      if (tables.sizeIs <= 1) tables.map(ensure(spark, dir, _))
+      else {
+        val out = new Array[(String, Long)](tables.size)
+        val errs =
+          new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val threads = tables.zipWithIndex.map { case (t, i) =>
+          val th = new Thread(() =>
+            try out(i) = ensure(spark, dir, t)
+            catch { case e: Throwable => errs.add(e) },
+            s"zindex-ensure-$i")
+          th.setDaemon(true); th.start(); th
+        }
+        threads.foreach(_.join())
+        if (!errs.isEmpty) throw errs.peek()
+        out.toSeq
+      }
+    }
+
   /** Cluster `rows` into `n` z-sorted files under `genDir/files` and
     * return the zone-map rows — gen-relative file path, row count, and
     * per-column `<c>__min`/`<c>__max`/`<c>__nulls` for EVERY supported
@@ -230,44 +295,56 @@ object ZIndex {
   private[operators] def rangeClusterOnce(df: DataFrame, n: Int,
       cols: Column*): DataFrame = {
     val once = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    buildCaches.add(once)
+    buildCaches.get().add(once)
     once.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*)
   }
 
   /** DISK_ONLY producers minted by [[rangeClusterOnce]], released by
-    * [[clusterAndMap]] after the write they fed. (A concurrent build
-    * may release another build's entry early — correct either way,
-    * since persists are recomputable.) */
+    * [[clusterAndMap]] after the write they fed. PER-THREAD: the
+    * producing clusterWith lambda runs inside the build thread's own
+    * writeFiles(), so registration and release share a thread — and a
+    * CONCURRENT build (ensureAll) can no longer release a sibling's
+    * producer mid-write, which would silently re-run the expensive
+    * producer (signing) from lineage. */
   private val buildCaches =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    new ThreadLocal[java.util.ArrayDeque[DataFrame]] {
+      override def initialValue(): java.util.ArrayDeque[DataFrame] =
+        new java.util.ArrayDeque[DataFrame]()
+    }
 
   private def clusterAndMap(spark: SparkSession, rows: DataFrame,
       genName: String, genDir: String, n: Int, t: ZTable): DataFrame = {
     // layout files are written as TIMESTAMP_MICROS, never INT96:
     // INT96 footers carry no min/max, so timestamp zones would be
     // keep-all and time-window serve predicates couldn't skip
-    writeConfLock.synchronized {
+    def writeFiles(): Unit = t.clusterWith.map(f => f(rows, n))
+      .getOrElse(Layout.clusterByZ(rows, t.xCol, t.yCol, n))
+      .write.mode("overwrite")
+      // pin statistics to FULL length (r14 ADVICE): a deployment-level
+      // parquet.statistics.truncate.length would truncate binary maxima
+      // UPWARD — still sound for pruning, but ZoneAggServe serves these
+      // bounds as ANSWERS, and a truncated max is a value not in the data
+      .option("parquet.statistics.truncate.length",
+        Integer.MAX_VALUE.toString)
+      .parquet(s"$genDir/files")
+    if (confPinned.get()) writeFiles() // enclosing window owns the conf
+    else writeConfLock.synchronized {
       val tsKey = "spark.sql.parquet.outputTimestampType"
       val tsPrior = spark.conf.getOption(tsKey)
       spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-      try t.clusterWith.map(f => f(rows, n))
-        .getOrElse(Layout.clusterByZ(rows, t.xCol, t.yCol, n))
-        .write.mode("overwrite")
-        // pin statistics to FULL length (r14 ADVICE): a deployment-level
-        // parquet.statistics.truncate.length would truncate binary maxima
-        // UPWARD — still sound for pruning, but ZoneAggServe serves these
-        // bounds as ANSWERS, and a truncated max is a value not in the data
-        .option("parquet.statistics.truncate.length",
-          Integer.MAX_VALUE.toString)
-        .parquet(s"$genDir/files")
+      try writeFiles()
       finally tsPrior match {
         case Some(v) => spark.conf.set(tsKey, v)
         case None => spark.conf.unset(tsKey)
       }
     }
-    // release any rangeClusterOnce producers the write just consumed
-    while (!buildCaches.isEmpty) Option(buildCaches.poll())
-      .foreach(_.unpersist(blocking = false))
+    // release the rangeClusterOnce producers THIS build's write just
+    // consumed (thread-local — see buildCaches)
+    locally {
+      val mine = buildCaches.get()
+      while (!mine.isEmpty) Option(mine.poll())
+        .foreach(_.unpersist(blocking = false))
+    }
     val conf = spark.sparkContext.hadoopConfiguration
     val fdir = new org.apache.hadoop.fs.Path(s"$genDir/files")
     val files = fdir.getFileSystem(conf).listStatus(fdir)
