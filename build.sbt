@@ -39,4 +39,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Throughput collector for the forked driver JVMs: this is a batch
+  // workload on a moderate (8g) heap where pause time is irrelevant
+  // and allocation rate is the cost — A/B on a quiet box (full warm
+  // bench, same tree): G1 153.5 s / ParallelGC 126.6 s (gc_sec 81.8
+  // vs 70.4; OPTIMIZATION_r16.md §7). Env-overridable; heap-size A/B
+  // in the same section showed 16g is NOT better (gc is allocation-
+  // rate-bound, not heap-bound), so the default stays 8g.
+  s"-XX:+Use${sys.env.getOrElse("SPARK_DRIVER_GC", "ParallelGC")}",
 )

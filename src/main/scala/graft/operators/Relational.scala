@@ -1740,18 +1740,44 @@ object Relational {
     // so the wedges close through a shuffle join — sf10's |E| = 120M
     // takes this branch. (Threshold conf-overridable so the spec can
     // force the shuffle branch at gate scale and pin branch equality.)
+    // checkpoint at FULL configured parallelism, not whatever AQE
+    // coalesced the orientation joins to: the wedge stage downstream
+    // does O(Σ outdeg²) work per edge partition (50.3 core-s at sf0.1)
+    // while |E| is only ~11 MB — an AQE-coalesced 10-partition edge
+    // list caps that stage at 10 of 32 cores (measured 5.9 s wall;
+    // §2.4: partition for the stage's WORK, not its bytes)
+    val np = spark.conf.get("spark.sql.shuffle.partitions").toIntOption
+      .getOrElse(spark.sparkContext.defaultParallelism)
     val o = graft.util.Checkpoints.track(
       ed.select(when(uFirst, col("u")).otherwise(col("v")).as("a"),
-        when(uFirst, col("v")).otherwise(col("u")).as("b")).localCheckpoint(true))
+        when(uFirst, col("v")).otherwise(col("u")).as("b"))
+        .localCheckpoint(true))
     val maxBcast = spark.conf.getOption("spark.graft.triangles.broadcastMaxEdges")
       .flatMap(_.toLongOption).getOrElse(20000000L)
     val nEdges = o.count()
     val tri = if (nEdges <= maxBcast) {
-      o.alias("e1").join(broadcast(o.alias("e2")), col("e1.b") === col("e2.a"))
-        .select(col("e1.a").as("wa"), col("e2.b").as("wc"))
-        .join(broadcast(o.alias("e3")),
-          col("wa") === col("e3.a") && col("wc") === col("e3.b"))
-        .agg(count(lit(1)).as("n_triangles"))
+      // ADJACENCY-INTERSECT shape (optimization r16, guide §4): the
+      // previous wedge-stream shape materialized ~74M wedge ROWS at
+      // sf0.1 through two broadcast hash joins and went memory-bound
+      // (163 core-s / 5.3 s wall on 32 cores — row headers + hash
+      // probes, not arithmetic). With degree orientation, triangle
+      // {a,b,c} (edges a→b, a→c, b→c) is found EXACTLY once as
+      // c ∈ out(a) ∩ out(b) at edge (a,b) — so each edge row
+      // intersects two out-neighbor arrays instead of emitting a
+      // wedge per pair: no wedge row exists, the per-edge work is a
+      // contiguous array intersect, and the broadcast is the |V|-row
+      // adjacency (Σ outdeg elements), smaller than the hashed edge
+      // list it replaces. Inner joins are exact: an endpoint missing
+      // from adj has no out-neighbors and would contribute 0.
+      // (Wedge count n_triads still comes from deg below, unchanged.)
+      val adj = o.groupBy(col("a"))
+        .agg(collect_list(col("b")).as("nbrs"))
+      o.join(broadcast(adj.select(col("a"), col("nbrs").as("na"))), "a")
+        .join(broadcast(
+          adj.select(col("a").as("b"), col("nbrs").as("nb"))), "b")
+        .select(size(array_intersect(col("na"), col("nb"))).as("t"))
+        .agg(coalesce(sum(col("t")), lit(0L)).cast("long")
+          .as("n_triangles"))
     } else {
       // Shuffle regime, bloom-pruned (VERDICT-r7 #1). The naive shape —
       // materialize all Σ outdeg² wedges through a sort-merge join —
