@@ -1740,12 +1740,12 @@ object Relational {
     // so the wedges close through a shuffle join — sf10's |E| = 120M
     // takes this branch. (Threshold conf-overridable so the spec can
     // force the shuffle branch at gate scale and pin branch equality.)
-    // checkpoint at FULL configured parallelism, not whatever AQE
-    // coalesced the orientation joins to: the wedge stage downstream
-    // does O(Σ outdeg²) work per edge partition (50.3 core-s at sf0.1)
-    // while |E| is only ~11 MB — an AQE-coalesced 10-partition edge
-    // list caps that stage at 10 of 32 cores (measured 5.9 s wall;
-    // §2.4: partition for the stage's WORK, not its bytes)
+    // session parallelism — the FLOOR for the shuffle branch's
+    // |E|-derived closing-join partitioning below (an explicit
+    // repartition of `o` itself was tried and REVERTED: the intersect
+    // shape at AQE's natural partitioning measured 5.6 s vs 10.4 s at
+    // a forced 32 — the per-edge work is bandwidth-bound, and more
+    // concurrent tasks just thrash the LLC)
     val np = spark.conf.get("spark.sql.shuffle.partitions").toIntOption
       .getOrElse(spark.sparkContext.defaultParallelism)
     val o = graft.util.Checkpoints.track(
@@ -1802,10 +1802,21 @@ object Relational {
       val bf = o.select(xxhash64(col("a"), col("b")).as("h"))
         .stat.bloomFilter("h", nEdges, 0.01)
       val probe = graft.functions.BloomExpressions.broadcastProbe(spark, bf)
+      // the closing join's parallelism derives from |E|, not the core
+      // count (optimization r16, guide §2.4): each SHJ task builds a
+      // hash map of |E|/partitions edges, so the session constant puts
+      // a ~4M-row (hundreds of MB) map in EVERY task at sf10's 120M
+      // edges — measured SparkOutOfMemoryError on an 8 g heap where
+      // the r7 environment had spilled through. ~500k build rows per
+      // partition keeps each map tens of MB at any |E|; both sides
+      // repartition by the join keys so the SHJ reads co-partitioned.
+      val npClose = math.max(np, (nEdges / 500000L).toInt + 1)
       o.alias("e1").join(o.alias("e2"), col("e1.b") === col("e2.a"))
         .select(col("e1.a").as("wa"), col("e2.b").as("wc"))
         .filter(probe(xxhash64(col("wa"), col("wc"))))
-        .join(o.alias("e3").hint("shuffle_hash"),
+        .repartition(npClose, col("wa"), col("wc"))
+        .join(o.repartition(npClose, col("a"), col("b")).alias("e3")
+          .hint("shuffle_hash"),
           col("wa") === col("e3.a") && col("wc") === col("e3.b"))
         .agg(count(lit(1)).as("n_triangles"))
     }
