@@ -84,6 +84,26 @@ object WeatherZServe {
       .map(t => KmvTable.stampOfPath(s, s"$d/$t"))
       .mkString("\n--\n")
 
+  /** The committed landing for this corpus stamp, if one already exists
+    * on the durable root — a marker PROBE only, never a build (so
+    * [[WeatherQueries]]' gold builders can serve from it without the
+    * circularity of triggering the landing that computes them). Returns
+    * None on a cold root; the probe costs three source-stamp footer
+    * reads plus one FS exists, KB-scale driver metadata. */
+  private[weather] def committedGoldPath(
+      s: SparkSession, d: String): Option[String] =
+    landed.synchronized {
+      val stamp = sourceStamp(s, d)
+      val path = s"${goldRoot(s)}/${md5hex(d).take(8)}/" +
+        s"${md5hex(stamp).take(8)}/gold.parquet"
+      if (landed(path)) Some(path)
+      else {
+        val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+        val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(marker)) { landed += path; Some(path) } else None
+      }
+    }
+
   /** Land the unified gold (observations + forecasts — the reference's
     * single `weather_data_gold` table) once per (JVM, corpus stamp);
     * returns the landed parquet path. The write is one pass over the
