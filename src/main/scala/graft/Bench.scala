@@ -324,6 +324,43 @@ object Bench {
       .map { case (k, (_, r1)) => s"\"" + k.split("_")(0) + "\":" + fmt(r1) }
       .mkString("{", ",", "}")
     System.err.println(s"[bench] rep1 $r1s")
+    // the driver's PERF comparator reads the per-query map from a
+    // bounded tail capture of this stream: at 188 queries the one-line
+    // maps above outgrow it (~2.4 KB each) and r16's PERF landed with
+    // per_query={} / n_common=0 (VERDICT r16 §wrong #4). So the SAME
+    // min-statistic map is re-emitted in bounded chunks — each line a
+    // self-contained JSON object over a key subset, merged by union —
+    // and the full maps additionally land in bench_perq.json next to
+    // the run (CWD), so either capture style recovers every key. The
+    // one-line `queries`/`rep1` lines above and the stdout totals line
+    // stay byte-compatible.
+    def chunked(tag: String, entries: Seq[(String, Double)]): Unit = {
+      val parts = entries.map { case (k, v) => s"\"$k\":${fmt(v)}" }
+      val maxLine = 1600 // payload bound; well under a 2 KB line capture
+      val groups = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer.empty[String])
+      parts.foreach { p =>
+        if (groups.last.map(_.length + 1).sum + p.length > maxLine)
+          groups += scala.collection.mutable.ArrayBuffer.empty[String]
+        groups.last += p
+      }
+      val n = groups.size
+      groups.zipWithIndex.foreach { case (g, i) =>
+        System.err.println(
+          s"[bench] $tag ${i + 1}/$n ${g.mkString("{", ",", "}")}")
+      }
+    }
+    val minEntries = results.toSeq.sortBy(_._1)
+      .map { case (k, (v, _)) => k.split("_")(0) -> v }
+    val r1Entries = results.toSeq.sortBy(_._1)
+      .map { case (k, (_, r1)) => k.split("_")(0) -> r1 }
+    chunked("perq", minEntries)
+    chunked("perq_rep1", r1Entries)
+    try {
+      val f = new java.io.PrintWriter("bench_perq.json")
+      try f.println(s"""{"queries":$qs,"rep1":$r1s,"sf":"$sfDir"}""")
+      finally f.close()
+    } catch { case _: Throwable => () } // emission is best-effort
     // "isolated" keeps the r12-era SCALAR shape (cross-round scripts
     // compare it directly — r15 ADVICE: the r15 object-valued shape
     // broke consumers); the box indicators ride the SIBLING key
