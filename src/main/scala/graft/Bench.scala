@@ -160,6 +160,17 @@ object Bench {
       prewarmWxZ = (System.nanoTime() - tw) / 1e9
       System.err.println(s"[bench] prewarm_weather_zserve ${fmt(prewarmWxZ)}")
     }
+    // the shared part co-occurrence graph (q125 + q130 — VERDICT r16
+    // next-round #6): one deterministic distinct-self-join edge set,
+    // previously rebuilt per consumer AND per rep (~1.5 s each); now a
+    // cross-query memo built once here, priced as its own key
+    var prewarmGraph = 0.0
+    if (Seq("q125_triangles", "q130_pagerank").exists(selected)) {
+      val tw = System.nanoTime()
+      graft.operators.Relational.prewarmPartGraph(spark, sfDir)
+      prewarmGraph = (System.nanoTime() - tw) / 1e9
+      System.err.println(s"[bench] prewarm_part_graph ${fmt(prewarmGraph)}")
+    }
     // the durable IVF index (q57/q135), same convention (r12 verdict #1:
     // q57 read 5.4 s vs 1.0 warm and only prose could say the /tmp index
     // was cold — now the cold build is its own priced key)
@@ -297,7 +308,7 @@ object Bench {
       (if (results.nonEmpty) results.values.map(_._1).filter(_ >= 0).sum
        else 0.0) +
         prewarmLsh + prewarmKmv + prewarmLayout + prewarmIvf + prewarmZ +
-        prewarmWxZ
+        prewarmWxZ + prewarmGraph
     // per-lane totals (prewarm is a batch-lane artifact build)
     val streamTotal = results.collect {
       case (n, (v, _)) if isStreaming(n) && v >= 0 => v }.sum
@@ -308,6 +319,7 @@ object Bench {
     graft.operators.IngestOps.clear()
     graft.operators.TextOps.clear()
     graft.operators.VectorOps.clear()
+    graft.operators.Relational.clearGraph()
     spark.catalog.clearCache()
     // the driver parses a ~2000-char TAIL window of stdout: at 159
     // queries even the qNN-prefix-keyed map is ~2.4 KB, pushing the
@@ -375,7 +387,7 @@ object Bench {
     // memo builds) and the machine-load/GC indicators make the summary
     // self-attributing: min-based totals that drift while gc/load sit
     // in band indict the plans; a drift that tracks load_end/gc does not
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"prewarm_lsh_pairs":${fmt(prewarmLsh)},"prewarm_kmv_table":${fmt(prewarmKmv)},"prewarm_typed_layout":${fmt(prewarmLayout)},"prewarm_ivf_index":${fmt(prewarmIvf)},"prewarm_zindex":${fmt(prewarmZ)},"prewarm_weather_zserve":${fmt(prewarmWxZ)},"batch_total":${fmt(batchTotal)},"streaming_total":${fmt(streamTotal)},"rep1_total":${fmt(rep1Total)},"load_start":${fmt(loadStart)},"load_end":${fmt(loadAvg())},"gc_sec":${fmt(gcSec() - gcStart)},"isolated":$iso,"isolated_env":$isoEnv,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"prewarm_lsh_pairs":${fmt(prewarmLsh)},"prewarm_kmv_table":${fmt(prewarmKmv)},"prewarm_typed_layout":${fmt(prewarmLayout)},"prewarm_ivf_index":${fmt(prewarmIvf)},"prewarm_zindex":${fmt(prewarmZ)},"prewarm_part_graph":${fmt(prewarmGraph)},"prewarm_weather_zserve":${fmt(prewarmWxZ)},"batch_total":${fmt(batchTotal)},"streaming_total":${fmt(streamTotal)},"rep1_total":${fmt(rep1Total)},"load_start":${fmt(loadStart)},"load_end":${fmt(loadAvg())},"gc_sec":${fmt(gcSec() - gcStart)},"isolated":$iso,"isolated_env":$isoEnv,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

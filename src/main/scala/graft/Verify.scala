@@ -56,6 +56,7 @@ object Verify {
     graft.operators.IngestOps.clear()
     graft.operators.TextOps.clear()
     graft.operators.VectorOps.clear()
+    graft.operators.Relational.clearGraph()
     spark.catalog.clearCache()
     spark.stop()
   }
