@@ -1715,9 +1715,18 @@ object Relational {
         graphBuilds.incrementAndGet()
         val li = Tables.lineitem(spark, dir)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("s"))
-        val e0 = li.alias("a").join(li.alias("b"),
-            col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
-          .select(col("a.s").as("u"), col("b.s").as("v")).distinct()
+        // pair generation is GROUPED, not self-joined (optimization r17,
+        // guide §2.4): one exchange on ok + a map-side array expansion
+        // (sorted distinct parts per order, pairs via x > u filter)
+        // replaces the equi-self-join's two exchanges and per-row hash
+        // probes — identical pair set (u < v over each order's distinct
+        // parts), and the per-order fan-out is bounded by order size
+        // exactly as the a.s < b.s join was
+        val e0 = li.groupBy(col("ok"))
+          .agg(sort_array(collect_set(col("s"))).as("ss"))
+          .select(explode(col("ss")).as("u"), col("ss"))
+          .select(col("u"), explode(expr("filter(ss, x -> x > u)")).as("v"))
+          .distinct()
           .localCheckpoint(true)
         // degrees ride their own checkpoint: three consumers (q125's
         // orientation joins + triad count, q130's adjacency + degc)
@@ -2115,9 +2124,21 @@ object Relational {
 
   /** One contribution pass: adjd hash(src) ⋈ r hash(x→src) — alias-aware
     * partitioning propagation makes both sides co-partitioned, so the
-    * ONLY exchange here is the hashpartitioning(dst) reduce. */
+    * ONLY exchange here is the hashpartitioning(dst) reduce. The rank
+    * side carries a SHUFFLE_HASH hint (optimization r17): the memoized
+    * degree checkpoint gave the planner a real (small) size estimate and
+    * it started BROADCASTING the rank table each iteration — which
+    * serializes the loop into per-iteration broadcast barriers (measured
+    * 4.2-4.6 s vs 3.1-3.7 s at sf0.1, 3 reps each). The hint keeps the
+    * zero-exchange co-partitioned hash join at EVERY size: both sides
+    * are already hash(src, np), so the "shuffle" hash join plans with no
+    * exchange and no per-iteration sort, and the |V|-row build side per
+    * partition is exactly the state the broadcast would have shipped
+    * whole. */
   private[graft] def pagerankContribs(adjd: DataFrame, r: DataFrame): DataFrame =
-    adjd.join(r.select(col("x").as("src"), col("r").as("rsrc")), "src")
+    adjd.join(
+        r.select(col("x").as("src"), col("r").as("rsrc")).hint("shuffle_hash"),
+        "src")
       .select(col("dst"), expr("(85 * rsrc) div (100 * dsrc)").as("c"))
       .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
 
@@ -2127,7 +2148,11 @@ object Relational {
       degc: DataFrame, nn: DataFrame, contribs: DataFrame): DataFrame =
     graft.util.Checkpoints.track(
       degc.crossJoin(broadcast(nn))
-        .join(contribs, col("x") === col("dst"), "left")
+        // same SHUFFLE_HASH discipline as pagerankContribs: the reduce
+        // output is already hash(dst, np) — co-partitioned with degc's
+        // hash(x, np) — so the hint keeps the rank update exchange-free
+        // instead of letting a small-size estimate re-broadcast it
+        .join(contribs.hint("shuffle_hash"), col("x") === col("dst"), "left")
         .select(col("x"),
           (expr(s"(15 * $PrScale) div (100 * nn)")
             + coalesce(col("sc"), lit(0L))).as("r"))
