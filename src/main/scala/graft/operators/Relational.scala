@@ -1722,10 +1722,14 @@ object Relational {
         // probes — identical pair set (u < v over each order's distinct
         // parts), and the per-order fan-out is bounded by order size
         // exactly as the a.s < b.s join was
+        // slice-by-position, not filter(x -> x > u): the sorted array
+        // makes "greater elements" a positional suffix, and slice stays
+        // whole-stage-codegen where the lambda HOF would run interpreted
         val e0 = li.groupBy(col("ok"))
           .agg(sort_array(collect_set(col("s"))).as("ss"))
-          .select(explode(col("ss")).as("u"), col("ss"))
-          .select(col("u"), explode(expr("filter(ss, x -> x > u)")).as("v"))
+          .select(posexplode(col("ss")).as(Seq("i", "u")), col("ss"))
+          .select(col("u"),
+            explode(expr("slice(ss, i + 2, size(ss))")).as("v"))
           .distinct()
           .localCheckpoint(true)
         // degrees ride their own checkpoint: three consumers (q125's

@@ -392,12 +392,19 @@ object TextOps {
     val aggCols = count(lit(1)).as("n") +: (0 until SimBits).map(b =>
       sum(shiftright(col("m"), b).bitwiseAND(lit(1L))).as(s"o$b"))
     val sums = masked.groupBy(col("doc_id")).agg(aggCols.head, aggCols.tail: _*)
+    // localCheckpoint, not cache (optimization r17, guide §7.3 planning
+    // cost): the fingerprint frame feeds BOTH sides of all four band
+    // joins, so a cached plan re-embeds the 33-column bit-sum aggregate
+    // tree 8x in the union and the optimizer/codegen pass dominates the
+    // query (no stage reaches 0.15 s at sf0.1 — the 2.5 s was driver
+    // planning). The checkpoint truncates each branch to an RDD scan.
     val fp = sums.select(col("doc_id"),
       (0 until SimBits).map(b =>
         when(col(s"o$b") * 2 >= col("n"), lit(math.pow(2, b).toLong))
           .otherwise(0L))
         .reduce(_ + _).as("fingerprint"))
-      .cache().transform(graft.util.Checkpoints.track) // harness-swept
+      .localCheckpoint(true)
+      .transform(graft.util.Checkpoints.track) // harness-swept
     // leave-one-out band keys: drop band e, concat the remaining three
     def bandKey(e: Int): Column =
       (0 until SimBands).filter(_ != e)
