@@ -366,8 +366,14 @@ object Bench {
       .map { case (k, (v, _)) => k.split("_")(0) -> v }
     val r1Entries = results.toSeq.sortBy(_._1)
       .map { case (k, (_, r1)) => k.split("_")(0) -> r1 }
-    chunked("perq", minEntries)
+    // rep1 chunks FIRST, min chunks LAST: a bounded tail capture keeps
+    // whatever printed last, and the min map is the bench's PRIMARY
+    // statistic (the one-line `queries` map and every lane total are
+    // min-based; r16's tail kept the rep1 line only because it printed
+    // last, which made the driver's r16 per-query table the first-run
+    // statistic by accident — VERDICT r16 §measurement finding)
     chunked("perq_rep1", r1Entries)
+    chunked("perq", minEntries)
     try {
       val f = new java.io.PrintWriter("bench_perq.json")
       try f.println(s"""{"queries":$qs,"rep1":$r1s,"sf":"$sfDir"}""")
